@@ -1,0 +1,81 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is executed with a count-style action that forces full evaluation
+without collecting rows to the driver (``df.write.format("noop")``).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+    from duckdb_cloudflare_spark import queries as Q
+    from duckdb_cloudflare_spark.session import get_spark
+
+    spark = get_spark("bench")
+
+    headline = [
+        "q01_pricing_summary",
+        "q03_shipping_priority",
+        "q05_local_supplier_volume",
+        "q06_forecast_revenue",
+        "q07_left_join_nulls",
+        "q13_distinct_aggs",
+        "q14_rollup",
+        "q21_distinct_on",
+        "q28_time_bucket",
+        "q40_ranking",
+        "q42_running_rows_frame",
+        "q46_cumulative_share",
+        "p01_dedup_exact",
+        "p02_text_stats",
+        "p03_fingerprint",
+        "p04_lang_id",
+        "p05_knn_bruteforce",
+        "p06_minhash_pairs",
+        "p07_simhash_pairs",
+        "p09_embedding_neardup",
+        "p10_lsh_topk",
+    ]
+    registry = Q.all_queries()
+
+    # Warm the JVM + parquet footer caches with one throwaway action so the
+    # per-query numbers measure the queries, not session startup.
+    registry["q01_pricing_summary"](spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    for name in headline:
+        if name not in registry:
+            continue
+        t0 = time.perf_counter()
+        registry[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": round(sum(timings.values()), 4),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

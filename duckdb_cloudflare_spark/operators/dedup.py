@@ -1,0 +1,383 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup.
+
+Scale design (the part that matters at 100 TB):
+
+- Exact dedup is a hash-aggregate on a fingerprint — one shuffle on a
+  high-cardinality key (no skew by construction: md5 output).
+- Near-dup families NEVER do all-pairs: candidate generation is LSH banding
+  (shingle → minhash → band → bucket-join), so the only shuffle is on band
+  hashes and the quadratic blow-up is confined to within-bucket candidate
+  sets. Verification (exact Jaccard / Hamming / cosine) runs only on
+  candidates.
+- All hashing uses JVM-side xxhash64/md5 with per-permutation seeds — no
+  Python UDFs in the hot path, everything stays inside whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from duckdb_cloudflare_spark.operators.text_analysis import normalize_text, tokens
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the min-id row per distinct (normalized) text.
+
+    One shuffle on md5(text) — uniform key distribution, no skew. Returns the
+    surviving ids + the duplicate-group size.
+    """
+    fp = F.md5(normalize_text(F.col(text_col))).alias("fp")
+    return (
+        df.select(F.col(id_col), fp)
+        .groupBy("fp")
+        .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("group_size"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Shingling + MinHash + LSH banding
+# ---------------------------------------------------------------------------
+
+
+def shingles(text: Column, k: int = 3) -> Column:
+    """Word k-shingles as strings (space-joined), distinct. Empty text → []."""
+    toks = tokens(text)
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(-1)))
+    sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)))
+    return F.when(n >= k, F.array_distinct(sh)).otherwise(
+        F.when(n > 0, F.array(F.concat_ws(" ", toks))).otherwise(
+            F.array().cast("array<string>")
+        )
+    )
+
+
+def minhash_signature(shingle_col: Column, num_perm: int = 64) -> Column:
+    """MinHash signature: per permutation i, min over shingles of
+    xxhash64(shingle, seed=i). Empty shingle set → nulls (never matches)."""
+    sig = F.array(
+        *[
+            F.array_min(F.transform(shingle_col, lambda s: F.xxhash64(s, F.lit(i))))
+            for i in range(num_perm)
+        ]
+    )
+    return F.when(F.size(shingle_col) > 0, sig)
+
+
+def _bands(sig: Column, num_bands: int, rows_per_band: int) -> Column:
+    """array of (band_idx, band_hash) structs from a minhash signature."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(
+                    F.concat_ws(
+                        ",",
+                        *[
+                            sig[b * rows_per_band + r].cast("string")
+                            for r in range(rows_per_band)
+                        ],
+                    )
+                ).alias("band_hash"),
+            )
+            for b in range(num_bands)
+        ]
+    )
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """Exact Jaccard over two string arrays (assumed distinct elements)."""
+    inter = F.size(F.array_intersect(a, b))
+    union = F.size(F.array_union(a, b))
+    return F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k_shingle: int = 3,
+    num_perm: int = 64,
+    num_bands: int = 16,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate candidate pairs via MinHash LSH, verified with exact
+    Jaccard over the shingle sets.
+
+    Returns (id_a, id_b, jaccard_sim) with id_a < id_b, jaccard_sim >= threshold.
+
+    Plan shape: map (shingle+sign) → explode bands → shuffle on (band, hash)
+    → within-bucket self-join → distinct pairs → verify. The band-bucket join
+    is the only quadratic step and operates on tiny groups; a global
+    ``spark.sql.shuffle.partitions`` worth of parallelism carries it.
+    """
+    rows_per_band = num_perm // num_bands
+    base = df.select(
+        F.col(id_col).alias("id"),
+        shingles(F.col(text_col), k_shingle).alias("sh"),
+    ).withColumn("sig", minhash_signature(F.col("sh"), num_perm))
+    banded = (
+        base.filter(F.col("sig").isNotNull())
+        .select("id", "sh", F.explode(_bands(F.col("sig"), num_bands, rows_per_band)).alias("bb"))
+        .select("id", "sh", F.col("bb.band").alias("band"), F.col("bb.band_hash").alias("band_hash"))
+    )
+    left = banded.alias("l")
+    right = banded.alias("r")
+    cand = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.band_hash") == F.col("r.band_hash"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            F.col("l.sh").alias("sh_a"),
+            F.col("r.sh").alias("sh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cand.withColumn("jaccard_sim", jaccard(F.col("sh_a"), F.col("sh_b")))
+        .filter(F.col("jaccard_sim") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard_sim", 6).alias("jaccard_sim"))
+    )
+
+
+def minhash_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    **kwargs,
+) -> DataFrame:
+    """Rows surviving near-dedup: drop the larger id of every near-dup pair.
+
+    (Connected-component clustering would transitively merge chains; for a
+    single pass we use the standard "keep smallest id" union-find
+    approximation: a row is dropped if it is the larger side of ANY pair.)
+    """
+    pairs = minhash_lsh_pairs(df, text_col, id_col, **kwargs)
+    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(losers, on=id_col, how="left_anti")
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash(text: Column, bits: int = 32) -> Column:
+    """SimHash over whitespace tokens: per-token xxhash64, bitwise vote,
+    packed into a BIGINT (low ``bits`` bits). JVM-side expression tree —
+    no Python. 32 bits keeps the expression compact; Hamming distance on
+    32-bit fingerprints is plenty for near-dup grouping."""
+    hashes = F.transform(tokens(text), lambda t: F.xxhash64(t))
+    votes = [
+        F.aggregate(
+            hashes,
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        )
+        for b in range(bits)
+    ]
+    out = F.lit(0).cast("bigint")
+    for b, v in enumerate(votes):
+        out = out + F.when(v > 0, F.lit(2**b).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
+    return out
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 32,
+    max_hamming: int = 3,
+    num_blocks: int = 4,
+) -> DataFrame:
+    """Near-dup pairs by SimHash with block-permutation candidate generation:
+    split the fingerprint into ``num_blocks`` blocks; by pigeonhole, any pair
+    within Hamming distance < num_blocks shares at least one exact block →
+    join on (block_idx, block_value), verify true Hamming distance."""
+    block_bits = bits // num_blocks
+    mask = (1 << block_bits) - 1
+    base = df.select(F.col(id_col).alias("id"), simhash(F.col(text_col), bits).alias("sh"))
+    blocks = base.select(
+        "id",
+        "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("blk"),
+                        F.shiftright(F.col("sh"), i * block_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("blk_val"),
+                    )
+                    for i in range(num_blocks)
+                ]
+            )
+        ).alias("b"),
+    ).select("id", "sh", F.col("b.blk").alias("blk"), F.col("b.blk_val").alias("blk_val"))
+    l, r = blocks.alias("l"), blocks.alias("r")
+    return (
+        l.join(
+            r,
+            (F.col("l.blk") == F.col("r.blk"))
+            & (F.col("l.blk_val") == F.col("r.blk_val"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            hamming64(F.col("l.sh"), F.col("r.sh")).alias("hamming"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (character n-grams), LSH-bucketed
+# ---------------------------------------------------------------------------
+
+
+def char_ngrams(text: Column, n: int = 5) -> Column:
+    """Distinct character n-grams of normalized text."""
+    norm = normalize_text(text)
+    ln = F.length(norm)
+    idx = F.sequence(F.lit(1), F.greatest(ln - n + 1, F.lit(0)))
+    grams = F.transform(idx, lambda i: F.substring(norm, F.lit(0) + i, n))
+    return F.when(ln >= n, F.array_distinct(grams)).otherwise(
+        F.when(ln > 0, F.array(norm)).otherwise(F.array().cast("array<string>"))
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    threshold: float = 0.7,
+    num_perm: int = 32,
+    num_bands: int = 16,
+) -> DataFrame:
+    """Character-n-gram Jaccard near-dup pairs; candidates from MinHash-LSH
+    over the n-gram sets (same banding machinery as minhash_lsh_pairs)."""
+    rows_per_band = num_perm // num_bands
+    base = df.select(
+        F.col(id_col).alias("id"), char_ngrams(F.col(text_col), n).alias("sh")
+    ).withColumn("sig", minhash_signature(F.col("sh"), num_perm))
+    banded = (
+        base.filter(F.col("sig").isNotNull())
+        .select("id", "sh", F.explode(_bands(F.col("sig"), num_bands, rows_per_band)).alias("bb"))
+        .select("id", "sh", F.col("bb.band").alias("band"), F.col("bb.band_hash").alias("band_hash"))
+    )
+    l, r = banded.alias("l"), banded.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.band_hash") == F.col("r.band_hash"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            F.col("l.sh").alias("sh_a"),
+            F.col("r.sh").alias("sh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cand.withColumn("jaccard_sim", jaccard(F.col("sh_a"), F.col("sh_b")))
+        .filter(F.col("jaccard_sim") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard_sim", 6).alias("jaccard_sim"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding cosine near-dup
+# ---------------------------------------------------------------------------
+
+
+def cosine_similarity(a: Column, b: Column) -> Column:
+    """Cosine similarity of two array<float/double> columns — JVM-side
+    zip_with/aggregate, no UDF."""
+    # Cast each element to double BEFORE multiplying: float32 products differ
+    # from float64 products, and the DuckDB oracle computes in doubles.
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    norm_a = F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double"))
+    )
+    norm_b = F.sqrt(
+        F.aggregate(b, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double"))
+    )
+    return F.when((norm_a > 0) & (norm_b > 0), dot / (norm_a * norm_b)).otherwise(F.lit(0.0))
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    num_planes: int = 12,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding near-dup pairs above a cosine threshold.
+
+    Candidates come from random-hyperplane LSH (sign-bit sketch, joined on the
+    full sketch — high-cosine pairs collide with high probability), then exact
+    cosine verification. At 100 TB the sketch join is the only shuffle; the
+    planes are a tiny deterministic broadcast literal.
+    """
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    first = df.select(F.size(F.col(vec_col)).alias("d")).first()
+    dim = first["d"] if first else 0
+    planes = rng.standard_normal((num_planes, dim))
+    sketch = _hyperplane_sketch(F.col(vec_col), planes)
+    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"), sketch.alias("sk"))
+    l, r = base.alias("l"), base.alias("r")
+    return (
+        l.join(r, (F.col("l.sk") == F.col("r.sk")) & (F.col("l.id") < F.col("r.id")))
+        .select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            F.round(cosine_similarity(F.col("l.v"), F.col("r.v")), 6).alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= threshold)
+    )
+
+
+def _hyperplane_sketch(vec: Column, planes) -> Column:
+    """Sign-bit sketch of a vector against fixed hyperplanes → BIGINT."""
+    bits = []
+    for i, plane in enumerate(planes):
+        arr = F.array(*[F.lit(float(w)) for w in plane])
+        dot = F.aggregate(
+            F.zip_with(vec, arr, lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bits.append(F.when(dot >= 0, F.lit(2**i).cast("bigint")).otherwise(F.lit(0).cast("bigint")))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out

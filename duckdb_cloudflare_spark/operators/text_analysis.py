@@ -1,0 +1,121 @@
+"""Text-analysis operators: tokenization, quality stats, language ID,
+document fingerprinting.
+
+Everything here is built from JVM-side ``pyspark.sql.functions`` (regex split,
+array ops, md5/xxhash64) so it stays inside whole-stage codegen — no Python in
+the hot path. At 100 TB these are embarrassingly parallel map-only transforms:
+no shuffle, scales linearly with executors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword lists for the n-gram/stopword language heuristic.
+# Public knowledge (most-frequent function words per language).
+STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "in", "is", "it", "that", "was", "for"),
+    "es": ("el", "la", "de", "que", "y", "en", "un", "los", "se", "por"),
+    "fr": ("le", "la", "de", "et", "les", "des", "un", "une", "du", "est"),
+    "de": ("der", "die", "und", "das", "von", "zu", "den", "mit", "ist", "im"),
+    "zh": ("的", "是", "了", "在", "和", "有", "我", "不", "这", "他"),
+}
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization → array<string>; empty/blank text → empty array."""
+    trimmed = F.trim(text)
+    return F.when(F.length(trimmed) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(trimmed, r"\s+")
+    )
+
+
+def bpe_ish_tokens(text: Column) -> Column:
+    """BPE-ish sub-word split: runs of letters, runs of digits, or single
+    non-alphanumeric-non-space characters (a common pre-tokenizer regex)."""
+    arr = F.regexp_extract_all(text, F.lit(r"([A-Za-z]+|[0-9]+|[^A-Za-z0-9\s])"), 1)
+    return arr
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text)).cast("bigint")
+
+
+def normalize_text(text: Column) -> Column:
+    """Lowercase + collapse all whitespace runs to single spaces + trim."""
+    return F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
+
+
+def fingerprint(text: Column) -> Column:
+    """Deterministic document fingerprint: md5 of normalized text.
+
+    (The reference fingerprints content with digest columns from CDX — e.g.
+    the `digest` column of common_crawl_index, src/common_crawl_index.cpp:360;
+    this is the same idea computed locally.)
+    """
+    return F.md5(normalize_text(text))
+
+
+def with_quality_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append quality-scoring columns (length / punctuation / stopword ratios,
+    token statistics). Pure map-side; no shuffle."""
+    t = F.col(text_col)
+    toks = tokens(t)
+    n_chars = F.length(t).cast("bigint")
+    n_tokens = F.size(toks).cast("bigint")
+    n_space = n_chars - F.length(F.regexp_replace(t, r"\s", "")).cast("bigint")
+    n_punct = F.length(t) - F.length(F.regexp_replace(t, r"[^\w\s]", "")).cast("bigint")
+    n_alpha = F.length(F.regexp_replace(t, r"[^A-Za-z]", "")).cast("bigint")
+    en_stop = F.array(*[F.lit(s) for s in STOPWORDS["en"]])
+    n_stop = F.size(F.filter(toks, lambda tok: F.array_contains(en_stop, F.lower(tok))))
+    return (
+        df.withColumn("n_chars", n_chars)
+        .withColumn("n_tokens", n_tokens)
+        .withColumn(
+            "avg_token_len",
+            F.when(n_tokens > 0, (n_chars - n_space).cast("double") / n_tokens).otherwise(
+                F.lit(0.0)
+            ),
+        )
+        .withColumn(
+            "punct_ratio",
+            F.when(n_chars > 0, n_punct.cast("double") / n_chars).otherwise(F.lit(0.0)),
+        )
+        .withColumn(
+            "alpha_ratio",
+            F.when(n_chars > 0, n_alpha.cast("double") / n_chars).otherwise(F.lit(0.0)),
+        )
+        .withColumn(
+            "stopword_ratio",
+            F.when(n_tokens > 0, n_stop.cast("double") / n_tokens).otherwise(F.lit(0.0)),
+        )
+    )
+
+
+def lang_scores(text: Column) -> Column:
+    """Map lang → stopword-hit count for the heuristic language identifier."""
+    toks = F.transform(tokens(text), lambda tok: F.lower(tok))
+    entries = []
+    for lang, words in STOPWORDS.items():
+        wordlist = F.array(*[F.lit(w) for w in words])
+        hits = F.size(F.filter(toks, lambda tok: F.array_contains(wordlist, tok)))
+        entries.extend([F.lit(lang), hits])
+    return F.create_map(*entries)
+
+
+def identify_language(text: Column) -> Column:
+    """Heuristic language ID: argmax of per-language stopword hits, 'und' when
+    no stopword matches. Deterministic tie-break: lexicographically smallest
+    language code among the tied leaders."""
+    scores = lang_scores(text)
+    langs = sorted(STOPWORDS)
+    best = F.greatest(*[scores[F.lit(lang)] for lang in langs])
+    winner = F.coalesce(
+        *[F.when(scores[F.lit(lang)] == best, F.lit(lang)) for lang in langs]
+    )
+    return F.when(best > 0, winner).otherwise(F.lit("und"))
+
+
+def with_language(df: DataFrame, text_col: str = "text", out_col: str = "lang_pred") -> DataFrame:
+    return df.withColumn(out_col, identify_language(F.col(text_col)))

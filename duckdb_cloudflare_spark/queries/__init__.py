@@ -1,0 +1,81 @@
+"""Query inventory: every operator we declare as implemented.
+
+Each entry pairs a Spark callable ``(spark, sf_dir) -> DataFrame`` with an
+equivalent ANSI-SQL oracle string that DuckDB runs on the same parquet tables
+(driver registers views named region nation customer supplier part orders
+lineitem events documents embeddings). The driver hash-compares row values
+order-insensitively with columns sorted by name, so:
+
+- every computed/aggregate column is aliased IDENTICALLY on both sides;
+- float aggregates are rounded on BOTH sides (same rounding) so double
+  summation-order differences between engines can't flip the hash;
+- queries whose semantics are approximate / not SQL-expressible register
+  ``oracle=None`` and get the driver's weaker rows-only check.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+SparkQuery = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass(frozen=True)
+class Query:
+    name: str
+    spark: SparkQuery
+    oracle: str | None
+    description: str = ""
+
+
+REGISTRY: dict[str, Query] = {}
+
+
+def register(name: str, oracle: str | None = None, description: str = ""):
+    """Decorator: add a query to the inventory."""
+
+    def deco(fn: SparkQuery) -> SparkQuery:
+        if name in REGISTRY:
+            raise ValueError(f"duplicate query name: {name}")
+        REGISTRY[name] = Query(name, fn, oracle, description)
+        return fn
+
+    return deco
+
+
+def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    # The events table stores TIMESTAMP(NANOS), which Spark's parquet reader
+    # rejects unless nanos are read as long. Set the conf here (runtime SQL
+    # conf) so the engine also works under a caller-provided SparkSession,
+    # then convert to microsecond timestamps (integer div — no double
+    # round-trip, no precision loss).
+    if table == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+
+    if table == "events" and isinstance(df.schema["ts"].dataType, LongType):
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def _import_all() -> None:
+    # Import side-effect populates REGISTRY.
+    from duckdb_cloudflare_spark.queries import relational  # noqa: F401
+    from duckdb_cloudflare_spark.queries import windows  # noqa: F401
+    from duckdb_cloudflare_spark.queries import pipeline  # noqa: F401
+
+
+def all_queries() -> dict[str, SparkQuery]:
+    _import_all()
+    return {name: q.spark for name, q in REGISTRY.items()}
+
+
+def all_oracles() -> dict[str, str]:
+    _import_all()
+    return {name: q.oracle for name, q in REGISTRY.items() if q.oracle is not None}

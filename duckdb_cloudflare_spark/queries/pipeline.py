@@ -1,0 +1,203 @@
+"""Training-data pipeline queries: dedup families, similarity search, text
+analysis — the beyond-reference surface, declared as first-class ``queries()``
+entries with DuckDB oracles wherever the semantics are SQL-expressible.
+
+Queries whose candidate generation is probabilistic (LSH banding, hyperplane
+sketches) register oracle=None — their correctness is pinned by pytest
+(planted near-duplicates + recall vs the exact baseline) instead of the SQL
+oracle, because an all-pairs oracle would not share the candidate set.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from duckdb_cloudflare_spark.operators import dedup as D
+from duckdb_cloudflare_spark.operators import similarity as S
+from duckdb_cloudflare_spark.operators import text_analysis as T
+from duckdb_cloudflare_spark.queries import load, register
+
+_NORM_SQL = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+_TOKENS_SQL = "string_split_regex(trim(text), '\\s+')"
+
+
+@register(
+    "p01_dedup_exact",
+    oracle=f"""
+    SELECT md5({_NORM_SQL}) AS fp,
+           min(doc_id) AS doc_id,
+           count(*)    AS group_size
+    FROM documents
+    GROUP BY fp
+    """,
+    description="exact dedup: hash-groupBy on normalized-text fingerprint, keep min id",
+)
+def p01_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.exact_dedup(load(spark, sf_dir, "documents"))
+
+
+@register(
+    "p02_text_stats",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT)                              AS n_chars,
+           CAST(len({_TOKENS_SQL}) AS BIGINT)                        AS n_tokens,
+           CAST(len(regexp_extract_all(text, '([A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s])')) AS BIGINT)
+                                                                     AS n_bpe_tokens,
+           round(CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE)
+                 / len({_TOKENS_SQL}), 6)                            AS avg_token_len,
+           round(CAST(len(list_filter({_TOKENS_SQL},
+                     tok -> list_contains(['the','and','of','to','in','is','it','that','was','for'],
+                                          lower(tok)))) AS DOUBLE)
+                 / len({_TOKENS_SQL}), 6)                            AS stopword_ratio
+    FROM documents
+    WHERE len({_TOKENS_SQL}) > 0
+    """,
+    description="token counting (whitespace + BPE-ish regex) and quality ratios",
+)
+def p02_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    toks = T.tokens(F.col("text"))
+    n_tokens = F.size(toks).cast("bigint")
+    en_stop = F.array(*[F.lit(s) for s in T.STOPWORDS["en"]])
+    n_stop = F.size(F.filter(toks, lambda tok: F.array_contains(en_stop, F.lower(tok))))
+    return d.filter(n_tokens > 0).select(
+        "doc_id",
+        F.length("text").cast("bigint").alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        F.size(T.bpe_ish_tokens(F.col("text"))).cast("bigint").alias("n_bpe_tokens"),
+        F.round(
+            F.length(F.regexp_replace("text", r"\s", "")).cast("double") / n_tokens, 6
+        ).alias("avg_token_len"),
+        F.round(n_stop.cast("double") / n_tokens, 6).alias("stopword_ratio"),
+    )
+
+
+@register(
+    "p03_fingerprint",
+    oracle=f"""
+    SELECT doc_id, md5({_NORM_SQL}) AS fp
+    FROM documents
+    """,
+    description="document fingerprinting: md5 of whitespace-normalized lowercased text",
+)
+def p03_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return d.select("doc_id", T.fingerprint(F.col("text")).alias("fp"))
+
+
+@register(
+    "p04_lang_id",
+    oracle="""
+    WITH scored AS (
+        SELECT doc_id, lang AS lang_true,
+               len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                   t -> list_contains(['the','and','of','to','in','is','it','that','was','for'], t))) AS en_hits,
+               len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                   t -> list_contains(['el','la','de','que','y','en','un','los','se','por'], t))) AS es_hits,
+               len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                   t -> list_contains(['le','la','de','et','les','des','un','une','du','est'], t))) AS fr_hits,
+               len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                   t -> list_contains(['der','die','und','das','von','zu','den','mit','ist','im'], t))) AS de_hits,
+               len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                   t -> list_contains(['的','是','了','在','和','有','我','不','这','他'], t))) AS zh_hits
+        FROM documents
+    )
+    SELECT doc_id, lang_true,
+           CASE WHEN greatest(en_hits, es_hits, fr_hits, de_hits, zh_hits) = 0 THEN 'und'
+                WHEN de_hits = greatest(en_hits, es_hits, fr_hits, de_hits, zh_hits) THEN 'de'
+                WHEN en_hits = greatest(en_hits, es_hits, fr_hits, de_hits, zh_hits) THEN 'en'
+                WHEN es_hits = greatest(en_hits, es_hits, fr_hits, de_hits, zh_hits) THEN 'es'
+                WHEN fr_hits = greatest(en_hits, es_hits, fr_hits, de_hits, zh_hits) THEN 'fr'
+                ELSE 'zh' END AS lang_pred
+    FROM scored
+    """,
+    description="language ID: stopword-hit argmax heuristic, deterministic "
+    "lexicographic tie-break, 'und' when nothing matches",
+)
+def p04_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("lang_true"),
+        T.identify_language(F.col("text")).alias("lang_pred"),
+    )
+
+
+@register(
+    "p05_knn_bruteforce",
+    oracle="""
+    WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 16),
+    scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               round(
+                 list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))
+                 / (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])))
+                    * sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])))),
+                 6) AS cosine_sim
+        FROM embeddings c JOIN q ON q.vec_id != c.vec_id
+    )
+    SELECT query_id, neighbor_id, cosine_sim, nn_rank
+    FROM (
+        SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                       ORDER BY cosine_sim DESC, neighbor_id) AS INTEGER) AS nn_rank
+        FROM scored
+    ) WHERE nn_rank <= 5
+    """,
+    description="exact brute-force cosine top-k ANN baseline (broadcast queries, "
+    "JVM-side zip_with dot product, per-query top-k window)",
+)
+def p05_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 16)
+    return S.brute_force_topk(q, emb, k=5)
+
+
+@register(
+    "p06_minhash_pairs",
+    oracle=None,  # LSH candidate generation is not SQL-expressible; pytest pins it
+    description="MinHash+LSH near-dup pairs (shingle → 64-perm minhash → 16 bands "
+    "→ bucket join → exact-Jaccard verify ≥ 0.5)",
+)
+def p06_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.minhash_lsh_pairs(load(spark, sf_dir, "documents"), threshold=0.5)
+
+
+@register(
+    "p07_simhash_pairs",
+    oracle=None,
+    description="SimHash near-dup pairs (32-bit fingerprint, 4-block pigeonhole "
+    "candidates, Hamming ≤ 3 verify)",
+)
+def p07_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.simhash_pairs(load(spark, sf_dir, "documents"))
+
+
+@register(
+    "p08_ngram_jaccard_pairs",
+    oracle=None,
+    description="character-5-gram Jaccard near-dup pairs with MinHash-LSH candidates",
+)
+def p08_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.ngram_jaccard_pairs(load(spark, sf_dir, "documents"), threshold=0.6)
+
+
+@register(
+    "p09_embedding_neardup",
+    oracle=None,
+    description="embedding-cosine near-dup pairs via random-hyperplane sketch buckets",
+)
+def p09_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.embedding_neardup_pairs(load(spark, sf_dir, "embeddings"), threshold=0.9)
+
+
+@register(
+    "p10_lsh_topk",
+    oracle=None,
+    description="approximate ANN top-k via hyperplane LSH buckets with multi-probe",
+)
+def p10_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 16)
+    return S.lsh_topk(q, emb, k=5)

@@ -1,0 +1,199 @@
+"""Window-function surface (SURVEY §2B: ROW_NUMBER/RANK/DENSE_RANK, LEAD/LAG,
+FIRST/LAST, running aggregates, ROWS/RANGE frames — reference evidence at
+test/sql/internet_archive_fast_latest.test:80-90 which uses LEAD(timestamp) OVER ()).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from duckdb_cloudflare_spark.queries import load, register
+
+
+@register(
+    "q40_ranking",
+    oracle="""
+    SELECT c_custkey, c_nationkey,
+           row_number() OVER w AS rn,
+           rank()       OVER w AS rnk,
+           dense_rank() OVER w AS drnk,
+           ntile(4)     OVER w AS quartile
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)
+    """,
+    description="row_number / rank / dense_rank / ntile over a partitioned ordered window",
+)
+def q40_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
+    return c.select(
+        "c_custkey",
+        "c_nationkey",
+        F.row_number().over(w).alias("rn"),
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+@register(
+    "q41_lead_lag",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           lag(o_orderdate)  OVER w                       AS prev_date,
+           lead(o_orderdate) OVER w                       AS next_date,
+           round(lead(o_totalprice, 2, -1.0) OVER w, 4)   AS price_in_2,
+           CAST(date_diff('day', lag(o_orderdate) OVER w, o_orderdate) AS BIGINT) AS days_since_prev
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+    description="LEAD/LAG with offsets and defaults + date arithmetic across rows "
+    "(the reference's fast_latest test uses LEAD over timestamps)",
+)
+def q41_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    prev_date = F.lag("o_orderdate").over(w)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        prev_date.alias("prev_date"),
+        F.lead("o_orderdate").over(w).alias("next_date"),
+        F.round(F.lead("o_totalprice", 2, -1.0).over(w), 4).alias("price_in_2"),
+        F.datediff(F.col("o_orderdate"), prev_date).cast("bigint").alias("days_since_prev"),
+    )
+
+
+@register(
+    "q42_running_rows_frame",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           round(sum(l_quantity) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber
+                                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_qty,
+           round(avg(l_extendedprice) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber
+                                            ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING), 4)    AS smoothed_price,
+           count(*) OVER (PARTITION BY l_orderkey)                                           AS n_lines
+    FROM lineitem
+    WHERE l_orderkey % 50 = 0
+    """,
+    description="running SUM (unbounded preceding) + sliding AVG (rows frame) + partition count",
+)
+def q42_running_rows_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 50 == 0)
+    w = Window.partitionBy("l_orderkey").orderBy("l_linenumber")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.sum("l_quantity").over(w.rowsBetween(Window.unboundedPreceding, 0)), 4).alias(
+            "running_qty"
+        ),
+        F.round(F.avg("l_extendedprice").over(w.rowsBetween(-1, 1)), 4).alias("smoothed_price"),
+        F.count(F.lit(1)).over(Window.partitionBy("l_orderkey")).alias("n_lines"),
+    )
+
+
+@register(
+    "q43_range_frame",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice,
+           count(*) OVER (PARTITION BY o_custkey ORDER BY o_totalprice
+                          RANGE BETWEEN 1000 PRECEDING AND 1000 FOLLOWING) AS n_similar_price
+    FROM orders
+    WHERE o_custkey % 10 = 0
+    """,
+    description="RANGE frame over a numeric ordering (value-based window)",
+)
+def q43_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").filter(F.col("o_custkey") % 10 == 0)
+    w = Window.partitionBy("o_custkey").orderBy("o_totalprice").rangeBetween(-1000, 1000)
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.count(F.lit(1)).over(w).alias("n_similar_price"),
+    )
+
+
+@register(
+    "q44_first_last_value",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           first_value(o_orderdate) OVER w AS first_order_date,
+           last_value(o_orderdate)  OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                                          ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_order_date,
+           nth_value(o_orderdate, 2) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                                           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_order_date
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+    description="FIRST_VALUE / LAST_VALUE / NTH_VALUE with full-partition frames",
+)
+def q44_first_last_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.first("o_orderdate").over(w).alias("first_order_date"),
+        F.last("o_orderdate").over(wfull).alias("last_order_date"),
+        F.nth_value("o_orderdate", 2).over(wfull).alias("second_order_date"),
+    )
+
+
+@register(
+    "q45_window_dedup_latest",
+    oracle="""
+    SELECT user_id, event_id, ts, event_type
+    FROM (
+        SELECT user_id, event_id, ts, event_type,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    ) WHERE rn = 1
+    """,
+    description="latest-row-per-key (the reference's fastLatest=true TopN pattern, "
+    "internet_archive.cpp:1331-1412, expressed as a window dedup)",
+)
+def q45_window_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "ts", "event_type")
+    )
+
+
+@register(
+    "q46_cumulative_share",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, round(grp_rev, 4) AS revenue,
+           round(grp_rev / sum(grp_rev) OVER (), 6)      AS revenue_share,
+           round(percent_rank() OVER (ORDER BY grp_rev), 6) AS pct_rank,
+           round(cume_dist() OVER (ORDER BY grp_rev), 6)    AS cdist
+    FROM (
+        SELECT l_returnflag, l_linestatus,
+               sum(l_extendedprice * (1 - l_discount)) AS grp_rev
+        FROM lineitem GROUP BY l_returnflag, l_linestatus
+    )
+    """,
+    description="aggregate → unpartitioned window (share-of-total, percent_rank, cume_dist)",
+)
+def q46_cumulative_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    grp = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("grp_rev")
+    )
+    w_all = Window.partitionBy()
+    w_ord = Window.orderBy("grp_rev")
+    return grp.select(
+        "l_returnflag",
+        "l_linestatus",
+        F.round("grp_rev", 4).alias("revenue"),
+        F.round(F.col("grp_rev") / F.sum("grp_rev").over(w_all), 6).alias("revenue_share"),
+        F.round(F.percent_rank().over(w_ord), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w_ord), 6).alias("cdist"),
+    )

@@ -1,0 +1,39 @@
+from __future__ import annotations
+
+import os
+
+import pytest
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="session")
+def spark():
+    from duckdb_cloudflare_spark.session import get_spark
+
+    # Small core count for tests: faster session startup, less task overhead
+    # on tiny data.
+    spark = get_spark("tests", master="local[8]", extra_conf={
+        "spark.sql.shuffle.partitions": "8",
+    })
+    yield spark
+
+
+@pytest.fixture(scope="session")
+def sf_dir() -> str:
+    return SF_DIR
+
+
+@pytest.fixture(scope="session")
+def duck():
+    import duckdb
+
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events documents embeddings"
+    ).split():
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    yield con
+    con.close()
