@@ -31,6 +31,8 @@ _DEFAULTS = {
     # The synthetic events table stores TIMESTAMP(NANOS) which the vectorized
     # parquet reader rejects; read as long and convert in the loader.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Python DataSource pushFilters support (off by default in Spark 4.1).
+    "spark.sql.python.filterPushdown.enabled": "true",
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
 }
 
@@ -57,6 +59,8 @@ def register_sources(spark: SparkSession) -> None:
     from duckdb_cloudflare_spark.sources.wayback import WaybackMachineDataSource
     from duckdb_cloudflare_spark.sources.d1 import D1DataSource
 
+    # Runtime conf so a caller-provided (driver) session also gets pushdown.
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     for cls in (CommonCrawlDataSource, WaybackMachineDataSource, D1DataSource):
         try:
             spark.dataSource.register(cls)

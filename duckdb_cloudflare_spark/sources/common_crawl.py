@@ -1,0 +1,224 @@
+"""Common Crawl CDX index DataSource.
+
+Spark-first re-expression of the reference's ``common_crawl_index()`` table
+function (/root/reference src/common_crawl_index.cpp: bind :311-414, init
+:417-577, scan :580-758):
+
+- one InputPartition PER CRAWL ID — the reference fans out one std::async CDX
+  query per crawl (:542-550); here each crawl is an executor task, so the
+  fan-out scales with the cluster instead of one node's threads
+- crawl resolution order: explicit option/filter → pushed timestamp range via
+  collinfo catalog (partition pruning) → latest crawl (:434-456)
+- content fetch: HTTP range request + gzip-member decompress + WARC parse per
+  record, bounded-concurrency inside each partition (:586-613); fetch errors
+  land in response.error, never fail the query
+- a URL filter is REQUIRED (:422-426) — same error contract
+- ``debug`` option adds the cdx_url column; with ``dry_run`` the reader skips
+  the network entirely and emits one row carrying the URL it would request —
+  the reference's golden-URL test backbone (SURVEY §5)
+
+Usage:
+    spark.read.format("common_crawl")
+         .option("url", "*.example.com/*")
+         .option("crawl_id", "CC-MAIN-2025-43")     # optional
+         .option("max_results", 100)                # CDX &limit=
+         .option("fetch_response", "true")          # WARC content fetch
+         .load()
+"""
+
+from __future__ import annotations
+
+import time
+from concurrent.futures import ThreadPoolExecutor
+from typing import Iterator
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, Filter, InputPartition
+from pyspark.sql.types import StructType
+
+from duckdb_cloudflare_spark.sources.cdx import (
+    CDXRecord,
+    build_cc_cdx_url,
+    build_warc_url,
+    parse_cc_ndjson,
+)
+from duckdb_cloudflare_spark.sources.pushdown import CdxQuerySpec, translate_cc_filter
+from duckdb_cloudflare_spark.util.http import fetch_with_retry, make_transport
+from duckdb_cloudflare_spark.util.text import parse_cdx_timestamp
+from duckdb_cloudflare_spark.util.warc import decompress_gzip, parse_warc_response
+
+# Output schema — parity with CommonCrawlBind (src/common_crawl_index.cpp:344-397).
+_BASE_SCHEMA = (
+    "url string, timestamp timestamp, mimetype string, statuscode int, "
+    "digest string, filename string, offset bigint, length bigint, crawl_id string, "
+    "warc struct<version: string, headers: map<string,string>>, "
+    "response struct<body: binary, headers: map<string,string>, http_version: string, error: string>"
+)
+
+DEFAULT_MAX_RESULTS = 100  # src/common_crawl_index.cpp:38-43
+DEFAULT_TIMEOUT_SECONDS = 180
+FETCH_CONCURRENCY = 8  # bounded per-partition fan-out (respect the archive)
+
+
+def _truthy(v: str | None) -> bool:
+    return str(v).lower() in ("true", "1", "yes")
+
+
+class CommonCrawlDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "common_crawl"
+
+    def schema(self) -> str:
+        if _truthy(self.options.get("debug")):
+            return _BASE_SCHEMA + ", cdx_url string"
+        return _BASE_SCHEMA
+
+    def reader(self, schema: StructType) -> "CommonCrawlReader":
+        return CommonCrawlReader(schema, dict(self.options))
+
+
+class CrawlPartition(InputPartition):
+    def __init__(self, crawl_id: str, max_results: int):
+        self.crawl_id = crawl_id
+        self.max_results = max_results
+
+
+class CommonCrawlReader(DataSourceReader):
+    def __init__(self, schema: StructType, options: dict):
+        self.schema_ = schema
+        self.options = options
+        self.spec = CdxQuerySpec(
+            url_pattern=options.get("url", ""),
+            crawl_ids=[c for c in options.get("crawl_id", "").split(",") if c],
+            cdx_filters=[f for f in options.get("filter", "").split(";;") if f],
+            from_ts=options.get("from", ""),
+            to_ts=options.get("to", ""),
+        )
+        self.debug = _truthy(options.get("debug"))
+        self.dry_run = _truthy(options.get("dry_run"))
+        self.fetch_response = _truthy(options.get("fetch_response"))
+        self.max_results = int(options.get("max_results", DEFAULT_MAX_RESULTS))
+        self.timeout_seconds = int(options.get("timeout", DEFAULT_TIMEOUT_SECONDS))
+
+    # -- planning ----------------------------------------------------------
+    def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
+        for f in filters:
+            translate_cc_filter(f, self.spec)
+            # Keep-in-plan policy: every filter is residual (see pushdown.py).
+            yield f
+
+    def _resolve_crawl_ids(self) -> list[str]:
+        if self.spec.crawl_ids:
+            return self.spec.crawl_ids
+        from duckdb_cloudflare_spark.sources.collinfo import CollInfoCatalog
+
+        catalog = CollInfoCatalog(transport=make_transport(self.options))
+        if self.spec.from_ts or self.spec.to_ts:
+            ids = catalog.crawl_ids_for_range(
+                parse_cdx_timestamp(self.spec.from_ts.ljust(14, "0")) if self.spec.from_ts else None,
+                parse_cdx_timestamp(self.spec.to_ts.ljust(14, "9")) if self.spec.to_ts else None,
+            )
+            if ids:
+                return ids
+        return [catalog.latest_crawl_id()]
+
+    def partitions(self) -> list[InputPartition]:
+        if not self.spec.url_pattern:
+            raise ValueError(
+                "common_crawl requires a URL filter. Use .option('url', '*.example.com/*') "
+                "or WHERE url = / startswith / endswith / contains"
+            )
+        crawl_ids = self._resolve_crawl_ids()
+        # The reference divides a pushed LIMIT across parallel crawls
+        # (src/common_crawl_index.cpp:1510-1513).
+        per_crawl = max(1, self.max_results // max(1, len(crawl_ids)))
+        return [CrawlPartition(cid, per_crawl) for cid in crawl_ids]
+
+    # -- execution ---------------------------------------------------------
+    def read(self, partition: CrawlPartition):
+        fields = [f.name for f in self.schema_.fields]
+        cdx_url = build_cc_cdx_url(
+            partition.crawl_id,
+            self.spec.url_pattern,
+            ["url", "timestamp", "mimetype", "statuscode", "digest", "filename", "offset", "length"],
+            cdx_filters=self.spec.cdx_filters,
+            max_results=partition.max_results,
+            from_ts=self.spec.from_ts,
+            to_ts=self.spec.to_ts,
+        )
+        if self.dry_run:
+            row = {name: None for name in fields}
+            if "cdx_url" in fields:
+                row["cdx_url"] = cdx_url
+            yield tuple(row[name] for name in fields)
+            return
+
+        transport = make_transport(self.options)
+        start = time.monotonic()
+        result = fetch_with_retry(
+            transport, cdx_url, start_time=start, timeout_seconds=self.timeout_seconds
+        )
+        if result.error:
+            raise IOError(f"Error querying CDX API: {result.error}")
+        records = parse_cc_ndjson(result.body, partition.crawl_id, need_warc_fields=True)
+
+        responses: dict[int, object] = {}
+        if self.fetch_response and records:
+            with ThreadPoolExecutor(max_workers=FETCH_CONCURRENCY) as pool:
+                futures = {
+                    i: pool.submit(
+                        self._fetch_warc, transport, rec, start, self.timeout_seconds
+                    )
+                    for i, rec in enumerate(records)
+                }
+                responses = {i: fut.result() for i, fut in futures.items()}
+
+        for i, rec in enumerate(records):
+            yield self._to_row(rec, responses.get(i), cdx_url, fields)
+
+    @staticmethod
+    def _fetch_warc(transport, rec: CDXRecord, start: float, timeout_seconds: int):
+        """Range request + gunzip + WARC parse; errors → response.error
+        (src/common_crawl_index.cpp:208-304)."""
+        from duckdb_cloudflare_spark.util.warc import WARCResponse
+
+        if not rec.filename or rec.offset == 0 or rec.length == 0:
+            return WARCResponse()  # invalid record → empty (reference :212-214)
+        url = build_warc_url(rec.filename)
+        headers = {"Range": f"bytes={rec.offset}-{rec.offset + rec.length - 1}"}
+        result = fetch_with_retry(
+            transport, url, headers=headers, start_time=start, timeout_seconds=timeout_seconds
+        )
+        if result.error:
+            return WARCResponse(error=result.error)
+        decompressed = decompress_gzip(result.body)
+        if decompressed.startswith(b"[Error"):
+            return WARCResponse(error=decompressed.decode("utf-8", errors="replace"))
+        return parse_warc_response(decompressed)
+
+    def _to_row(self, rec: CDXRecord, warc, cdx_url: str, fields: list[str]):
+        warc_struct = None
+        response_struct = None
+        if warc is not None:
+            warc_struct = (warc.warc_version, warc.warc_headers or {})
+            response_struct = (
+                warc.body,
+                warc.http_headers or {},
+                warc.http_version,
+                warc.error,
+            )
+        row = {
+            "url": rec.url,
+            "timestamp": parse_cdx_timestamp(rec.timestamp),
+            "mimetype": rec.mime_type,
+            "statuscode": rec.status_code,
+            "digest": rec.digest,
+            "filename": rec.filename,
+            "offset": rec.offset,
+            "length": rec.length,
+            "crawl_id": rec.crawl_id,
+            "warc": warc_struct,
+            "response": response_struct,
+            "cdx_url": cdx_url,
+        }
+        return tuple(row.get(name) for name in fields)

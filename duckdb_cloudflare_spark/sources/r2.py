@@ -1,0 +1,142 @@
+"""R2 SQL (Iceberg tables in Cloudflare R2) client + helpers.
+
+Parity layer (citations into /root/reference):
+- endpoint  ← src/include/r2_extension.hpp:17-20
+  POST https://api.sql.cloudflarestorage.com/api/v1/accounts/{acct}/r2-sql/query/{bucket}
+  body {"query": "<sql>"} — src/r2_http.cpp:120-133 (60 s timeout)
+- ``r2_sql_query`` returns the RAW JSON response as one row × one VARCHAR
+  column named ``response`` (parsing deliberately deferred,
+  src/r2_functions.cpp:34-37, src/r2_http.cpp:111-114)
+- r2_sql_databases / r2_sql_tables / r2_sql_describe are SHOW/DESCRIBE
+  passthroughs (src/r2_functions.cpp:76-244)
+
+Idiomatic upgrade: ``r2_sql_query_df`` parses the ``results`` array into a
+typed DataFrame via spark.read.json — and for production use the semantic
+capability is native Spark: configure an Iceberg REST catalog against R2 and
+``spark.read.format("iceberg")`` (SURVEY §7 Phase 5).
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass
+
+from duckdb_cloudflare_spark.util.http import Transport, UrllibTransport
+
+R2_API_BASE = "https://api.sql.cloudflarestorage.com/api/v1"
+
+
+@dataclass
+class R2SQLConfig:
+    account_id: str
+    api_token: str
+    bucket_name: str = ""
+    base_url: str = R2_API_BASE
+
+    @property
+    def query_url(self) -> str:
+        return f"{self.base_url}/accounts/{self.account_id}/r2-sql/query/{self.bucket_name}"
+
+
+class R2SqlError(Exception):
+    pass
+
+
+class R2SqlClient:
+    def __init__(self, config: R2SQLConfig, transport: Transport | None = None):
+        self.config = config
+        self.transport = transport or UrllibTransport(request_timeout=60)
+
+    def query_raw(self, sql: str) -> str:
+        """POST the query; return the raw JSON response string (reference
+        r2_sql_query semantics). Validates only that 'results' is present."""
+        body = json.dumps({"query": sql}).encode()
+        raw = self.transport.post(
+            self.config.query_url,
+            body,
+            headers={
+                "Authorization": f"Bearer {self.config.api_token}",
+                "Content-Type": "application/json",
+            },
+        ).decode("utf-8", errors="replace")
+        if '"results"' not in raw:
+            raise R2SqlError("Invalid response format: missing 'results' field")
+        return raw
+
+    def query_rows(self, sql: str) -> list[dict]:
+        return json.loads(self.query_raw(sql)).get("results") or []
+
+    # SHOW/DESCRIBE passthroughs (src/r2_functions.cpp:76-244)
+    def show_databases(self) -> str:
+        return self.query_raw("SHOW DATABASES")
+
+    def show_tables(self, namespace: str = "") -> str:
+        return self.query_raw(f"SHOW TABLES IN {namespace}" if namespace else "SHOW TABLES")
+
+    def describe(self, table: str) -> str:
+        return self.query_raw(f"DESCRIBE {table}")
+
+
+def _client_from_opts(secret: str, bucket: str, **opts) -> R2SqlClient:
+    from duckdb_cloudflare_spark.catalog.secrets import global_registry
+
+    account_id = opts.get("account_id", "")
+    api_token = opts.get("api_token", "")
+    if not account_id or not api_token:
+        s = global_registry().get_secret(secret, type="r2_sql")
+        account_id = account_id or s.get("account_id")
+        api_token = api_token or s.get("api_token")
+    config = R2SQLConfig(
+        account_id=account_id,
+        api_token=api_token,
+        bucket_name=bucket,
+        base_url=opts.get("base_url", R2_API_BASE),
+    )
+    return R2SqlClient(config, transport=opts.get("transport"))
+
+
+def r2_sql_query(spark, secret: str, bucket: str, sql: str, **opts):
+    """1 row × 1 VARCHAR column 'response' — exact reference parity."""
+    client = _client_from_opts(secret, bucket, **opts)
+    raw = client.query_raw(sql)
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    return spark.createDataFrame([(raw,)], StructType([StructField("response", StringType())]))
+
+
+def r2_sql_query_df(spark, secret: str, bucket: str, sql: str, **opts):
+    """Idiomatic upgrade: parse the results array into a typed DataFrame."""
+    client = _client_from_opts(secret, bucket, **opts)
+    rows = client.query_rows(sql)
+    if not rows:
+        from pyspark.sql.types import StructType
+
+        return spark.createDataFrame([], StructType([]))
+    return spark.createDataFrame(rows)
+
+
+def r2_sql_databases(spark, secret: str, bucket: str, **opts):
+    client = _client_from_opts(secret, bucket, **opts)
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    return spark.createDataFrame(
+        [(client.show_databases(),)], StructType([StructField("response", StringType())])
+    )
+
+
+def r2_sql_tables(spark, secret: str, bucket: str, namespace: str = "", **opts):
+    client = _client_from_opts(secret, bucket, **opts)
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    return spark.createDataFrame(
+        [(client.show_tables(namespace),)], StructType([StructField("response", StringType())])
+    )
+
+
+def r2_sql_describe(spark, secret: str, bucket: str, table: str, **opts):
+    client = _client_from_opts(secret, bucket, **opts)
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    return spark.createDataFrame(
+        [(client.describe(table),)], StructType([StructField("response", StringType())])
+    )

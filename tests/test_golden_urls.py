@@ -1,0 +1,188 @@
+"""Golden-URL tests ported from the reference's sqllogictest suite
+(test/sql/internet_archive_pushdown.test, test/sql/common_crawl_*.test,
+URL_GENERATION_TESTS.md): the URL builders are pure, so query shapes map to
+exact URL assertions with no network."""
+
+from __future__ import annotations
+
+from duckdb_cloudflare_spark.sources.cdx import (
+    build_cc_cdx_url,
+    build_warc_url,
+    build_wayback_cdx_url,
+    build_wayback_page_url,
+    parse_cc_ndjson,
+    parse_wayback_csv,
+)
+from duckdb_cloudflare_spark.util.text import like_to_regex, to_cdx_timestamp
+
+
+class TestWaybackUrls:
+    def test_base_shape(self):
+        url = build_wayback_cdx_url("example.com", fields_needed=["original", "timestamp"])
+        assert url.startswith("https://web.archive.org/cdx/search/cdx?url=example.com&output=csv")
+
+    def test_limit(self):
+        url = build_wayback_cdx_url("example.com", max_results=5)
+        assert "&limit=5" in url and "fastLatest" not in url
+
+    def test_fl_ordered(self):
+        url = build_wayback_cdx_url(
+            "example.com",
+            fields_needed=["length", "original", "urlkey", "timestamp"],
+        )
+        assert "&fl=urlkey,timestamp,original,length" in url
+
+    def test_statuscode_filter(self):
+        url = build_wayback_cdx_url("example.com", cdx_filters=["statuscode:200"])
+        assert "&filter=statuscode:200" in url
+
+    def test_negated_filter(self):
+        url = build_wayback_cdx_url("example.com", cdx_filters=["!statuscode:404"])
+        assert "&filter=!statuscode:404" in url
+
+    def test_mimetype_filter(self):
+        url = build_wayback_cdx_url("example.com", cdx_filters=["mimetype:text/html"])
+        assert "&filter=mimetype:text/html" in url
+
+    def test_from_to(self):
+        url = build_wayback_cdx_url(
+            "example.com",
+            from_date=to_cdx_timestamp("2024-01-01 00:00:00"),
+            to_date=to_cdx_timestamp("2025-01-01 00:00:00"),
+        )
+        assert "&from=20240101" in url and "&to=20250101" in url
+
+    def test_match_type_domain(self):
+        url = build_wayback_cdx_url("*.example.com", match_type="domain")
+        assert "url=*.example.com" in url and "&matchType=domain" in url
+
+    def test_match_type_exact_omitted(self):
+        assert "matchType" not in build_wayback_cdx_url("example.com")
+
+    def test_fast_latest_negative_limit(self):
+        url = build_wayback_cdx_url("example.com", fast_latest=True, max_results=10)
+        assert "&fastLatest=true&limit=-10" in url
+
+    def test_offset(self):
+        url = build_wayback_cdx_url("example.com", max_results=10, offset=50)
+        assert "&offset=50" in url and "&limit=10" in url
+
+    def test_offset_zero_omitted(self):
+        assert "offset" not in build_wayback_cdx_url("example.com", offset=0)
+
+    def test_collapse(self):
+        url = build_wayback_cdx_url("example.com", collapses=["urlkey"])
+        assert "&collapse=urlkey" in url
+
+    def test_collapse_timestamp_prefix(self):
+        url = build_wayback_cdx_url("example.com", collapses=["timestamp:8"])
+        assert "&collapse=timestamp:8" in url
+
+    def test_in_alternation(self):
+        url = build_wayback_cdx_url("example.com", cdx_filters=["statuscode:(200|301|302)"])
+        assert "&filter=statuscode:(200|301|302)" in url
+
+    def test_urlkey_suffix_regex(self):
+        url = build_wayback_cdx_url(
+            "example.com/*", cdx_filters=[f"urlkey:{like_to_regex('%apply')}"]
+        )
+        assert "&filter=urlkey:.*apply$" in url
+
+    def test_urlkey_paren_not_escaped(self):
+        url = build_wayback_cdx_url(
+            "example.com/*", cdx_filters=[f"!urlkey:{like_to_regex('com,example)/%/%')}"]
+        )
+        assert "&filter=!urlkey:^com,example)/.*/.*" in url
+
+    def test_complex_combined(self):
+        url = build_wayback_cdx_url(
+            "example.com/*",
+            fields_needed=["original", "timestamp"],
+            cdx_filters=["statuscode:200", "mimetype:text/html", "!urlkey:.*%5C?.*"],
+            from_date="2024",
+            to_date="2025",
+            max_results=10,
+            collapses=["urlkey"],
+        )
+        for frag in (
+            "https://web.archive.org/cdx/search/cdx?",
+            "url=example.com/*",
+            "&from=2024",
+            "&to=2025",
+            "&limit=10",
+            "&filter=statuscode:200",
+            "&filter=mimetype:text/html",
+            "&filter=!urlkey:",
+            "&collapse=urlkey",
+        ):
+            assert frag in url, frag
+
+    def test_page_url_id_suffix(self):
+        assert (
+            build_wayback_page_url("20240601123456", "http://example.com/x")
+            == "https://web.archive.org/web/20240601123456id_/http://example.com/x"
+        )
+
+
+class TestCommonCrawlUrls:
+    def test_base_shape(self):
+        url = build_cc_cdx_url(
+            "CC-MAIN-2025-43", "example.com/*", ["url", "timestamp"], max_results=100
+        )
+        assert url.startswith(
+            "https://index.commoncrawl.org/CC-MAIN-2025-43-index?url=example.com/*"
+        )
+        assert "&output=json" in url and "&limit=100" in url
+
+    def test_field_mapping(self):
+        # mimetype→mime, statuscode→status (common_crawl_index.cpp:73-80)
+        url = build_cc_cdx_url("CC-MAIN-2025-43", "x.com", ["url", "mimetype", "statuscode"])
+        assert "&fl=url,mime,status" in url
+
+    def test_filters(self):
+        url = build_cc_cdx_url(
+            "CC-MAIN-2025-43", "x.com", ["url"], cdx_filters=["=status:200", "=mime:text/html"]
+        )
+        assert "&filter==status:200" in url and "&filter==mime:text/html" in url
+
+    def test_from_to(self):
+        url = build_cc_cdx_url(
+            "CC-MAIN-2025-43", "x.com", ["url"], from_ts="20240101", to_ts="2025"
+        )
+        assert "&from=20240101" in url and "&to=2025" in url
+
+    def test_warc_url(self):
+        assert build_warc_url("crawl-data/CC-MAIN/x.warc.gz") == (
+            "https://data.commoncrawl.org/crawl-data/CC-MAIN/x.warc.gz"
+        )
+
+
+class TestParsers:
+    def test_cc_ndjson(self):
+        data = (
+            '{"url": "http://a.com/", "timestamp": "20240601000000", "mime": "text/html", '
+            '"status": "200", "digest": "ABC", "filename": "f.warc.gz", "offset": "10", "length": "20"}\n'
+            "garbage line\n"
+            '{"timestamp": "20240601000001"}\n'  # no url → skipped
+            '{"url": "http://b.com/", "timestamp": "20240602000000", "mime": "-", "status": ""}\n'
+        )
+        recs = parse_cc_ndjson(data, "CC-MAIN-2025-43", need_warc_fields=True)
+        assert len(recs) == 2
+        assert recs[0].url == "http://a.com/"
+        assert recs[0].status_code == 200
+        assert recs[0].offset == 10 and recs[0].length == 20
+        assert recs[0].crawl_id == "CC-MAIN-2025-43"
+        assert recs[1].status_code == 0  # empty status → 0
+
+    def test_wayback_csv(self):
+        data = (
+            "com,example)/ 20240601000000 http://example.com/ text/html 200 DIGEST1 1234\n"
+            "com,example)/a 20240602000000 http://example.com/a - - DIGEST2 -\n"
+            "short line\n"
+        )
+        fields = ["urlkey", "timestamp", "original", "mimetype", "statuscode", "digest", "length"]
+        recs = parse_wayback_csv(data, fields)
+        assert len(recs) == 2
+        assert recs[0].urlkey == "com,example)/"
+        assert recs[0].status_code == 200 and recs[0].length == 1234
+        assert recs[1].status_code == 0 and recs[1].length == 0  # '-' → 0
