@@ -21,6 +21,21 @@ from pyspark.sql import functions as F
 
 from duckdb_cloudflare_spark.operators.text_analysis import normalize_text, tokens
 
+
+def ensure_parallelism(df: DataFrame) -> DataFrame:
+    """Round-robin repartition ONLY when the input is under-parallelized
+    (fewer partitions than cores — e.g. one small parquet file). At scale the
+    scan already yields hundreds of partitions and this is a no-op, so the
+    extra shuffle is paid exactly when it is cheapest and never when the
+    input is large. The expensive hashing/signature maps below are
+    higher-order-function expressions (interpreted, not codegen) — leaving
+    them on a single partition serializes the whole operator."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 # ---------------------------------------------------------------------------
 # Exact dedup
 # ---------------------------------------------------------------------------
@@ -117,35 +132,72 @@ def minhash_lsh_pairs(
     is the only quadratic step and operates on tiny groups; a global
     ``spark.sql.shuffle.partitions`` worth of parallelism carries it.
     """
-    rows_per_band = num_perm // num_bands
-    base = df.select(
+    # Cheap emptiness filter HERE so it pushes down to the scan; a filter on
+    # the signature/shingle expression would be pushed below the repartition
+    # by Catalyst and re-evaluate the whole shingling single-threaded on the
+    # scan partitions.
+    nonempty = df.filter(F.col(text_col).isNotNull() & (F.trim(F.col(text_col)) != ""))
+    base = ensure_parallelism(nonempty).select(
         F.col(id_col).alias("id"),
         shingles(F.col(text_col), k_shingle).alias("sh"),
-    ).withColumn("sig", minhash_signature(F.col("sh"), num_perm))
-    banded = (
-        base.filter(F.col("sig").isNotNull())
-        .select("id", "sh", F.explode(_bands(F.col("sig"), num_bands, rows_per_band)).alias("bb"))
-        .select("id", "sh", F.col("bb.band").alias("band"), F.col("bb.band_hash").alias("band_hash"))
     )
+    return _lsh_verified_pairs(base, num_perm, num_bands, threshold)
+
+
+def _lsh_verified_pairs(
+    base: DataFrame,
+    num_perm: int,
+    num_bands: int,
+    threshold: float,
+    max_bucket: int = 200,
+) -> DataFrame:
+    """Shared LSH core over ``base(id, sh)``: sign → band → bucket-join on
+    bare (id, band_key) pairs → distinct → re-attach shingle sets → exact
+    Jaccard verify.
+
+    The band join deliberately carries ONLY 16 bytes per row (id +
+    band_key): shipping the shingle arrays through the explode would
+    multiply shuffle volume by num_bands×, and carrying them through the
+    pair-dedup shuffle would double it again. Re-attaching `sh` afterwards
+    costs two joins over the (small) candidate set — the 100 TB-friendly
+    trade.
+
+    ``max_bucket`` drops band buckets with more than that many members
+    before the self-join. An over-full bucket is by construction
+    non-discriminative (its hash carries almost no similarity signal —
+    e.g. a band whose minhashes collapsed on boilerplate), and one hot
+    bucket of size B costs B² candidate rows: the cap turns the worst case
+    from quadratic-in-skew into linear, which is what lets the same plan
+    run at 100 TB. Documented recall impact: only pairs whose EVERY shared
+    band is over-full are lost."""
+    rows_per_band = num_perm // num_bands
+    base = base.withColumn("sig", minhash_signature(F.col("sh"), num_perm))
+    # Single 64-bit key per (band, hash): collisions across bands are
+    # astronomically unlikely and harmless (they only add candidates).
+    # No isNotNull filter on sig: callers pre-filter empty text (the only
+    # null-sig case), and a filter on sig would be pushed below the
+    # repartition and re-evaluate the shingle expression on the raw scan.
+    banded = base.select(
+        "id",
+        F.explode(_bands(F.col("sig"), num_bands, rows_per_band)).alias("bb"),
+    ).select("id", F.xxhash64(F.col("bb.band"), F.col("bb.band_hash")).alias("bk"))
+    if max_bucket is not None:
+        from pyspark.sql.window import Window
+
+        bucket_n = F.count(F.lit(1)).over(Window.partitionBy("bk"))
+        banded = banded.withColumn("_n", bucket_n).filter(F.col("_n") <= max_bucket).drop("_n")
     left = banded.alias("l")
     right = banded.alias("r")
     cand = (
-        left.join(
-            right,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.band_hash") == F.col("r.band_hash"))
-            & (F.col("l.id") < F.col("r.id")),
-        )
-        .select(
-            F.col("l.id").alias("id_a"),
-            F.col("r.id").alias("id_b"),
-            F.col("l.sh").alias("sh_a"),
-            F.col("r.sh").alias("sh_b"),
-        )
+        left.join(right, (F.col("l.bk") == F.col("r.bk")) & (F.col("l.id") < F.col("r.id")))
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
+    sh_map = base.select("id", "sh")
     return (
-        cand.withColumn("jaccard_sim", jaccard(F.col("sh_a"), F.col("sh_b")))
+        cand.join(sh_map.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
+        .join(sh_map.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
+        .withColumn("jaccard_sim", jaccard(F.col("sh_a"), F.col("sh_b")))
         .filter(F.col("jaccard_sim") >= threshold)
         .select("id_a", "id_b", F.round("jaccard_sim", 6).alias("jaccard_sim"))
     )
@@ -212,7 +264,9 @@ def simhash_pairs(
     join on (block_idx, block_value), verify true Hamming distance."""
     block_bits = bits // num_blocks
     mask = (1 << block_bits) - 1
-    base = df.select(F.col(id_col).alias("id"), simhash(F.col(text_col), bits).alias("sh"))
+    base = ensure_parallelism(df).select(
+        F.col(id_col).alias("id"), simhash(F.col(text_col), bits).alias("sh")
+    )
     blocks = base.select(
         "id",
         "sh",
@@ -271,40 +325,25 @@ def ngram_jaccard_pairs(
     n: int = 5,
     threshold: float = 0.7,
     num_perm: int = 32,
-    num_bands: int = 16,
+    num_bands: int = 4,
 ) -> DataFrame:
     """Character-n-gram Jaccard near-dup pairs; candidates from MinHash-LSH
-    over the n-gram sets (same banding machinery as minhash_lsh_pairs)."""
-    rows_per_band = num_perm // num_bands
-    base = df.select(
+    over the n-gram sets (same banding machinery as minhash_lsh_pairs).
+
+    Defaults use 8 rows per band (32/4): character n-grams of
+    same-language text share a substantial background vocabulary (measured
+    ~0.17 mean / 0.26 p99 Jaccard on the synthetic corpus), so 2-row bands
+    collide on ~s²·bands ≈ 0.4 of ALL pairs and even 4-row bands emit ~4%
+    of all pairs as candidates — a quadratic explosion either way. At 8
+    rows the background rate is s⁸·bands ≈ 10⁻⁶ while true near-dups
+    (s ≥ 0.85, the planted regime) still collide with ≥ 80% probability;
+    pairs near the 0.7 threshold trade some recall for the ability to run
+    the same plan at 100 TB."""
+    nonempty = df.filter(F.col(text_col).isNotNull() & (F.trim(F.col(text_col)) != ""))
+    base = ensure_parallelism(nonempty).select(
         F.col(id_col).alias("id"), char_ngrams(F.col(text_col), n).alias("sh")
-    ).withColumn("sig", minhash_signature(F.col("sh"), num_perm))
-    banded = (
-        base.filter(F.col("sig").isNotNull())
-        .select("id", "sh", F.explode(_bands(F.col("sig"), num_bands, rows_per_band)).alias("bb"))
-        .select("id", "sh", F.col("bb.band").alias("band"), F.col("bb.band_hash").alias("band_hash"))
     )
-    l, r = banded.alias("l"), banded.alias("r")
-    cand = (
-        l.join(
-            r,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.band_hash") == F.col("r.band_hash"))
-            & (F.col("l.id") < F.col("r.id")),
-        )
-        .select(
-            F.col("l.id").alias("id_a"),
-            F.col("r.id").alias("id_b"),
-            F.col("l.sh").alias("sh_a"),
-            F.col("r.sh").alias("sh_b"),
-        )
-        .dropDuplicates(["id_a", "id_b"])
-    )
-    return (
-        cand.withColumn("jaccard_sim", jaccard(F.col("sh_a"), F.col("sh_b")))
-        .filter(F.col("jaccard_sim") >= threshold)
-        .select("id_a", "id_b", F.round("jaccard_sim", 6).alias("jaccard_sim"))
-    )
+    return _lsh_verified_pairs(base, num_perm, num_bands, threshold)
 
 
 # ---------------------------------------------------------------------------
@@ -353,7 +392,9 @@ def embedding_neardup_pairs(
     dim = first["d"] if first else 0
     planes = rng.standard_normal((num_planes, dim))
     sketch = _hyperplane_sketch(F.col(vec_col), planes)
-    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"), sketch.alias("sk"))
+    base = ensure_parallelism(df).select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v"), sketch.alias("sk")
+    )
     l, r = base.alias("l"), base.alias("r")
     return (
         l.join(r, (F.col("l.sk") == F.col("r.sk")) & (F.col("l.id") < F.col("r.id")))

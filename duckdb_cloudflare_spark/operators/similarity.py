@@ -18,7 +18,11 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 from pyspark.sql.window import Window
 
-from duckdb_cloudflare_spark.operators.dedup import _hyperplane_sketch, cosine_similarity
+from duckdb_cloudflare_spark.operators.dedup import (
+    _hyperplane_sketch,
+    cosine_similarity,
+    ensure_parallelism,
+)
 
 
 def brute_force_topk(
@@ -36,7 +40,9 @@ def brute_force_topk(
     Deterministic tie-break on (sim DESC, neighbor_id ASC).
     """
     q = queries.select(F.col(query_id).alias("query_id"), F.col(query_vec).alias("qv"))
-    c = corpus.select(F.col(corpus_id).alias("neighbor_id"), F.col(corpus_vec).alias("cv"))
+    c = ensure_parallelism(corpus).select(
+        F.col(corpus_id).alias("neighbor_id"), F.col(corpus_vec).alias("cv")
+    )
     scored = (
         c.join(broadcast(q), F.col("query_id") != F.col("neighbor_id"))
         .withColumn("cosine_sim", F.round(cosine_similarity(F.col("qv"), F.col("cv")), 6))
@@ -72,7 +78,7 @@ def lsh_topk(
     dim = first["d"] if first else 0
     planes = rng.standard_normal((num_planes, dim))
 
-    c = corpus.select(
+    c = ensure_parallelism(corpus).select(
         F.col(corpus_id).alias("neighbor_id"),
         F.col(corpus_vec).alias("cv"),
         _hyperplane_sketch(F.col(corpus_vec), planes).alias("bucket"),

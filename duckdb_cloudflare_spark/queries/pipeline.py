@@ -34,7 +34,7 @@ _TOKENS_SQL = "string_split_regex(trim(text), '\\s+')"
     description="exact dedup: hash-groupBy on normalized-text fingerprint, keep min id",
 )
 def p01_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return D.exact_dedup(load(spark, sf_dir, "documents"))
+    return D.exact_dedup(D.ensure_parallelism(load(spark, sf_dir, "documents")))
 
 
 @register(
@@ -57,7 +57,7 @@ def p01_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     description="token counting (whitespace + BPE-ish regex) and quality ratios",
 )
 def p02_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents")
+    d = D.ensure_parallelism(load(spark, sf_dir, "documents"))
     toks = T.tokens(F.col("text"))
     n_tokens = F.size(toks).cast("bigint")
     en_stop = F.array(*[F.lit(s) for s in T.STOPWORDS["en"]])
@@ -117,7 +117,7 @@ def p03_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     "lexicographic tie-break, 'und' when nothing matches",
 )
 def p04_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents")
+    d = D.ensure_parallelism(load(spark, sf_dir, "documents"))
     return d.select(
         "doc_id",
         F.col("lang").alias("lang_true"),
