@@ -47,12 +47,27 @@ def main() -> None:
         "p07_simhash_pairs",
         "p09_embedding_neardup",
         "p10_lsh_topk",
+        "p11_multimodal_meta",
     ]
     registry = Q.all_queries()
 
     # Warm the JVM + parquet footer caches with one throwaway action so the
     # per-query numbers measure the queries, not session startup.
     registry["q01_pricing_summary"](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    # Warm the Python/Arrow UDF runner on every core too (daemon + worker
+    # fork is a one-time per-executor cost, not a per-query cost). Chain a
+    # scalar pandas_udf into mapInPandas so BOTH worker sets fork (a chained
+    # stage runs two Python runners per task).
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def _warm(s):
+        return s
+
+    spark.range(0, 64, 1, 32).select(_warm("id").alias("id")).mapInPandas(
+        lambda it: (pdf for pdf in it), schema="id long"
+    ).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name in headline:

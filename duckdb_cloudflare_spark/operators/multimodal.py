@@ -1,0 +1,322 @@
+"""Multimodal-column operators: image/audio/video as opaque ``binary``
+columns with typed metadata, processed by Arrow-batched Pandas UDFs over
+``mapInPandas``.
+
+The reference establishes the pattern with WARC content: an opaque
+``response.body BLOB`` plus typed metadata columns around it
+(/root/reference/src/common_crawl_index.cpp:391-397). This module
+generalizes it to media assets for training-data pipelines.
+
+Container constraint: no image/audio codec libraries are installed, so the
+*codec* step is represented by a deterministic synthetic container format
+(``FIMG``/``FAUD``/``FVID`` headers, below) plus a clearly marked hook
+(`decode_with_real_codec`) that raises ``NotImplementedError`` until a real
+library (PIL / libav) is available. Everything Spark-side — schemas,
+``mapInPandas`` batch iteration, Arrow transfer, partition sizing, explode
+of frame samples — is real and tested.
+
+Scale notes (100 TB of media):
+- All operators are map-only over ``mapInPandas`` (no shuffle); throughput
+  scales linearly with executors and is bounded by Arrow (de)serialization
+  of the binary column.
+- Keep ``spark.sql.files.maxPartitionBytes`` at the default 128 MB so one
+  task never materializes more than ~128 MB of asset bytes, and rely on
+  ``spark.sql.execution.arrow.maxRecordsPerBatch`` to bound per-batch
+  memory for large assets.
+- Frame sampling EXPLODES rows map-side (one in → n out) — still no
+  shuffle; downstream aggregations shuffle only the small feature columns,
+  never the raw bytes (prune ``asset`` before any groupBy).
+"""
+
+from __future__ import annotations
+
+import struct
+from collections.abc import Iterator
+from typing import Optional
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+# ---------------------------------------------------------------------------
+# Synthetic container format (deterministic stand-in for real codecs)
+# ---------------------------------------------------------------------------
+# FIMG: magic(4s) width(u16) height(u16) channels(u8)            then payload
+# FAUD: magic(4s) sample_rate(u32) n_samples(u32)                then payload
+# FVID: magic(4s) width(u16) height(u16) fps(u8) n_frames(u16)   then payload
+#       (payload = n_frames fixed-size frame chunks)
+
+IMG_MAGIC, AUD_MAGIC, VID_MAGIC = b"FIMG", b"FAUD", b"FVID"
+_IMG_HDR = struct.Struct(">4sHHB")
+_AUD_HDR = struct.Struct(">4sII")
+_VID_HDR = struct.Struct(">4sHHBH")
+
+VIDEO_FRAME_BYTES = 64  # fixed synthetic frame-chunk size
+
+ASSET_META_SCHEMA = StructType(
+    [
+        StructField("mime", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("channels", IntegerType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("n_samples", LongType()),
+        StructField("fps", IntegerType()),
+        StructField("n_frames", IntegerType()),
+        StructField("duration_ms", DoubleType()),
+        StructField("error", StringType()),
+    ]
+)
+
+
+def encode_fake_image(width: int, height: int, channels: int, payload: bytes) -> bytes:
+    return _IMG_HDR.pack(IMG_MAGIC, width, height, channels) + payload
+
+
+def encode_fake_audio(sample_rate: int, n_samples: int, payload: bytes) -> bytes:
+    return _AUD_HDR.pack(AUD_MAGIC, sample_rate, n_samples) + payload
+
+
+def encode_fake_video(width: int, height: int, fps: int, n_frames: int) -> bytes:
+    payload = b"".join(
+        bytes([(f * 7 + i) % 256 for i in range(VIDEO_FRAME_BYTES)]) for f in range(n_frames)
+    )
+    return _VID_HDR.pack(VID_MAGIC, width, height, fps, n_frames) + payload
+
+
+def decode_asset_meta(data: Optional[bytes]) -> dict:
+    """Parse a synthetic container header → metadata dict (schema above).
+    Malformed input produces an ``error`` value, not an exception —
+    error-as-row-data, the reference's fetch contract
+    (/root/reference/src/common_crawl_index.cpp:208-304)."""
+    meta = {k.name: None for k in ASSET_META_SCHEMA}
+    if data is None or len(data) < 4:
+        meta["error"] = "[Error: asset too short]"
+        return meta
+    magic = bytes(data[:4])
+    try:
+        if magic == IMG_MAGIC:
+            _, w, h, c = _IMG_HDR.unpack_from(data)
+            meta.update(mime="image/fimg", width=w, height=h, channels=c)
+        elif magic == AUD_MAGIC:
+            _, rate, n = _AUD_HDR.unpack_from(data)
+            # plain IEEE division, no rounding: an external SQL oracle
+            # computing the same closed form gets the bit-identical double
+            meta.update(
+                mime="audio/faud",
+                sample_rate=rate,
+                n_samples=n,
+                duration_ms=1000.0 * n / rate if rate else None,
+            )
+        elif magic == VID_MAGIC:
+            _, w, h, fps, nf = _VID_HDR.unpack_from(data)
+            meta.update(
+                mime="video/fvid",
+                width=w,
+                height=h,
+                fps=fps,
+                n_frames=nf,
+                duration_ms=1000.0 * nf / fps if fps else None,
+            )
+        else:
+            meta["error"] = "[Error: unknown magic]"
+    except struct.error:
+        meta["error"] = "[Error: truncated header]"
+    return meta
+
+
+def _image_payload(data: bytes) -> bytes:
+    """Payload bytes after the FIMG header (whole buffer if not FIMG)."""
+    return data[_IMG_HDR.size :] if data[:4] == IMG_MAGIC else data
+
+
+def _resize_bytes(data: Optional[bytes], width: int, height: int) -> Optional[bytes]:
+    """Byte-stride 'resample' of a FIMG container to (width, height)."""
+    if data is None:
+        return None
+    data = bytes(data)
+    if data[:4] != IMG_MAGIC or len(data) < _IMG_HDR.size:
+        return None
+    _, w0, h0, c = _IMG_HDR.unpack_from(data)
+    payload = data[_IMG_HDR.size :]
+    target = max(width * height, 1)
+    if len(payload) == 0:
+        new_payload = bytes(target)
+    else:
+        step = max(len(payload) // target, 1)
+        new_payload = payload[::step][:target].ljust(target, b"\0")
+    return _IMG_HDR.pack(IMG_MAGIC, width, height, c) + new_payload
+
+
+def _extract_frames(data: Optional[bytes], every_n: int) -> list[tuple[int, bytes]]:
+    """(frame_idx, frame_bytes) for every ``every_n``-th frame of a FVID blob."""
+    if data is None:
+        return []
+    data = bytes(data)
+    if data[:4] != VID_MAGIC or len(data) < _VID_HDR.size:
+        return []
+    _, w, h, fps, nf = _VID_HDR.unpack_from(data)
+    payload = data[_VID_HDR.size :]
+    return [
+        (i, payload[i * VIDEO_FRAME_BYTES : (i + 1) * VIDEO_FRAME_BYTES])
+        for i in range(0, nf, every_n)
+    ]
+
+
+def decode_with_real_codec(data: bytes):  # pragma: no cover - explicit stub
+    """Hook for a real decoder (PIL/libav). The container image lacks those
+    libraries; wire them here when available."""
+    raise NotImplementedError(
+        "real media codecs are not available in this environment; "
+        "use the synthetic FIMG/FAUD/FVID containers or install PIL/av"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Spark operators (mapInPandas / pandas_udf plumbing — the real part)
+# ---------------------------------------------------------------------------
+
+
+def with_asset_meta(df: DataFrame, asset_col: str = "asset") -> DataFrame:
+    """Append a typed ``meta`` struct decoded from the binary asset column.
+
+    ``mapInPandas`` so one Arrow batch of assets is decoded per call —
+    the batch shape (pd.DataFrame in, pd.DataFrame out, schema declared
+    up front) is exactly what a real codec integration needs.
+    """
+    out_schema = StructType(df.schema.fields + [StructField("meta", ASSET_META_SCHEMA)])
+    cols = list(df.columns)
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["meta"] = [
+                decode_asset_meta(b if b is None or isinstance(b, bytes) else bytes(b))
+                for b in pdf[asset_col]
+            ]
+            yield pdf[cols + ["meta"]]
+
+    return df.mapInPandas(decode_batches, schema=out_schema)
+
+
+def image_byte_histogram(
+    df: DataFrame, asset_col: str = "asset", bins: int = 16, out_col: str = "features"
+) -> DataFrame:
+    """Deterministic feature extraction: normalized byte-value histogram of
+    the payload (vectorized numpy inside an Arrow-batched pandas UDF — the
+    same shape a real embedding model invocation would take)."""
+    import numpy as np
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(ArrayType(DoubleType()))
+    def histo(assets: pd.Series) -> pd.Series:
+        out = []
+        for b in assets:
+            if b is None:
+                out.append(None)
+                continue
+            payload = np.frombuffer(_image_payload(bytes(b)), dtype=np.uint8)
+            if payload.size == 0:
+                out.append([0.0] * bins)
+                continue
+            hist, _ = np.histogram(payload, bins=bins, range=(0, 256))
+            out.append((hist / payload.size).round(6).tolist())
+        return pd.Series(out)
+
+    return df.withColumn(out_col, histo(F.col(asset_col)))
+
+
+def resize_image(
+    df: DataFrame, width: int, height: int, asset_col: str = "asset", out_col: str = "resized"
+) -> DataFrame:
+    """Resize images to (width, height). Synthetic containers are re-headed
+    and their payload resampled by byte-striding (deterministic fake of
+    pixel resampling); real codecs go through ``decode_with_real_codec``."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(BinaryType())
+    def do_resize(assets: pd.Series) -> pd.Series:
+        return pd.Series([_resize_bytes(b, width, height) for b in assets])
+
+    return df.withColumn(out_col, do_resize(F.col(asset_col)))
+
+
+FRAME_SCHEMA_FIELDS = [
+    StructField("frame_idx", IntegerType()),
+    StructField("frame", BinaryType()),
+]
+
+
+def sample_video_frames(
+    df: DataFrame, every_n: int = 2, asset_col: str = "asset", id_cols: tuple[str, ...] = ("doc_id",)
+) -> DataFrame:
+    """Explode every ``every_n``-th frame of FVID assets into one row per
+    frame: (id_cols..., frame_idx, frame binary). Map-side explode — a
+    1-in/N-out ``mapInPandas``, no shuffle; the canonical video→frames
+    fan-out of a training pipeline."""
+    out_schema = StructType(
+        [f for f in df.schema.fields if f.name in id_cols] + FRAME_SCHEMA_FIELDS
+    )
+    keep = [c for c in df.columns if c in id_cols]
+
+    def frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                for f_idx, chunk in _extract_frames(row[asset_col], every_n):
+                    rows.append(
+                        {**{c: row[c] for c in keep}, "frame_idx": f_idx, "frame": chunk}
+                    )
+            yield pd.DataFrame(
+                rows, columns=keep + ["frame_idx", "frame"]
+            ) if rows else pd.DataFrame({c: [] for c in keep + ["frame_idx", "frame"]})
+
+    return df.mapInPandas(frames, schema=out_schema)
+
+
+# ---------------------------------------------------------------------------
+# Deterministic asset synthesis (test/query input; derives from doc_id/text)
+# ---------------------------------------------------------------------------
+
+
+def attach_fake_assets(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Attach a deterministic binary ``asset`` column derived from
+    (doc_id, text): doc_id % 3 picks the modality; dimensions are closed-form
+    functions of doc_id so an external oracle can verify the decode
+    round-trip without touching bytes.
+
+    image: width = 64 + doc_id % 512, height = 32 + doc_id % 256, channels 3
+    audio: rate = 8000 + 100*(doc_id % 80), n_samples = 1000 + doc_id % 9000
+    video: width 320 height 240, fps = 10 + doc_id % 20,
+           n_frames = 5 + doc_id % 20
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(BinaryType())
+    def synth(ids: pd.Series, texts: pd.Series) -> pd.Series:
+        out = []
+        for i, t in zip(ids, texts):
+            i = int(i)
+            payload = (t or "").encode("utf-8")
+            kind = i % 3
+            if kind == 0:
+                out.append(encode_fake_image(64 + i % 512, 32 + i % 256, 3, payload))
+            elif kind == 1:
+                out.append(encode_fake_audio(8000 + 100 * (i % 80), 1000 + i % 9000, payload))
+            else:
+                out.append(encode_fake_video(320, 240, 10 + i % 20, 5 + i % 20))
+        return pd.Series(out)
+
+    return df.withColumn("asset", synth(F.col(id_col), F.col(text_col)))

@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from duckdb_cloudflare_spark.operators import dedup as D
+from duckdb_cloudflare_spark.operators import multimodal as M
 from duckdb_cloudflare_spark.operators import similarity as S
 from duckdb_cloudflare_spark.operators import text_analysis as T
 from duckdb_cloudflare_spark.queries import load, register
@@ -201,3 +202,70 @@ def p10_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 16)
     return S.lsh_topk(q, emb, k=5)
+
+
+@register(
+    "p11_multimodal_meta",
+    oracle="""
+    SELECT doc_id,
+           CASE doc_id % 3 WHEN 0 THEN 'image/fimg'
+                           WHEN 1 THEN 'audio/faud'
+                           ELSE 'video/fvid' END AS mime,
+           CASE doc_id % 3 WHEN 0 THEN CAST(64 + doc_id % 512 AS INTEGER)
+                           WHEN 2 THEN 320 END AS width,
+           CASE doc_id % 3 WHEN 0 THEN CAST(32 + doc_id % 256 AS INTEGER)
+                           WHEN 2 THEN 240 END AS height,
+           CASE doc_id % 3 WHEN 1 THEN CAST(8000 + 100 * (doc_id % 80) AS INTEGER) END
+               AS sample_rate,
+           CASE doc_id % 3
+               WHEN 1 THEN 1000.0 * (1000 + doc_id % 9000) / (8000 + 100 * (doc_id % 80))
+               WHEN 2 THEN 1000.0 * (5 + doc_id % 20) / (10 + doc_id % 20)
+           END AS duration_ms
+    FROM documents
+    """,
+    description="multimodal binary columns: synth asset (image/audio/video container) "
+    "-> mapInPandas header decode -> typed metadata struct; oracle recomputes the "
+    "closed-form dimensions without touching bytes (full encode/decode round-trip check)",
+)
+def p11_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = D.ensure_parallelism(load(spark, sf_dir, "documents"))
+    decoded = M.with_asset_meta(M.attach_fake_assets(d))
+    return decoded.select(
+        "doc_id",
+        F.col("meta.mime").alias("mime"),
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+        F.col("meta.sample_rate").alias("sample_rate"),
+        F.col("meta.duration_ms").alias("duration_ms"),
+    )
+
+
+@register(
+    "p12_frame_sample",
+    oracle="""
+    SELECT doc_id, CAST(unnest(range(0, 5 + doc_id % 20, 2)) AS INTEGER) AS frame_idx
+    FROM documents
+    WHERE doc_id % 3 = 2
+    """,
+    description="video frame sampling: every-2nd-frame map-side explode of FVID "
+    "containers into one row per frame (1-in/N-out mapInPandas, no shuffle)",
+)
+def p12_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = D.ensure_parallelism(load(spark, sf_dir, "documents"))
+    frames = M.sample_video_frames(M.attach_fake_assets(d), every_n=2)
+    return frames.select("doc_id", "frame_idx")
+
+
+@register(
+    "p13_image_features",
+    oracle=None,  # byte-histogram features aren't SQL-expressible; pytest pins them
+    description="image feature extraction: resize to 64x64 then 16-bin normalized "
+    "byte histogram via Arrow-batched pandas UDF (vectorized numpy)",
+)
+def p13_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = D.ensure_parallelism(load(spark, sf_dir, "documents")).filter(
+        F.col("doc_id") % 3 == 0
+    )
+    resized = M.resize_image(M.attach_fake_assets(d), 64, 64)
+    feats = M.image_byte_histogram(resized, asset_col="resized")
+    return feats.select("doc_id", "features")

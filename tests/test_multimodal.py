@@ -1,0 +1,113 @@
+"""Multimodal operator tests: container codec round-trip, mapInPandas
+schema/batch plumbing, frame-sample explode, resize determinism."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from duckdb_cloudflare_spark.operators import multimodal as M
+
+
+# ---------------------------------------------------------------------------
+# Pure codec round-trips (no Spark)
+# ---------------------------------------------------------------------------
+
+
+def test_image_header_roundtrip():
+    data = M.encode_fake_image(640, 480, 3, b"payload")
+    meta = M.decode_asset_meta(data)
+    assert meta["mime"] == "image/fimg"
+    assert (meta["width"], meta["height"], meta["channels"]) == (640, 480, 3)
+    assert meta["error"] is None
+
+
+def test_audio_header_roundtrip():
+    meta = M.decode_asset_meta(M.encode_fake_audio(16000, 32000, b""))
+    assert meta["mime"] == "audio/faud"
+    assert meta["sample_rate"] == 16000
+    assert meta["n_samples"] == 32000
+    assert meta["duration_ms"] == 1000.0 * 32000 / 16000
+
+
+def test_video_header_roundtrip():
+    data = M.encode_fake_video(320, 240, 25, 10)
+    meta = M.decode_asset_meta(data)
+    assert meta["mime"] == "video/fvid"
+    assert meta["n_frames"] == 10
+    assert len(data) == M._VID_HDR.size + 10 * M.VIDEO_FRAME_BYTES
+
+
+def test_decode_errors_land_in_row_not_exception():
+    assert M.decode_asset_meta(None)["error"] == "[Error: asset too short]"
+    assert M.decode_asset_meta(b"??")["error"] == "[Error: asset too short]"
+    assert M.decode_asset_meta(b"NOPE1234")["error"] == "[Error: unknown magic]"
+    assert M.decode_asset_meta(M.IMG_MAGIC)["error"] == "[Error: truncated header]"
+
+
+def test_real_codec_hook_is_explicit_stub():
+    with pytest.raises(NotImplementedError):
+        M.decode_with_real_codec(b"anything")
+
+
+# ---------------------------------------------------------------------------
+# Spark plumbing
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def assets_df(spark):
+    docs = spark.range(0, 30).select(
+        F.col("id").alias("doc_id"), F.concat(F.lit("text-"), F.col("id")).alias("text")
+    )
+    return M.attach_fake_assets(docs)
+
+
+def test_attach_fake_assets_schema(assets_df):
+    assert dict(assets_df.dtypes)["asset"] == "binary"
+
+
+def test_with_asset_meta_struct(assets_df):
+    out = M.with_asset_meta(assets_df)
+    row = out.filter(F.col("doc_id") == 0).select("meta.*").first()
+    assert row["mime"] == "image/fimg"
+    assert row["width"] == 64 and row["height"] == 32
+    audio = out.filter(F.col("doc_id") == 1).select("meta.*").first()
+    assert audio["mime"] == "audio/faud"
+    assert audio["sample_rate"] == 8100
+    video = out.filter(F.col("doc_id") == 2).select("meta.*").first()
+    assert video["mime"] == "video/fvid"
+    assert video["n_frames"] == 7
+    # all rows decode without error
+    assert out.filter(F.col("meta.error").isNotNull()).count() == 0
+
+
+def test_frame_sample_explode_counts(assets_df):
+    frames = M.sample_video_frames(assets_df, every_n=2)
+    got = {r["doc_id"]: r["n"] for r in frames.groupBy("doc_id").agg(F.count("*").alias("n")).collect()}
+    for doc_id in range(2, 30, 3):
+        n_frames = 5 + doc_id % 20
+        assert got[doc_id] == (n_frames + 1) // 2
+    assert set(got) == set(range(2, 30, 3))
+    # frame chunks are fixed size
+    sizes = frames.select(F.length("frame").alias("l")).distinct().collect()
+    assert {r["l"] for r in sizes} == {M.VIDEO_FRAME_BYTES}
+
+
+def test_resize_image_dims_and_determinism(assets_df):
+    resized = M.resize_image(assets_df.filter(F.col("doc_id") % 3 == 0), 16, 8)
+    metas = M.with_asset_meta(resized, asset_col="resized").select("meta.*").collect()
+    assert all(m["width"] == 16 and m["height"] == 8 for m in metas)
+    # deterministic: same input -> same bytes
+    a = resized.select("resized").collect()
+    b = M.resize_image(assets_df.filter(F.col("doc_id") % 3 == 0), 16, 8).select("resized").collect()
+    assert [r["resized"] for r in a] == [r["resized"] for r in b]
+
+
+def test_image_byte_histogram_shape(assets_df):
+    feats = M.image_byte_histogram(assets_df.filter(F.col("doc_id") % 3 == 0), bins=16)
+    rows = feats.select("features").collect()
+    assert all(len(r["features"]) == 16 for r in rows)
+    # bins are individually rounded to 6 decimals -> sum can drift ~1e-5
+    assert all(abs(sum(r["features"]) - 1.0) < 1e-4 for r in rows)
