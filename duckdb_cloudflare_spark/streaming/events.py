@@ -1,0 +1,184 @@
+"""Streaming event analytics: file-source stream over the events table,
+watermarked windowed aggregation, streaming dedup, session windows, and a
+custom stateful operator via ``applyInPandasWithState``.
+
+Scale design:
+- Watermarks bound state: every stateful operator here declares one, so
+  state store size is (keys within watermark horizon), not (all keys ever).
+- ``windowed_event_counts`` is the canonical incremental aggregation —
+  partial aggregation per micro-batch, state keyed by (window, event_type).
+- ``sessionize_with_state`` keys state by user_id; with GroupStateTimeout
+  the state for idle users is reclaimed. At 100 TB/day this is the pattern
+  that keeps a 1000-executor streaming job's state bounded.
+- All sources are exactly-once replayable (file source tracks processed
+  files; checkpointLocation persists offsets + state).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Optional
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampNTZType,
+)
+
+EVENT_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),  # TIMESTAMP(NANOS) read as long
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def read_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events parquet (one-file-at-a-time
+    micro-batches with ``maxFilesPerTrigger``; ``availableNow`` triggers
+    drain it for tests). The nanos→micros conversion mirrors the batch
+    loader so streaming and batch plans see identical schemas."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def windowed_event_counts(
+    stream: DataFrame,
+    window: str = "1 hour",
+    slide: Optional[str] = None,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked tumbling/sliding window counts+sums per event_type —
+    the streaming twin of the batch q28_time_bucket query."""
+    win = F.window("ts", window, slide) if slide else F.window("ts", window)
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(win.alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("bucket"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def dedup_stream(stream: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Streaming exact dedup on event_id within the watermark horizon —
+    state stores only ids newer than the watermark (bounded), the streaming
+    member of the dedup family in ``operators.dedup``."""
+    return stream.withWatermark("ts", watermark).dropDuplicates(["event_id"])
+
+
+def session_windows(
+    stream: DataFrame, gap: str = "10 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Declarative sessionization: built-in ``session_window`` with a gap —
+    state merges adjacent windows per user and closes them at watermark."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("s"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 6).alias("total_value"))
+        .select(
+            F.col("s.start").alias("session_start"),
+            F.col("s.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+SESSION_STATE_SCHEMA = StructType(
+    [StructField("n_events", LongType()), StructField("total_value", DoubleType())]
+)
+SESSION_OUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("total_value", DoubleType()),
+    ]
+)
+
+
+def _make_session_fn(timeout_ms: int):
+    def _session_fn(
+        key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        """Per-user running (count, sum): the minimal custom stateful
+        operator shape — read state, fold the batch, write state, emit an
+        updated row; on timeout, flush and reclaim the state."""
+        if state.hasTimedOut:
+            (n, total) = state.get if state.exists else (0, 0.0)
+            state.remove()
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+            )
+            return
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in batches:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, round(total, 6)))
+        if timeout_ms:
+            state.setTimeoutDuration(timeout_ms)
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "total_value": [total]})
+
+    return _session_fn
+
+
+def sessionize_with_state(stream: DataFrame, timeout_ms: int = 0) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: running
+    per-user aggregates. With ``timeout_ms`` > 0 a processing-time timeout
+    reclaims idle users' state (the bounded-state production shape) — but
+    note an ``availableNow`` drain never terminates while timeouts are
+    pending, so tests/backfills use the default no-timeout mode."""
+    conf = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if timeout_ms
+        else GroupStateTimeout.NoTimeout
+    )
+    return stream.groupBy("user_id").applyInPandasWithState(
+        _make_session_fn(timeout_ms),
+        outputStructType=SESSION_OUT_SCHEMA,
+        stateStructType=SESSION_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=conf,
+    )
+
+
+def run_to_memory(
+    stream_df: DataFrame, name: str, output_mode: str = "append"
+) -> DataFrame:
+    """Drain an availableNow trigger into an in-memory table and return the
+    result as a batch DataFrame (test/dev harness)."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(name)

@@ -1,0 +1,74 @@
+"""Plan-shape regression tests: the scale guarantees (pushdown, pruning,
+broadcast, bounded shuffles) asserted on real query plans. A failure here
+means a plan silently degraded into a full-scan / shuffle-heavy shape that
+would not survive 100 TB, even though results stay correct."""
+
+from __future__ import annotations
+
+import pytest
+
+from duckdb_cloudflare_spark import queries as Q
+from duckdb_cloudflare_spark.plans import (
+    broadcast_join_count,
+    codegen_stage_count,
+    pushed_filters,
+    read_schemas,
+    shuffle_count,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def registry():
+    return Q.all_queries()
+
+
+def test_filters_reach_parquet_scan(spark, registry):
+    df = registry["q05_local_supplier_volume"](spark, SF_DIR)
+    pushed = " ".join(pushed_filters(df))
+    # the region filter and the date range must be evaluated BY the scan
+    assert "EqualTo(r_name" in pushed
+    assert "GreaterThanOrEqual(o_orderdate" in pushed
+    assert "LessThan(o_orderdate" in pushed
+
+
+def test_column_pruning_reaches_scan(spark, registry):
+    df = registry["q05_local_supplier_volume"](spark, SF_DIR)
+    schemas = read_schemas(df)
+    # lineitem is 16 columns wide; the scan must read only the 4 used
+    lineitem = [s for s in schemas if "l_orderkey" in s]
+    assert lineitem and all(s.count(":") <= 4 for s in lineitem), schemas
+
+
+def test_small_dims_broadcast(spark, registry):
+    # 5-way TPC-H-style join: every dim side must broadcast, leaving at
+    # most the final aggregation exchange as a real shuffle
+    df = registry["q05_local_supplier_volume"](spark, SF_DIR)
+    assert broadcast_join_count(df) == 5
+    assert shuffle_count(df) <= 2
+
+
+def test_scan_only_query_has_no_shuffle(spark, registry):
+    df = registry["q02_predicate_filters"](spark, SF_DIR)
+    assert shuffle_count(df) == 0
+    assert broadcast_join_count(df) == 0
+
+
+def test_single_agg_has_single_shuffle(spark, registry):
+    # groupBy produces exactly one exchange (partial agg map-side first)
+    df = registry["q01_pricing_summary"](spark, SF_DIR)
+    assert shuffle_count(df) == 1
+
+
+def test_hot_path_stays_in_codegen(spark, registry):
+    # scan → filter → project → partial agg must be inside codegen stages
+    df = registry["q01_pricing_summary"](spark, SF_DIR)
+    assert codegen_stage_count(df) >= 1
+
+
+def test_exact_dedup_is_single_shuffle(spark, registry):
+    df = registry["p01_dedup_exact"](spark, SF_DIR)
+    # fingerprint groupBy: one exchange on the hash key (+ the parallelism
+    # round-robin repartition when the input is a single small file)
+    assert shuffle_count(df) <= 2

@@ -1,0 +1,77 @@
+"""Structured Streaming tests: the streaming plans must agree with their
+batch twins on the same (fully drained) data — availableNow triggers make
+that an exact comparison, no timing games."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from duckdb_cloudflare_spark import streaming as S
+from duckdb_cloudflare_spark.queries import load
+from duckdb_cloudflare_spark.streaming.events import run_to_memory
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def batch_events(spark):
+    return load(spark, SF_DIR, "events").cache()
+
+
+def test_windowed_counts_match_batch(spark, batch_events):
+    stream = S.read_event_stream(spark, SF_DIR)
+    # complete mode: append would hold back the final windows (the
+    # watermark never passes end-of-data), making an exact comparison
+    # impossible; production use is append + watermark.
+    got = run_to_memory(
+        S.windowed_event_counts(stream, window="1 hour"), "win_counts", "complete"
+    )
+    expected = (
+        batch_events.groupBy(
+            F.window("ts", "1 hour").alias("w"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+        .select(F.col("w.start").alias("bucket"), "event_type", "n_events", "total_value")
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, expected.collect()))
+    assert got.count() > 0
+
+
+def test_dedup_stream_is_exact_on_drain(spark, batch_events):
+    stream = S.read_event_stream(spark, SF_DIR)
+    got = run_to_memory(S.dedup_stream(stream), "dedup_stream")
+    assert got.count() == batch_events.select("event_id").distinct().count()
+
+
+def test_session_windows_match_batch_session_window(spark, batch_events):
+    stream = S.read_event_stream(spark, SF_DIR)
+    got = run_to_memory(S.session_windows(stream, gap="10 minutes"), "sessions", "complete")
+    expected = (
+        batch_events.groupBy(F.session_window("ts", "10 minutes").alias("s"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 6).alias("total_value"))
+        .select(
+            F.col("s.start").alias("session_start"),
+            F.col("s.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "total_value",
+        )
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, expected.collect()))
+
+
+def test_stateful_sessionize_totals(spark, batch_events):
+    stream = S.read_event_stream(spark, SF_DIR)
+    got = run_to_memory(S.sessionize_with_state(stream), "state_sessions", "update")
+    # final per-user row (users may appear once per micro-batch; take last)
+    final = (
+        got.groupBy("user_id")
+        .agg(F.max("n_events").alias("n_events"))
+    )
+    expected = batch_events.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
+    assert sorted(map(tuple, final.collect())) == sorted(map(tuple, expected.collect()))
