@@ -55,6 +55,100 @@ def brute_force_topk(
     )
 
 
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    fit_sample: int = 10_000,
+    seed: int = 42,
+    query_id: str = "vec_id",
+    query_vec: str = "embedding",
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: k-means coarse quantizer fit
+    on a bounded driver-side sample, cells assigned JVM-side, each query
+    probes its ``n_probe`` nearest cells and rescored exactly within them.
+
+    Scale shape: the centroid fit touches ≤ ``fit_sample`` vectors (standard
+    IVF practice — the quantizer needs a sample, not the corpus), centroids
+    ship as a broadcast literal, cell assignment is a map-only JVM
+    expression, and the search is a (cell-bucketed corpus) ⋈ (broadcast
+    probes) join — the corpus never shuffles, so the same plan holds at
+    100 TB. Deterministic: fixed seed, fixed iteration count.
+    """
+    import numpy as np
+
+    sample = [
+        r["v"]
+        for r in corpus.select(F.col(corpus_vec).alias("v")).limit(fit_sample).collect()
+    ]
+    if not sample:
+        return queries.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, cosine_sim double, nn_rank int"
+        )
+    X = np.asarray(sample, dtype=np.float64)
+    X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    rng = np.random.RandomState(seed)
+    n_centroids = min(n_centroids, len(X))
+    cents = X[rng.choice(len(X), n_centroids, replace=False)]
+    for _ in range(10):  # fixed Lloyd iterations — deterministic
+        assign = np.argmax(X @ cents.T, axis=1)
+        for c in range(n_centroids):
+            members = X[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                cents[c] = m / max(np.linalg.norm(m), 1e-12)
+
+    def cell_scores(vec_col: str):
+        return [
+            F.aggregate(
+                F.zip_with(
+                    F.col(vec_col),
+                    F.array(*[F.lit(float(w)) for w in cents[c]]),
+                    lambda x, y: x.cast("double") * y,
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            for c in range(n_centroids)
+        ]
+
+    # corpus: argmax cell, JVM-side (array_position of the max score)
+    scores = F.array(*cell_scores(corpus_vec))
+    c = corpus.select(
+        F.col(corpus_id).alias("neighbor_id"),
+        F.col(corpus_vec).alias("cv"),
+        (F.array_position(scores, F.array_max(scores)) - 1).cast("int").alias("cell"),
+    )
+    c = ensure_parallelism(c)
+    # queries: top-n_probe cells, exploded (query side is small by contract)
+    qscores = F.array(*cell_scores(query_vec))
+    probe_idx = F.slice(
+        F.reverse(F.array_sort(F.arrays_zip(qscores.alias("s"), F.array(*[F.lit(i) for i in range(n_centroids)]).alias("i")))),
+        1,
+        n_probe,
+    )
+    q = queries.select(
+        F.col(query_id).alias("query_id"),
+        F.col(query_vec).alias("qv"),
+        F.explode(probe_idx).alias("p"),
+    ).select("query_id", "qv", F.col("p.i").cast("int").alias("cell"))
+    scored = (
+        c.join(broadcast(q), on="cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine_sim", F.round(cosine_similarity(F.col("qv"), F.col("cv")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("nn_rank", F.row_number().over(w))
+        .filter(F.col("nn_rank") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", "nn_rank")
+    )
+
+
 def lsh_topk(
     queries: DataFrame,
     corpus: DataFrame,

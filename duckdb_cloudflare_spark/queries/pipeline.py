@@ -205,6 +205,18 @@ def p10_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "p14_ivf_topk",
+    oracle=None,  # IVF cell probing is approximate; pytest pins recall vs p05
+    description="approximate ANN top-k via IVF: sample-fit k-means coarse quantizer, "
+    "JVM-side cell assignment, n_probe nearest cells rescored exactly",
+)
+def p14_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 16)
+    return S.ivf_topk(q, emb, k=5, n_centroids=16, n_probe=4)
+
+
+@register(
     "p11_multimodal_meta",
     oracle="""
     SELECT doc_id,

@@ -862,3 +862,18 @@ def q30_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         """
     )
+
+
+@register(
+    "q31_approx_distinct",
+    oracle=None,  # HLL sketches differ across engines; pytest pins <2% error vs exact
+    description="approx_count_distinct (HyperLogLog++) per group — the cardinality "
+    "sketch that replaces COUNT(DISTINCT)'s full shuffle at 100 TB (partial sketches "
+    "merge map-side; state is KB per group instead of the distinct-key set)",
+)
+def q31_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey", rsd=0.01).alias("approx_orders"),
+        F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_parts"),
+    )

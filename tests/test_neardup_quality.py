@@ -1,0 +1,152 @@
+"""Quality pins for the approximate operators (the correctness story the
+SQL oracle can't give): planted near-duplicates must be FOUND (recall) and
+everything reported must satisfy the verified threshold (precision is
+enforced by the exact verify step — asserted anyway).
+
+Corpus: real sf0.001 documents + seeded mutations (word drops/swaps) with
+known pair identity; embeddings + small-noise twins likewise.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from duckdb_cloudflare_spark.operators import dedup as D
+from duckdb_cloudflare_spark.operators import similarity as S
+from duckdb_cloudflare_spark.queries import load
+
+SF_DIR = "/root/testdata/sf0.001"
+N_PLANT = 25
+OFFSET = 1_000_000  # planted copy id = original id + OFFSET
+
+
+def _mutate(text: str, rng: random.Random, n_edits: int = 2) -> str:
+    words = text.split()
+    for _ in range(n_edits):
+        if len(words) < 4:
+            break
+        i = rng.randrange(len(words))
+        if rng.random() < 0.5:
+            del words[i]
+        else:
+            words[i] = "zzyzx"
+    return " ".join(words)
+
+
+@pytest.fixture(scope="module")
+def planted_docs(spark):
+    docs = load(spark, SF_DIR, "documents").select("doc_id", "text").limit(N_PLANT * 4)
+    rows = docs.collect()
+    rng = random.Random(42)
+    planted = [
+        (r["doc_id"] + OFFSET, _mutate(r["text"], rng)) for r in rows[:N_PLANT]
+    ]
+    extra = spark.createDataFrame(planted, "doc_id long, text string")
+    return docs.unionByName(extra), {r["doc_id"] for r in rows[:N_PLANT]}
+
+
+def _recall(pairs_df, expected_ids):
+    found = {
+        r["id_a"]
+        for r in pairs_df.filter(F.col("id_b") - F.col("id_a") == OFFSET).collect()
+    }
+    return len(found & expected_ids) / len(expected_ids)
+
+
+def test_minhash_recall_and_threshold(planted_docs):
+    df, expected = planted_docs
+    pairs = D.minhash_lsh_pairs(df, threshold=0.5)
+    assert _recall(pairs, expected) >= 0.85
+    # verify step enforces the threshold on everything reported
+    assert pairs.filter(F.col("jaccard_sim") < 0.5).count() == 0
+
+
+def test_ngram_jaccard_recall(planted_docs):
+    df, expected = planted_docs
+    pairs = D.ngram_jaccard_pairs(df, threshold=0.6)
+    assert _recall(pairs, expected) >= 0.8
+    assert pairs.filter(F.col("jaccard_sim") < 0.6).count() == 0
+
+
+def test_simhash_finds_planted_dups(planted_docs):
+    df, expected = planted_docs
+    pairs = D.simhash_pairs(df, max_hamming=3)
+    assert _recall(pairs, expected) >= 0.7
+    assert pairs.filter(F.col("hamming") > 3).count() == 0
+
+
+def test_minhash_dedup_drops_planted_copies(planted_docs):
+    df, expected = planted_docs
+    survivors = D.minhash_dedup(df, threshold=0.5)
+    surviving_copies = survivors.filter(F.col("doc_id") >= OFFSET).count()
+    # most planted copies (larger ids) are dropped
+    assert surviving_copies <= N_PLANT * 0.2
+
+
+@pytest.fixture(scope="module")
+def planted_vecs(spark):
+    emb = load(spark, SF_DIR, "embeddings").select("vec_id", "embedding").limit(100)
+    rows = emb.collect()
+    rng = random.Random(7)
+    twins = [
+        (
+            r["vec_id"] + OFFSET,
+            [float(x) + rng.uniform(-0.01, 0.01) for x in r["embedding"]],
+        )
+        for r in rows[:N_PLANT]
+    ]
+    extra = spark.createDataFrame(twins, "vec_id long, embedding array<float>")
+    return emb.unionByName(extra), {r["vec_id"] for r in rows[:N_PLANT]}
+
+
+def test_embedding_neardup_recall(planted_vecs):
+    df, expected = planted_vecs
+    pairs = D.embedding_neardup_pairs(df, threshold=0.98)
+    found = {
+        r["id_a"]
+        for r in pairs.filter(F.col("id_b") - F.col("id_a") == OFFSET).collect()
+    }
+    assert len(found & expected) / len(expected) >= 0.8
+    assert pairs.filter(F.col("cosine_sim") < 0.98).count() == 0
+
+
+@pytest.fixture(scope="module")
+def ann_frames(spark):
+    emb = load(spark, SF_DIR, "embeddings")
+    q = emb.filter(F.col("vec_id") < 16)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.brute_force_topk(q, emb, k=5).collect()
+    }
+    return emb, q, exact
+
+
+def _topk_recall(approx_df, exact_pairs):
+    approx = {(r["query_id"], r["neighbor_id"]) for r in approx_df.collect()}
+    return len(approx & exact_pairs) / len(exact_pairs)
+
+
+def test_lsh_topk_retrieves_high_cosine_twins(spark, planted_vecs):
+    # Hyperplane LSH only groups HIGH-cosine pairs (a random pair agrees
+    # with each plane w.p. 1-θ/π, so near-orthogonal neighbors rarely share
+    # all sign bits): the honest quality claim is twin retrieval, not
+    # mid-similarity recall — that regime is what ivf_topk is for.
+    df, expected = planted_vecs
+    corpus = df.filter(F.col("vec_id") < OFFSET)
+    twins = df.filter(F.col("vec_id") >= OFFSET)
+    got = S.lsh_topk(twins, corpus, k=1)
+    top1 = {
+        r["query_id"]: r["neighbor_id"] for r in got.filter(F.col("nn_rank") == 1).collect()
+    }
+    hits = sum(1 for qid, nid in top1.items() if qid - OFFSET == nid)
+    assert hits / len(expected) >= 0.8
+
+
+def test_ivf_topk_recall_vs_exact(ann_frames):
+    emb, q, exact = ann_frames
+    got = S.ivf_topk(q, emb, k=5, n_centroids=16, n_probe=4)
+    assert _topk_recall(got, exact) >= 0.5

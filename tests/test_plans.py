@@ -72,3 +72,27 @@ def test_exact_dedup_is_single_shuffle(spark, registry):
     # fingerprint groupBy: one exchange on the hash key (+ the parallelism
     # round-robin repartition when the input is a single small file)
     assert shuffle_count(df) <= 2
+
+
+def test_approx_distinct_error_bound(spark, registry):
+    # query uses rsd=0.01; allow 5x headroom on these small cardinalities
+    from duckdb_cloudflare_spark.queries import load
+    from pyspark.sql import functions as F
+
+    got = {
+        r["l_returnflag"]: (r["approx_orders"], r["approx_parts"])
+        for r in registry["q31_approx_distinct"](spark, SF_DIR).collect()
+    }
+    li = load(spark, SF_DIR, "lineitem")
+    exact = {
+        r["l_returnflag"]: (r["o"], r["p"])
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_orderkey").alias("o"), F.countDistinct("l_partkey").alias("p")
+        )
+        .collect()
+    }
+    assert set(got) == set(exact)
+    for k in got:
+        for a, e in zip(got[k], exact[k]):
+            assert abs(a - e) / e < 0.05, (k, a, e)
