@@ -203,20 +203,96 @@ def _lsh_verified_pairs(
     )
 
 
+def connected_components(
+    pairs: DataFrame, max_iterations: int = 20
+) -> DataFrame:
+    """Transitive closure of a pair list → (id, component) with component =
+    min id of the connected component.
+
+    Iterative min-label propagation: each round every node takes the min of
+    its own label and its neighbors' labels (one join + one aggregate per
+    round); converges in O(graph diameter) rounds — dedup graphs are
+    near-cliques with tiny diameters, so 2-4 rounds in practice. (For
+    adversarially long chains, the large-star/small-star variant of Kiveris
+    et al., SoCC'14, gets O(log²) rounds — same DataFrame skeleton, swap
+    the propagation rule.) Iterating DataFrames keeps everything in
+    Catalyst — no driver-side union-find, so it scales to billions of
+    edges. Each round is localCheckpoint()-ed to cut the exponentially
+    growing lineage, and the `changed` probe uses limit(1) so convergence
+    detection doesn't rescan the full label set.
+
+    Input: columns ``id_a``, ``id_b``. Output: ``id``, ``component``.
+    """
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .distinct()
+    )
+    # labels: every node starts labeled with the min of itself and its
+    # direct neighborhood
+    labels = (
+        edges.groupBy("src")
+        .agg(F.min("dst").alias("m"))
+        .select(
+            F.col("src").alias("id"), F.least(F.col("src"), F.col("m")).alias("component")
+        )
+    )
+    for _ in range(max_iterations):
+        # propagate: node takes min(own label, labels of neighbors)
+        neigh = (
+            edges.join(labels.withColumnRenamed("id", "dst2"), edges.dst == F.col("dst2"))
+            .groupBy("src")
+            .agg(F.min("component").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neigh, labels.id == neigh.src, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("nmin"), F.col("component"))
+                ).alias("component"),
+            )
+        )
+        new_labels = new_labels.localCheckpoint(eager=True)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
 def minhash_dedup(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
+    transitive: bool = False,
     **kwargs,
 ) -> DataFrame:
-    """Rows surviving near-dedup: drop the larger id of every near-dup pair.
+    """Rows surviving near-dedup.
 
-    (Connected-component clustering would transitively merge chains; for a
-    single pass we use the standard "keep smallest id" union-find
-    approximation: a row is dropped if it is the larger side of ANY pair.)
+    Default (single-pass): drop the larger id of every near-dup pair — the
+    standard one-shuffle approximation (a row is dropped if it is the
+    larger side of ANY pair; chains keep only their overall smallest member
+    when all chain edges were found).
+
+    ``transitive=True``: full connected-component clustering first, then
+    keep the min-id member of every component — exact transitive semantics
+    even when the pair list only has chain edges (A~B, B~C but not A~C).
     """
     pairs = minhash_lsh_pairs(df, text_col, id_col, **kwargs)
-    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    if transitive:
+        comp = connected_components(pairs)
+        losers = comp.filter(F.col("id") != F.col("component")).select(
+            F.col("id").alias(id_col)
+        )
+    else:
+        losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return df.join(losers, on=id_col, how="left_anti")
 
 

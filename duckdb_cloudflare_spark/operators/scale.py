@@ -1,0 +1,107 @@
+"""Scale-out primitives: skew salting and bucketed co-located joins.
+
+These are the two knobs the 100 TB plan reaches for when the default
+shuffle strategy degrades:
+
+- **Salting** spreads one hot key over N shuffle partitions. AQE's skew-join
+  handling (on by default in ``session.get_spark``) covers sort-merge joins
+  automatically; explicit salting is for aggregations with a dominant key
+  and for broadcast-ineligible joins where AQE can't split (e.g. a hot key
+  on BOTH sides).
+- **Bucketing** pre-shuffles a table once at write time so every subsequent
+  equi-join/aggregation on the bucket key runs with ZERO exchanges — the
+  reference's "pushdown once, reuse forever" philosophy applied to layout.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def salted_aggregate(
+    df: DataFrame,
+    key_cols: list[str],
+    aggs: dict[str, str],
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Two-stage aggregation for skewed group keys: stage 1 aggregates on
+    (key, random salt) — the hot key's rows spread over ``salt_buckets``
+    partial groups — stage 2 merges partials on the bare key.
+
+    ``aggs`` maps column → 'sum' | 'count' | 'min' | 'max' (the decomposable
+    aggregates; avg = sum/count at the call site). Spark's partial
+    aggregation already does map-side combine, but with a single dominant
+    key ALL its partials still land in one reduce partition — the salt is
+    what splits that final hotspot.
+    """
+    salted = df.withColumn("_salt", (F.rand(seed=42) * salt_buckets).cast("int"))
+    stage1_exprs = []
+    for col, how in aggs.items():
+        if how == "count":
+            stage1_exprs.append(F.count(col).alias(f"_{col}_partial"))
+        else:
+            stage1_exprs.append(getattr(F, how)(col).alias(f"_{col}_partial"))
+    stage1 = salted.groupBy(*key_cols, "_salt").agg(*stage1_exprs)
+    merge_exprs = []
+    for col, how in aggs.items():
+        merger = "sum" if how in ("count", "sum") else how
+        merge_exprs.append(getattr(F, merger)(f"_{col}_partial").alias(f"{col}_{how}"))
+    return stage1.groupBy(*key_cols).agg(*merge_exprs)
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    salt_buckets: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-safe equi-join: salt the (large, skewed) left side with a random
+    bucket, EXPLODE the right side once per bucket, join on (key, salt).
+
+    The hot key's left rows spread across ``salt_buckets`` partitions; the
+    right side is replicated ``salt_buckets``× (choose the smaller side as
+    ``right``). This is the classic fallback when AQE skew-join can't help:
+    both sides skewed, or a non-sort-merge plan.
+    """
+    l = left.withColumn("_salt", (F.rand(seed=42) * salt_buckets).cast("int"))
+    r = right.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)]))
+    )
+    out = l.join(r, on=[key, "_salt"], how=how).drop("_salt")
+    return out
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_key: str,
+    num_buckets: int = 32,
+    sort: bool = True,
+) -> None:
+    """Persist as a bucketed (and optionally sorted) managed table: one
+    shuffle now, zero exchanges for every future equi-join / groupBy on the
+    bucket key (and no sort for sort-merge joins when ``sort``)."""
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    # a location left by a previous session is invisible to this session's
+    # in-memory catalog but still blocks saveAsTable — clear the orphan
+    import shutil
+
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    loc = f"{warehouse.removeprefix('file:')}/{table.split('.')[-1]}"
+    shutil.rmtree(loc, ignore_errors=True)
+    w = df.write.mode("overwrite").bucketBy(num_buckets, bucket_key)
+    if sort:
+        w = w.sortBy(bucket_key)
+    w.saveAsTable(table)
+
+
+def bucketed_join(
+    spark: SparkSession, left_table: str, right_table: str, key: str, how: str = "inner"
+) -> DataFrame:
+    """Join two same-bucketed tables on their bucket key — Catalyst sees the
+    matching hash-distribution from the bucket spec and plans a sort-merge
+    join with NO exchange on either side (verify with plans.shuffle_count)."""
+    return spark.table(left_table).join(spark.table(right_table), on=key, how=how)

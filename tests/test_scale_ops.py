@@ -1,0 +1,108 @@
+"""Scale-primitive tests: salting preserves results while splitting hot
+keys; bucketed tables join with zero exchanges; connected components give
+exact transitive dedup."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from duckdb_cloudflare_spark.operators import scale as SC
+from duckdb_cloudflare_spark.operators.dedup import connected_components, minhash_dedup
+from duckdb_cloudflare_spark.plans import shuffle_count
+
+
+@pytest.fixture(scope="module")
+def skewed(spark):
+    # one dominant key (90%) + a uniform tail
+    hot = spark.range(0, 9000).select(
+        F.lit(1).alias("k"), (F.col("id") % 100).cast("double").alias("v")
+    )
+    tail = spark.range(0, 1000).select(
+        (F.col("id") % 50 + 2).alias("k"), F.col("id").cast("double").alias("v")
+    )
+    return hot.unionByName(tail)
+
+
+def test_salted_aggregate_matches_plain(spark, skewed):
+    got = SC.salted_aggregate(skewed, ["k"], {"v": "sum"}, salt_buckets=8)
+    expected = skewed.groupBy("k").agg(F.sum("v").alias("v_sum"))
+    g = {r["k"]: round(r["v_sum"], 6) for r in got.collect()}
+    e = {r["k"]: round(r["v_sum"], 6) for r in expected.collect()}
+    assert g == e
+
+
+def test_salted_count_and_minmax(spark, skewed):
+    got = SC.salted_aggregate(skewed, ["k"], {"v": "count"}, salt_buckets=8)
+    expected = skewed.groupBy("k").agg(F.count("v").alias("c"))
+    assert {(r["k"], r["v_count"]) for r in got.collect()} == {
+        (r["k"], r["c"]) for r in expected.collect()
+    }
+    gmax = SC.salted_aggregate(skewed, ["k"], {"v": "max"}, salt_buckets=8)
+    emax = skewed.groupBy("k").agg(F.max("v").alias("m"))
+    assert {(r["k"], r["v_max"]) for r in gmax.collect()} == {
+        (r["k"], r["m"]) for r in emax.collect()
+    }
+
+
+def test_salted_join_matches_plain(spark, skewed):
+    dim = spark.range(0, 60).select(
+        F.col("id").alias("k"), F.concat(F.lit("name-"), F.col("id")).alias("name")
+    )
+    got = SC.salted_join(skewed, dim, "k", salt_buckets=4)
+    expected = skewed.join(dim, "k")
+    assert got.count() == expected.count()
+    assert sorted(map(tuple, got.groupBy("k").count().collect())) == sorted(
+        map(tuple, expected.groupBy("k").count().collect())
+    )
+
+
+def test_bucketed_join_has_zero_exchanges(spark):
+    left = spark.range(0, 1000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("lv")
+    )
+    right = spark.range(0, 1000).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("rv")
+    )
+    SC.write_bucketed(left, "t_bleft", "k", num_buckets=8)
+    SC.write_bucketed(right, "t_bright", "k", num_buckets=8)
+    joined = SC.bucketed_join(spark, "t_bleft", "t_bright", "k")
+    assert joined.count() == 1000
+    # the whole point: co-located layout -> no exchange on either side
+    assert shuffle_count(joined) == 0
+
+
+def test_connected_components_chains(spark):
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22)],
+        "id_a long, id_b long",
+    )
+    comp = {r["id"]: r["component"] for r in connected_components(pairs).collect()}
+    assert comp == {
+        1: 1, 2: 1, 3: 1, 4: 1,
+        10: 10, 11: 10,
+        20: 20, 21: 20, 22: 20,
+    }
+
+
+def test_transitive_dedup_keeps_one_per_chain(spark):
+    # A chain a~b, b~c where a~c is NOT a direct pair: single-pass dedup and
+    # transitive dedup both keep only 'a' here (b and c are each a larger
+    # side), but transitive labels them as ONE component.
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog again and again"),
+            (2, "the quick brown fox jumps over the lazy dog again and once"),
+            (3, "the quick brown fox jumps over a lazy dog again and once"),
+            (100, "completely unrelated text about spark query planning today"),
+        ],
+        "doc_id long, text string",
+    )
+    survivors = minhash_dedup(
+        docs, threshold=0.3, k_shingle=2, num_perm=16, num_bands=8, transitive=True
+    )
+    ids = {r["doc_id"] for r in survivors.collect()}
+    assert 100 in ids
+    assert 1 in ids
+    assert len(ids) == 2
