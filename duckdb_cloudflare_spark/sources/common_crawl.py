@@ -32,7 +32,13 @@ import time
 from concurrent.futures import ThreadPoolExecutor
 from typing import Iterator
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, Filter, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    Filter,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 from pyspark.sql.types import StructType
 
 from duckdb_cloudflare_spark.sources.cdx import (
@@ -75,6 +81,13 @@ class CommonCrawlDataSource(DataSource):
 
     def reader(self, schema: StructType) -> "CommonCrawlReader":
         return CommonCrawlReader(schema, dict(self.options))
+
+    def simpleStreamReader(self, schema: StructType) -> "CommonCrawlStreamReader":
+        """Streaming surface: each NEW crawl appearing in collinfo.json is
+        one micro-batch (the reference is batch-only; this is the natural
+        incremental extension — crawl ids are already the partition axis,
+        so the stream offset is simply the set of crawls processed)."""
+        return CommonCrawlStreamReader(schema, dict(self.options))
 
 
 class CrawlPartition(InputPartition):
@@ -196,6 +209,11 @@ class CommonCrawlReader(DataSourceReader):
             return WARCResponse(error=decompressed.decode("utf-8", errors="replace"))
         return parse_warc_response(decompressed)
 
+    def read_crawl(self, crawl_id: str):
+        """All rows of one crawl (streaming entry point reuses the batch
+        partition logic 1:1 — same URL building, fetching, parsing)."""
+        return self.read(CrawlPartition(crawl_id, self.max_results))
+
     def _to_row(self, rec: CDXRecord, warc, cdx_url: str, fields: list[str]):
         warc_struct = None
         response_struct = None
@@ -222,3 +240,61 @@ class CommonCrawlReader(DataSourceReader):
             "cdx_url": cdx_url,
         }
         return tuple(row.get(name) for name in fields)
+
+
+class CommonCrawlStreamReader(SimpleDataSourceStreamReader):
+    """Incremental Common Crawl: offset = {"processed": "id1,id2,..."}; every
+    micro-batch reads the crawls that appeared in collinfo.json since the
+    last offset. ``readBetweenOffsets`` replays exactly (crawl content is
+    immutable once published — the archive's contract), so the source is
+    replayable for end-to-end exactly-once.
+
+    Options are identical to the batch reader (url filter required,
+    ``dry_run``/``debug``/``fixture_dir`` honored — the tests stream the
+    same fixtures the batch tests read)."""
+
+    def __init__(self, schema: StructType, options: dict):
+        self.schema_ = schema
+        self.options = options
+        self.batch_reader = CommonCrawlReader(schema, options)
+        self.start_latest = _truthy(options.get("stream_start_latest", "true"))
+
+    def _catalog_ids(self) -> list[str]:
+        from duckdb_cloudflare_spark.sources.collinfo import CollInfoCatalog
+
+        catalog = CollInfoCatalog(transport=make_transport(self.options))
+        return [c.id for c in catalog.crawls()]
+
+    def initialOffset(self) -> dict:
+        if not self.batch_reader.spec.url_pattern:
+            raise ValueError(
+                "common_crawl stream requires a URL filter: .option('url', ...)"
+            )
+        if self.start_latest:
+            ids = self._catalog_ids()
+            # start AFTER everything but the latest crawl: first batch = latest
+            return {"processed": ",".join(sorted(ids[1:]))}
+        return {"processed": ""}
+
+    def _new_ids(self, start: dict) -> list[str]:
+        done = set(filter(None, start.get("processed", "").split(",")))
+        return [cid for cid in self._catalog_ids() if cid not in done]
+
+    def read(self, start: dict):
+        new_ids = self._new_ids(start)
+        done = set(filter(None, start.get("processed", "").split(",")))
+        end = {"processed": ",".join(sorted(done | set(new_ids)))}
+        return self._rows_for(new_ids), end
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        done = set(filter(None, start.get("processed", "").split(",")))
+        upto = set(filter(None, end.get("processed", "").split(",")))
+        return self._rows_for(sorted(upto - done))
+
+    def _rows_for(self, crawl_ids) -> list:
+        # a LIST, not a generator: the simple-stream prefetch cache pickles
+        # the batch to ship it to executors. Bounded by max_results × crawls.
+        rows = []
+        for cid in crawl_ids:
+            rows.extend(self.batch_reader.read_crawl(cid))
+        return rows
