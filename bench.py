@@ -38,6 +38,7 @@ def main() -> None:
         "q40_ranking",
         "q42_running_rows_frame",
         "q46_cumulative_share",
+        "q47_sessionize_batch",
         "p01_dedup_exact",
         "p02_text_stats",
         "p03_fingerprint",
@@ -48,6 +49,8 @@ def main() -> None:
         "p09_embedding_neardup",
         "p10_lsh_topk",
         "p11_multimodal_meta",
+        "p15_quality_filter",
+        "p16_token_vocab",
     ]
     registry = Q.all_queries()
 

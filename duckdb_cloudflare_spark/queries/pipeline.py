@@ -281,3 +281,83 @@ def p13_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     resized = M.resize_image(M.attach_fake_assets(d), 64, 64)
     feats = M.image_byte_histogram(resized, asset_col="resized")
     return feats.select("doc_id", "features")
+
+
+@register(
+    "p15_quality_filter",
+    oracle=f"""
+    WITH stats AS (
+        SELECT doc_id,
+               CAST(length(text) AS BIGINT) AS n_chars,
+               CAST(len({_TOKENS_SQL}) AS BIGINT) AS n_tokens,
+               CAST(length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS BIGINT) AS n_nonpunct,
+               CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS BIGINT) AS n_alpha
+        FROM documents
+    )
+    SELECT doc_id, n_chars, n_tokens,
+           round(CAST(n_chars - n_nonpunct AS DOUBLE) / n_chars, 6) AS punct_ratio,
+           round(CAST(n_alpha AS DOUBLE) / n_chars, 6) AS alpha_ratio
+    FROM stats
+    WHERE n_tokens >= 10
+      AND n_chars >= 100
+      AND CAST(n_chars - n_nonpunct AS DOUBLE) / n_chars < 0.10
+      AND CAST(n_alpha AS DOUBLE) / n_chars > 0.60
+    """,
+    description="quality filtering: keep documents passing length / punctuation / "
+    "alphabetic-ratio gates (the standard pretraining heuristic filter chain); "
+    "map-only JVM expressions, no shuffle",
+)
+def p15_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    t = F.col("text")
+    n_chars = F.length(t).cast("bigint")
+    n_tokens = F.size(T.tokens(t)).cast("bigint")
+    n_nonpunct = F.length(F.regexp_replace(t, r"[^\w\s]", "")).cast("bigint")
+    n_alpha = F.length(F.regexp_replace(t, r"[^A-Za-z]", "")).cast("bigint")
+    punct_ratio = (n_chars - n_nonpunct).cast("double") / n_chars
+    alpha_ratio = n_alpha.cast("double") / n_chars
+    return (
+        d.select(
+            "doc_id",
+            n_chars.alias("n_chars"),
+            n_tokens.alias("n_tokens"),
+            F.round(punct_ratio, 6).alias("punct_ratio"),
+            F.round(alpha_ratio, 6).alias("alpha_ratio"),
+        )
+        .filter(
+            (F.col("n_tokens") >= 10)
+            & (F.col("n_chars") >= 100)
+            & (punct_ratio < 0.10)
+            & (alpha_ratio > 0.60)
+        )
+    )
+
+
+@register(
+    "p16_token_vocab",
+    oracle=f"""
+    SELECT tok, count(*) AS freq, count(DISTINCT doc_id) AS doc_freq
+    FROM (
+        SELECT doc_id, lower(unnest({_TOKENS_SQL})) AS tok
+        FROM documents
+    )
+    GROUP BY tok
+    HAVING count(*) >= 50
+    """,
+    description="corpus vocabulary: explode tokens -> (term frequency, document "
+    "frequency) with a min-count gate — the explode+aggregate shape of BPE vocab "
+    "building; partial aggregation collapses per-partition duplicates before the "
+    "single shuffle",
+)
+def p16_token_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = D.ensure_parallelism(load(spark, sf_dir, "documents"))
+    toks = d.select("doc_id", F.explode(T.tokens(F.col("text"))).alias("tok"))
+    return (
+        toks.select("doc_id", F.lower("tok").alias("tok"))
+        .groupBy("tok")
+        .agg(
+            F.count(F.lit(1)).alias("freq"),
+            F.countDistinct("doc_id").alias("doc_freq"),
+        )
+        .filter(F.col("freq") >= 50)
+    )

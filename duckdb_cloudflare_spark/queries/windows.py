@@ -197,3 +197,50 @@ def q46_cumulative_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percent_rank().over(w_ord), 6).alias("pct_rank"),
         F.round(F.cume_dist().over(w_ord), 6).alias("cdist"),
     )
+
+
+@register(
+    "q47_sessionize_batch",
+    oracle="""
+    WITH marked AS (
+        SELECT user_id, event_id, ts, value,
+               CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                         > INTERVAL 10 MINUTE
+                    OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+    ), numbered AS (
+        SELECT user_id, ts, value,
+               sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM marked
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           min(ts) AS session_start, max(ts) AS session_end,
+           count(*) AS n_events, round(sum(value), 4) AS total_value
+    FROM numbered
+    GROUP BY user_id, session_id
+    """,
+    description="batch sessionization via gaps-and-islands (lag + running sum of "
+    "session-break markers) — 10-minute inactivity gap; the batch twin of "
+    "streaming.session_windows",
+)
+def q47_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    prev = F.lag("ts").over(w)
+    # microsecond-exact gap comparison: casting to long would truncate
+    # sub-second precision and disagree with the oracle's INTERVAL compare
+    gap_us = F.unix_micros("ts") - F.unix_micros(prev)
+    new_session = F.when(prev.isNull() | (gap_us > 600 * 1_000_000), 1).otherwise(0)
+    marked = e.withColumn("new_session", new_session)
+    numbered = marked.withColumn("session_id", F.sum("new_session").over(run))
+    return numbered.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 4).alias("total_value"),
+    )
