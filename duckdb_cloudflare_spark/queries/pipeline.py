@@ -35,7 +35,10 @@ _TOKENS_SQL = "string_split_regex(trim(text), '\\s+')"
     description="exact dedup: hash-groupBy on normalized-text fingerprint, keep min id",
 )
 def p01_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return D.exact_dedup(D.ensure_parallelism(load(spark, sf_dir, "documents")))
+    # no ensure_parallelism: md5+groupBy stay in codegen and the aggregation
+    # shuffle already redistributes — an extra round-robin repartition of the
+    # full text column would only add shuffle volume
+    return D.exact_dedup(load(spark, sf_dir, "documents"))
 
 
 @register(

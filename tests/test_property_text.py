@@ -1,0 +1,77 @@
+"""Property-based tests (hypothesis) for the parity-critical text utilities:
+these functions gate byte-level behavior the reference defines exactly, so we
+pin invariants over the whole input space, not just examples."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from duckdb_cloudflare_spark.util.text import (
+    like_to_regex,
+    parse_cdx_timestamp,
+    sanitize_utf8,
+    sql_wildcards_to_cdx,
+    to_cdx_timestamp,
+)
+
+
+@given(st.binary(max_size=300))
+@settings(max_examples=200)
+def test_sanitize_utf8_always_valid_utf8(data):
+    out = sanitize_utf8(data)
+    # output must always round-trip as strict UTF-8
+    out.encode("utf-8").decode("utf-8")
+
+
+@given(st.binary(max_size=300))
+@settings(max_examples=200)
+def test_sanitize_utf8_idempotent(data):
+    once = sanitize_utf8(data)
+    assert sanitize_utf8(once.encode("utf-8")) == once
+
+
+@given(st.text(max_size=200))
+@settings(max_examples=200)
+def test_sanitize_utf8_valid_text_unchanged(text):
+    # surrogates can't encode; hypothesis text() excludes them by default
+    assert sanitize_utf8(text.encode("utf-8")) == text
+
+
+@given(st.datetimes(min_value=__import__("datetime").datetime(1980, 1, 1),
+                    max_value=__import__("datetime").datetime(2099, 12, 31)))
+@settings(max_examples=200)
+def test_cdx_timestamp_roundtrip(dt):
+    # format a full 14-digit stamp, parse it back (second precision)
+    stamp = dt.strftime("%Y%m%d%H%M%S")
+    parsed = parse_cdx_timestamp(stamp)
+    assert parsed.strftime("%Y%m%d%H%M%S") == stamp
+
+
+@given(st.datetimes(min_value=__import__("datetime").datetime(1980, 1, 1),
+                    max_value=__import__("datetime").datetime(2099, 12, 31)))
+@settings(max_examples=200)
+def test_to_cdx_strip_preserves_prefix_semantics(dt):
+    # stripped form is a PREFIX of the full stamp and never below 4 chars
+    full = dt.strftime("%Y-%m-%d %H:%M:%S")
+    out = to_cdx_timestamp(full)
+    digits = dt.strftime("%Y%m%d%H%M%S")
+    assert digits.startswith(out)
+    assert len(out) >= 4
+    # only trailing zeros were stripped
+    assert digits[len(out):] == "" or set(digits[len(out):]) == {"0"}
+
+
+@given(st.text(alphabet=st.characters(blacklist_categories=("Cs",)), max_size=60))
+@settings(max_examples=200)
+def test_like_to_regex_is_anchored(pattern):
+    rx = like_to_regex(pattern)
+    assert rx.startswith("^") and rx.endswith("$")
+
+
+@given(st.text(alphabet="abc%_*?", max_size=40))
+@settings(max_examples=200)
+def test_sql_wildcards_total(pattern):
+    out = sql_wildcards_to_cdx(pattern)
+    assert "%" not in out and "_" not in out
+    assert len(out) == len(pattern)
