@@ -64,9 +64,12 @@ def test_to_cdx_strip_preserves_prefix_semantics(dt):
 
 @given(st.text(alphabet=st.characters(blacklist_categories=("Cs",)), max_size=60))
 @settings(max_examples=200)
-def test_like_to_regex_is_anchored(pattern):
+def test_like_to_regex_anchoring(pattern):
+    # anchored except where a leading/trailing % makes the anchor redundant
+    # (reference LikeToRegex drops it there)
     rx = like_to_regex(pattern)
-    assert rx.startswith("^") and rx.endswith("$")
+    assert rx.startswith("^") or pattern.startswith("%")
+    assert rx.endswith("$") or pattern.endswith("%")
 
 
 @given(st.text(alphabet="abc%_*?", max_size=40))
