@@ -877,3 +877,77 @@ def q31_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("l_orderkey", rsd=0.01).alias("approx_orders"),
         F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_parts"),
     )
+
+
+@register(
+    "q32_conditional_agg",
+    oracle="""
+    SELECT l_returnflag,
+           count(*) FILTER (WHERE l_discount > 0.05)            AS n_discounted,
+           round(sum(l_extendedprice) FILTER (WHERE l_tax > 0.04), 4) AS taxed_price,
+           round(avg(CASE WHEN l_quantity > 25 THEN l_extendedprice END), 4) AS avg_bulk_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    description="conditional aggregation: FILTER clauses / CASE-gated aggregates "
+    "(one pass, no self-joins)",
+)
+def q32_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.when(F.col("l_discount") > 0.05, 1)).alias("n_discounted"),
+        F.round(
+            F.sum(F.when(F.col("l_tax") > 0.04, F.col("l_extendedprice"))), 4
+        ).alias("taxed_price"),
+        F.round(
+            F.avg(F.when(F.col("l_quantity") > 25, F.col("l_extendedprice"))), 4
+        ).alias("avg_bulk_price"),
+    )
+
+
+@register(
+    "q33_string_agg",
+    oracle="""
+    SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+    description="ordered string aggregation (string_agg / listagg ... within group)",
+)
+def q33_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    joined = n.join(r, n.n_regionkey == r.r_regionkey)
+    # deterministic ordered concat: collect -> sort -> join (listagg's
+    # WITHIN GROUP ordering, expressed with array functions)
+    return joined.groupBy("r_name").agg(
+        F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("nations")
+    )
+
+
+@register(
+    "q34_pivot",
+    oracle="""
+    SELECT o_orderpriority,
+           round(coalesce(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 0), 4) AS status_f,
+           round(coalesce(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 0), 4) AS status_o,
+           round(coalesce(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 0), 4) AS status_p
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    description="pivot: groupBy().pivot() over order status (oracle expresses the "
+    "same contract as portable CASE aggregation)",
+)
+def q34_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    pivoted = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 4))
+    )
+    return (
+        pivoted.withColumnRenamed("F", "status_f")
+        .withColumnRenamed("O", "status_o")
+        .withColumnRenamed("P", "status_p")
+        .na.fill(0.0, ["status_f", "status_o", "status_p"])
+    )

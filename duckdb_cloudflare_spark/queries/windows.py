@@ -244,3 +244,25 @@ def q47_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.round(F.sum("value"), 4).alias("total_value"),
     )
+
+
+@register(
+    "q48_percent_rank_cume",
+    oracle="""
+    SELECT c_custkey, c_nationkey,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist()    OVER w, 6) AS cume
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+    """,
+    description="percent_rank and cume_dist distribution window functions",
+)
+def q48_percent_rank_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey",
+        "c_nationkey",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
