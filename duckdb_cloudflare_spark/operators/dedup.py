@@ -75,7 +75,14 @@ def shingles(text: Column, k: int = 3) -> Column:
 
 def minhash_signature(shingle_col: Column, num_perm: int = 64) -> Column:
     """MinHash signature: per permutation i, min over shingles of
-    xxhash64(shingle, seed=i). Empty shingle set → nulls (never matches)."""
+    xxhash64(shingle, seed=i). Empty shingle set → nulls (never matches).
+
+    (Measured alternatives that did NOT pay off at this shingle length:
+    hashing each shingle once then re-hashing the long per permutation —
+    within noise of direct string hashing, because interpreted
+    higher-order-function evaluation dominates, not hashing; explode +
+    64-column codegen hash-aggregate — ~2× slower end-to-end. Multiply-add
+    universal hashing is blocked by ANSI-mode overflow, Spark 4 default.)"""
     sig = F.array(
         *[
             F.array_min(F.transform(shingle_col, lambda s: F.xxhash64(s, F.lit(i))))

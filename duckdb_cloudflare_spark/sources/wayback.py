@@ -23,7 +23,13 @@ import time
 from concurrent.futures import ThreadPoolExecutor
 from typing import Iterator
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, Filter, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    Filter,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 from pyspark.sql.types import StructType
 
 from duckdb_cloudflare_spark.sources.cdx import (
@@ -64,6 +70,11 @@ class WaybackMachineDataSource(DataSource):
 
     def reader(self, schema: StructType) -> "WaybackReader":
         return WaybackReader(schema, dict(self.options))
+
+    def simpleStreamReader(self, schema: StructType) -> "WaybackStreamReader":
+        """Streaming surface: poll for snapshots archived after the current
+        timestamp watermark (see WaybackStreamReader)."""
+        return WaybackStreamReader(schema, dict(self.options))
 
 
 class PagePartition(InputPartition):
@@ -194,3 +205,59 @@ class WaybackReader(DataSourceReader):
         if result.error:
             return (None, result.error)
         return (result.body, "")
+
+
+class WaybackStreamReader(SimpleDataSourceStreamReader):
+    """Incremental Wayback polling: offset = {"from_ts": "YYYYMMDDhhmmss"},
+    each micro-batch fetches snapshots archived strictly AFTER the offset
+    (CDX ``&from=`` is inclusive, so boundary records are filtered out) and
+    advances the offset to the newest timestamp seen. ``readBetweenOffsets``
+    re-queries the closed interval with ``&from=``/``&to=`` — the CDX index
+    for past time ranges is append-stable, so replay is exact.
+
+    Options mirror the batch reader; ``stream_from`` sets the initial
+    watermark (default 19960101000000, the web archive's epoch)."""
+
+    def __init__(self, schema: StructType, options: dict):
+        self.schema_ = schema
+        self.options = options
+        if not options.get("url"):
+            raise ValueError("wayback_machine stream requires a URL filter: .option('url', ...)")
+        self.ts_index = [f.name for f in schema.fields].index("timestamp")
+
+    def initialOffset(self) -> dict:
+        return {"from_ts": self.options.get("stream_from", "19960101000000")}
+
+    def _fetch(self, from_ts: str, to_ts: str | None) -> list:
+        opts = dict(self.options)
+        opts["from"] = from_ts
+        if to_ts:
+            opts["to"] = to_ts
+        reader = WaybackReader(self.schema_, opts)
+        [partition] = reader.partitions()
+        lower = parse_cdx_timestamp(from_ts)
+        rows = [
+            r
+            for r in reader.read(partition)
+            if r[self.ts_index] is not None and r[self.ts_index] > lower
+        ]
+        return rows
+
+    def read(self, start: dict):
+        rows = self._fetch(start["from_ts"], None)
+        if rows:
+            newest = max(r[self.ts_index] for r in rows)
+            end = {"from_ts": newest.strftime("%Y%m%d%H%M%S")}
+        else:
+            end = dict(start)
+        return rows, end
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        if end.get("from_ts") == start.get("from_ts"):
+            return []
+        upper = parse_cdx_timestamp(end["from_ts"])
+        return [
+            r
+            for r in self._fetch(start["from_ts"], end["from_ts"])
+            if r[self.ts_index] <= upper
+        ]
