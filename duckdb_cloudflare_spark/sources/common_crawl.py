@@ -116,9 +116,12 @@ class CommonCrawlReader(DataSourceReader):
     # -- planning ----------------------------------------------------------
     def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
         for f in filters:
-            translate_cc_filter(f, self.spec)
-            # Keep-in-plan policy: every filter is residual (see pushdown.py).
-            yield f
+            outcome = translate_cc_filter(f, self.spec)
+            # Absorbed filters are removed from the plan (reference
+            # :1456-1459); weaker translations stay residual (see
+            # pushdown.py module docstring).
+            if outcome != "absorbed":
+                yield f
 
     def _resolve_crawl_ids(self) -> list[str]:
         if self.spec.crawl_ids:

@@ -11,12 +11,22 @@ NOT, IS [NOT] NULL — LIKE with interior wildcards and regexes never reach
 ``pushFilters`` and are covered by explicit reader options instead (the
 reference's named-parameter escape hatch, SURVEY §4.1).
 
-Translation POLICY: every filter is also returned to Spark as residual
-("keep the filter in the plan" — the reference does this for CC timestamp
-ranges, src/common_crawl_index.cpp:1333,1384). The remote params only tighten
-the fetch; Spark re-applies the exact predicate, so partially-absorbing
-translations (timestamp truncation, domain wildcards) can never produce wrong
-results.
+Translation POLICY (mirrors the reference's absorbed-filter removal,
+src/common_crawl_index.cpp:1456-1459, vs kept-when-weaker,
+src/common_crawl_index.cpp:1333,1384):
+
+- EXACT translations are ABSORBED — removed from the Spark plan, the remote
+  API is authoritative: statuscode/mimetype equality, negation, IN; url
+  pattern shapes; crawl_id selection; Wayback urlkey regexes, year bounds,
+  and inclusive timestamp bounds (trailing-zero stripping is lossless).
+- WEAKER translations are KEPT in the plan and Spark re-applies them:
+  CC timestamp ranges (they only choose the crawl set / coarse from-to) and
+  strict (>, <) Wayback timestamp comparisons (CDX from/to are inclusive).
+
+``translate_*_filter`` returns "absorbed", "kept", or None (untranslated —
+always kept). Absorption also makes the reference's debug/dry-run golden-URL
+technique work: the synthetic row is not re-filtered away by predicates the
+remote already enforced.
 """
 
 from __future__ import annotations
@@ -30,12 +40,26 @@ from pyspark.sql.datasource import (
     GreaterThan,
     GreaterThanOrEqual,
     In,
+    IsNotNull,
     LessThan,
     LessThanOrEqual,
     Not,
     StringContains,
     StringEndsWith,
     StringStartsWith,
+)
+
+# CDX scalar columns are ALWAYS non-null in parsed output (missing fields
+# default to 0 / "" — parse_cc_ndjson / parse_wayback_csv), so the
+# IsNotNull predicates Spark derives from equality filters are trivially
+# true for every remote row and can be absorbed with the equality itself.
+_CC_NONNULL_COLS = frozenset(
+    {"url", "timestamp", "mimetype", "statuscode", "digest", "filename",
+     "offset", "length", "crawl_id"}
+)
+_WB_NONNULL_COLS = frozenset(
+    {"url", "timestamp", "urlkey", "mimetype", "statuscode", "digest",
+     "length", "year", "month"}
 )
 
 from duckdb_cloudflare_spark.util.text import to_cdx_timestamp
@@ -66,141 +90,158 @@ class CdxQuerySpec:
     to_ts: str = ""
 
 
-def translate_cc_filter(f: Filter, spec: CdxQuerySpec) -> bool:
-    """Apply one filter to the CC spec. Returns True if it contributed
-    (it is still returned to Spark as residual regardless)."""
+def translate_cc_filter(f: Filter, spec: CdxQuerySpec) -> str | None:
+    """Apply one filter to the CC spec. Returns "absorbed" (remove from
+    plan), "kept" (contributed but Spark re-applies), or None."""
     col = _attr(f)
+    if isinstance(f, IsNotNull):
+        return "absorbed" if col in _CC_NONNULL_COLS else None
     if isinstance(f, Not):
         inner = f.child
         icol = _attr(inner)
         if isinstance(inner, EqualTo):
             if icol == "statuscode":
                 spec.cdx_filters.append(f"!status:{inner.value}")
-                return True
+                return "absorbed"
             if icol == "mimetype":
                 spec.cdx_filters.append(f"!mime:{inner.value}")
-                return True
-        return False
+                return "absorbed"
+        return None
     if isinstance(f, EqualTo):
         if col == "url":
             spec.url_pattern = str(f.value)
-            return True
+            return "absorbed"
         if col == "crawl_id":
             spec.crawl_ids = [str(f.value)]
-            return True
+            return "absorbed"
         if col == "statuscode":
             spec.cdx_filters.append(f"=status:{f.value}")
-            return True
+            return "absorbed"
         if col == "mimetype":
             spec.cdx_filters.append(f"=mime:{f.value}")
-            return True
-        return False
+            return "absorbed"
+        return None
     if isinstance(f, In):
         vals = [str(v) for v in f.value]
         if col == "crawl_id":
             spec.crawl_ids = vals
-            return True
+            return "absorbed"
         if col == "statuscode":
             spec.cdx_filters.append("~status:(" + "|".join(vals) + ")")
-            return True
+            return "absorbed"
         if col == "mimetype":
             spec.cdx_filters.append("~mime:(" + "|".join(vals) + ")")
-            return True
-        return False
+            return "absorbed"
+        return None
     if col == "url":
         if isinstance(f, StringStartsWith):
             spec.url_pattern = f"{f.value}*"
-            return True
+            return "absorbed"
         if isinstance(f, StringEndsWith):
             spec.url_pattern = f"*{f.value}"
-            return True
+            return "absorbed"
         if isinstance(f, StringContains):
             spec.url_pattern = f"*{f.value}*"
-            return True
+            return "absorbed"
     if col == "timestamp":
+        # CC timestamps select the crawl set + coarse from/to: WEAKER than
+        # the predicate — keep it in the plan (reference :1333,1384).
         if isinstance(f, (GreaterThan, GreaterThanOrEqual)):
             spec.from_ts = _ts_str(f.value)
-            return True
+            return "kept"
         if isinstance(f, (LessThan, LessThanOrEqual)):
             spec.to_ts = _ts_str(f.value)
-            return True
-    return False
+            return "kept"
+    return None
 
 
-def translate_wayback_filter(f: Filter, spec: CdxQuerySpec) -> bool:
-    """Apply one filter to the Wayback spec (filter=col:regex catalogue)."""
+def translate_wayback_filter(f: Filter, spec: CdxQuerySpec) -> str | None:
+    """Apply one filter to the Wayback spec (filter=col:regex catalogue).
+    Returns "absorbed" / "kept" / None (see module docstring)."""
     col = _attr(f)
+    if isinstance(f, IsNotNull):
+        return "absorbed" if col in _WB_NONNULL_COLS else None
     if isinstance(f, Not):
         inner = f.child
         icol = _attr(inner)
         if isinstance(inner, EqualTo) and icol in ("statuscode", "mimetype"):
             spec.cdx_filters.append(f"!{icol}:{inner.value}")
-            return True
+            return "absorbed"
         if icol == "urlkey":
             rx = _string_filter_regex(inner)
             if rx:
                 spec.cdx_filters.append(f"!urlkey:{rx}")
-                return True
-        return False
+                return "absorbed"
+        return None
     if isinstance(f, EqualTo):
         if col == "url":
             spec.url_pattern = str(f.value)
             spec.match_type = "exact"
-            return True
+            return "absorbed"
         if col in ("statuscode", "mimetype"):
             spec.cdx_filters.append(f"{col}:{f.value}")
-            return True
+            return "absorbed"
         if col == "year":
             spec.from_ts = str(f.value)
             spec.to_ts = str(f.value)
-            return True
+            return "absorbed"
         if col == "urlkey":
             spec.cdx_filters.append(f"urlkey:^{f.value}$")
-            return True
-        return False
+            return "absorbed"
+        return None
     if isinstance(f, In) and col in ("statuscode", "mimetype"):
         spec.cdx_filters.append(f"{col}:(" + "|".join(str(v) for v in f.value) + ")")
-        return True
+        return "absorbed"
     if col == "url":
         if isinstance(f, StringStartsWith):
             spec.url_pattern = f"{f.value}*"
-            return True
+            return "absorbed"
         if isinstance(f, StringEndsWith):
             # '%.example.com' → url=*.example.com (domain-suffix form,
-            # internet_archive_pushdown.test:462-505)
+            # internet_archive_pushdown.test:462-505). The CDX domain form
+            # also matches subdomain PATHS — weaker → keep in plan.
             spec.url_pattern = f"*{f.value}"
-            return True
+            return "kept"
         if isinstance(f, StringContains):
             spec.url_pattern = f"*{f.value}*"
-            return True
+            return "absorbed"
     if col == "urlkey":
         rx = _string_filter_regex(f)
         if rx:
             spec.cdx_filters.append(f"urlkey:{rx}")
-            return True
+            return "absorbed"
     if col == "timestamp":
-        if isinstance(f, (GreaterThan, GreaterThanOrEqual)):
+        # from/to are INCLUSIVE with lossless trailing-zero stripping:
+        # >= / <= are exact (reference removes them,
+        # internet_archive.cpp:1181-1199); strict > / < stay in the plan.
+        if isinstance(f, GreaterThanOrEqual):
             spec.from_ts = _ts_str(f.value)
-            return True
-        if isinstance(f, (LessThan, LessThanOrEqual)):
+            return "absorbed"
+        if isinstance(f, GreaterThan):
+            spec.from_ts = _ts_str(f.value)
+            return "kept"
+        if isinstance(f, LessThanOrEqual):
             spec.to_ts = _ts_str(f.value)
-            return True
+            return "absorbed"
+        if isinstance(f, LessThan):
+            spec.to_ts = _ts_str(f.value)
+            return "kept"
     if col == "year":
         # year > 2020 → from=2021; year < 2024 → to=2023
-        # (src/internet_archive.cpp:1274-1311)
+        # (src/internet_archive.cpp:1274-1311) — year-boundary exact
         if isinstance(f, GreaterThan):
             spec.from_ts = str(int(f.value) + 1)
-            return True
+            return "absorbed"
         if isinstance(f, GreaterThanOrEqual):
             spec.from_ts = str(int(f.value))
-            return True
+            return "absorbed"
         if isinstance(f, LessThan):
             spec.to_ts = str(int(f.value) - 1)
-            return True
+            return "absorbed"
         if isinstance(f, LessThanOrEqual):
             spec.to_ts = str(int(f.value))
-            return True
-    return False
+            return "absorbed"
+    return None
 
 
 def _string_filter_regex(f: Filter) -> str | None:

@@ -106,8 +106,10 @@ class WaybackReader(DataSourceReader):
 
     def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
         for f in filters:
-            translate_wayback_filter(f, self.spec)
-            yield f  # keep-in-plan policy (see pushdown.py)
+            outcome = translate_wayback_filter(f, self.spec)
+            # absorbed → removed from plan; weaker → residual (pushdown.py)
+            if outcome != "absorbed":
+                yield f
 
     def partitions(self) -> list[InputPartition]:
         if not self.spec.url_pattern:

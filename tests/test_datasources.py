@@ -501,3 +501,30 @@ class TestPushdownTranslation:
         assert "!mimetype:application/pdf" in spec.cdx_filters
         assert spec.from_ts == "2021"  # year > 2020 → from=2021
         assert "urlkey:^com,example)/.*" in spec.cdx_filters
+
+
+class TestR2IcebergConf:
+    def test_conf_shape(self):
+        from duckdb_cloudflare_spark.sources.r2 import r2_iceberg_conf
+
+        conf = r2_iceberg_conf(
+            account_id="acct", api_token="tok", bucket_name="bkt", catalog_name="r2"
+        )
+        assert conf["spark.sql.catalog.r2"] == "org.apache.iceberg.spark.SparkCatalog"
+        assert conf["spark.sql.catalog.r2.type"] == "rest"
+        assert conf["spark.sql.catalog.r2.uri"] == (
+            "https://catalog.cloudflarestorage.com/acct/bkt"
+        )
+        assert conf["spark.sql.catalog.r2.token"] == "tok"
+        assert "IcebergSparkSessionExtensions" in conf["spark.sql.extensions"]
+
+    def test_secret_fallback(self):
+        from duckdb_cloudflare_spark.catalog.secrets import create_secret, global_registry
+        from duckdb_cloudflare_spark.sources.r2 import r2_iceberg_conf
+
+        create_secret("r2t", type="r2_sql", account_id="a2", api_token="t2", bucket_name="b2")
+        try:
+            conf = r2_iceberg_conf("r2t")
+            assert conf["spark.sql.catalog.r2.uri"].endswith("/a2/b2")
+        finally:
+            global_registry().drop_secret("r2t")

@@ -5,6 +5,8 @@ exact URL assertions with no network."""
 
 from __future__ import annotations
 
+import pytest
+
 from duckdb_cloudflare_spark.sources.cdx import (
     build_cc_cdx_url,
     build_warc_url,
@@ -186,3 +188,57 @@ class TestParsers:
         assert recs[0].urlkey == "com,example)/"
         assert recs[0].status_code == 200 and recs[0].length == 1234
         assert recs[1].status_code == 0 and recs[1].length == 0  # '-' → 0
+
+
+class TestFullPlanPushdownURLs:
+    """End-to-end: WHERE clauses on the registered DataSource → pushFilters
+    → translated CDX URL, observed via debug+dry_run (the reference's
+    no-network golden-URL technique, SURVEY §5)."""
+
+    @pytest.fixture(scope="class")
+    def cc(self, spark):
+        from duckdb_cloudflare_spark.session import register_sources
+
+        register_sources(spark)
+
+        def build(url_opt=None, **opts):
+            r = spark.read.format("common_crawl").option("debug", "true").option(
+                "dry_run", "true"
+            ).option("crawl_id", "CC-MAIN-2025-43")
+            if url_opt:
+                r = r.option("url", url_opt)
+            for k, v in opts.items():
+                r = r.option(k, v)
+            return r.load()
+
+        return build
+
+    def _url(self, df):
+        [row] = df.select("cdx_url").collect()
+        return row["cdx_url"]
+
+    def test_where_url_startswith(self, cc):
+        from pyspark.sql import functions as F
+
+        df = cc().filter(F.col("url").startswith("https://example.com/"))
+        assert "url=https://example.com/*" in self._url(df.select("cdx_url"))
+
+    def test_where_statuscode_eq(self, cc):
+        from pyspark.sql import functions as F
+
+        df = cc("*.example.com/*").filter(F.col("statuscode") == 200)
+        assert "filter==status:200" in self._url(df.select("cdx_url"))
+
+    def test_where_statuscode_in(self, cc):
+        from pyspark.sql import functions as F
+
+        df = cc("*.example.com/*").filter(F.col("statuscode").isin(200, 301, 302))
+        assert "filter=~status:(200|301|302)" in self._url(df.select("cdx_url"))
+
+    def test_where_mimetype_not_equal_absorbed(self, cc):
+        from pyspark.sql import functions as F
+
+        # != arrives as Not(EqualTo) → negated filter param, absorbed (the
+        # reference removes fully-translated filters from the plan)
+        df = cc("*.example.com/*").filter(F.col("mimetype") != "text/html")
+        assert "filter=!mime:text/html" in self._url(df.select("cdx_url"))
