@@ -51,6 +51,7 @@ def main() -> None:
         "p11_multimodal_meta",
         "p15_quality_filter",
         "p16_token_vocab",
+        "p17_tfidf_top_terms",
     ]
     registry = Q.all_queries()
 

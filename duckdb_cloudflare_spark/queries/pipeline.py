@@ -364,3 +364,99 @@ def p16_token_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("freq") >= 50)
     )
+
+
+@register(
+    "p17_tfidf_top_terms",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, lower(unnest({_TOKENS_SQL})) AS tok FROM documents
+    ), tf AS (
+        SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY doc_id, tok
+    ), df AS (
+        SELECT tok, count(DISTINCT doc_id) AS df FROM toks GROUP BY tok
+    ), n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.tok,
+               round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS tfidf
+        FROM tf JOIN df USING (tok) CROSS JOIN n
+    )
+    SELECT doc_id, tok, tfidf, rnk FROM (
+        SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+                        ORDER BY tfidf DESC, tok) AS INTEGER) AS rnk
+        FROM scored
+    ) WHERE rnk <= 3
+    """,
+    description="TF-IDF term weighting: per-doc term frequency x ln(N/df), top-3 "
+    "terms per document — token explode, two aggregations, broadcast-joined "
+    "document frequencies, per-doc top-k window",
+)
+def p17_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = D.ensure_parallelism(load(spark, sf_dir, "documents"))
+    n_docs = d.count()
+    toks = d.select("doc_id", F.explode(T.tokens(F.col("text"))).alias("tok")).select(
+        "doc_id", F.lower("tok").alias("tok")
+    )
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = toks.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    scored = tf.join(F.broadcast(df_), "tok").select(
+        "doc_id",
+        "tok",
+        F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("tok"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "tok", "tfidf", "rnk")
+    )
+
+
+@register(
+    "p18_stratified_downsample",
+    oracle="""
+    SELECT doc_id, lang FROM (
+        SELECT doc_id, lang,
+               row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+        FROM documents
+    ) WHERE rn % 4 = 1
+    """,
+    description="deterministic stratified downsampling: keep every 4th document "
+    "per language stratum (ordered by id) — the reproducible variant of "
+    "sampleBy for dataset balancing",
+)
+def p18_stratified_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy("doc_id")
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") % 4 == 1)
+        .select("doc_id", "lang")
+    )
+
+
+@register(
+    "p19_train_test_split",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 32, 1)
+                     IN ('0','1','2','3','4','5','6','7','8','9','a','b','c')
+                THEN 'train' ELSE 'test' END AS split
+    FROM documents
+    """,
+    description="hash-based train/test split: md5(doc_id) last hex digit buckets "
+    "13/16 train vs 3/16 test — deterministic, engine-independent, stable under "
+    "re-runs and appends (the property random splits lack)",
+)
+def p19_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    digit = F.substring(F.md5(F.col("doc_id").cast("string")), 32, 1)
+    train_digits = [str(c) for c in "0123456789abc"]
+    return d.select(
+        "doc_id",
+        F.when(digit.isin(train_digits), "train").otherwise("test").alias("split"),
+    )
