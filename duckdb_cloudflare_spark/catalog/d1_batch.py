@@ -53,3 +53,66 @@ class D1Batch:
         else:
             self.rollback()
         return False
+
+
+def _sql_literal(v: Any) -> str:
+    """Value → SQLite literal with the reference's escaping ('' for quotes,
+    src/d1_scan.cpp:76-89); bools as 1/0, bytes as X'hex', None as NULL."""
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "1" if v else "0"
+    if isinstance(v, (int, float)):
+        return repr(v)
+    if isinstance(v, (bytes, bytearray)):
+        return "X'" + bytes(v).hex() + "'"
+    return "'" + str(v).replace("'", "''") + "'"
+
+
+def d1_insert_df(
+    df,
+    table: str,
+    client: D1Client,
+    statements_per_batch: int = 50,
+    rows_per_statement: int = 50,
+) -> int:
+    """Write a DataFrame to a D1 table through the reference's ONLY
+    supported write path — generated INSERT statements over the batch
+    endpoint (catalog DML is intentionally unsupported there:
+    src/d1_storage.cpp:39-57 throws \"use d1_execute()\"; this helper builds
+    those statements).
+
+    Rows stream through the driver via ``toLocalIterator`` (never a full
+    collect) and are grouped into multi-row VALUES statements, then into
+    batched POSTs — D1 is an OLTP-sized store, so the driver-side funnel IS
+    the right topology (the bottleneck is the remote API, not the driver;
+    Cloudflare caps ~100 KB SQL per statement, D1-ATTACH-SOLUTION.md:20-23).
+    Returns the number of rows written.
+    """
+    cols = ", ".join(df.columns)
+    written = 0
+    buffer: list[str] = []
+    values: list[str] = []
+
+    def flush_statement():
+        nonlocal values
+        if values:
+            buffer.append(f"INSERT INTO {table} ({cols}) VALUES " + ", ".join(values))
+            values = []
+
+    def flush_batch():
+        nonlocal buffer
+        if buffer:
+            client.batch(buffer)
+            buffer = []
+
+    for row in df.toLocalIterator():
+        values.append("(" + ", ".join(_sql_literal(v) for v in row) + ")")
+        written += 1
+        if len(values) >= rows_per_statement:
+            flush_statement()
+            if len(buffer) >= statements_per_batch:
+                flush_batch()
+    flush_statement()
+    flush_batch()
+    return written

@@ -528,3 +528,36 @@ class TestR2IcebergConf:
             assert conf["spark.sql.catalog.r2.uri"].endswith("/a2/b2")
         finally:
             global_registry().drop_secret("r2t")
+
+
+class TestD1InsertDf:
+    def test_roundtrip_via_stub(self, registered, tmp_path):
+        import sqlite3
+
+        from duckdb_cloudflare_spark.catalog.d1_batch import d1_insert_df
+        from duckdb_cloudflare_spark.sources.d1 import D1Client, D1Config
+        from duckdb_cloudflare_spark.util.d1_stub import D1SqliteStubTransport
+
+        db = str(tmp_path / "w.db")
+        con = sqlite3.connect(db)
+        con.execute("CREATE TABLE sink (id INTEGER, name TEXT, score REAL, ok BOOLEAN)")
+        con.commit()
+        con.close()
+
+        df = registered.createDataFrame(
+            [(i, f"it's {i}", i * 1.5, i % 2 == 0) for i in range(137)],
+            "id long, name string, score double, ok boolean",
+        )
+        client = D1Client(
+            D1Config(account_id="acct", api_token="t", database_id="db"),
+            transport=D1SqliteStubTransport(db),
+        )
+        n = d1_insert_df(df, "sink", client, statements_per_batch=2, rows_per_statement=10)
+        assert n == 137
+
+        con = sqlite3.connect(db)
+        assert con.execute("SELECT count(*) FROM sink").fetchone()[0] == 137
+        # quote escaping survived
+        assert con.execute("SELECT name FROM sink WHERE id = 7").fetchone()[0] == "it's 7"
+        assert con.execute("SELECT ok FROM sink WHERE id = 4").fetchone()[0] == 1
+        con.close()
