@@ -62,7 +62,7 @@ _WB_NONNULL_COLS = frozenset(
      "length", "year", "month"}
 )
 
-from duckdb_cloudflare_spark.util.text import to_cdx_timestamp
+from duckdb_cloudflare_spark.util.text import escape_cdx_regex, to_cdx_timestamp
 
 
 def _attr(f) -> str | None:
@@ -106,6 +106,21 @@ def translate_cc_filter(f: Filter, spec: CdxQuerySpec) -> str | None:
             if icol == "mimetype":
                 spec.cdx_filters.append(f"!mime:{inner.value}")
                 return "absorbed"
+        if icol == "url":
+            # url NOT LIKE 'p%' / '%p' / '%p%' reaches pushFilters as
+            # Not(StringStartsWith/EndsWith/Contains) → negated anchored
+            # regex "!~url:^...$" (src/common_crawl_index.cpp:1210-1250
+            # NOT-prefix / NOT-LIKE via SqlRegexToRegex :789 — both anchors).
+            v = escape_cdx_regex(str(inner.value))
+            if isinstance(inner, StringStartsWith):
+                spec.cdx_filters.append(f"!~url:^{v}.*$")
+                return "absorbed"
+            if isinstance(inner, StringEndsWith):
+                spec.cdx_filters.append(f"!~url:^.*{v}$")
+                return "absorbed"
+            if isinstance(inner, StringContains):
+                spec.cdx_filters.append(f"!~url:^.*{v}.*$")
+                return "absorbed"
         return None
     if isinstance(f, EqualTo):
         if col == "url":
@@ -127,10 +142,16 @@ def translate_cc_filter(f: Filter, spec: CdxQuerySpec) -> str | None:
             spec.crawl_ids = vals
             return "absorbed"
         if col == "statuscode":
-            spec.cdx_filters.append("~status:(" + "|".join(vals) + ")")
+            # ~field:regex form — values are embedded in a regex alternation,
+            # so escape metachars (EscapeRegex, internet_archive.cpp:723).
+            spec.cdx_filters.append(
+                "~status:(" + "|".join(escape_cdx_regex(v) for v in vals) + ")"
+            )
             return "absorbed"
         if col == "mimetype":
-            spec.cdx_filters.append("~mime:(" + "|".join(vals) + ")")
+            spec.cdx_filters.append(
+                "~mime:(" + "|".join(escape_cdx_regex(v) for v in vals) + ")"
+            )
             return "absorbed"
         return None
     if col == "url":
@@ -165,7 +186,7 @@ def translate_wayback_filter(f: Filter, spec: CdxQuerySpec) -> str | None:
         inner = f.child
         icol = _attr(inner)
         if isinstance(inner, EqualTo) and icol in ("statuscode", "mimetype"):
-            spec.cdx_filters.append(f"!{icol}:{inner.value}")
+            spec.cdx_filters.append(f"!{icol}:{escape_cdx_regex(str(inner.value))}")
             return "absorbed"
         if icol == "urlkey":
             rx = _string_filter_regex(inner)
@@ -179,18 +200,24 @@ def translate_wayback_filter(f: Filter, spec: CdxQuerySpec) -> str | None:
             spec.match_type = "exact"
             return "absorbed"
         if col in ("statuscode", "mimetype"):
-            spec.cdx_filters.append(f"{col}:{f.value}")
+            # filter=field:regex is full-match regex — escape literal values
+            # (mimetypes like application/vnd.ms-excel contain metachars).
+            spec.cdx_filters.append(f"{col}:{escape_cdx_regex(str(f.value))}")
             return "absorbed"
         if col == "year":
             spec.from_ts = str(f.value)
             spec.to_ts = str(f.value)
             return "absorbed"
         if col == "urlkey":
-            spec.cdx_filters.append(f"urlkey:^{f.value}$")
+            spec.cdx_filters.append(f"urlkey:^{escape_cdx_regex(str(f.value))}$")
             return "absorbed"
         return None
     if isinstance(f, In) and col in ("statuscode", "mimetype"):
-        spec.cdx_filters.append(f"{col}:(" + "|".join(str(v) for v in f.value) + ")")
+        # regex alternation — string values escaped, matching the reference's
+        # TryHandleInExpression (internet_archive.cpp:963-1010).
+        spec.cdx_filters.append(
+            f"{col}:(" + "|".join(escape_cdx_regex(str(v)) for v in f.value) + ")"
+        )
         return "absorbed"
     if col == "url":
         if isinstance(f, StringStartsWith):
@@ -246,11 +273,17 @@ def translate_wayback_filter(f: Filter, spec: CdxQuerySpec) -> str | None:
 
 def _string_filter_regex(f: Filter) -> str | None:
     """prefix/suffix/contains → the regex LikeToRegex would produce for the
-    equivalent LIKE pattern (src/internet_archive.cpp:849-1005)."""
+    equivalent LIKE pattern (src/internet_archive.cpp:849-1005).
+
+    Values are metachar-escaped in all three shapes. The reference escapes
+    contains (:963) but NOT prefix (:944 — "^" + prefix_val + ".*" raw while
+    still removing the plan filter); since these translations are ABSORBED,
+    an unescaped '.'/'+' would silently widen the result set, so we escape
+    everywhere rather than reproduce that bug."""
     if isinstance(f, StringStartsWith):
-        return f"^{f.value}.*"
+        return f"^{escape_cdx_regex(str(f.value))}.*"
     if isinstance(f, StringEndsWith):
-        return f".*{f.value}$"
+        return f".*{escape_cdx_regex(str(f.value))}$"
     if isinstance(f, StringContains):
-        return f".*{f.value}.*"
+        return f".*{escape_cdx_regex(str(f.value))}.*"
     return None

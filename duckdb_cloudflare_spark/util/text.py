@@ -47,6 +47,22 @@ def like_to_regex(like_pattern: str) -> str:
     return "".join(out)
 
 
+def escape_cdx_regex(val: str) -> str:
+    """Escape regex metachars in a literal value embedded in a CDX filter=
+    regex — mirror of EscapeRegex (src/internet_archive.cpp:723-740): the
+    escape is the literal URL-encoded backslash "%5C", () stay unescaped,
+    and backslashes are dropped (the next char then escapes normally).
+    """
+    out = []
+    for c in val:
+        if c == "\\":
+            continue
+        if c in _ESCAPED:
+            out.append("%5C")
+        out.append(c)
+    return "".join(out)
+
+
 def to_cdx_timestamp(ts_str: str) -> str:
     """Digits only, truncate to 14 chars, strip trailing zeros (but keep at
     least the 4-digit year)."""

@@ -502,6 +502,92 @@ class TestPushdownTranslation:
         assert spec.from_ts == "2021"  # year > 2020 → from=2021
         assert "urlkey:^com,example)/.*" in spec.cdx_filters
 
+    def test_wayback_regex_values_escaped(self):
+        # Literal values embedded in filter= regexes must have metachars
+        # escaped with %5C (EscapeRegex, internet_archive.cpp:723-740) —
+        # otherwise 'application/vnd.ms-excel' matches a superset while the
+        # predicate is absorbed out of the Spark plan.
+        from pyspark.sql.datasource import EqualTo, In, Not, StringContains
+        from duckdb_cloudflare_spark.sources.pushdown import (
+            CdxQuerySpec,
+            translate_wayback_filter,
+        )
+
+        spec = CdxQuerySpec()
+        assert (
+            translate_wayback_filter(
+                EqualTo(("mimetype",), "application/vnd.ms-excel"), spec
+            )
+            == "absorbed"
+        )
+        assert "mimetype:application/vnd%5C.ms-excel" in spec.cdx_filters
+
+        spec = CdxQuerySpec()
+        translate_wayback_filter(
+            In(("mimetype",), ("text/html", "application/vnd.ms-excel")), spec
+        )
+        assert "mimetype:(text/html|application/vnd%5C.ms-excel)" in spec.cdx_filters
+
+        spec = CdxQuerySpec()
+        translate_wayback_filter(Not(EqualTo(("mimetype",), "a+b.c")), spec)
+        assert "!mimetype:a%5C+b%5C.c" in spec.cdx_filters
+
+        spec = CdxQuerySpec()
+        translate_wayback_filter(EqualTo(("urlkey",), "com,ex)/p?q=1"), spec)
+        assert "urlkey:^com,ex)/p%5C?q=1$" in spec.cdx_filters
+
+        # prefix/suffix/contains shapes too (the reference misses prefix —
+        # we escape it anyway because the translation is absorbed)
+        spec = CdxQuerySpec()
+        translate_wayback_filter(StringContains(("urlkey",), "x.y"), spec)
+        assert "urlkey:.*x%5C.y.*" in spec.cdx_filters
+
+    def test_cc_not_url_pushdown(self):
+        # url NOT LIKE shapes → negated anchored regex !~url:^...$
+        # (src/common_crawl_index.cpp:1210-1250), absorbed from the plan.
+        from pyspark.sql.datasource import (
+            Not,
+            StringContains,
+            StringEndsWith,
+            StringStartsWith,
+        )
+        from duckdb_cloudflare_spark.sources.pushdown import (
+            CdxQuerySpec,
+            translate_cc_filter,
+        )
+
+        spec = CdxQuerySpec()
+        assert (
+            translate_cc_filter(Not(StringStartsWith(("url",), "http://ads.")), spec)
+            == "absorbed"
+        )
+        assert "!~url:^http://ads%5C..*$" in spec.cdx_filters
+
+        spec = CdxQuerySpec()
+        assert (
+            translate_cc_filter(Not(StringEndsWith(("url",), ".jpg")), spec)
+            == "absorbed"
+        )
+        assert "!~url:^.*%5C.jpg$" in spec.cdx_filters
+
+        spec = CdxQuerySpec()
+        assert (
+            translate_cc_filter(Not(StringContains(("url",), "tracker")), spec)
+            == "absorbed"
+        )
+        assert "!~url:^.*tracker.*$" in spec.cdx_filters
+
+    def test_cc_regex_in_values_escaped(self):
+        from pyspark.sql.datasource import In
+        from duckdb_cloudflare_spark.sources.pushdown import (
+            CdxQuerySpec,
+            translate_cc_filter,
+        )
+
+        spec = CdxQuerySpec()
+        translate_cc_filter(In(("mimetype",), ("text/html", "image/svg+xml")), spec)
+        assert "~mime:(text/html|image/svg%5C+xml)" in spec.cdx_filters
+
 
 class TestR2IcebergConf:
     def test_conf_shape(self):

@@ -242,3 +242,19 @@ class TestFullPlanPushdownURLs:
         # reference removes fully-translated filters from the plan)
         df = cc("*.example.com/*").filter(F.col("mimetype") != "text/html")
         assert "filter=!mime:text/html" in self._url(df.select("cdx_url"))
+
+    def test_where_url_not_startswith_absorbed(self, cc):
+        from pyspark.sql import functions as F
+
+        # NOT url-prefix → "!~url:^...$" negated regex, value escaped,
+        # absorbed from the plan (common_crawl_index.cpp:1210-1227; CC
+        # analog of internet_archive_pushdown.test:159-190). The debug
+        # synthetic row survives only because the predicate was absorbed.
+        df = cc("*.example.com/*").filter(~F.col("url").startswith("http://ads."))
+        assert "filter=!~url:^http://ads%5C..*$" in self._url(df.select("cdx_url"))
+
+    def test_where_url_not_contains_absorbed(self, cc):
+        from pyspark.sql import functions as F
+
+        df = cc("*.example.com/*").filter(~F.col("url").contains("tracker"))
+        assert "filter=!~url:^.*tracker.*$" in self._url(df.select("cdx_url"))
