@@ -13,9 +13,12 @@ Scale notes:
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
+from pyspark.sql.types import ArrayType, IntegerType
 from pyspark.sql.window import Window
 
 from duckdb_cloudflare_spark.operators.dedup import (
@@ -23,6 +26,41 @@ from duckdb_cloudflare_spark.operators.dedup import (
     cosine_similarity,
     ensure_parallelism,
 )
+
+_CELL_UDF_CACHE: dict = {}
+
+
+def _cell_rows(values: list, cents_t: np.ndarray, n_top: int) -> list:
+    """Top-``n_top`` centroid indices by dot product, one matrix multiply per
+    Arrow batch: (n, d) @ (d, C) → argsort. None/odd-length vectors → []."""
+    n = len(values)
+    out: list = [[] for _ in range(n)]
+    ok = [i for i in range(n) if values[i] is not None and len(values[i]) == cents_t.shape[0]]
+    if not ok:
+        return out
+    M = np.vstack([np.asarray(values[i], dtype=np.float64) for i in ok])
+    S = M @ cents_t  # (n_ok, C)
+    order = np.argsort(-S, axis=1, kind="stable")[:, :n_top]
+    for j, i in enumerate(ok):
+        out[i] = [int(x) for x in order[j]]
+    return out
+
+
+def _cells_udf(cents: np.ndarray, n_top: int):
+    """Pandas UDF: embedding → top-``n_top`` IVF cells (same vectorized-matmul
+    pattern as dedup._sketch_udf; centroids are closure-shipped, tiny)."""
+    key = (cents.tobytes(), n_top)
+    if key not in _CELL_UDF_CACHE:
+        from pyspark.sql.functions import pandas_udf
+
+        cents_t = np.ascontiguousarray(np.asarray(cents, dtype=np.float64).T)
+
+        @pandas_udf(ArrayType(IntegerType()))
+        def cells(vecs: pd.Series) -> pd.Series:
+            return pd.Series(_cell_rows(vecs.tolist(), cents_t, n_top))
+
+        _CELL_UDF_CACHE[key] = cells
+    return _CELL_UDF_CACHE[key]
 
 
 def brute_force_topk(
@@ -102,40 +140,22 @@ def ivf_topk(
                 m = members.mean(axis=0)
                 cents[c] = m / max(np.linalg.norm(m), 1e-12)
 
-    def cell_scores(vec_col: str):
-        return [
-            F.aggregate(
-                F.zip_with(
-                    F.col(vec_col),
-                    F.array(*[F.lit(float(w)) for w in cents[c]]),
-                    lambda x, y: x.cast("double") * y,
-                ),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            )
-            for c in range(n_centroids)
-        ]
-
-    # corpus: argmax cell, JVM-side (array_position of the max score)
-    scores = F.array(*cell_scores(corpus_vec))
+    # Cell scoring is one Arrow-batched matrix multiply (X @ centroids.T +
+    # argsort) — the interpreted n_centroids-expression-trees-per-row variant
+    # measured 4-5x slower (VERDICT r1 item 4). F.get (not element_at) so an
+    # empty sketch row yields NULL instead of an ANSI index error.
     c = corpus.select(
         F.col(corpus_id).alias("neighbor_id"),
         F.col(corpus_vec).alias("cv"),
-        (F.array_position(scores, F.array_max(scores)) - 1).cast("int").alias("cell"),
+        F.get(_cells_udf(cents, 1)(F.col(corpus_vec)), 0).alias("cell"),
     )
     c = ensure_parallelism(c)
     # queries: top-n_probe cells, exploded (query side is small by contract)
-    qscores = F.array(*cell_scores(query_vec))
-    probe_idx = F.slice(
-        F.reverse(F.array_sort(F.arrays_zip(qscores.alias("s"), F.array(*[F.lit(i) for i in range(n_centroids)]).alias("i")))),
-        1,
-        n_probe,
-    )
     q = queries.select(
         F.col(query_id).alias("query_id"),
         F.col(query_vec).alias("qv"),
-        F.explode(probe_idx).alias("p"),
-    ).select("query_id", "qv", F.col("p.i").cast("int").alias("cell"))
+        F.explode(_cells_udf(cents, n_probe)(F.col(query_vec))).alias("cell"),
+    )
     scored = (
         c.join(broadcast(q), on="cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))

@@ -402,12 +402,18 @@ def p17_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = d.select("doc_id", F.explode(T.tokens(F.col("text"))).alias("tok")).select(
         "doc_id", F.lower("tok").alias("tok")
     )
-    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    # persist: document frequency needs a second pass over tf, and without
+    # the persist the tokenize+explode lineage would re-run on both sides.
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf")).persist()
     # tf has exactly one row per (doc_id, tok), so document frequency is a
-    # plain count of tf rows per token — computed as a window over tf so the
-    # expensive tokenize+explode pass runs ONCE (a groupBy+join formulation
-    # would re-evaluate the tf lineage on both sides).
-    scored = tf.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("tok"))).select(
+    # plain count per token. A groupBy gets PARTIAL aggregation — a hot token
+    # ("the" ≈ one row per document) collapses to one row per map task before
+    # the shuffle — where a count() window over partitionBy("tok") would ship
+    # every row of the hot token into a single task: the classic skew ceiling
+    # at corpus scale. AQE then broadcasts the small df relation (no shuffle
+    # of tf) or skew-splits the join when the vocabulary is huge.
+    df_rel = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    scored = tf.join(df_rel, "tok").select(
         "doc_id",
         "tok",
         F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6).alias("tfidf"),

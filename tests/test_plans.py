@@ -96,3 +96,18 @@ def test_approx_distinct_error_bound(spark, registry):
     for k in got:
         for a, e in zip(got[k], exact[k]):
             assert abs(a - e) / e < 0.05, (k, a, e)
+
+
+def test_tfidf_document_frequency_is_aggregated_not_windowed(spark, registry):
+    # p17's document frequency must come from groupBy (partial aggregation
+    # collapses hot tokens map-side) joined back, never from a count()
+    # window over partitionBy(tok): a window gets no partial aggregation,
+    # so every row of a hot token ("the") lands in ONE task — the skew
+    # ceiling VERDICT r1 flagged as the repo's only scale-killer.
+    from duckdb_cloudflare_spark.plans import formatted_plan
+
+    df = registry["p17_tfidf_top_terms"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert "windowspecdefinition(tok" not in plan
+    # the per-doc top-k window survives (and gets a partial WindowGroupLimit)
+    assert "windowspecdefinition(doc_id" in plan
