@@ -11,9 +11,10 @@ src/d1_http.cpp:525-547; semantics documented in reference README.md:199-255):
 
 from __future__ import annotations
 
+import math
 from typing import Any
 
-from duckdb_cloudflare_spark.sources.d1 import D1Client
+from duckdb_cloudflare_spark.sources.d1 import D1Client, quote_ident
 
 
 class D1Batch:
@@ -62,7 +63,12 @@ def _sql_literal(v: Any) -> str:
         return "NULL"
     if isinstance(v, bool):
         return "1" if v else "0"
-    if isinstance(v, (int, float)):
+    if isinstance(v, float):
+        # repr(nan)/repr(inf) are invalid SQLite literals; one such value
+        # would fail the whole remote batch POST mid-write (earlier batches
+        # already committed, no rollback) — map to NULL instead.
+        return repr(v) if math.isfinite(v) else "NULL"
+    if isinstance(v, int):
         return repr(v)
     if isinstance(v, (bytes, bytearray)):
         return "X'" + bytes(v).hex() + "'"
@@ -89,15 +95,28 @@ def d1_insert_df(
     Cloudflare caps ~100 KB SQL per statement, D1-ATTACH-SOLUTION.md:20-23).
     Returns the number of rows written.
     """
-    cols = ", ".join(df.columns)
+    return _insert_rows(
+        df.toLocalIterator(), df.columns, table, client,
+        statements_per_batch, rows_per_statement,
+    )
+
+
+def _insert_rows(
+    rows, columns, table: str, client: D1Client,
+    statements_per_batch: int, rows_per_statement: int,
+) -> int:
+    """Shared funnel: rows → multi-row VALUES statements → batched POSTs.
+    Module-level (not a closure) so it pickles cleanly into executors."""
+    cols = ", ".join(quote_ident(c) for c in columns)
     written = 0
     buffer: list[str] = []
     values: list[str] = []
+    qtable = quote_ident(table)
 
     def flush_statement():
         nonlocal values
         if values:
-            buffer.append(f"INSERT INTO {table} ({cols}) VALUES " + ", ".join(values))
+            buffer.append(f"INSERT INTO {qtable} ({cols}) VALUES " + ", ".join(values))
             values = []
 
     def flush_batch():
@@ -106,7 +125,7 @@ def d1_insert_df(
             client.batch(buffer)
             buffer = []
 
-    for row in df.toLocalIterator():
+    for row in rows:
         values.append("(" + ", ".join(_sql_literal(v) for v in row) + ")")
         written += 1
         if len(values) >= rows_per_statement:
@@ -116,3 +135,31 @@ def d1_insert_df(
     flush_statement()
     flush_batch()
     return written
+
+
+def d1_insert_df_distributed(
+    df,
+    table: str,
+    client: D1Client,
+    statements_per_batch: int = 50,
+    rows_per_statement: int = 50,
+) -> int:
+    """``d1_insert_df`` without the driver funnel: each partition builds and
+    POSTs its own batches via ``foreachPartition``, so a big write is bounded
+    by the remote API, not by streaming every row through the driver. Same
+    statement/batch semantics per partition (one POST per
+    ``statements_per_batch`` statements). The client's config+transport must
+    be picklable (both shipped transports are). Per-partition atomicity only,
+    same as the reference's batch endpoint. Returns the number of rows
+    written (counted via a driver-side accumulator)."""
+    columns = list(df.columns)
+    acc = df.sparkSession.sparkContext.accumulator(0)
+
+    def write_partition(rows) -> None:
+        n = _insert_rows(
+            rows, columns, table, client, statements_per_batch, rows_per_statement
+        )
+        acc.add(n)
+
+    df.foreachPartition(write_partition)
+    return acc.value

@@ -647,3 +647,122 @@ class TestD1InsertDf:
         assert con.execute("SELECT name FROM sink WHERE id = 7").fetchone()[0] == "it's 7"
         assert con.execute("SELECT ok FROM sink WHERE id = 4").fetchone()[0] == 1
         con.close()
+
+    def test_distributed_roundtrip_multi_partition(self, registered, tmp_path):
+        import sqlite3
+
+        from duckdb_cloudflare_spark.catalog.d1_batch import d1_insert_df_distributed
+        from duckdb_cloudflare_spark.sources.d1 import D1Client, D1Config
+        from duckdb_cloudflare_spark.util.d1_stub import D1SqliteStubTransport
+
+        db = str(tmp_path / "wd.db")
+        con = sqlite3.connect(db)
+        con.execute("CREATE TABLE sink (id INTEGER, name TEXT, score REAL)")
+        con.commit()
+        con.close()
+
+        df = registered.createDataFrame(
+            [(i, f"row {i}", i * 0.5) for i in range(211)],
+            "id long, name string, score double",
+        ).repartition(4)
+        client = D1Client(
+            D1Config(account_id="acct", api_token="t", database_id="db"),
+            transport=D1SqliteStubTransport(db),
+        )
+        n = d1_insert_df_distributed(
+            df, "sink", client, statements_per_batch=3, rows_per_statement=10
+        )
+        assert n == 211
+
+        con = sqlite3.connect(db)
+        assert con.execute("SELECT count(*) FROM sink").fetchone()[0] == 211
+        assert con.execute("SELECT count(DISTINCT id) FROM sink").fetchone()[0] == 211
+        con.close()
+
+    def test_sql_literal_nonfinite_floats(self):
+        from duckdb_cloudflare_spark.catalog.d1_batch import _sql_literal
+
+        assert _sql_literal(float("nan")) == "NULL"
+        assert _sql_literal(float("inf")) == "NULL"
+        assert _sql_literal(float("-inf")) == "NULL"
+        assert _sql_literal(1.5) == "1.5"
+
+
+class TestD1ParallelScan:
+    def _make_db(self, tmp_path, rows=97):
+        import sqlite3
+
+        db = str(tmp_path / "big.db")
+        con = sqlite3.connect(db)
+        con.execute("CREATE TABLE items (id INTEGER PRIMARY KEY, val TEXT)")
+        con.executemany(
+            "INSERT INTO items VALUES (?, ?)", [(i, f"v{i}") for i in range(1, rows + 1)]
+        )
+        con.commit()
+        con.close()
+        return db
+
+    def test_rowid_range_partitions_same_result(self, registered, tmp_path):
+        db = self._make_db(tmp_path)
+        opts = {
+            "account_id": "acct", "api_token": "tok",
+            "database_id": "db", "d1_sqlite_stub": db,
+        }
+        single = (
+            registered.read.format("d1").options(table="items", **opts).load()
+        )
+        split = (
+            registered.read.format("d1")
+            .options(table="items", partitions="4", **opts)
+            .load()
+        )
+        assert split.rdd.getNumPartitions() == 4
+        assert sorted(r["id"] for r in split.collect()) == sorted(
+            r["id"] for r in single.collect()
+        )
+
+    def test_partitions_with_pushed_filter(self, registered, tmp_path):
+        db = self._make_db(tmp_path)
+        opts = {
+            "account_id": "acct", "api_token": "tok",
+            "database_id": "db", "d1_sqlite_stub": db,
+        }
+        df = (
+            registered.read.format("d1")
+            .options(table="items", partitions="3", **opts)
+            .load()
+            .filter("id > 50")
+        )
+        assert sorted(r["id"] for r in df.collect()) == list(range(51, 98))
+
+    def test_limit_forces_single_partition(self, registered, tmp_path):
+        db = self._make_db(tmp_path)
+        opts = {
+            "account_id": "acct", "api_token": "tok",
+            "database_id": "db", "d1_sqlite_stub": db,
+        }
+        df = (
+            registered.read.format("d1")
+            .options(table="items", partitions="4", limit="5", **opts)
+            .load()
+        )
+        assert df.count() == 5
+
+    def test_empty_table_single_partition(self, registered, tmp_path):
+        import sqlite3
+
+        db = str(tmp_path / "empty.db")
+        con = sqlite3.connect(db)
+        con.execute("CREATE TABLE items (id INTEGER PRIMARY KEY, val TEXT)")
+        con.commit()
+        con.close()
+        opts = {
+            "account_id": "acct", "api_token": "tok",
+            "database_id": "db", "d1_sqlite_stub": db,
+        }
+        df = (
+            registered.read.format("d1")
+            .options(table="items", partitions="8", **opts)
+            .load()
+        )
+        assert df.count() == 0
