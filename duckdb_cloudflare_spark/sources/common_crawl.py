@@ -178,19 +178,39 @@ class CommonCrawlReader(DataSourceReader):
             raise IOError(f"Error querying CDX API: {result.error}")
         records = parse_cc_ndjson(result.body, partition.crawl_id, need_warc_fields=True)
 
-        responses: dict[int, object] = {}
-        if self.fetch_response and records:
-            with ThreadPoolExecutor(max_workers=FETCH_CONCURRENCY) as pool:
-                futures = {
-                    i: pool.submit(
-                        self._fetch_warc, transport, rec, start, self.timeout_seconds
-                    )
-                    for i, rec in enumerate(records)
-                }
-                responses = {i: fut.result() for i, fut in futures.items()}
+        if not (self.fetch_response and records):
+            for rec in records:
+                yield self._to_row(rec, None, cdx_url, fields)
+            return
 
-        for i, rec in enumerate(records):
-            yield self._to_row(rec, responses.get(i), cdx_url, fields)
+        # Streaming emission with a bounded prefetch window (SURVEY §4.2:
+        # stream rows per partition, don't materialize): keep at most
+        # 2×FETCH_CONCURRENCY fetches in flight, yield each row in CDX order
+        # as soon as ITS fetch resolves — the first row reaches Spark while
+        # later fetches are still in the air, and memory holds a window of
+        # responses instead of the whole partition.
+        from collections import deque
+
+        prefetch = FETCH_CONCURRENCY * 2
+        with ThreadPoolExecutor(max_workers=FETCH_CONCURRENCY) as pool:
+            pending: deque = deque()
+            it = iter(records)
+            for rec in records[:prefetch]:
+                next(it)
+                pending.append(
+                    (rec, pool.submit(self._fetch_warc, transport, rec, start,
+                                      self.timeout_seconds))
+                )
+            while pending:
+                rec, fut = pending.popleft()
+                resp = fut.result()
+                nxt = next(it, None)
+                if nxt is not None:  # top up before yielding: keep pool busy
+                    pending.append(
+                        (nxt, pool.submit(self._fetch_warc, transport, nxt, start,
+                                          self.timeout_seconds))
+                    )
+                yield self._to_row(rec, resp, cdx_url, fields)
 
     @staticmethod
     def _fetch_warc(transport, rec: CDXRecord, start: float, timeout_seconds: int):

@@ -258,3 +258,72 @@ class TestFullPlanPushdownURLs:
 
         df = cc("*.example.com/*").filter(~F.col("url").contains("tracker"))
         assert "filter=!~url:^.*tracker.*$" in self._url(df.select("cdx_url"))
+
+
+class TestReadWrappers:
+    """cc/wb `read(limit=n)` wrappers: the reference's LIMIT-division rewrite
+    surfaced as an explicit API (SURVEY §4.1 option b)."""
+
+    def test_cc_limit_divided_across_crawls(self, spark):
+        from duckdb_cloudflare_spark.sources.api import read_common_crawl
+
+        df = read_common_crawl(
+            spark,
+            "*.example.com/*",
+            limit=50,
+            crawl_id="CC-MAIN-2025-43,CC-MAIN-2025-38",
+            debug="true",
+            dry_run="true",
+        )
+        urls = [r["cdx_url"] for r in df.select("cdx_url").collect()]
+        # two crawl partitions, each asked for 50 // 2 = 25
+        assert len(urls) == 2
+        assert all("limit=25" in u for u in urls)
+        assert {("CC-MAIN-2025-43" in u, "CC-MAIN-2025-38" in u) for u in urls} == {
+            (True, False), (False, True)
+        }
+
+    def test_cc_limit_smaller_than_crawl_count(self, spark):
+        from duckdb_cloudflare_spark.sources.api import read_common_crawl
+
+        df = read_common_crawl(
+            spark,
+            "*.example.com/*",
+            limit=1,
+            crawl_id="CC-MAIN-2025-43,CC-MAIN-2025-38",
+            debug="true",
+            dry_run="true",
+        )
+        # per-crawl floor is 1 (reference max(1, ...)), Spark trims to limit
+        rows = df.collect()
+        assert len(rows) == 1
+        assert "limit=1" in rows[0]["cdx_url"]
+
+    def test_wayback_limit_and_collapse(self, spark):
+        from duckdb_cloudflare_spark.sources.api import read_wayback
+
+        df = read_wayback(
+            spark,
+            "example.com/*",
+            limit=30,
+            collapse="urlkey:6",
+            debug="true",
+            dry_run="true",
+        )
+        [row] = df.select("cdx_url").collect()
+        assert "limit=30" in row["cdx_url"]
+        assert "collapse=urlkey%3A6" in row["cdx_url"] or "collapse=urlkey:6" in row["cdx_url"]
+
+    def test_wayback_fast_latest(self, spark):
+        from duckdb_cloudflare_spark.sources.api import read_wayback
+
+        df = read_wayback(
+            spark,
+            "example.com",
+            limit=10,
+            fast_latest=True,
+            debug="true",
+            dry_run="true",
+        )
+        [row] = df.select("cdx_url").collect()
+        assert "limit=-10" in row["cdx_url"]

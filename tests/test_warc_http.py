@@ -183,3 +183,72 @@ class TestCollInfo:
 
         with pytest.raises(IOError):
             CollInfoCatalog(_StaticTransport(b"")).crawls()
+
+
+class _CountingCdxTransport:
+    """CDX query → N records; WARC range GETs counted (streaming-emission test)."""
+
+    def __init__(self, n_records: int):
+        import gzip as _gz
+        self.n = n_records
+        self.warc_calls = 0
+        warc = (
+            b"WARC/1.0\r\nWARC-Type: response\r\n\r\n"
+            b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n<p>x</p>"
+        )
+        self._payload = _gz.compress(warc)
+
+    def get(self, url: str, headers=None) -> bytes:
+        if "index.commoncrawl.org" in url:
+            lines = [
+                (
+                    '{"url": "http://x.com/%d", "timestamp": "20250101000000", '
+                    '"mime": "text/html", "status": "200", "digest": "D%d", '
+                    '"filename": "crawl-data/seg/warc/f.warc.gz", '
+                    '"offset": "%d", "length": "%d"}'
+                )
+                % (i, i, 100 + i * 10, len(self._payload))
+                for i in range(self.n)
+            ]
+            return ("\n".join(lines) + "\n").encode()
+        self.warc_calls += 1
+        return self._payload
+
+    def post(self, url: str, body: bytes, headers=None) -> bytes:
+        raise ValueError("unexpected POST")
+
+
+class TestStreamingWarcEmission:
+    def test_first_row_yields_before_last_fetch(self, monkeypatch):
+        from pyspark.sql.types import StringType, StructField, StructType
+
+        from duckdb_cloudflare_spark.sources import common_crawl as cc_mod
+        from duckdb_cloudflare_spark.sources.common_crawl import (
+            CommonCrawlReader,
+            CrawlPartition,
+            FETCH_CONCURRENCY,
+        )
+
+        n = 40
+        transport = _CountingCdxTransport(n)
+        monkeypatch.setattr(cc_mod, "make_transport", lambda options: transport)
+
+        # only field NAMES matter to read() — no SparkSession needed
+        names = ["url", "timestamp", "mimetype", "statuscode", "digest",
+                 "filename", "offset", "length", "crawl_id", "warc", "response"]
+        reader = CommonCrawlReader(
+            StructType([StructField(f, StringType()) for f in names]),
+            {"url": "*.x.com/*", "fetch_response": "true", "max_results": str(n)},
+        )
+        gen = reader.read(CrawlPartition("CC-MAIN-2025-01", n))
+        first = next(gen)
+        # bounded prefetch: after the first row, at most window+1 fetches have
+        # been REQUESTED — the other ~half of the partition is still unfetched
+        assert transport.warc_calls <= 2 * FETCH_CONCURRENCY + 1
+        assert transport.warc_calls < n
+        rest = list(gen)
+        assert 1 + len(rest) == n
+        assert transport.warc_calls == n
+        # in-CDX-order emission preserved
+        urls = [first[0]] + [r[0] for r in rest]
+        assert urls == [f"http://x.com/{i}" for i in range(n)]
