@@ -161,6 +161,13 @@ def r2_iceberg_conf(
     Data Catalog speaks the standard Iceberg REST protocol; endpoint shape
     ``https://catalog.cloudflarestorage.com/{account_id}/{bucket}`` with the
     API token as bearer (public Cloudflare documentation).
+
+    Jar requirement (not bundled with pyspark): add
+    ``spark.jars.packages = org.apache.iceberg:iceberg-spark-runtime-4.0_2.13:<version>``
+    (match the artifact to your Spark/Scala version) or drop the runtime jar
+    into ``$SPARK_HOME/jars``. ``tests/test_datasources.py::TestR2IcebergConf``
+    asserts the conf shape hermetically; the live-catalog test auto-activates
+    when a runtime jar is detected on the classpath.
     """
     from duckdb_cloudflare_spark.catalog.secrets import global_registry
 
