@@ -951,3 +951,60 @@ def q34_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumnRenamed("P", "status_p")
         .na.fill(0.0, ["status_f", "status_o", "status_p"])
     )
+
+
+@register(
+    "q35_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           round(percentile_cont(0.25) WITHIN GROUP (ORDER BY l_quantity), 4) AS q1_qty,
+           round(percentile_cont(0.5)  WITHIN GROUP (ORDER BY l_quantity), 4) AS median_qty,
+           round(percentile_cont(0.9)  WITHIN GROUP (ORDER BY l_extendedprice), 4) AS p90_price,
+           round(percentile_disc(0.5)  WITHIN GROUP (ORDER BY l_quantity), 4) AS med_disc_qty,
+           round(median(l_discount), 4) AS med_discount
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    description="exact ordered-set aggregates: percentile_cont (interpolated), "
+    "percentile_disc, median — WITHIN GROUP syntax on both engines; Spark "
+    "computes these with a sort-based aggregate (one shuffle, partial sort)",
+)
+def q35_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("q35_lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               round(percentile_cont(0.25) WITHIN GROUP (ORDER BY l_quantity), 4) AS q1_qty,
+               round(percentile_cont(0.5)  WITHIN GROUP (ORDER BY l_quantity), 4) AS median_qty,
+               round(percentile_cont(0.9)  WITHIN GROUP (ORDER BY l_extendedprice), 4) AS p90_price,
+               round(percentile_disc(0.5)  WITHIN GROUP (ORDER BY l_quantity), 4) AS med_disc_qty,
+               round(median(l_discount), 4) AS med_discount
+        FROM q35_lineitem
+        GROUP BY l_returnflag
+        """
+    )
+
+
+@register(
+    "q37_regex_functions",
+    oracle="""
+    SELECT doc_id,
+           regexp_extract(text, '([A-Za-z]+)', 1) AS first_word,
+           regexp_extract(text, '([0-9]+)', 1) AS first_number,
+           length(regexp_replace(text, '[aeiouAEIOU]', '', 'g')) AS len_no_vowels,
+           CASE WHEN regexp_matches(text, '[.!?]$') THEN 1 ELSE 0 END AS ends_sentence
+    FROM documents
+    """,
+    description="regular-expression scalar functions: regexp_extract (group, "
+    "'' on no-match in both engines), global regexp_replace (DuckDB needs the "
+    "'g' flag, Spark replaces all by default), boolean regex match",
+)
+def q37_regex_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.regexp_extract("text", r"([A-Za-z]+)", 1).alias("first_word"),
+        F.regexp_extract("text", r"([0-9]+)", 1).alias("first_number"),
+        F.length(F.regexp_replace("text", r"[aeiouAEIOU]", "")).alias("len_no_vowels"),
+        F.col("text").rlike(r"[.!?]$").cast("int").alias("ends_sentence"),
+    )

@@ -266,3 +266,62 @@ def q48_percent_rank_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
         F.round(F.cume_dist().over(w), 6).alias("cume"),
     )
+
+
+@register(
+    "q49_asof_join",
+    oracle="""
+    WITH clicks AS (
+        SELECT user_id, ts, max(event_id) AS click_id
+        FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+    ), purchases AS (
+        SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.event_id, p.user_id, p.ts, round(p.value, 4) AS value,
+           c.ts AS click_ts, c.click_id
+    FROM purchases p
+    ASOF LEFT JOIN clicks c ON p.user_id = c.user_id AND c.ts <= p.ts
+    """,
+    description="as-of join: each purchase matched to the user's most recent "
+    "click at-or-before it (DuckDB native ASOF JOIN as the oracle). Spark has "
+    "no ASOF operator, so it is composed as union + per-user window "
+    "last-carry-forward: ONE shuffle on user_id, no range-condition join "
+    "explosion — the composition the engine would use at 100 TB. Clicks are "
+    "deduped to one per (user_id, ts) (max event_id) so ties are "
+    "deterministic on both engines.",
+)
+def q49_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    clicks = (
+        e.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_id"))
+        .select(
+            "user_id", "ts", F.lit(0).alias("side"),
+            F.lit(None).cast("long").alias("event_id"),
+            F.lit(None).cast("double").alias("value"),
+            F.struct(F.col("ts").alias("click_ts"), F.col("click_id")).alias("click"),
+        )
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.lit(1).alias("side"), "event_id", "value",
+        F.lit(None).cast("struct<click_ts:timestamp,click_id:long>").alias("click"),
+    )
+    # clicks sort BEFORE purchases at equal ts (side 0 < 1) → `c.ts <= p.ts`
+    # inclusive semantics; last(ignorenulls) carries the newest click forward
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        clicks.unionByName(purchases)
+        .withColumn("last_click", F.last("click", ignorenulls=True).over(w))
+        .filter(F.col("side") == 1)
+        .select(
+            "event_id", "user_id", "ts",
+            F.round("value", 4).alias("value"),
+            F.col("last_click.click_ts").alias("click_ts"),
+            F.col("last_click.click_id").alias("click_id"),
+        )
+    )
