@@ -325,3 +325,58 @@ def q49_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("last_click.click_id").alias("click_id"),
         )
     )
+
+
+@register(
+    "q50_range_join_bucketed",
+    oracle="""
+    SELECT e.event_id, e.ts, count(c.event_id) AS n_clicks
+    FROM events e LEFT JOIN events c
+      ON c.event_type = 'click'
+     AND c.ts BETWEEN e.ts - INTERVAL 60 SECOND AND e.ts
+    WHERE e.event_type = 'error'
+    GROUP BY e.event_id, e.ts
+    """,
+    description="pure range join (no equi key): clicks in the 60 s window "
+    "before each error. DuckDB runs its IEJoin; Spark would fall back to a "
+    "broadcast-nested-loop, so the plan buckets time into window-width "
+    "epochs and equi-joins on the bucket — an error's window spans at most "
+    "2 buckets (exploded), each click lives in exactly 1, so every match "
+    "joins exactly once and the shuffle is an ordinary hash join that "
+    "scales; the exact BETWEEN runs as a residual filter.",
+)
+def q50_range_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    W_US = 60_000_000  # 60 s in microseconds == the bucket width
+    e = load(spark, sf_dir, "events")
+    err = e.filter(F.col("event_type") == "error").select(
+        "event_id", "ts", F.unix_micros("ts").alias("ts_us")
+    )
+    clk = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("cid"),
+        F.unix_micros("ts").alias("cts_us"),
+        (F.unix_micros("ts") / W_US).cast("long").alias("b"),
+    )
+    err_b = err.withColumn(
+        "b",
+        F.explode(
+            F.array_distinct(
+                F.array(
+                    ((F.col("ts_us") - W_US) / W_US).cast("long"),
+                    (F.col("ts_us") / W_US).cast("long"),
+                )
+            )
+        ),
+    )
+    # inner-join the candidates, filter to the exact range, count — then
+    # reattach errors with zero in-range clicks (a bare left-join + filter
+    # would silently drop an error whose bucket matched only out-of-range
+    # clicks).
+    counts = (
+        err_b.join(clk, "b")
+        .filter(F.col("cts_us").between(F.col("ts_us") - W_US, F.col("ts_us")))
+        .groupBy("event_id")
+        .agg(F.count("cid").alias("n"))
+    )
+    return err.join(counts, "event_id", "left").select(
+        "event_id", "ts", F.coalesce("n", F.lit(0)).alias("n_clicks")
+    )
