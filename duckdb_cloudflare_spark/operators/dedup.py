@@ -38,8 +38,16 @@ def ensure_parallelism(df: DataFrame) -> DataFrame:
     extra shuffle is paid exactly when it is cheapest and never when the
     input is large. The expensive hashing/signature maps below are
     higher-order-function expressions (interpreted, not codegen) — leaving
-    them on a single partition serializes the whole operator."""
-    target = df.sparkSession.sparkContext.defaultParallelism
+    them on a single partition serializes the whole operator.
+
+    The partition-count probe costs one driver-side RDD translation per
+    call; pipelines whose inputs are known to be well-partitioned (many
+    files, or the hot-table cache) can skip it globally with
+    ``spark.conf.set("spark.duckdb_cloudflare.assumeParallel", "true")``."""
+    spark = df.sparkSession
+    if spark.conf.get("spark.duckdb_cloudflare.assumeParallel", "false") == "true":
+        return df
+    target = spark.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df

@@ -472,3 +472,22 @@ def p19_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.when(digit.isin(train_digits), "train").otherwise("test").alias("split"),
     )
+
+
+@register(
+    "p20_transitive_dedup",
+    oracle=None,  # iterative min-label propagation is not single-query SQL
+    description="transitive dedup: connected components over the MinHash-LSH "
+    "near-dup pair graph (iterative DataFrame min-label propagation — no "
+    "driver-side union-find), keeping one representative (min doc_id) per "
+    "component; returns (doc_id, component, is_kept)",
+)
+def p20_transitive_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(docs, threshold=0.5)
+    comp = D.connected_components(pairs)
+    return comp.select(
+        F.col("id").alias("doc_id"),
+        "component",
+        (F.col("id") == F.col("component")).alias("is_kept"),
+    ).orderBy("doc_id")
