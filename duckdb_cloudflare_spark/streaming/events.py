@@ -168,6 +168,51 @@ def sessionize_with_state(stream: DataFrame, timeout_ms: int = 0) -> DataFrame:
     )
 
 
+def interval_join_stream(
+    stream: DataFrame,
+    left_type: str = "purchase",
+    right_type: str = "click",
+    interval: str = "60 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream time-interval join: every ``left_type`` event paired
+    with the same user's ``right_type`` events in the preceding ``interval``
+    — the streaming twin of the batch as-of/range joins (q49/q50). Both
+    sides carry watermarks and the join condition bounds event time on both
+    ends, so Spark derives a state-retention horizon and evicts buffered
+    rows past the watermark: state stays bounded no matter how long the
+    stream runs (a self-join of one source stream is fine — each side
+    filters its own copy)."""
+    left = (
+        stream.filter(F.col("event_type") == left_type)
+        .select(
+            F.col("user_id").alias("l_user"),
+            F.col("event_id").alias("left_id"),
+            F.col("ts").alias("l_ts"),
+            F.col("value").alias("left_value"),
+        )
+        .withWatermark("l_ts", watermark)
+    )
+    right = (
+        stream.filter(F.col("event_type") == right_type)
+        .select(
+            F.col("user_id").alias("r_user"),
+            F.col("event_id").alias("right_id"),
+            F.col("ts").alias("r_ts"),
+        )
+        .withWatermark("r_ts", watermark)
+    )
+    return left.join(
+        right,
+        F.expr(
+            f"l_user = r_user AND r_ts BETWEEN l_ts - INTERVAL {interval} AND l_ts"
+        ),
+    ).select(
+        F.col("l_user").alias("user_id"),
+        "left_id", "l_ts", "left_value", "right_id", "r_ts",
+    )
+
+
 def run_to_memory(
     stream_df: DataFrame, name: str, output_mode: str = "append"
 ) -> DataFrame:

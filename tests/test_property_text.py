@@ -78,3 +78,41 @@ def test_sql_wildcards_total(pattern):
     out = sql_wildcards_to_cdx(pattern)
     assert "%" not in out and "_" not in out
     assert len(out) == len(pattern)
+
+
+@given(st.text(alphabet=st.characters(blacklist_categories=("Cs",)), max_size=40))
+@settings(max_examples=300)
+def test_escape_cdx_regex_matches_literal(value):
+    # The escaped form, with the CDX %5C unescaped back to a backslash, must
+    # FULL-match exactly the literal value (backslashes dropped — the
+    # reference's EscapeRegex consumes them) and nothing else interpretable:
+    # this is the property whose absence made absorbed filters widen results.
+    import re
+
+    from duckdb_cloudflare_spark.util.text import escape_cdx_regex
+
+    literal = value.replace("\\", "")
+    if "(" in literal or ")" in literal:
+        # () deliberately unescaped (reference quirk: urlkey uses ')' and the
+        # backend tolerates it) — the regex is not literal-safe there
+        return
+    escaped = escape_cdx_regex(value).replace("%5C", "\\")
+    assert re.fullmatch(escaped, literal), (value, escaped)
+
+
+@given(
+    st.text(alphabet=st.characters(blacklist_categories=("Cs",)), max_size=20),
+    st.text(alphabet=st.characters(blacklist_categories=("Cs",)), max_size=20),
+)
+@settings(max_examples=300)
+def test_escape_cdx_regex_no_false_positive(value, other):
+    import re
+
+    from duckdb_cloudflare_spark.util.text import escape_cdx_regex
+
+    literal = value.replace("\\", "")
+    target = other.replace("\\", "")
+    if "(" in literal or ")" in literal or target == literal:
+        return
+    escaped = escape_cdx_regex(value).replace("%5C", "\\")
+    assert not re.fullmatch(escaped, target), (value, other, escaped)

@@ -75,3 +75,35 @@ def test_stateful_sessionize_totals(spark, batch_events):
     )
     expected = batch_events.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
     assert sorted(map(tuple, final.collect())) == sorted(map(tuple, expected.collect()))
+
+
+def test_interval_join_matches_batch(spark, batch_events):
+    from duckdb_cloudflare_spark.streaming.events import interval_join_stream
+
+    stream = S.read_event_stream(spark, SF_DIR)
+    got = run_to_memory(
+        interval_join_stream(stream, interval="60 minutes"), "interval_join"
+    )
+
+    e = batch_events
+    left = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("l_user"),
+        F.col("event_id").alias("left_id"),
+        F.col("ts").alias("l_ts"),
+        F.col("value").alias("left_value"),
+    )
+    right = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("r_user"),
+        F.col("event_id").alias("right_id"),
+        F.col("ts").alias("r_ts"),
+    )
+    want = left.join(
+        right,
+        F.expr("l_user = r_user AND r_ts BETWEEN l_ts - INTERVAL 60 minutes AND l_ts"),
+    ).select(
+        F.col("l_user").alias("user_id"),
+        "left_id", "l_ts", "left_value", "right_id", "r_ts",
+    )
+    key = lambda rows: sorted(tuple(r) for r in rows)
+    assert key(got.collect()) == key(want.collect())
+    assert got.count() > 0  # the fixture data actually exercises the join
