@@ -1,0 +1,129 @@
+"""DuckDB-dialect compatibility for ``spark.sql``.
+
+The reference is a DuckDB extension, so its users write DuckDB SQL. Spark
+4.x already accepts much of that surface natively (``GROUP BY ALL``,
+``SELECT * EXCEPT (...)``, lateral column aliases); ``duck_sql`` closes the
+two remaining everyday gaps with source-level rewrites:
+
+- ``SELECT * EXCLUDE (...)`` → ``SELECT * EXCEPT (...)`` (synonyms).
+- top-level ``QUALIFY <pred>`` → the predicate is evaluated as a projected
+  boolean over the original query's output and filtered in a wrapper:
+
+      SELECT * EXCEPT (__qualify)
+      FROM (SELECT __q.*, (<pred>) AS __qualify FROM (<query>) AS __q) AS __qq
+      WHERE __qualify  [ORDER BY / LIMIT tail]
+
+  This supports both DuckDB idioms — predicates over select-list aliases
+  (``QUALIFY rn <= 3``) and inline window predicates (``QUALIFY
+  row_number() OVER (...) = 1``) — because either way the predicate only
+  needs the inner query's OUTPUT columns. Predicates referencing base-table
+  columns that the select list drops are not rewritable this way and raise
+  in analysis (select the column or move the predicate inline).
+
+Rewrites skip string literals, quoted identifiers, and comments, and only
+fire at parenthesis depth 0 (a QUALIFY inside a subquery is rewritten when
+that subquery text is itself passed through ``duck_sql`` — nested QUALIFY
+in one statement is rejected to avoid silent misparses).
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+
+_TAIL_KEYWORDS = ("ORDER", "LIMIT", "OFFSET", "WINDOW")
+
+
+def _scan_top_level(sql: str):
+    """Yield (index, char, depth) for chars outside strings/quotes/comments."""
+    i, n, depth = 0, len(sql), 0
+    while i < n:
+        c = sql[i]
+        if c == "'" or c == '"':
+            q = c
+            i += 1
+            while i < n:
+                if sql[i] == q:
+                    if i + 1 < n and sql[i + 1] == q:  # doubled quote
+                        i += 2
+                        continue
+                    break
+                i += 1
+        elif c == "-" and sql[i : i + 2] == "--":
+            while i < n and sql[i] != "\n":
+                i += 1
+        elif c == "/" and sql[i : i + 2] == "/*":
+            end = sql.find("*/", i + 2)
+            i = n if end == -1 else end + 1
+        else:
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+            yield i, c, depth
+        i += 1
+
+
+def _find_keyword(sql: str, word: str, start: int = 0) -> int:
+    """Index of a top-level, word-boundary keyword occurrence, or -1."""
+    wl = len(word)
+    upper = sql.upper()
+    for i, c, depth in _scan_top_level(sql):
+        if depth != 0 or i < start:
+            continue
+        if upper[i : i + wl] == word:
+            before_ok = i == 0 or not (upper[i - 1].isalnum() or upper[i - 1] == "_")
+            j = i + wl
+            after_ok = j >= len(sql) or not (upper[j].isalnum() or upper[j] == "_")
+            if before_ok and after_ok:
+                return i
+    return -1
+
+
+def rewrite_exclude(sql: str) -> str:
+    """``* EXCLUDE (...)`` / ``t.* EXCLUDE (...)`` → Spark's ``EXCEPT``.
+    Valid at any depth (subqueries included); matches inside string
+    literals / quoted identifiers / comments are left alone."""
+    real = {i for i, _, _ in _scan_top_level(sql)}
+    out = []
+    prev_end = 0
+    for m in re.finditer(r"(\*\s+)EXCLUDE(\s*\()", sql, flags=re.IGNORECASE):
+        kw_start = m.start(1) + len(m.group(1))
+        if kw_start not in real:
+            continue
+        out.append(sql[prev_end:kw_start])
+        out.append("EXCEPT")
+        prev_end = kw_start + len("EXCLUDE")
+    out.append(sql[prev_end:])
+    return "".join(out)
+
+
+def rewrite_qualify(sql: str) -> str:
+    """Rewrite one top-level QUALIFY clause (see module docstring)."""
+    q = _find_keyword(sql, "QUALIFY")
+    if q == -1:
+        return sql
+    if _find_keyword(sql, "QUALIFY", start=q + 7) != -1:
+        raise ValueError("duck_sql: multiple top-level QUALIFY clauses in one statement")
+    # predicate runs until the first top-level tail keyword (ORDER/LIMIT/...)
+    tail_at = len(sql)
+    for kw in _TAIL_KEYWORDS:
+        k = _find_keyword(sql, kw, start=q + 7)
+        if k != -1:
+            tail_at = min(tail_at, k)
+    before = sql[:q].rstrip().rstrip(";")
+    pred = sql[q + 7 : tail_at].strip().rstrip(";")
+    tail = sql[tail_at:].strip().rstrip(";")
+    if not pred:
+        raise ValueError("duck_sql: QUALIFY with empty predicate")
+    return (
+        f"SELECT * EXCEPT (__qualify) FROM "
+        f"(SELECT __q.*, ({pred}) AS __qualify FROM ({before}) AS __q) AS __qq "
+        f"WHERE __qualify" + (f" {tail}" if tail else "")
+    )
+
+
+def duck_sql(spark: SparkSession, sql: str) -> DataFrame:
+    """``spark.sql`` accepting the DuckDB dialect idioms above."""
+    return spark.sql(rewrite_qualify(rewrite_exclude(sql)))
