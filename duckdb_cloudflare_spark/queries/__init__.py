@@ -76,7 +76,8 @@ def cache_tables(
     n = parallelism or spark.sparkContext.defaultParallelism
     for t in tables:
         key = f"{sf_dir.rstrip('/')}/{t}"
-        if key not in _TABLE_CACHE:
+        cached = _TABLE_CACHE.get(key)
+        if cached is None or cached.sparkSession is not spark:
             df = load(spark, sf_dir, t)
             if df.rdd.getNumPartitions() < n:
                 df = df.repartition(n)
@@ -96,7 +97,7 @@ def uncache_tables() -> None:
 
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     cached = _TABLE_CACHE.get(f"{sf_dir.rstrip('/')}/{table}")
-    if cached is not None:
+    if cached is not None and cached.sparkSession is spark:
         return cached
     # The events table stores TIMESTAMP(NANOS), which Spark's parquet reader
     # rejects unless nanos are read as long. Set the conf here (runtime SQL
