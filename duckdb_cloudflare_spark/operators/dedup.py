@@ -378,6 +378,88 @@ def connected_components(
     return labels
 
 
+def connected_components_star(pairs: DataFrame, max_iterations: int = 30) -> DataFrame:
+    """Connected components via alternating large-star/small-star rounds
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14): converges in O(log² n) rounds regardless of graph DIAMETER,
+    where ``connected_components``'s min-label propagation needs O(diameter)
+    rounds — use this variant when near-dup graphs can chain (A≈B≈C≈…
+    without A≈C), e.g. templated or serially-edited documents.
+
+    large-star: every node's neighbors larger than it re-attach to the
+    minimum of its closed neighborhood; small-star: the smaller neighbors
+    (and the node) attach to that minimum. Both are one groupBy + one join
+    per round — the same shuffle skeleton as the min-label variant, just an
+    O(log²) round bound instead of O(diameter).
+
+    Input: columns ``id_a``, ``id_b``. Output: ``id``, ``component`` (min id
+    of the component), one row per node that appears in any pair.
+    """
+    nodes = (
+        pairs.select(F.col("id_a").alias("id"))
+        .union(pairs.select(F.col("id_b").alias("id")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    edges = (
+        pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .select(F.least("u", "v").alias("a"), F.greatest("u", "v").alias("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def _sym(e: DataFrame) -> DataFrame:
+        return e.select(F.col("a").alias("u"), F.col("b").alias("v")).union(
+            e.select(F.col("b").alias("u"), F.col("a").alias("v"))
+        )
+
+    for _ in range(max_iterations):
+        # large-star: m(u) = min over {u} ∪ N(u); neighbors v > u attach to m
+        s = _sym(edges)
+        mins = s.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+        large = (
+            s.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("m").alias("a"), F.col("v").alias("b"))
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+        )
+        # small-star: neighbors v < u (and u itself) attach to the min of
+        # {u} ∪ N⁻(u)
+        down = _sym(large).filter(F.col("v") < F.col("u"))
+        dmin = down.groupBy("u").agg(F.min("v").alias("m"))
+        small = (
+            down.join(dmin, "u")
+            .select(F.col("m").alias("a"), F.col("v").alias("b"))
+            .union(dmin.select(F.col("m").alias("a"), F.col("u").alias("b")))
+            .filter(F.col("a") != F.col("b"))
+            .select(F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b"))
+            .distinct()
+        )
+        small = small.localCheckpoint(eager=True)
+        changed = (
+            small.exceptAll(edges).limit(1).count()
+            + edges.exceptAll(small).limit(1).count()
+        )
+        edges = small
+        if changed == 0:
+            break
+
+    # converged to a star forest: every node's component is the min of its
+    # closed neighborhood; isolated originals (self-pairs only) label self
+    lab = (
+        _sym(edges)
+        .groupBy("u")
+        .agg(F.least(F.min("v"), F.first("u")).alias("component"))
+        .select(F.col("u").alias("id"), "component")
+    )
+    return (
+        nodes.join(lab, "id", "left")
+        .select("id", F.coalesce("component", F.col("id")).alias("component"))
+    )
+
+
 def minhash_dedup(
     df: DataFrame,
     text_col: str = "text",

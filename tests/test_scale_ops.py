@@ -106,3 +106,56 @@ def test_transitive_dedup_keeps_one_per_chain(spark):
     assert 100 in ids
     assert 1 in ids
     assert len(ids) == 2
+
+
+class TestConnectedComponentsStar:
+    def test_long_chain_converges_in_log_rounds(self, spark):
+        from duckdb_cloudflare_spark.operators.dedup import connected_components_star
+
+        # diameter-64 chain: min-label propagation needs ~64 rounds, the
+        # alternating star algorithm a handful
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(64)], "id_a long, id_b long"
+        )
+        comp = {
+            r["id"]: r["component"]
+            for r in connected_components_star(pairs, max_iterations=12).collect()
+        }
+        assert set(comp) == set(range(65))
+        assert set(comp.values()) == {0}
+
+    def test_matches_minlabel_on_clustered_graph(self, spark):
+        import random
+
+        from duckdb_cloudflare_spark.operators.dedup import (
+            connected_components,
+            connected_components_star,
+        )
+
+        rng = random.Random(7)
+        edges = []
+        # 12 clusters of 8 nodes with random internal spanning edges
+        for c in range(12):
+            ids = list(range(c * 100, c * 100 + 8))
+            rng.shuffle(ids)
+            for a, b in zip(ids, ids[1:]):
+                edges.append((a, b))
+            for _ in range(4):  # extra random intra-cluster edges
+                edges.append((rng.choice(ids), rng.choice(ids)))
+        pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+        want = {
+            r["id"]: r["component"] for r in connected_components(pairs).collect()
+        }
+        got = {
+            r["id"]: r["component"] for r in connected_components_star(pairs).collect()
+        }
+        assert got == want
+
+    def test_isolated_self_pair(self, spark):
+        from duckdb_cloudflare_spark.operators.dedup import connected_components_star
+
+        pairs = spark.createDataFrame([(5, 5), (7, 9)], "id_a long, id_b long")
+        comp = {
+            r["id"]: r["component"] for r in connected_components_star(pairs).collect()
+        }
+        assert comp == {5: 5, 7: 7, 9: 7}
