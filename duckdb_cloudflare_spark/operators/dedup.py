@@ -293,10 +293,18 @@ def _lsh_verified_pairs(
         F.explode(_bands(F.col("sig"), num_bands, rows_per_band)).alias("bb"),
     ).select("id", F.xxhash64(F.col("bb.band"), F.col("bb.band_hash")).alias("bk"))
     if max_bucket is not None:
-        from pyspark.sql.window import Window
-
-        bucket_n = F.count(F.lit(1)).over(Window.partitionBy("bk"))
-        banded = banded.withColumn("_n", bucket_n).filter(F.col("_n") <= max_bucket).drop("_n")
+        # groupBy+join, NOT count().over(Window.partitionBy("bk")): a hot
+        # bucket is exactly the case this cap handles, and a window would
+        # ship every row of it into one task; the groupBy collapses it
+        # map-side, and the join's hash partitioning on bk is the same one
+        # the self-join below needs, so the exchange is reused.
+        ok = (
+            banded.groupBy("bk")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") <= max_bucket)
+            .select("bk")
+        )
+        banded = banded.join(ok, "bk")
     left = banded.alias("l")
     right = banded.alias("r")
     cand = (

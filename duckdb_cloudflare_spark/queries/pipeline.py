@@ -491,3 +491,71 @@ def p20_transitive_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "component",
         (F.col("id") == F.col("component")).alias("is_kept"),
     ).orderBy("doc_id")
+
+
+@register(
+    "p21_repetition_scores",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents
+    ), flat AS (
+        SELECT doc_id, unnest(t) AS tok FROM toks
+    ), freq AS (
+        SELECT doc_id, max(c) AS max_tok FROM (
+            SELECT doc_id, tok, count(*) AS c FROM flat GROUP BY doc_id, tok
+        ) GROUP BY doc_id
+    )
+    SELECT toks.doc_id,
+           round(CAST(len(list_distinct(t)) AS DOUBLE) / len(t), 6) AS distinct_token_ratio,
+           round(1.0 - CAST(len(list_distinct(
+                     list_transform(list_zip(t[1:len(t)-1], t[2:len(t)]),
+                                    p -> p[1] || ' ' || p[2]))) AS DOUBLE)
+                     / (len(t) - 1), 6) AS dup_bigram_fraction,
+           round(CAST(freq.max_tok AS DOUBLE) / len(t), 6) AS top_token_fraction
+    FROM toks JOIN freq ON toks.doc_id = freq.doc_id
+    WHERE len(t) > 1
+    """,
+    description="repetition quality scores (the Gopher-style repetition "
+    "heuristics): distinct-token ratio, duplicated-bigram fraction, top-token "
+    "frequency fraction — array ops stay map-side; the per-doc token "
+    "frequency is a (doc_id, tok) groupBy with partial aggregation",
+)
+def p21_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = D.ensure_parallelism(load(spark, sf_dir, "documents"))
+    t = F.split(F.trim(F.col("text")), " ")
+    base = d.select("doc_id", t.alias("t")).filter(F.size("t") > 1)
+    bigrams = F.transform(
+        F.arrays_zip(
+            F.slice(F.col("t"), 1, F.size("t") - 1),
+            F.slice(F.col("t"), 2, F.size("t") - 1),
+        ),
+        lambda p: F.concat_ws(" ", p["0"], p["1"]),
+    )
+    ratios = base.select(
+        "doc_id",
+        F.col("t"),
+        F.round(F.size(F.array_distinct("t")).cast("double") / F.size("t"), 6).alias(
+            "distinct_token_ratio"
+        ),
+        F.round(
+            1.0 - F.size(F.array_distinct(bigrams)).cast("double") / (F.size("t") - 1), 6
+        ).alias("dup_bigram_fraction"),
+    )
+    freq = (
+        base.select("doc_id", F.explode("t").alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("max_tok"))
+    )
+    return (
+        ratios.join(freq, "doc_id")
+        .select(
+            "doc_id",
+            "distinct_token_ratio",
+            "dup_bigram_fraction",
+            F.round(F.col("max_tok").cast("double") / F.size("t"), 6).alias(
+                "top_token_fraction"
+            ),
+        )
+    )

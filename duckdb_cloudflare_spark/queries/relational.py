@@ -1008,3 +1008,52 @@ def q37_regex_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(F.regexp_replace("text", r"[aeiouAEIOU]", "")).alias("len_no_vowels"),
         F.col("text").rlike(r"[.!?]$").cast("int").alias("ends_sentence"),
     )
+
+
+@register(
+    "q51_funnel",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id,
+               min(CASE WHEN event_type = 'click'    THEN ts END) AS first_click,
+               min(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase
+        FROM events
+        GROUP BY user_id
+    )
+    SELECT user_id, first_click, first_purchase,
+           CASE WHEN first_click IS NOT NULL AND first_purchase IS NOT NULL
+                     AND first_purchase >= first_click
+                THEN 1 ELSE 0 END AS converted,
+           CASE WHEN first_click IS NOT NULL AND first_purchase IS NOT NULL
+                     AND first_purchase >= first_click
+                THEN (epoch_us(first_purchase) - epoch_us(first_click)) // 1000000
+                END AS secs_to_convert
+    FROM firsts
+    """,
+    description="funnel analysis: per-user first click vs first purchase, "
+    "conversion flag, whole-second time-to-convert (floor of the microsecond "
+    "delta on both engines) — one shuffle with map-side partial min",
+)
+def q51_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("first_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "first_purchase"
+        ),
+    )
+    converted = (
+        F.col("first_click").isNotNull()
+        & F.col("first_purchase").isNotNull()
+        & (F.col("first_purchase") >= F.col("first_click"))
+    )
+    delta = (
+        F.unix_micros("first_purchase") - F.unix_micros("first_click")
+    ) / F.lit(1_000_000)
+    return firsts.select(
+        "user_id",
+        "first_click",
+        "first_purchase",
+        converted.cast("int").alias("converted"),
+        F.when(converted, F.floor(delta)).alias("secs_to_convert"),
+    )
