@@ -44,6 +44,8 @@ def main() -> None:
         "q42_running_rows_frame",
         "q46_cumulative_share",
         "q47_sessionize_batch",
+        "q49_asof_join",
+        "q50_range_join_bucketed",
         "p01_dedup_exact",
         "p02_text_stats",
         "p03_fingerprint",
