@@ -38,15 +38,28 @@ def read_common_crawl(
     offset: int | None = None,
     crawl_id: str | None = None,
     fetch_response: bool = False,
+    url_regex: str | None = None,
     **options: str,
 ) -> DataFrame:
     """``common_crawl`` scan with reference LIMIT semantics: ``limit=n`` is
     divided across the resolved crawls as the CDX fetch cap (one crawl gets
     ``n // n_crawls``, min 1 — src/common_crawl_index.cpp:1510-1513) and the
-    exact ``n`` is enforced Spark-side. Extra ``options`` pass through to the
-    reader (filter, from, to, debug, dry_run, timeout, ...)."""
+    exact ``n`` is enforced Spark-side. ``url_regex`` adds the reference's
+    SIMILAR-TO pushdown (``~url:^regex$``, anchors added when missing —
+    src/common_crawl_index.cpp:1163-1197); regexes never reach Spark's
+    ``pushFilters``, so the named parameter is the only route. Extra
+    ``options`` pass through to the reader (filter, from, to, debug,
+    dry_run, timeout, ...)."""
     register_sources(spark)
     r = spark.read.format("common_crawl").option("url", url)
+    if url_regex:
+        rx = url_regex
+        if not rx.startswith("^"):
+            rx = "^" + rx
+        if not rx.endswith("$"):
+            rx = rx + "$"
+        existing = options.pop("filter", "")
+        options["filter"] = (existing + ";;" if existing else "") + f"~url:{rx}"
     if crawl_id:
         r = r.option("crawl_id", crawl_id)
     if limit is not None:

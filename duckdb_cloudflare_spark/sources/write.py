@@ -1,0 +1,61 @@
+"""Write-path helpers for training-data pipelines.
+
+The reference exports with DuckDB's ``COPY TO`` (single process, single
+file); at cluster scale the write problem inverts — thousands of tasks each
+writing files, and the failure mode is millions of kilobyte-sized parquet
+files (or a handful of 10 GB ones) that wreck downstream scan parallelism.
+``write_sized_parquet`` targets a file size the way a warehouse would:
+sample the average serialized row width, derive rows-per-file, and let
+every task roll files at that row count via ``maxRecordsPerFile`` — no
+global repartition, no driver-side collect of data.
+"""
+
+from __future__ import annotations
+
+import io
+
+from pyspark.sql import DataFrame
+
+
+def estimate_row_bytes(df: DataFrame, sample_rows: int = 2_000) -> float:
+    """Average parquet-encoded bytes per row, measured by writing a bounded
+    sample through pyarrow in memory (same encoding family as the real
+    write: dictionary + snappy). Driver memory is bounded by
+    ``sample_rows``; the sample is taken without a full scan via limit()."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pdf = df.limit(sample_rows).toPandas()
+    if len(pdf) == 0:
+        return 1.0
+    buf = io.BytesIO()
+    pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False), buf)
+    return max(1.0, buf.tell() / len(pdf))
+
+
+def write_sized_parquet(
+    df: DataFrame,
+    path: str,
+    target_file_mb: int = 256,
+    partition_by: list[str] | None = None,
+    mode: str = "overwrite",
+    sample_rows: int = 2_000,
+) -> int:
+    """Write ``df`` as parquet files of roughly ``target_file_mb`` each.
+
+    Uses ``maxRecordsPerFile`` (per-task file rolling — no extra shuffle)
+    with rows-per-file derived from a measured average row width. Returns
+    the rows-per-file used. With ``partition_by``, files roll within each
+    partition directory the same way.
+
+    At 100 TB this is the difference between a dataset that scans with
+    full parallelism and one that doesn't: ~256 MB files match a default
+    ``spark.sql.files.maxPartitionBytes`` so each file is one clean scan
+    task, and no single task buffers more than one file's rows."""
+    row_bytes = estimate_row_bytes(df, sample_rows)
+    rows_per_file = max(1, int(target_file_mb * 1024 * 1024 / row_bytes))
+    writer = df.write.mode(mode).option("maxRecordsPerFile", rows_per_file)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+    return rows_per_file

@@ -327,3 +327,18 @@ class TestReadWrappers:
         )
         [row] = df.select("cdx_url").collect()
         assert "limit=-10" in row["cdx_url"]
+
+    def test_cc_url_regex_option(self, spark):
+        from duckdb_cloudflare_spark.sources.api import read_common_crawl
+
+        df = read_common_crawl(
+            spark,
+            "*.example.com/*",
+            crawl_id="CC-MAIN-2025-43",
+            url_regex="https?://[^/]+/blog/.*",
+            debug="true",
+            dry_run="true",
+        )
+        [row] = df.select("cdx_url").collect()
+        # anchors added when missing (common_crawl_index.cpp:1163-1197)
+        assert "filter=~url:^https?://[^/]+/blog/.*$" in row["cdx_url"]

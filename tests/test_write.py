@@ -1,0 +1,48 @@
+"""write_sized_parquet: file-size-targeted parquet output."""
+
+from __future__ import annotations
+
+import glob
+
+from duckdb_cloudflare_spark.sources.write import estimate_row_bytes, write_sized_parquet
+
+
+def test_row_width_estimate_positive(spark):
+    df = spark.range(100).selectExpr("id", "repeat('x', 100) AS payload")
+    w = estimate_row_bytes(df)
+    assert w > 0
+
+
+def test_files_roll_at_target_size(spark, tmp_path):
+    # ~1 KB rows, 0.05 MB target → rows_per_file small → multiple files
+    df = spark.range(2_000, numPartitions=2).selectExpr(
+        "id", "repeat(uuid(), 20) AS payload"
+    )
+    out = str(tmp_path / "sized")
+    rpf = write_sized_parquet(df, out, target_file_mb=1, sample_rows=500)
+    files = glob.glob(out + "/*.parquet")
+    assert rpf >= 1
+    # each task rolls files at rows_per_file: with 2000 rows the writer
+    # must produce at least ceil(2000 / rpf) files (tasks may add more)
+    assert len(files) >= max(1, 2000 // max(rpf, 1))
+    back = spark.read.parquet(out)
+    assert back.count() == 2_000
+
+
+def test_partitioned_write_rolls_within_partitions(spark, tmp_path):
+    df = spark.range(1_000).selectExpr(
+        "id", "CAST(id % 3 AS STRING) AS part", "repeat('y', 200) AS payload"
+    )
+    out = str(tmp_path / "parts")
+    write_sized_parquet(df, out, target_file_mb=1, partition_by=["part"])
+    assert sorted(
+        p.rsplit("=", 1)[-1] for p in glob.glob(out + "/part=*")
+    ) == ["0", "1", "2"]
+    assert spark.read.parquet(out).count() == 1_000
+
+
+def test_empty_frame(spark, tmp_path):
+    df = spark.range(0).selectExpr("id")
+    out = str(tmp_path / "empty")
+    write_sized_parquet(df, out, target_file_mb=1)
+    assert spark.read.parquet(out).count() == 0
