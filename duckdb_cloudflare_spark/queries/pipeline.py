@@ -559,3 +559,81 @@ def p21_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "p22_embedding_quantize",
+    oracle="""
+    SELECT vec_id,
+           CAST(list_aggregate(q, 'sum') AS BIGINT) AS q_sum,
+           CAST(list_aggregate(q, 'min') AS BIGINT) AS q_min,
+           CAST(list_aggregate(q, 'max') AS BIGINT) AS q_max,
+           round(sqrt(list_aggregate(
+               list_transform(list_zip(x, q), p -> pow(p[1] - p[2] / 127.0, 2)),
+               'sum')), 6) AS recon_err
+    FROM (
+        SELECT vec_id,
+               CAST(embedding AS DOUBLE[]) AS x,
+               list_transform(CAST(embedding AS DOUBLE[]),
+                   v -> greatest(-127.0, least(127.0, floor(v * 127 + 0.5)))) AS q
+        FROM embeddings
+    )
+    """,
+    description="int8 embedding quantization: symmetric scale to [-127,127] "
+    "with floor(x*127+0.5) (identical on both engines — no rounding-mode "
+    "dependence), plus reconstruction-error audit; map-only, summarized to "
+    "scalars so the oracle hash is array-free",
+)
+def p22_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    x = F.transform(F.col("embedding"), lambda v: v.cast("double"))
+    q = F.transform(
+        x, lambda v: F.greatest(F.lit(-127.0), F.least(F.lit(127.0), F.floor(v * 127 + 0.5)))
+    )
+    base = e.select("vec_id", x.alias("x"), q.alias("q"))
+    err = F.aggregate(
+        F.zip_with(F.col("x"), F.col("q"), lambda a, b: F.pow(a - b / 127.0, F.lit(2.0))),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return base.select(
+        "vec_id",
+        F.aggregate(F.col("q"), F.lit(0.0), lambda a, v: a + v).cast("bigint").alias("q_sum"),
+        F.array_min("q").cast("bigint").alias("q_min"),
+        F.array_max("q").cast("bigint").alias("q_max"),
+        F.round(F.sqrt(err), 6).alias("recon_err"),
+    )
+
+
+@register(
+    "p23_pii_scrub",
+    oracle="""
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(
+               text || ' contact user' || doc_id || '@example.com or admin@test.org from '
+                    || '10.0.' || (doc_id % 256) || '.' || ((doc_id * 7) % 256),
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+             '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '[IP]', 'g') AS scrubbed
+    FROM documents
+    """,
+    description="PII scrubbing (emails, IPv4) — the redaction pass of a "
+    "training-data pipeline. The corpus is synthetic and PII-free, so "
+    "deterministic PII is appended per doc before scrubbing: the regexes are "
+    "genuinely exercised and the output still hash-verifies. Map-only, "
+    "whole-stage codegen.",
+)
+def p23_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    dirty = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), F.col("doc_id").cast("string"), F.lit("@example.com or admin@test.org from "),
+        F.lit("10.0."), (F.col("doc_id") % 256).cast("string"), F.lit("."),
+        ((F.col("doc_id") * 7) % 256).cast("string"),
+    )
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(dirty, r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+        r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+        "[IP]",
+    )
+    return d.select("doc_id", scrubbed.alias("scrubbed"))
