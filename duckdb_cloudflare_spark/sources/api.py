@@ -85,15 +85,24 @@ def read_wayback(
     collapse: str | None = None,
     fast_latest: bool = False,
     fetch_response: bool = False,
+    urlkey_regex: str | None = None,
     **options: str,
 ) -> DataFrame:
     """``wayback_machine`` scan with the reference's named-parameter surface:
     ``limit=n`` sets the CDX fetch cap and the Spark-side limit; ``collapse``
     takes the DISTINCT-ON mapping from the module docstring (repeatable via
     ';;'); ``fast_latest`` requests newest-first server ordering (negative
-    CDX limit, src/internet_archive.cpp:1415-1475)."""
+    CDX limit, src/internet_archive.cpp:1415-1475); ``urlkey_regex`` adds
+    the reference's SIMILAR-TO pushdown as a ``urlkey:regex`` server filter
+    (src/internet_archive.cpp:987-1005 — regexes never reach Spark's
+    ``pushFilters``)."""
     register_sources(spark)
     r = spark.read.format("wayback_machine").option("url", url)
+    if urlkey_regex:
+        existing = options.pop("filter", "")
+        options["filter"] = (
+            (existing + ";;" if existing else "") + f"urlkey:{urlkey_regex}"
+        )
     if limit is not None:
         r = r.option("max_results", str(int(limit)))
     if offset is not None:

@@ -342,3 +342,16 @@ class TestReadWrappers:
         [row] = df.select("cdx_url").collect()
         # anchors added when missing (common_crawl_index.cpp:1163-1197)
         assert "filter=~url:^https?://[^/]+/blog/.*$" in row["cdx_url"]
+
+    def test_wayback_urlkey_regex_option(self, spark):
+        from duckdb_cloudflare_spark.sources.api import read_wayback
+
+        df = read_wayback(
+            spark,
+            "example.com/*",
+            urlkey_regex="^com,example\\)/blog/.*",
+            debug="true",
+            dry_run="true",
+        )
+        [row] = df.select("cdx_url").collect()
+        assert "filter=urlkey:^com,example)/blog/.*" in row["cdx_url"].replace("%5C", "")
