@@ -349,9 +349,11 @@ class TestReadWrappers:
         df = read_wayback(
             spark,
             "example.com/*",
-            urlkey_regex="^com,example\\)/blog/.*",
+            urlkey_regex="^com,example)/blog/.*",
             debug="true",
             dry_run="true",
         )
         [row] = df.select("cdx_url").collect()
-        assert "filter=urlkey:^com,example)/blog/.*" in row["cdx_url"].replace("%5C", "")
+        # regex passes through verbatim — escaping is the caller's contract,
+        # same as the reference's SIMILAR TO (internet_archive.cpp:987-1005)
+        assert "filter=urlkey:^com,example)/blog/.*" in row["cdx_url"]
