@@ -138,9 +138,13 @@ def q03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") > F.lit("1996-03-15 00:00:00").cast("timestamp")
     )
+    # Broadcast the BUILDING-segment customer slice (a dim-sized fraction of
+    # customers) and apply it to orders FIRST, so the segment filter shrinks
+    # orders before the one unavoidable big shuffle against lineitem
+    # (mirrors q05's dim hints; the classic TPC-H Q3 join order).
     return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(c, o.o_custkey == c.c_custkey)
+        o.join(broadcast(c), o.o_custkey == c.c_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
         .groupBy("l_orderkey", "o_orderdate")
         .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"))
         .select("l_orderkey", "revenue", "o_orderdate")

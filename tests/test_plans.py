@@ -49,6 +49,15 @@ def test_small_dims_broadcast(spark, registry):
     assert shuffle_count(df) <= 2
 
 
+def test_q03_customer_side_broadcasts(spark, registry):
+    # Regression pin (VERDICT r2): q03's filtered customer slice must plan
+    # as a BroadcastHashJoin so the only real shuffle is orders⋈lineitem
+    # plus the final aggregation exchange — never two full shuffle joins.
+    df = registry["q03_shipping_priority"](spark, SF_DIR)
+    assert broadcast_join_count(df) >= 1
+    assert shuffle_count(df) <= 2
+
+
 def test_scan_only_query_has_no_shuffle(spark, registry):
     df = registry["q02_predicate_filters"](spark, SF_DIR)
     assert shuffle_count(df) == 0
