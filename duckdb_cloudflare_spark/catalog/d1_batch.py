@@ -81,6 +81,7 @@ def d1_insert_df(
     client: D1Client,
     statements_per_batch: int = 50,
     rows_per_statement: int = 50,
+    insert_verb: str = "INSERT",
 ) -> int:
     """Write a DataFrame to a D1 table through the reference's ONLY
     supported write path — generated INSERT statements over the batch
@@ -97,16 +98,22 @@ def d1_insert_df(
     """
     return _insert_rows(
         df.toLocalIterator(), df.columns, table, client,
-        statements_per_batch, rows_per_statement,
+        statements_per_batch, rows_per_statement, insert_verb,
     )
+
+
+_INSERT_VERBS = ("INSERT", "INSERT OR REPLACE", "INSERT OR IGNORE")
 
 
 def _insert_rows(
     rows, columns, table: str, client: D1Client,
     statements_per_batch: int, rows_per_statement: int,
+    insert_verb: str = "INSERT",
 ) -> int:
     """Shared funnel: rows → multi-row VALUES statements → batched POSTs.
     Module-level (not a closure) so it pickles cleanly into executors."""
+    if insert_verb not in _INSERT_VERBS:
+        raise ValueError(f"insert_verb must be one of {_INSERT_VERBS}")
     cols = ", ".join(quote_ident(c) for c in columns)
     written = 0
     buffer: list[str] = []
@@ -116,7 +123,9 @@ def _insert_rows(
     def flush_statement():
         nonlocal values
         if values:
-            buffer.append(f"INSERT INTO {qtable} ({cols}) VALUES " + ", ".join(values))
+            buffer.append(
+                f"{insert_verb} INTO {qtable} ({cols}) VALUES " + ", ".join(values)
+            )
             values = []
 
     def flush_batch():
@@ -143,6 +152,7 @@ def d1_insert_df_distributed(
     client: D1Client,
     statements_per_batch: int = 50,
     rows_per_statement: int = 50,
+    insert_verb: str = "INSERT",
 ) -> int:
     """``d1_insert_df`` without the driver funnel: each partition builds and
     POSTs its own batches via ``foreachPartition``, so a big write is bounded
@@ -151,13 +161,23 @@ def d1_insert_df_distributed(
     ``statements_per_batch`` statements). The client's config+transport must
     be picklable (both shipped transports are). Per-partition atomicity only,
     same as the reference's batch endpoint. Returns the number of rows
-    written (counted via a driver-side accumulator)."""
+    written (counted via a driver-side accumulator).
+
+    RETRY HAZARD: ``foreachPartition`` side effects are NOT exactly-once —
+    a failed/retried or speculatively re-launched task re-POSTs its batches,
+    silently duplicating rows in D1. The accumulator stays exactly-once for
+    the *action*, so the returned count will NOT reveal the duplicates.
+    Mitigations: disable ``spark.speculation`` for jobs using this writer,
+    and make the write idempotent — give the target table a unique key and
+    set ``insert_verb="INSERT OR REPLACE"`` (or ``"INSERT OR IGNORE"``) so
+    a replayed partition overwrites/skips instead of duplicating."""
     columns = list(df.columns)
     acc = df.sparkSession.sparkContext.accumulator(0)
 
     def write_partition(rows) -> None:
         n = _insert_rows(
-            rows, columns, table, client, statements_per_batch, rows_per_statement
+            rows, columns, table, client, statements_per_batch,
+            rows_per_statement, insert_verb,
         )
         acc.add(n)
 

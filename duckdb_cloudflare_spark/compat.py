@@ -99,6 +99,45 @@ def rewrite_exclude(sql: str) -> str:
     return "".join(out)
 
 
+def _match_paren(sql: str, open_idx: int) -> int:
+    """Index of the ``)`` matching ``sql[open_idx] == '('`` (quote-aware)."""
+    target = None
+    for i, c, depth in _scan_top_level(sql):
+        if i == open_idx:
+            target = depth  # depth AFTER the open paren
+        elif target is not None and c == ")" and depth == target - 1:
+            return i
+    raise ValueError("duck_sql: unbalanced parentheses in WINDOW clause")
+
+
+_WINDOW_ITEM = re.compile(r"\s*([A-Za-z_]\w*)\s+AS\s*\(", re.IGNORECASE)
+
+
+def _parse_named_windows(sql: str, w_pos: int) -> dict[str, str]:
+    """Parse ``WINDOW w AS (...), w2 AS (...)`` starting at the keyword
+    position into ``{lowercased name: "(spec)"}``."""
+    out: dict[str, str] = {}
+    i = w_pos + len("WINDOW")
+    while True:
+        m = _WINDOW_ITEM.match(sql, i)
+        if not m:
+            if not out:
+                raise ValueError("duck_sql: could not parse WINDOW clause")
+            break
+        open_idx = m.end() - 1
+        close = _match_paren(sql, open_idx)
+        out[m.group(1).lower()] = sql[open_idx : close + 1]
+        i = close + 1
+        sep = re.match(r"\s*,", sql[i:])
+        if not sep:
+            break
+        i += sep.end()
+    return out
+
+
+_OVER_NAME = re.compile(r"\bOVER\s+([A-Za-z_]\w*)", re.IGNORECASE)
+
+
 def rewrite_qualify(sql: str) -> str:
     """Rewrite one top-level QUALIFY clause (see module docstring)."""
     q = _find_keyword(sql, "QUALIFY")
@@ -117,6 +156,34 @@ def rewrite_qualify(sql: str) -> str:
     tail = sql[tail_at:].strip().rstrip(";")
     if not pred:
         raise ValueError("duck_sql: QUALIFY with empty predicate")
+
+    # A named-WINDOW clause (SELECT ... WINDOW w AS (...) QUALIFY ... OVER w)
+    # stays inside the wrapped subquery while the predicate is hoisted out of
+    # its scope — inline the definition into the predicate (ADVICE r2).
+    if _OVER_NAME.search(pred):
+        w = _find_keyword(sql, "WINDOW")
+        named = _parse_named_windows(sql, w) if (w != -1 and w < q) else {}
+
+        def _inline(m: re.Match) -> str:
+            name = m.group(1).lower()
+            spec = named.get(name)
+            if spec is None:
+                raise ValueError(
+                    f"duck_sql: QUALIFY references named window '{m.group(1)}' "
+                    "but no top-level WINDOW clause precedes QUALIFY "
+                    "(standard clause order is ... WINDOW ... QUALIFY ...)"
+                )
+            head = re.match(r"\(\s*([A-Za-z_]\w*)", spec)
+            if head and head.group(1).lower() in named:
+                raise ValueError(
+                    "duck_sql: QUALIFY over a named window that itself "
+                    f"references another named window ('{m.group(1)}') is "
+                    "unsupported — expand the base window inline"
+                )
+            return "OVER " + spec
+
+        pred = _OVER_NAME.sub(_inline, pred)
+
     return (
         f"SELECT * EXCEPT (__qualify) FROM "
         f"(SELECT __q.*, ({pred}) AS __qualify FROM ({before}) AS __q) AS __qq "

@@ -322,6 +322,22 @@ def _lsh_verified_pairs(
     )
 
 
+def _warn_unconverged(fn: str, max_iterations: int) -> None:
+    """An unconverged label/star forest is WRONG (over-segmented components)
+    yet indistinguishable from a correct result by inspection — say so
+    loudly instead of returning it silently (ADVICE r2)."""
+    import warnings
+
+    warnings.warn(
+        f"{fn}: iteration cap ({max_iterations}) exhausted before convergence; "
+        "the returned components are over-segmented (some connected nodes "
+        "carry different labels). Raise max_iterations — the star variant "
+        "needs O(log^2 n) rounds, min-label O(graph diameter).",
+        RuntimeWarning,
+        stacklevel=3,
+    )
+
+
 def connected_components(
     pairs: DataFrame, max_iterations: int = 20
 ) -> DataFrame:
@@ -356,6 +372,7 @@ def connected_components(
             F.col("src").alias("id"), F.least(F.col("src"), F.col("m")).alias("component")
         )
     )
+    converged = False
     for _ in range(max_iterations):
         # propagate: node takes min(own label, labels of neighbors)
         neigh = (
@@ -382,7 +399,10 @@ def connected_components(
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        _warn_unconverged("connected_components", max_iterations)
     return labels
 
 
@@ -422,6 +442,7 @@ def connected_components_star(pairs: DataFrame, max_iterations: int = 30) -> Dat
             e.select(F.col("b").alias("u"), F.col("a").alias("v"))
         )
 
+    converged = False
     for _ in range(max_iterations):
         # large-star: m(u) = min over {u} ∪ N(u); neighbors v > u attach to m
         s = _sym(edges)
@@ -452,7 +473,10 @@ def connected_components_star(pairs: DataFrame, max_iterations: int = 30) -> Dat
         )
         edges = small
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        _warn_unconverged("connected_components_star", max_iterations)
 
     # converged to a star forest: every node's component is the min of its
     # closed neighborhood; isolated originals (self-pairs only) label self

@@ -27,7 +27,12 @@ from duckdb_cloudflare_spark.operators.dedup import (
     ensure_parallelism,
 )
 
+# Bounded (ADVICE r2): hits only matter within one query's corpus/query
+# double use of the same centroids, so a handful of entries suffices; an
+# unbounded dict keyed by freshly-trained centroid bytes would grow forever
+# in a long-lived session.
 _CELL_UDF_CACHE: dict = {}
+_CELL_UDF_CACHE_MAX = 4
 
 
 def _cell_rows(values: list, cents_t: np.ndarray, n_top: int) -> list:
@@ -59,6 +64,8 @@ def _cells_udf(cents: np.ndarray, n_top: int):
         def cells(vecs: pd.Series) -> pd.Series:
             return pd.Series(_cell_rows(vecs.tolist(), cents_t, n_top))
 
+        if len(_CELL_UDF_CACHE) >= _CELL_UDF_CACHE_MAX:
+            _CELL_UDF_CACHE.pop(next(iter(_CELL_UDF_CACHE)))
         _CELL_UDF_CACHE[key] = cells
     return _CELL_UDF_CACHE[key]
 

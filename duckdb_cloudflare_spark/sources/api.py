@@ -42,9 +42,10 @@ def read_common_crawl(
     **options: str,
 ) -> DataFrame:
     """``common_crawl`` scan with reference LIMIT semantics: ``limit=n`` is
-    divided across the resolved crawls as the CDX fetch cap (one crawl gets
-    ``n // n_crawls``, min 1 — src/common_crawl_index.cpp:1510-1513) and the
-    exact ``n`` is enforced Spark-side. ``url_regex`` adds the reference's
+    divided across the resolved crawls as the CDX fetch cap with CEILING
+    division (one crawl gets ``ceil(n / n_crawls)``, min 1 —
+    src/common_crawl_index.cpp:1510-1513, ``(limit + n - 1) / n``) and the
+    exact ``n`` is enforced Spark-side by ``.limit(n)``. ``url_regex`` adds the reference's
     SIMILAR-TO pushdown (``~url:^regex$``, anchors added when missing —
     src/common_crawl_index.cpp:1163-1197); regexes never reach Spark's
     ``pushFilters``, so the named parameter is the only route. Extra

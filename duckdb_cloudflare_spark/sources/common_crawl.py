@@ -145,9 +145,13 @@ class CommonCrawlReader(DataSourceReader):
                 "or WHERE url = / startswith / endswith / contains"
             )
         crawl_ids = self._resolve_crawl_ids()
-        # The reference divides a pushed LIMIT across parallel crawls
-        # (src/common_crawl_index.cpp:1510-1513).
-        per_crawl = max(1, self.max_results // max(1, len(crawl_ids)))
+        # The reference divides a pushed LIMIT across parallel crawls with
+        # CEILING division — (limit + n_crawls - 1) / n_crawls
+        # (src/common_crawl_index.cpp:1510-1513) — so the union always has
+        # at least ``limit`` rows when the matches exist; the exact cap is
+        # enforced by the consumer's LIMIT. Floor division would under-fetch
+        # (limit=10 over 3 crawls → 3+3+3 = 9 rows max).
+        per_crawl = max(1, -(-self.max_results // max(1, len(crawl_ids))))
         return [CrawlPartition(cid, per_crawl) for cid in crawl_ids]
 
     # -- execution ---------------------------------------------------------

@@ -92,3 +92,42 @@ class TestExecution:
             "QUALIFY rk <= 1",
         ).collect()
         assert sorted((r["g"], r["v"]) for r in rows) == [(0, 0.0), (1, 2.0)]
+
+    def test_qualify_named_window(self, t):
+        # SELECT ... WINDOW w AS (...) QUALIFY fn() OVER w — the hoisted
+        # predicate must inline the window spec (ADVICE r2: previously the
+        # OVER w reference moved out of the subquery that defined w).
+        rows = duck_sql(
+            t,
+            "SELECT g, v FROM compat_t "
+            "WINDOW w AS (PARTITION BY g ORDER BY v DESC) "
+            "QUALIFY row_number() OVER w = 1 ORDER BY g",
+        ).collect()
+        assert [(r["g"], r["v"]) for r in rows] == [(0, 18.0), (1, 20.0), (2, 22.0)]
+
+    def test_qualify_named_window_multiple(self, t):
+        rows = duck_sql(
+            t,
+            "SELECT g, v FROM compat_t "
+            "WINDOW wa AS (PARTITION BY g ORDER BY v), "
+            "wb AS (PARTITION BY g ORDER BY v DESC) "
+            "QUALIFY rank() OVER wb = 1 ORDER BY g",
+        ).collect()
+        assert [(r["g"], r["v"]) for r in rows] == [(0, 18.0), (1, 20.0), (2, 22.0)]
+
+    def test_qualify_unknown_named_window_raises(self, t):
+        import pytest
+
+        with pytest.raises(ValueError, match="named window"):
+            duck_sql(t, "SELECT g, v FROM compat_t QUALIFY row_number() OVER nope = 1")
+
+    def test_qualify_chained_named_window_raises(self):
+        import pytest
+
+        from duckdb_cloudflare_spark.compat import rewrite_qualify
+
+        with pytest.raises(ValueError, match="another named window"):
+            rewrite_qualify(
+                "SELECT g FROM t WINDOW w1 AS (PARTITION BY g), "
+                "w2 AS (w1 ORDER BY v) QUALIFY rank() OVER w2 = 1"
+            )

@@ -679,6 +679,44 @@ class TestD1InsertDf:
         assert con.execute("SELECT count(DISTINCT id) FROM sink").fetchone()[0] == 211
         con.close()
 
+    def test_insert_or_replace_is_replay_idempotent(self, registered, tmp_path):
+        # the documented mitigation for foreachPartition retry duplication:
+        # a unique key + INSERT OR REPLACE makes a replayed partition
+        # overwrite instead of duplicate.
+        import sqlite3
+
+        from duckdb_cloudflare_spark.catalog.d1_batch import d1_insert_df
+        from duckdb_cloudflare_spark.sources.d1 import D1Client, D1Config
+        from duckdb_cloudflare_spark.util.d1_stub import D1SqliteStubTransport
+
+        db = str(tmp_path / "idem.db")
+        con = sqlite3.connect(db)
+        con.execute("CREATE TABLE sink (id INTEGER PRIMARY KEY, name TEXT)")
+        con.commit()
+        con.close()
+
+        df = registered.createDataFrame(
+            [(i, f"row {i}") for i in range(20)], "id long, name string"
+        )
+        client = D1Client(
+            D1Config(account_id="acct", api_token="t", database_id="db"),
+            transport=D1SqliteStubTransport(db),
+        )
+        for _ in range(2):  # simulate a task replay
+            d1_insert_df(df, "sink", client, insert_verb="INSERT OR REPLACE")
+
+        con = sqlite3.connect(db)
+        assert con.execute("SELECT count(*) FROM sink").fetchone()[0] == 20
+        con.close()
+
+    def test_bad_insert_verb_rejected(self):
+        import pytest
+
+        from duckdb_cloudflare_spark.catalog.d1_batch import _insert_rows
+
+        with pytest.raises(ValueError, match="insert_verb"):
+            _insert_rows([], ["a"], "t", None, 1, 1, "DELETE")
+
     def test_sql_literal_nonfinite_floats(self):
         from duckdb_cloudflare_spark.catalog.d1_batch import _sql_literal
 

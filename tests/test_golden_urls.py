@@ -276,12 +276,30 @@ class TestReadWrappers:
             dry_run="true",
         )
         urls = [r["cdx_url"] for r in df.select("cdx_url").collect()]
-        # two crawl partitions, each asked for 50 // 2 = 25
+        # two crawl partitions, each asked for ceil(50 / 2) = 25
         assert len(urls) == 2
         assert all("limit=25" in u for u in urls)
         assert {("CC-MAIN-2025-43" in u, "CC-MAIN-2025-38" in u) for u in urls} == {
             (True, False), (False, True)
         }
+
+    def test_cc_limit_ceiling_division(self, spark):
+        # reference uses CEILING division — (limit + n - 1) / n,
+        # common_crawl_index.cpp:1511 — so limit=11 over 2 crawls fetches 6
+        # per crawl (floor's 5+5=10 could return fewer than 11 matches).
+        from duckdb_cloudflare_spark.sources.api import read_common_crawl
+
+        df = read_common_crawl(
+            spark,
+            "*.example.com/*",
+            limit=11,
+            crawl_id="CC-MAIN-2025-43,CC-MAIN-2025-38",
+            debug="true",
+            dry_run="true",
+        )
+        urls = [r["cdx_url"] for r in df.select("cdx_url").collect()]
+        assert len(urls) == 2
+        assert all("limit=6" in u for u in urls)
 
     def test_cc_limit_smaller_than_crawl_count(self, spark):
         from duckdb_cloudflare_spark.sources.api import read_common_crawl
