@@ -497,6 +497,7 @@ def minhash_dedup(
     text_col: str = "text",
     id_col: str = "doc_id",
     transitive: bool = False,
+    cc_variant: str = "minlabel",
     **kwargs,
 ) -> DataFrame:
     """Rows surviving near-dedup.
@@ -509,10 +510,17 @@ def minhash_dedup(
     ``transitive=True``: full connected-component clustering first, then
     keep the min-id member of every component — exact transitive semantics
     even when the pair list only has chain edges (A~B, B~C but not A~C).
+    ``cc_variant`` picks the clustering algorithm: ``"minlabel"``
+    (O(diameter) rounds — fastest on the near-clique graphs typical of
+    dedup) or ``"star"`` (large-star/small-star, O(log^2 n) rounds — use
+    when components can chain, e.g. templated or serially-edited docs).
     """
+    if cc_variant not in ("minlabel", "star"):
+        raise ValueError("cc_variant must be 'minlabel' or 'star'")
     pairs = minhash_lsh_pairs(df, text_col, id_col, **kwargs)
     if transitive:
-        comp = connected_components(pairs)
+        cc = connected_components if cc_variant == "minlabel" else connected_components_star
+        comp = cc(pairs)
         losers = comp.filter(F.col("id") != F.col("component")).select(
             F.col("id").alias(id_col)
         )

@@ -476,16 +476,20 @@ def p19_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "p20_transitive_dedup",
-    oracle=None,  # iterative min-label propagation is not single-query SQL
+    oracle=None,  # iterative label propagation is not single-query SQL
     description="transitive dedup: connected components over the MinHash-LSH "
-    "near-dup pair graph (iterative DataFrame min-label propagation — no "
-    "driver-side union-find), keeping one representative (min doc_id) per "
-    "component; returns (doc_id, component, is_kept)",
+    "near-dup pair graph via alternating large-star/small-star rounds "
+    "(Kiveris et al., SoCC'14 — O(log^2 n) rounds independent of graph "
+    "diameter; no driver-side union-find), keeping one representative "
+    "(min doc_id) per component; returns (doc_id, component, is_kept)",
 )
 def p20_transitive_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     pairs = D.minhash_lsh_pairs(docs, threshold=0.5)
-    comp = D.connected_components(pairs)
+    # The star variant on the declared surface (VERDICT r2 #5): near-dup
+    # graphs of templated/serially-edited docs can chain, where min-label
+    # propagation needs O(diameter) rounds.
+    comp = D.connected_components_star(pairs)
     return comp.select(
         F.col("id").alias("doc_id"),
         "component",

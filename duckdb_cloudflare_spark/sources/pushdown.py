@@ -193,6 +193,18 @@ def translate_wayback_filter(f: Filter, spec: CdxQuerySpec) -> str | None:
             if rx:
                 spec.cdx_filters.append(f"!urlkey:{rx}")
                 return "absorbed"
+        if icol == "url":
+            # url NOT LIKE 'p%' / '%p' / '%p%' → filter=!original:regex —
+            # the CDX field for the full URL is ``original``
+            # (src/internet_archive.cpp:1009-1158; golden shape
+            # test/sql/internet_archive_pushdown.test:159-190, e.g.
+            # NOT LIKE '%test%' → filter=!original:.*test.*). Interior-
+            # wildcard NOT LIKE never reaches pushFilters (SURVEY §4.1) —
+            # the ``filter`` reader option is the escape hatch.
+            rx = _string_filter_regex(inner)
+            if rx:
+                spec.cdx_filters.append(f"!original:{rx}")
+                return "absorbed"
         return None
     if isinstance(f, EqualTo):
         if col == "url":

@@ -577,6 +577,45 @@ class TestPushdownTranslation:
         )
         assert "!~url:^.*tracker.*$" in spec.cdx_filters
 
+    def test_wayback_not_url_pushdown(self):
+        # url NOT LIKE shapes → filter=!original:regex
+        # (src/internet_archive.cpp:1009-1158; golden shape
+        # internet_archive_pushdown.test:159-190 — NOT LIKE '%test%' →
+        # filter=!original:.*test.*), absorbed from the plan.
+        from pyspark.sql.datasource import (
+            Not,
+            StringContains,
+            StringEndsWith,
+            StringStartsWith,
+        )
+        from duckdb_cloudflare_spark.sources.pushdown import (
+            CdxQuerySpec,
+            translate_wayback_filter,
+        )
+
+        spec = CdxQuerySpec()
+        assert (
+            translate_wayback_filter(Not(StringContains(("url",), "test")), spec)
+            == "absorbed"
+        )
+        assert "!original:.*test.*" in spec.cdx_filters
+
+        spec = CdxQuerySpec()
+        assert (
+            translate_wayback_filter(
+                Not(StringStartsWith(("url",), "example.com/ads")), spec
+            )
+            == "absorbed"
+        )
+        assert "!original:^example%5C.com/ads.*" in spec.cdx_filters
+
+        spec = CdxQuerySpec()
+        assert (
+            translate_wayback_filter(Not(StringEndsWith(("url",), ".jpg")), spec)
+            == "absorbed"
+        )
+        assert "!original:.*%5C.jpg$" in spec.cdx_filters
+
     def test_cc_regex_in_values_escaped(self):
         from pyspark.sql.datasource import In
         from duckdb_cloudflare_spark.sources.pushdown import (

@@ -259,6 +259,43 @@ class TestFullPlanPushdownURLs:
         df = cc("*.example.com/*").filter(~F.col("url").contains("tracker"))
         assert "filter=!~url:^.*tracker.*$" in self._url(df.select("cdx_url"))
 
+    @pytest.fixture(scope="class")
+    def wb(self, spark):
+        from duckdb_cloudflare_spark.session import register_sources
+
+        register_sources(spark)
+
+        def build(url_opt, **opts):
+            r = (
+                spark.read.format("wayback_machine")
+                .option("debug", "true")
+                .option("dry_run", "true")
+                .option("url", url_opt)
+            )
+            for k, v in opts.items():
+                r = r.option(k, v)
+            return r.load()
+
+        return build
+
+    def test_wayback_where_url_not_contains_absorbed(self, wb):
+        from pyspark.sql import functions as F
+
+        # NOT url-contains → filter=!original:.*test.* (the CDX field for
+        # the full URL is ``original`` — internet_archive.cpp:1009-1158,
+        # golden shape internet_archive_pushdown.test:173-178). The debug
+        # synthetic row survives only because the predicate was absorbed.
+        df = wb("example.com/*").filter(~F.col("url").contains("test"))
+        assert "filter=!original:.*test.*" in self._url(df.select("cdx_url"))
+
+    def test_wayback_where_url_not_startswith_absorbed(self, wb):
+        from pyspark.sql import functions as F
+
+        df = wb("example.com/*").filter(~F.col("url").startswith("example.com/ads"))
+        assert "filter=!original:^example%5C.com/ads.*" in self._url(
+            df.select("cdx_url")
+        )
+
 
 class TestReadWrappers:
     """cc/wb `read(limit=n)` wrappers: the reference's LIMIT-division rewrite

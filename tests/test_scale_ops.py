@@ -107,6 +107,16 @@ def test_transitive_dedup_keeps_one_per_chain(spark):
     assert 1 in ids
     assert len(ids) == 2
 
+    # the star clustering variant must agree with min-label on the same graph
+    star_ids = {
+        r["doc_id"]
+        for r in minhash_dedup(
+            docs, threshold=0.3, k_shingle=2, num_perm=16, num_bands=8,
+            transitive=True, cc_variant="star",
+        ).collect()
+    }
+    assert star_ids == ids
+
 
 class TestConnectedComponentsStar:
     def test_long_chain_converges_in_log_rounds(self, spark):
