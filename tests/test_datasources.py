@@ -229,6 +229,62 @@ class TestWaybackSource:
         assert "&collapse=urlkey" in url and "&collapse=timestamp:8" in url
         assert "&from=2024" in url and "&to=2025" in url
 
+    def test_fast_latest_results_descending(self, registered, tmp_path):
+        # Batch twin of the reference's fast_latest ordering check
+        # (test/sql/internet_archive_fast_latest.test:78-90): with
+        # fastLatest=true the server returns newest-first; ORDER BY
+        # timestamp DESC over the typed rows must have zero ascending
+        # adjacent pairs (LEAD window probe), and the newest row first.
+        import json as _json
+
+        from duckdb_cloudflare_spark.sources.cdx import (
+            WAYBACK_ORDERED_FIELDS,
+            build_wayback_cdx_url,
+        )
+
+        csv = (
+            "com,example)/ 20250501000000 http://example.com/ text/html 200 D5 500\n"
+            "com,example)/ 20240301000000 http://example.com/ text/html 200 D4 400\n"
+            "com,example)/ 20230201000000 http://example.com/ text/html 200 D3 300\n"
+            "com,example)/ 20220101000000 http://example.com/ text/html 200 D2 200\n"
+            "com,example)/ 19991231000000 http://example.com/ text/html 200 D1 100\n"
+        )
+        wb_url = build_wayback_cdx_url(
+            "example.com",
+            fields_needed=list(WAYBACK_ORDERED_FIELDS),
+            max_results=5,
+            fast_latest=True,
+        )
+        (tmp_path / "fl.csv").write_text(csv)
+        (tmp_path / "manifest.json").write_text(_json.dumps({wb_url: "fl.csv"}))
+
+        from pyspark.sql import functions as F
+        from pyspark.sql.window import Window
+
+        df = (
+            registered.read.format("wayback_machine")
+            .option("url", "example.com")
+            .option("fast_latest", "true")
+            .option("max_results", "5")
+            .option("fixture_dir", str(tmp_path))
+            .load()
+            .orderBy(F.col("timestamp").desc())
+        )
+        rows = df.collect()
+        assert len(rows) == 5
+        assert rows[0]["digest"] == "D5"  # newest first
+        probe = (
+            df.select(
+                "timestamp",
+                F.lead("timestamp").over(
+                    Window.orderBy(F.col("timestamp").desc())
+                ).alias("next_ts"),
+            )
+            .filter(F.col("next_ts") > F.col("timestamp"))
+            .count()
+        )
+        assert probe == 0
+
     def test_offset_pages_partitioning(self, registered, fixture_dir):
         from duckdb_cloudflare_spark.sources.wayback import WaybackReader
 
