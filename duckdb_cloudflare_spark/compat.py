@@ -3,9 +3,13 @@
 The reference is a DuckDB extension, so its users write DuckDB SQL. Spark
 4.x already accepts much of that surface natively (``GROUP BY ALL``,
 ``SELECT * EXCEPT (...)``, lateral column aliases); ``duck_sql`` closes the
-two remaining everyday gaps with source-level rewrites:
+remaining everyday gaps with source-level rewrites:
 
 - ``SELECT * EXCLUDE (...)`` → ``SELECT * EXCEPT (...)`` (synonyms).
+- DuckDB function spellings → Spark builtins (``arg_max``→``max_by``,
+  ``list``→``collect_list``, ... — only drop-in-compatible mappings).
+- Direct file queries — ``FROM 'x.parquet'`` / ``read_parquet('x')`` /
+  ``read_csv('x')`` → Spark's ``FROM parquet.`x``` syntax.
 - top-level ``QUALIFY <pred>`` → the predicate is evaluated as a projected
   boolean over the original query's output and filtered in a wrapper:
 
@@ -191,6 +195,91 @@ def rewrite_qualify(sql: str) -> str:
     )
 
 
+# DuckDB function spellings whose Spark builtin is a drop-in (same argument
+# order and semantics for the common arities). Deliberately NOT mapped:
+# string_split (DuckDB splits on a LITERAL separator, Spark split() treats it
+# as a regex — a silent-wrong rewrite), strftime (C format codes vs Java
+# patterns). Those raise naturally in Spark analysis instead of mis-running.
+_FUNCTION_ALIASES = {
+    "arg_max": "max_by",
+    "arg_min": "min_by",
+    "list": "collect_list",
+    "list_value": "array",
+    "list_contains": "array_contains",
+    "array_length": "size",
+    "len": "length",
+    "regexp_matches": "rlike",  # both are partial-match
+}
+
+_FUNC_CALL = re.compile(r"\b([A-Za-z_]\w*)\s*\(", re.IGNORECASE)
+
+
+def rewrite_function_names(sql: str) -> str:
+    """Map DuckDB function spellings to the equivalent Spark builtins.
+    Only identifier-immediately-followed-by-``(`` sites are touched (any
+    depth; string literals / quoted identifiers / comments skipped)."""
+    real = {i for i, _, _ in _scan_top_level(sql)}
+    out, prev = [], 0
+    for m in _FUNC_CALL.finditer(sql):
+        target = _FUNCTION_ALIASES.get(m.group(1).lower())
+        if target is None or m.start(1) not in real:
+            continue
+        out.append(sql[prev : m.start(1)])
+        out.append(target)
+        prev = m.end(1)
+    out.append(sql[prev:])
+    return "".join(out)
+
+
+# DuckDB queries files directly: FROM 'x.parquet' / read_parquet('x') /
+# parquet_scan('x') / read_csv[_auto] / read_json[_auto]. Spark's spelling is
+# FROM parquet.`x` (format-qualified backtick path).
+_FROM_LITERAL = re.compile(r"\b(FROM|JOIN)\s+'([^']+)'", re.IGNORECASE)
+_READ_FUNC = re.compile(
+    r"\b(read_parquet|parquet_scan|read_csv_auto|read_csv|read_json_auto|read_json)"
+    r"\s*\(\s*'([^']+)'\s*\)",
+    re.IGNORECASE,
+)
+_EXT_FORMAT = {".parquet": "parquet", ".csv": "csv", ".json": "json",
+               ".jsonl": "json", ".ndjson": "json", ".orc": "orc"}
+
+
+def rewrite_file_tables(sql: str) -> str:
+    """``FROM 'x.parquet'`` / ``read_parquet('x')`` → ``FROM parquet.`x```
+    (DuckDB direct-file queries → Spark's format-qualified path syntax).
+    Glob patterns pass through unchanged — both engines expand them."""
+    real = {i for i, _, _ in _scan_top_level(sql)}
+
+    def _fmt_for(path: str) -> str | None:
+        for ext, fmt in _EXT_FORMAT.items():
+            if path.lower().rstrip("*").endswith(ext):
+                return fmt
+        return None
+
+    out, prev = [], 0
+    spans: list[tuple[int, int, str]] = []
+    for m in _FROM_LITERAL.finditer(sql):
+        if m.start(1) not in real:
+            continue
+        fmt = _fmt_for(m.group(2))
+        if fmt:
+            spans.append((m.start(), m.end(), f"{m.group(1)} {fmt}.`{m.group(2)}`"))
+    for m in _READ_FUNC.finditer(sql):
+        if m.start(1) not in real:
+            continue
+        fn = m.group(1).lower()
+        fmt = "parquet" if "parquet" in fn else ("csv" if "csv" in fn else "json")
+        spans.append((m.start(), m.end(), f"{fmt}.`{m.group(2)}`"))
+    for start, end, repl in sorted(spans):
+        out.append(sql[prev:start])
+        out.append(repl)
+        prev = end
+    out.append(sql[prev:])
+    return "".join(out)
+
+
 def duck_sql(spark: SparkSession, sql: str) -> DataFrame:
     """``spark.sql`` accepting the DuckDB dialect idioms above."""
+    sql = rewrite_file_tables(sql)
+    sql = rewrite_function_names(sql)
     return spark.sql(rewrite_qualify(rewrite_exclude(sql)))

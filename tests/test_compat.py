@@ -131,3 +131,66 @@ class TestExecution:
                 "SELECT g FROM t WINDOW w1 AS (PARTITION BY g), "
                 "w2 AS (w1 ORDER BY v) QUALIFY rank() OVER w2 = 1"
             )
+
+
+class TestFunctionAliases:
+    def test_rewrites(self):
+        from duckdb_cloudflare_spark.compat import rewrite_function_names as rw
+
+        assert rw("SELECT arg_max(a, b) FROM t") == "SELECT max_by(a, b) FROM t"
+        assert rw("SELECT list(x), len(s) FROM t") == "SELECT collect_list(x), length(s) FROM t"
+        assert rw("SELECT list_contains(l, 3), array_length(l) FROM t") == (
+            "SELECT array_contains(l, 3), size(l) FROM t"
+        )
+        # not a call site / inside a string literal → untouched
+        assert rw("SELECT 'arg_max(a,b)' AS s, list FROM t") == (
+            "SELECT 'arg_max(a,b)' AS s, list FROM t"
+        )
+        # literal-separator split is NOT mapped (regex semantics differ)
+        assert "string_split" in rw("SELECT string_split(s, '.') FROM t")
+
+    def test_execute_aliases(self, t):
+        rows = duck_sql(
+            t,
+            "SELECT g, arg_max(id, v) AS best, len(cast(g AS string)) AS l "
+            "FROM compat_t GROUP BY ALL ORDER BY g",
+        ).collect()
+        assert [r["best"] for r in rows] == [9, 10, 11]
+        assert all(r["l"] == 1 for r in rows)
+
+    def test_execute_list_and_regexp(self, t):
+        rows = duck_sql(
+            t,
+            "SELECT g, size(list(id)) AS n FROM compat_t "
+            "WHERE regexp_matches(cast(g AS string), '^[01]$') "
+            "GROUP BY g ORDER BY g",
+        ).collect()
+        assert [(r["g"], r["n"]) for r in rows] == [(0, 4), (1, 4)]
+
+
+class TestFileTables:
+    def test_rewrites(self):
+        from duckdb_cloudflare_spark.compat import rewrite_file_tables as rw
+
+        assert rw("SELECT * FROM 'a/b.parquet'") == "SELECT * FROM parquet.`a/b.parquet`"
+        assert rw("SELECT * FROM read_parquet('x.pq')") == "SELECT * FROM parquet.`x.pq`"
+        assert rw("SELECT * FROM parquet_scan('x')") == "SELECT * FROM parquet.`x`"
+        assert rw("SELECT * FROM read_csv_auto('d.csv')") == "SELECT * FROM csv.`d.csv`"
+        assert rw("SELECT * FROM 'logs/*.json'") == "SELECT * FROM json.`logs/*.json`"
+        # join position + alias tail survive
+        assert rw("SELECT * FROM t JOIN 'd.parquet' d ON t.k = d.k") == (
+            "SELECT * FROM t JOIN parquet.`d.parquet` d ON t.k = d.k"
+        )
+        # unknown extension: untouched (could be a table name in quotes)
+        assert rw("SELECT * FROM 'weird.bin'") == "SELECT * FROM 'weird.bin'"
+
+    def test_execute_file_query(self, t):
+        n = duck_sql(
+            t, "SELECT count(*) AS n FROM '/root/testdata/sf0.001/region.parquet'"
+        ).collect()[0]["n"]
+        assert n == 5
+        n2 = duck_sql(
+            t,
+            "SELECT count(*) AS n FROM read_parquet('/root/testdata/sf0.001/nation.parquet')",
+        ).collect()[0]["n"]
+        assert n2 == 25
