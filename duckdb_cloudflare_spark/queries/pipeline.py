@@ -641,3 +641,96 @@ def p23_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         "[IP]",
     )
     return d.select("doc_id", scrubbed.alias("scrubbed"))
+
+
+@register(
+    "p24_source_cap",
+    oracle="""
+    SELECT doc_id, source FROM (
+      SELECT doc_id, source,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY n_chars DESC, doc_id) AS rn
+      FROM documents) WHERE rn <= 10
+    """,
+    description="per-domain quota: keep at most N docs per source, best-first "
+    "(n_chars DESC, deterministic doc_id tiebreak) — the domain-cap stage of a "
+    "crawl pipeline. rank<=N windows get Spark's WindowGroupLimit partial "
+    "top-N push-down, so each mapper forwards at most N rows per source "
+    "before the shuffle — a hot domain costs its cap, not its crawl volume.",
+)
+def p24_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(F.col("n_chars").desc(), F.col("doc_id"))
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .select("doc_id", "source")
+    )
+
+
+@register(
+    "p25_decontaminate",
+    oracle="""
+    WITH bench AS (
+      SELECT doc_id AS bench_id, substr(text, 10, 40) AS snippet
+      FROM documents
+      WHERE doc_id % 97 = 0 AND length(substr(text, 10, 40)) >= 20
+    ), corpus AS (
+      SELECT c.doc_id,
+             CASE WHEN c.doc_id % 13 = 0 AND i.snippet IS NOT NULL
+                  THEN c.text || ' ' || i.snippet ELSE c.text END AS text
+      FROM documents c
+      LEFT JOIN bench i ON i.bench_id = ((c.doc_id % 3) + 1) * 97
+      WHERE c.doc_id % 97 <> 0
+    )
+    SELECT c.doc_id FROM corpus c
+    WHERE EXISTS (SELECT 1 FROM bench b WHERE instr(c.text, b.snippet) > 0)
+    """,
+    description="exact-substring decontamination: flag training docs that "
+    "contain a verbatim snippet of any benchmark/eval item (here: a held-out "
+    "pseudo-benchmark, doc_id %% 97 = 0, 40-char snippets). The synthetic "
+    "corpus is clean, so contamination is first INJECTED deterministically "
+    "(docs with doc_id %% 13 = 0 get a benchmark snippet appended) and then "
+    "detected — the same seed-then-detect fixture pattern as p23. The "
+    "benchmark side of real decontamination is tiny (thousands of items), so "
+    "both the injection lookup and the detection semi-join BROADCAST it and "
+    "the corpus streams through an instr() scan — no shuffle of the 100 TB "
+    "side. For fuzzier overlap, escalate to the n-gram shingle joins "
+    "(p06/p08) instead of widening the substring scan.",
+)
+def p25_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import broadcast
+
+    d = load(spark, sf_dir, "documents")
+    bench = (
+        d.filter(F.col("doc_id") % 97 == 0)
+        .select(
+            F.col("doc_id").alias("bench_id"),
+            F.substring("text", 10, 40).alias("snippet"),
+        )
+        .filter(F.length("snippet") >= 20)
+    )
+    inj = bench.select("bench_id", F.col("snippet").alias("inj_snippet"))
+    corpus = (
+        d.filter(F.col("doc_id") % 97 != 0)
+        .join(broadcast(inj), F.col("bench_id") == (F.col("doc_id") % 3 + 1) * 97, "left")
+        .select(
+            "doc_id",
+            F.when(
+                (F.col("doc_id") % 13 == 0) & F.col("inj_snippet").isNotNull(),
+                F.concat(F.col("text"), F.lit(" "), F.col("inj_snippet")),
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+    )
+    return (
+        corpus.join(
+            broadcast(bench.select("snippet")),
+            F.instr(F.col("text"), F.col("snippet")) > 0,
+            "left_semi",
+        )
+        .select("doc_id")
+    )

@@ -120,3 +120,34 @@ def test_tfidf_document_frequency_is_aggregated_not_windowed(spark, registry):
     assert "windowspecdefinition(tok" not in plan
     # the per-doc top-k window survives (and gets a partial WindowGroupLimit)
     assert "windowspecdefinition(doc_id" in plan
+
+
+def test_source_cap_pushes_partial_top_n(spark, registry):
+    # p24's rank<=N filter must compile to WindowGroupLimit with a Partial
+    # stage BELOW the exchange: each mapper forwards at most N rows per
+    # source, so a hot domain costs its cap at shuffle time, not its crawl
+    # volume. Losing the partial stage turns a 100 TB crawl's hottest
+    # domain into one task's input.
+    from duckdb_cloudflare_spark.plans import formatted_plan
+
+    df = registry["p24_source_cap"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert "WindowGroupLimit" in plan
+    assert "Partial" in plan
+    # only the three referenced columns may reach the scan
+    schemas = read_schemas(df)
+    doc_scan = [s for s in schemas if "doc_id" in s][0]
+    assert "text" not in doc_scan
+
+
+def test_decontaminate_broadcasts_benchmark_side(spark, registry):
+    # p25 must broadcast the (tiny) benchmark-snippet side and stream the
+    # corpus through a semi join — the corpus side must not shuffle. A
+    # substring join is non-equi, so the correct shape is a
+    # BroadcastNestedLoopJoin(LeftSemi) with zero exchanges on the left.
+    from duckdb_cloudflare_spark.plans import formatted_plan
+
+    df = registry["p25_decontaminate"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan and "LeftSemi" in plan
+    assert shuffle_count(df) == 0
