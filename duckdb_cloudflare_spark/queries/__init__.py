@@ -99,20 +99,25 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     cached = _TABLE_CACHE.get(f"{sf_dir.rstrip('/')}/{table}")
     if cached is not None and cached.sparkSession is spark:
         return cached
-    # The events table stores TIMESTAMP(NANOS), which Spark's parquet reader
-    # rejects unless nanos are read as long. Set the conf here (runtime SQL
-    # conf) so the engine also works under a caller-provided SparkSession,
-    # then convert to microsecond timestamps (integer div — no double
-    # round-trip, no precision loss).
+    # The events table's ts column has varied across testdata generations:
+    # TIMESTAMP(NANOS) (readable only as long with the legacy conf) or
+    # timestamp[us] with isAdjustedToUTC=false (read as TIMESTAMP_NTZ).
+    # Normalize both to session-TZ TimestampType (session TZ is pinned UTC,
+    # so NTZ→TZ keeps the same wall-clock instant — parity with DuckDB's
+    # naive TIMESTAMP) so every downstream query sees one type.
     if table == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
 
     from pyspark.sql import functions as F
-    from pyspark.sql.types import LongType
+    from pyspark.sql.types import LongType, TimestampNTZType
 
-    if table == "events" and isinstance(df.schema["ts"].dataType, LongType):
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if table == "events":
+        dt = df.schema["ts"].dataType
+        if isinstance(dt, LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif isinstance(dt, TimestampNTZType):
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

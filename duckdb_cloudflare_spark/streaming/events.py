@@ -32,31 +32,39 @@ from pyspark.sql.types import (
     TimestampNTZType,
 )
 
-EVENT_SCHEMA = StructType(
-    [
-        StructField("event_id", LongType()),
-        StructField("ts", LongType()),  # TIMESTAMP(NANOS) read as long
-        StructField("user_id", LongType()),
-        StructField("event_type", StringType()),
-        StructField("value", DoubleType()),
-        StructField("props", StringType()),
-    ]
-)
+def _event_schema(ts_type) -> StructType:
+    return StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", ts_type),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+            StructField("props", StringType()),
+        ]
+    )
 
 
 def read_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events parquet (one-file-at-a-time
     micro-batches with ``maxFilesPerTrigger``; ``availableNow`` triggers
-    drain it for tests). The nanos→micros conversion mirrors the batch
-    loader so streaming and batch plans see identical schemas."""
+    drain it for tests). The ts normalization mirrors the batch loader
+    (queries.load) so streaming and batch plans see identical schemas —
+    both the TIMESTAMP(NANOS) layout (read as long) and the timestamp[us]
+    NTZ layout are handled."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ts_type = spark.read.parquet(f"{sf_dir}/events.parquet").schema["ts"].dataType
     raw = (
-        spark.readStream.schema(EVENT_SCHEMA)
+        spark.readStream.schema(_event_schema(ts_type))
         .option("pathGlobFilter", "events.parquet")
         .option("maxFilesPerTrigger", "1")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(ts_type, LongType):
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(ts_type, TimestampNTZType):
+        return raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw
 
 
 def windowed_event_counts(
