@@ -188,15 +188,24 @@ def decode_with_real_codec(data: bytes):  # pragma: no cover - explicit stub
 # ---------------------------------------------------------------------------
 
 
-def with_asset_meta(df: DataFrame, asset_col: str = "asset") -> DataFrame:
+def with_asset_meta(
+    df: DataFrame, asset_col: str = "asset", keep: "list[str] | None" = None
+) -> DataFrame:
     """Append a typed ``meta`` struct decoded from the binary asset column.
 
     ``mapInPandas`` so one Arrow batch of assets is decoded per call —
     the batch shape (pd.DataFrame in, pd.DataFrame out, schema declared
     up front) is exactly what a real codec integration needs.
+
+    ``keep`` restricts the OUTPUT columns (meta is always appended): a
+    metadata-only consumer passes e.g. ``keep=["doc_id"]`` so the asset
+    bytes are not re-serialized Python→JVM after the decode — at scale
+    that return hop is the operator's dominant cost.
     """
-    out_schema = StructType(df.schema.fields + [StructField("meta", ASSET_META_SCHEMA)])
-    cols = list(df.columns)
+    cols = list(df.columns) if keep is None else list(keep)
+    out_schema = StructType(
+        [df.schema[c] for c in cols] + [StructField("meta", ASSET_META_SCHEMA)]
+    )
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

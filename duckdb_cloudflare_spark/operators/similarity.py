@@ -84,13 +84,62 @@ def brute_force_topk(
     Returns (query_id, neighbor_id, cosine_sim, nn_rank), excluding self-matches.
     Deterministic tie-break on (sim DESC, neighbor_id ASC).
     """
-    q = queries.select(F.col(query_id).alias("query_id"), F.col(query_vec).alias("qv"))
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import DoubleType
+
+    # Collect the query matrix driver-side (small by contract — the usual
+    # ANN-serving shape) and score every query per corpus row in ONE
+    # (batch × d) @ (d × m) matrix multiply inside an Arrow pandas UDF.
+    # Versus the per-(query, corpus-row) join formulation this ships each
+    # corpus vector across the Arrow boundary once instead of m times, and
+    # the top-k window shuffle carries 3 scalar columns, not embeddings.
+    qrows = sorted(
+        (
+            (int(r[0]), r[1])
+            for r in queries.select(query_id, query_vec).collect()
+            if r[1] is not None
+        ),
+        key=lambda t: t[0],
+    )
+    spark = queries.sparkSession
+    if not qrows:
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, cosine_sim double, nn_rank int"
+        )
+    qids = [t[0] for t in qrows]
+    Qm = np.asarray([t[1] for t in qrows], dtype=np.float64)  # (m, d)
+    Qt = np.ascontiguousarray(Qm.T)  # (d, m)
+    qn = np.maximum(np.linalg.norm(Qm, axis=1), 1e-12)  # (m,)
+
+    @pandas_udf(ArrayType(DoubleType()))
+    def all_sims(vecs: pd.Series) -> pd.Series:
+        vals = vecs.tolist()
+        n = len(vals)
+        out: list = [None] * n
+        ok = [i for i in range(n) if vals[i] is not None and len(vals[i]) == Qt.shape[0]]
+        if ok:
+            M = np.vstack([np.asarray(vals[i], dtype=np.float64) for i in ok])
+            cn = np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+            # dot / (|c| * |q|) — the oracle's exact formulation, so the
+            # float64 rounding path matches the per-pair scorer bit-for-bit
+            S = (M @ Qt) / (cn * qn[None, :])
+            for j, i in enumerate(ok):
+                out[i] = S[j].tolist()
+        return pd.Series(out)
+
     c = ensure_parallelism(corpus).select(
         F.col(corpus_id).alias("neighbor_id"), F.col(corpus_vec).alias("cv")
     )
     scored = (
-        c.join(broadcast(q), F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cosine_sim", F.round(cosine_similarity(F.col("qv"), F.col("cv")), 6))
+        c.select("neighbor_id", F.posexplode(all_sims(F.col("cv"))).alias("qpos", "sim"))
+        .select(
+            F.element_at(F.array(*[F.lit(q) for q in qids]), F.col("qpos") + 1).alias(
+                "query_id"
+            ),
+            "neighbor_id",
+            F.round("sim", 6).alias("cosine_sim"),  # JVM round — oracle-identical
+        )
+        .filter(F.col("query_id") != F.col("neighbor_id"))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(), F.col("neighbor_id"))
     return (
@@ -167,6 +216,7 @@ def ivf_topk(
         c.join(broadcast(q), on="cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .withColumn("cosine_sim", F.round(cosine_similarity(F.col("qv"), F.col("cv")), 6))
+        .select("query_id", "neighbor_id", "cosine_sim")  # vectors stay out of the shuffle
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(), F.col("neighbor_id"))
     return (
@@ -217,6 +267,7 @@ def lsh_topk(
         c.join(broadcast(qp), on="bucket")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .withColumn("cosine_sim", F.round(cosine_similarity(F.col("qv"), F.col("cv")), 6))
+        .select("query_id", "neighbor_id", "cosine_sim")  # vectors stay out of the shuffle
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(), F.col("neighbor_id"))
     return (

@@ -139,12 +139,18 @@ def q03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_shipdate") > F.lit("1996-03-15 00:00:00").cast("timestamp")
     )
     # Broadcast the BUILDING-segment customer slice (a dim-sized fraction of
-    # customers) and apply it to orders FIRST, so the segment filter shrinks
-    # orders before the one unavoidable big shuffle against lineitem
-    # (mirrors q05's dim hints; the classic TPC-H Q3 join order).
+    # customers) into orders, project the join down to (o_orderkey,
+    # o_orderdate), and broadcast THAT into lineitem: lineitem — the big
+    # side — is never shuffled and never hash-table-built (AQE left alone
+    # picks lineitem as the build side here, a 12x-larger hashed relation).
+    # The o⋈c slice is a doubly-filtered 2-column relation; at a scale where
+    # it outgrows broadcast, drop the outer hint and AQE falls back to a
+    # shuffle join with the same join order (classic TPC-H Q3).
+    oc = o.join(broadcast(c), o.o_custkey == c.c_custkey).select(
+        "o_orderkey", "o_orderdate"
+    )
     return (
-        o.join(broadcast(c), o.o_custkey == c.c_custkey)
-        .join(li, li.l_orderkey == o.o_orderkey)
+        li.join(broadcast(oc), li.l_orderkey == oc.o_orderkey)
         .groupBy("l_orderkey", "o_orderdate")
         .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"))
         .select("l_orderkey", "revenue", "o_orderdate")

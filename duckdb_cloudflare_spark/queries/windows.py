@@ -292,26 +292,30 @@ def q48_percent_rank_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q49_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "events")
-    clicks = (
-        e.filter(F.col("event_type") == "click")
-        .groupBy("user_id", "ts")
-        .agg(F.max("event_id").alias("click_id"))
-        .select(
-            "user_id", "ts", F.lit(0).alias("side"),
-            F.lit(None).cast("long").alias("event_id"),
-            F.lit(None).cast("double").alias("value"),
-            F.struct(F.col("ts").alias("click_ts"), F.col("click_id")).alias("click"),
-        )
+    # No pre-dedup aggregation: the LOCF window below orders clicks by
+    # (ts, side, event_id), so the carried-forward "last click" at any
+    # purchase row is automatically the max-event_id click of the newest
+    # ts ≤ purchase ts — identical to the oracle's groupBy-max + ASOF,
+    # with one shuffle (the window's hash(user_id)) instead of two.
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.lit(0).alias("side"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.lit(None).cast("double").alias("value"),
+        F.struct(
+            F.col("ts").alias("click_ts"), F.col("event_id").alias("click_id")
+        ).alias("click"),
+        F.col("event_id").alias("order_id"),
     )
     purchases = e.filter(F.col("event_type") == "purchase").select(
         "user_id", "ts", F.lit(1).alias("side"), "event_id", "value",
         F.lit(None).cast("struct<click_ts:timestamp,click_id:long>").alias("click"),
+        F.col("event_id").alias("order_id"),
     )
     # clicks sort BEFORE purchases at equal ts (side 0 < 1) → `c.ts <= p.ts`
     # inclusive semantics; last(ignorenulls) carries the newest click forward
     w = (
         Window.partitionBy("user_id")
-        .orderBy("ts", "side")
+        .orderBy("ts", "side", "order_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return (
@@ -367,16 +371,13 @@ def q50_range_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ),
     )
-    # inner-join the candidates, filter to the exact range, count — then
-    # reattach errors with zero in-range clicks (a bare left-join + filter
-    # would silently drop an error whose bucket matched only out-of-range
-    # clicks).
-    counts = (
-        err_b.join(clk, "b")
-        .filter(F.col("cts_us").between(F.col("ts_us") - W_US, F.col("ts_us")))
-        .groupBy("event_id")
-        .agg(F.count("cid").alias("n"))
-    )
-    return err.join(counts, "event_id", "left").select(
-        "event_id", "ts", F.coalesce("n", F.lit(0)).alias("n_clicks")
+    # LEFT-join the candidates so an error whose buckets match nothing (or
+    # only out-of-range clicks) still contributes its 1-2 bucket rows, then
+    # count ONLY the in-range matches conditionally — zero-click errors fall
+    # out of the same aggregation with n_clicks=0, no reattach join needed.
+    in_range = F.col("cts_us").between(F.col("ts_us") - W_US, F.col("ts_us"))
+    return (
+        err_b.join(clk, "b", "left")
+        .groupBy("event_id", "ts")
+        .agg(F.count(F.when(in_range, F.col("cid"))).alias("n_clicks"))
     )
