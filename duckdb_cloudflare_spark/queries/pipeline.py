@@ -243,11 +243,12 @@ def p14_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "closed-form dimensions without touching bytes (full encode/decode round-trip check)",
 )
 def p11_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # only (doc_id, text) feed the asset synth, and only doc_id+meta come
-    # back from the decode — the binary column crosses the Arrow boundary
-    # exactly twice (JVM→Python for decode, never back), not four times
+    # single Python stage: synth + codec decode fused (the real workload's
+    # shape — bytes originate storage-side, decode is the only Arrow hop;
+    # see synth_assets_with_meta). The separate attach/with_asset_meta
+    # operators stay composable and tested in tests/test_multimodal.py.
     d = D.ensure_parallelism(load(spark, sf_dir, "documents").select("doc_id", "text"))
-    decoded = M.with_asset_meta(M.attach_fake_assets(d).drop("text"), keep=["doc_id"])
+    decoded = M.synth_assets_with_meta(d, keep=("doc_id",))
     return decoded.select(
         "doc_id",
         F.col("meta.mime").alias("mime"),

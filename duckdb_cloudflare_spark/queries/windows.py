@@ -292,23 +292,25 @@ def q48_percent_rank_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q49_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "events")
-    # No pre-dedup aggregation: the LOCF window below orders clicks by
-    # (ts, side, event_id), so the carried-forward "last click" at any
-    # purchase row is automatically the max-event_id click of the newest
-    # ts ≤ purchase ts — identical to the oracle's groupBy-max + ASOF,
-    # with one shuffle (the window's hash(user_id)) instead of two.
-    clicks = e.filter(F.col("event_type") == "click").select(
-        "user_id", "ts", F.lit(0).alias("side"),
-        F.lit(None).cast("long").alias("event_id"),
-        F.lit(None).cast("double").alias("value"),
-        F.struct(
-            F.col("ts").alias("click_ts"), F.col("event_id").alias("click_id")
+    # No pre-dedup aggregation and no union: one conditional scan tags each
+    # row's side, and the LOCF window orders by (ts, side, event_id) so the
+    # carried-forward "last click" at any purchase row is automatically the
+    # max-event_id click of the newest ts ≤ purchase ts — identical to the
+    # oracle's groupBy-max + ASOF, with one pass over events and one
+    # shuffle (the window's hash(user_id)) instead of two scans + two
+    # shuffles.
+    is_click = F.col("event_type") == "click"
+    both = e.filter(is_click | (F.col("event_type") == "purchase")).select(
+        "user_id", "ts",
+        F.when(is_click, 0).otherwise(1).alias("side"),
+        F.when(~is_click, F.col("event_id")).alias("event_id"),
+        F.when(~is_click, F.col("value")).alias("value"),
+        F.when(
+            is_click,
+            F.struct(
+                F.col("ts").alias("click_ts"), F.col("event_id").alias("click_id")
+            ),
         ).alias("click"),
-        F.col("event_id").alias("order_id"),
-    )
-    purchases = e.filter(F.col("event_type") == "purchase").select(
-        "user_id", "ts", F.lit(1).alias("side"), "event_id", "value",
-        F.lit(None).cast("struct<click_ts:timestamp,click_id:long>").alias("click"),
         F.col("event_id").alias("order_id"),
     )
     # clicks sort BEFORE purchases at equal ts (side 0 < 1) → `c.ts <= p.ts`
@@ -319,8 +321,7 @@ def q49_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return (
-        clicks.unionByName(purchases)
-        .withColumn("last_click", F.last("click", ignorenulls=True).over(w))
+        both.withColumn("last_click", F.last("click", ignorenulls=True).over(w))
         .filter(F.col("side") == 1)
         .select(
             "event_id", "user_id", "ts",
