@@ -738,3 +738,123 @@ def p25_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id")
     )
+
+
+@register(
+    "p26_sequence_pack",
+    oracle="""
+    SELECT doc_id, source,
+           CAST((CAST(cum AS BIGINT) - n_chars) // 2048 AS BIGINT) AS seq_id,
+           CAST((CAST(cum AS BIGINT) - n_chars) % 2048  AS BIGINT) AS seq_off
+    FROM (
+        SELECT doc_id, source, n_chars,
+               sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+                                  ROWS UNBOUNDED PRECEDING) AS cum
+        FROM documents
+    )
+    """,
+    description="sequence packing: stream docs (per source, doc_id order) into "
+    "fixed 2048-char training sequences; each doc gets (seq_id, seq_off) from "
+    "its running start offset — the streaming concat-then-cut packing used to "
+    "fill fixed context windows, with docs straddling a boundary split across "
+    "sequences. One per-source window cumsum, no global sort: at 100 TB the "
+    "pack is computed shard-parallel exactly like this, and a hot source "
+    "costs one partition's sort, not a cluster-wide ordering.",
+)
+def p26_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = load(spark, sf_dir, "documents")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    start = (F.sum("n_chars").over(w) - F.col("n_chars")).cast("long")
+    return d.select(
+        "doc_id",
+        "source",
+        (start / F.lit(2048)).cast("long").alias("seq_id"),
+        (start % F.lit(2048)).cast("long").alias("seq_off"),
+    )
+
+
+@register(
+    "p27_chunk_windows",
+    oracle="""
+    SELECT doc_id,
+           CAST(start // 384 AS BIGINT)                    AS chunk_idx,
+           CAST(start AS BIGINT)                           AS start,
+           CAST(least(512, n_chars - start) AS BIGINT)     AS chunk_len
+    FROM (
+        SELECT doc_id, n_chars, unnest(range(0, n_chars, 384)) AS start
+        FROM documents
+        WHERE n_chars > 0
+    )
+    """,
+    description="context-window chunking: explode each document into 512-char "
+    "windows with stride 384 (128-char overlap) — the chunking stage ahead of "
+    "embedding/indexing. Map-side explode (sequence + posexplode), no shuffle; "
+    "output is (doc_id, chunk_idx, start, chunk_len) so the downstream "
+    "substring extraction can be fused into whatever consumes the chunks.",
+)
+def p27_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    return d.select(
+        "doc_id",
+        "n_chars",
+        F.explode(
+            F.sequence(F.lit(0).cast("long"), F.col("n_chars") - 1, F.lit(384).cast("long"))
+        ).alias("start"),
+    ).select(
+        "doc_id",
+        (F.col("start") / F.lit(384)).cast("long").alias("chunk_idx"),
+        F.col("start").cast("long").alias("start"),
+        F.least(F.lit(512).cast("long"), F.col("n_chars") - F.col("start")).alias("chunk_len"),
+    )
+
+
+@register(
+    "p28_unigram_logprob",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, lower(unnest({_TOKENS_SQL})) AS tok FROM documents
+    ), vocab AS (
+        SELECT tok, count(*) AS freq FROM toks GROUP BY tok
+    ), tot AS (
+        SELECT CAST(sum(freq) AS DOUBLE) AS total FROM vocab
+    )
+    SELECT doc_id,
+           round(avg(ln(CAST(freq AS DOUBLE) / total)), 6) AS avg_logprob,
+           count(*) AS n_tokens
+    FROM toks JOIN vocab USING (tok) CROSS JOIN tot
+    GROUP BY doc_id
+    """,
+    description="unigram language-model scoring: corpus token frequencies -> "
+    "per-doc mean log-probability — the cheap perplexity proxy used for "
+    "quality filtering (low avg logprob = rare-token soup). Two bucketed "
+    "shuffles (vocab build, per-doc mean); the corpus-total is a 1-row "
+    "broadcast. The token->freq join is explode-heavy but hash-bucketed, the "
+    "100 TB shape; a skewed token (e.g. 'the') is bounded by partial "
+    "aggregation on the vocab side and never widens the doc-side rows.",
+)
+def p28_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import broadcast
+
+    d = D.ensure_parallelism(load(spark, sf_dir, "documents"))
+    toks = d.select("doc_id", F.explode(T.tokens(F.col("text"))).alias("tok")).select(
+        "doc_id", F.lower("tok").alias("tok")
+    )
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("freq"))
+    tot = vocab.agg(F.sum("freq").cast("double").alias("total"))
+    return (
+        toks.join(vocab, "tok")
+        .crossJoin(broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.avg(F.log(F.col("freq").cast("double") / F.col("total"))), 6
+            ).alias("avg_logprob"),
+            F.count(F.lit(1)).alias("n_tokens"),
+        )
+    )
