@@ -111,3 +111,25 @@ def test_image_byte_histogram_shape(assets_df):
     assert all(len(r["features"]) == 16 for r in rows)
     # bins are individually rounded to 6 decimals -> sum can drift ~1e-5
     assert all(abs(sum(r["features"]) - 1.0) < 1e-4 for r in rows)
+
+
+def test_synth_assets_with_meta_matches_composed_path(spark, assets_df):
+    # The fused single-Python-stage operator must produce exactly what the
+    # composable attach_fake_assets -> with_asset_meta pipeline produces.
+    docs = spark.range(0, 30).select(
+        F.col("id").alias("doc_id"), F.concat(F.lit("text-"), F.col("id")).alias("text")
+    )
+    fused = {
+        r["doc_id"]: r["meta"]
+        for r in M.synth_assets_with_meta(docs, keep=("doc_id",)).collect()
+    }
+    composed = {
+        r["doc_id"]: r["meta"]
+        for r in M.with_asset_meta(assets_df, keep=["doc_id"]).collect()
+    }
+    assert fused == composed and len(fused) == 30
+
+
+def test_with_asset_meta_keep_prunes_output_columns(assets_df):
+    out = M.with_asset_meta(assets_df, keep=["doc_id"])
+    assert out.columns == ["doc_id", "meta"]
