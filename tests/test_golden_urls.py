@@ -412,3 +412,71 @@ class TestReadWrappers:
         # regex passes through verbatim — escaping is the caller's contract,
         # same as the reference's SIMILAR TO (internet_archive.cpp:987-1005)
         assert "filter=urlkey:^com,example)/blog/.*" in row["cdx_url"]
+
+
+class TestDistinctOnCollapse:
+    """DISTINCT ON → collapse= mapping parity with the reference's
+    expression analysis (src/internet_archive.cpp:1484-1893)."""
+
+    def test_bare_columns(self):
+        from duckdb_cloudflare_spark.sources.api import distinct_on_to_collapse as m
+
+        assert m("urlkey") == "urlkey"
+        assert m("digest") == "digest"
+        assert m("url") == "original"  # column→field rename
+        assert m("timestamp") == "timestamp"
+
+    def test_prefix_forms(self):
+        from duckdb_cloudflare_spark.sources.api import distinct_on_to_collapse as m
+
+        assert m("substr(urlkey, 1, 6)") == "urlkey:6"
+        assert m("substring(urlkey, 1, 6)") == "urlkey:6"
+        assert m("urlkey[:6]") == "urlkey:6"
+        assert m("urlkey[1:6]") == "urlkey:6"
+        assert m("substr(timestamp, 1, 4)") == "timestamp:4"
+        # start != 1 is not a prefix → pushdown abandoned
+        assert m("substr(urlkey, 2, 6)") is None
+
+    def test_year_month_derived_columns(self):
+        import pytest
+
+        from duckdb_cloudflare_spark.sources.api import distinct_on_to_collapse as m
+
+        assert m("year") == "timestamp:4"
+        assert m("year", "month") == "timestamp:6"
+        assert m("month", "year") == "timestamp:6"
+        with pytest.raises(ValueError, match="DISTINCT ON\\(month\\)"):
+            m("month")
+
+    def test_multiple_targets_join(self):
+        from duckdb_cloudflare_spark.sources.api import distinct_on_to_collapse as m
+
+        assert m("year", "statuscode") == "timestamp:4;;statuscode"
+        assert m("urlkey", "mimetype") == "urlkey;;mimetype"
+
+    def test_non_collapsible_returns_none(self):
+        from duckdb_cloudflare_spark.sources.api import distinct_on_to_collapse as m
+
+        assert m("lang") is None
+        assert m("upper(urlkey)") is None
+
+    def test_read_wayback_distinct_on_builds_collapse_url(self, spark):
+        from duckdb_cloudflare_spark.sources.api import read_wayback
+
+        df = read_wayback(
+            spark,
+            "example.com",
+            distinct_on=("year", "month"),
+            debug="true",
+            dry_run="true",
+        )
+        url = df.select("cdx_url").first()["cdx_url"]
+        assert "&collapse=timestamp:6" in url
+
+    def test_read_wayback_distinct_on_rejects_unpushable(self, spark):
+        import pytest
+
+        from duckdb_cloudflare_spark.sources.api import read_wayback
+
+        with pytest.raises(ValueError, match="not collapse-expressible"):
+            read_wayback(spark, "example.com", distinct_on=("lang",))
