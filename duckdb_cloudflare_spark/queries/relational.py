@@ -1067,3 +1067,82 @@ def q51_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         converted.cast("int").alias("converted"),
         F.when(converted, F.floor(delta)).alias("secs_to_convert"),
     )
+
+
+@register(
+    "q36_qualify_dialect",
+    oracle="""
+    SELECT c_custkey, c_nationkey, round(c_acctbal, 4) AS acctbal
+    FROM customer
+    QUALIFY row_number() OVER (PARTITION BY c_nationkey
+                               ORDER BY acctbal DESC, c_custkey) <= 3
+    """,
+    description="DuckDB QUALIFY clause routed through the duck_sql dialect "
+    "layer (compat.rewrite_qualify) as a first-class engine query — the "
+    "oracle runs the identical statement natively; the Spark side rewrites "
+    "QUALIFY into a ranked subquery. Top-3-per-group also exercises the "
+    "WindowGroupLimit partial top-N pushdown.",
+)
+def q36_qualify_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duckdb_cloudflare_spark.compat import duck_sql
+
+    load(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return duck_sql(
+        spark,
+        """
+        SELECT c_custkey, c_nationkey, round(c_acctbal, 4) AS acctbal
+        FROM customer
+        QUALIFY row_number() OVER (PARTITION BY c_nationkey
+                                   ORDER BY acctbal DESC, c_custkey) <= 3
+        """,
+    )
+
+
+@register(
+    "q38_boolean_aggs",
+    oracle="""
+    SELECT o_orderpriority,
+           bool_and(o_totalprice > 1000)   AS all_over_1k,
+           bool_or(o_orderstatus = 'F')    AS any_final,
+           count_if(o_totalprice > 150000) AS n_big
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    description="boolean/conditional aggregates: bool_and, bool_or, count_if "
+    "— single-shuffle partial-aggregated group by",
+)
+def q38_boolean_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.bool_and(F.col("o_totalprice") > 1000).alias("all_over_1k"),
+        F.bool_or(F.col("o_orderstatus") == "F").alias("any_final"),
+        F.count_if(F.col("o_totalprice") > 150000).alias("n_big"),
+    )
+
+
+@register(
+    "q39_stat_aggs",
+    oracle="""
+    SELECT l_returnflag,
+           round(median(l_quantity), 4)                      AS med_qty,
+           round(stddev_samp(l_extendedprice), 4)            AS sd_price,
+           round(var_samp(l_discount), 6)                    AS var_disc,
+           round(corr(l_quantity, l_extendedprice), 6)       AS corr_qty_price,
+           round(covar_samp(l_quantity, l_extendedprice), 4) AS covar_qty_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    description="statistical aggregates: median (exact), sample stddev/variance, "
+    "correlation, sample covariance — one partial-aggregated shuffle; exact "
+    "median is the one holistic aggregate (needs the group's values), which "
+    "at 100 TB degrades to approx_percentile or a two-pass count+nth-element",
+)
+def q39_stat_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.median("l_quantity"), 4).alias("med_qty"),
+        F.round(F.stddev_samp("l_extendedprice"), 4).alias("sd_price"),
+        F.round(F.var_samp("l_discount"), 6).alias("var_disc"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias("covar_qty_price"),
+    )
