@@ -151,3 +151,38 @@ def test_decontaminate_broadcasts_benchmark_side(spark, registry):
     plan = formatted_plan(df)
     assert "BroadcastNestedLoopJoin" in plan and "LeftSemi" in plan
     assert shuffle_count(df) == 0
+
+
+def test_q49_asof_is_single_shuffle_no_preagg(spark, registry):
+    # r3 shape: one conditional scan + one window shuffle. A regression to
+    # the groupBy-pre-dedup + union shape shows up as a second exchange.
+    from duckdb_cloudflare_spark.plans.introspect import formatted_plan
+
+    df = registry["q49_asof_join"](spark, SF_DIR)
+    assert shuffle_count(df) == 1
+    assert "Union" not in formatted_plan(df)
+
+
+def test_q50_range_join_has_no_reattach_join(spark, registry):
+    # r3 shape: LEFT bucket join + conditional count — exactly one join.
+    # The old shape re-joined errors onto the counts (a second join node).
+    from duckdb_cloudflare_spark.plans.introspect import formatted_plan
+
+    plan = formatted_plan(registry["q50_range_join_bucketed"](spark, SF_DIR))
+    import re
+
+    # count operator headers ("(n) <Join>") — each node also appears once in
+    # the tree rendering, so a raw substring count would double-count
+    n_joins = len(re.findall(r"^\(\d+\) \w*Join", plan, re.MULTILINE))
+    assert n_joins == 1, plan
+
+
+def test_p05_knn_has_no_nested_loop_join(spark, registry):
+    # r3 shape: per-batch matmul scores every query at once — the plan must
+    # not contain the old corpus x queries BroadcastNestedLoopJoin, and the
+    # top-k window shuffle must not carry embedding arrays.
+    from duckdb_cloudflare_spark.plans.introspect import formatted_plan
+
+    plan = formatted_plan(registry["p05_knn_bruteforce"](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "hashpartitioning(query_id" in plan, plan
