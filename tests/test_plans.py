@@ -186,3 +186,23 @@ def test_p05_knn_has_no_nested_loop_join(spark, registry):
     plan = formatted_plan(registry["p05_knn_bruteforce"](spark, SF_DIR))
     assert "BroadcastNestedLoopJoin" not in plan
     assert "hashpartitioning(query_id" in plan, plan
+
+
+def test_ann_topk_windows_shuffle_scalars_only(spark, registry):
+    # ivf/lsh share p05's contract: exact-rescore inside buckets, then a
+    # top-k window whose shuffle carries (query_id, neighbor_id, sim) —
+    # never the embedding arrays.
+    from duckdb_cloudflare_spark.plans.introspect import formatted_plan
+    import re
+
+    for name in ("p10_lsh_topk", "p14_ivf_topk"):
+        plan = formatted_plan(registry[name](spark, SF_DIR))
+        m = re.search(
+            r"Exchange\s*\n(?:[^\n]*\n)?Input(?: \[\d+\])?: \[([^\]]*)\]\s*\nArguments: hashpartitioning\(query_id",
+            plan,
+        )
+        # fall back: find the Exchange block by its Arguments line
+        blocks = re.findall(r"\(\d+\) Exchange\s*\nInput[^\n]*: \[([^\]]*)\]\s*\nArguments: hashpartitioning\(query_id[^\n]*", plan)
+        assert blocks, plan
+        for cols in blocks:
+            assert "qv" not in cols and "cv" not in cols, (name, cols)
