@@ -21,4 +21,11 @@ Architecture (Spark-first, not a port):
 
 from duckdb_cloudflare_spark.session import get_spark  # noqa: F401
 
+
+def connect(*args, **kwargs):
+    """Engine facade entry point (lazy import — see ``engine.connect``)."""
+    from duckdb_cloudflare_spark.engine import connect as _connect
+
+    return _connect(*args, **kwargs)
+
 __version__ = "0.1.0"
