@@ -858,3 +858,44 @@ def p28_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_tokens"),
         )
     )
+
+
+@register(
+    "p29_lang_quality_floor",
+    oracle="""
+    WITH s AS (
+        SELECT doc_id, lang,
+               CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+                   / length(text) AS ar
+        FROM documents
+        WHERE length(text) > 0
+    ), m AS (
+        SELECT lang, median(ar) AS med FROM s GROUP BY lang
+    )
+    SELECT doc_id, lang, round(ar, 6) AS alpha_ratio
+    FROM s JOIN m USING (lang)
+    WHERE ar >= med
+    """,
+    description="per-language quality floor: keep documents at/above their "
+    "language's MEDIAN alphabetic ratio — per-group adaptive thresholds "
+    "instead of one global gate (non-Latin scripts would fail a global "
+    "alpha cutoff). One small aggregate (n_langs rows) broadcast back over "
+    "the corpus: the 100 TB shape is a map-only rescan, no corpus shuffle. "
+    "The ratio and the interpolated median are computed identically in both "
+    "engines, so the >= comparison is deterministic.",
+)
+def p29_lang_quality_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import broadcast
+
+    d = load(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    ar = (
+        F.length(F.regexp_replace("text", "[^A-Za-z]", "")).cast("double")
+        / F.length("text")
+    )
+    s = d.select("doc_id", "lang", ar.alias("ar"))
+    med = s.groupBy("lang").agg(F.median("ar").alias("med"))
+    return (
+        s.join(broadcast(med), "lang")
+        .filter(F.col("ar") >= F.col("med"))
+        .select("doc_id", "lang", F.round("ar", 6).alias("alpha_ratio"))
+    )
