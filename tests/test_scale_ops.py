@@ -169,3 +169,24 @@ class TestConnectedComponentsStar:
             r["id"]: r["component"] for r in connected_components_star(pairs).collect()
         }
         assert comp == {5: 5, 7: 7, 9: 7}
+
+
+def test_partitioning_invariance_of_deterministic_stages(spark):
+    # The engine claims its sampling/split/packing stages are deterministic
+    # functions of the DATA, not of the physical layout. Rerun three such
+    # queries under radically different partitionings and require
+    # identical row sets — the property that makes results reproducible
+    # when the same job runs on 8 or 800 executors.
+    from duckdb_cloudflare_spark import queries as Q
+
+    reg = Q.all_queries()
+    sf = "/root/testdata/sf0.001"
+    for name in ("p18_stratified_downsample", "p19_train_test_split", "p26_sequence_pack"):
+        base = {tuple(r) for r in reg[name](spark, sf).collect()}
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        try:
+            spark.conf.set("spark.sql.shuffle.partitions", "3")
+            alt = {tuple(r) for r in reg[name](spark, sf).collect()}
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+        assert base == alt, name
