@@ -103,6 +103,65 @@ def rewrite_exclude(sql: str) -> str:
     return "".join(out)
 
 
+def rewrite_replace(sql: str) -> str:
+    """``* REPLACE (expr AS col, ...)`` → ``* EXCEPT (col, ...), expr AS col, ...``.
+
+    DuckDB's star-REPLACE substitutes columns in place; Spark has no REPLACE,
+    but ``* EXCEPT`` + re-projecting the replacement expressions is
+    semantically identical up to COLUMN ORDER (replaced columns move to the
+    end of the star expansion). Order-insensitive consumers (and the
+    driver's column-name-sorted hashing) see identical results; order-
+    sensitive callers should list columns explicitly.
+
+    Works at any depth; occurrences inside string literals / comments are
+    left alone.
+    """
+    while True:
+        real = {i for i, _, _ in _scan_top_level(sql)}
+        m = None
+        for cand in re.finditer(r"\*\s+(REPLACE)\s*(\()", sql, flags=re.IGNORECASE):
+            if cand.start(1) in real:
+                m = cand
+                break
+        if m is None:
+            return sql
+        open_idx = m.start(2)
+        close = _match_paren(sql, open_idx)
+        inner = sql[open_idx + 1 : close]
+        # split the replacement list on top-level commas
+        items: list[str] = []
+        depth = 0
+        start = 0
+        offset = open_idx + 1
+        real_inner = {i for i, _, _ in _scan_top_level(sql)}
+        for i in range(len(inner)):
+            gi = offset + i
+            if gi not in real_inner:
+                continue
+            c = inner[i]
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+            elif c == "," and depth == 0:
+                items.append(inner[start:i])
+                start = i + 1
+        items.append(inner[start:])
+        names = []
+        for item in items:
+            am = re.search(r"\bAS\s+([A-Za-z_]\w*|\"[^\"]+\"|`[^`]+`)\s*$", item.strip(), re.IGNORECASE)
+            if not am:
+                raise ValueError(
+                    "duck_sql: REPLACE list items must be 'expr AS name', got: "
+                    + item.strip()
+                )
+            names.append(am.group(1).strip('"`'))
+        replacement = (
+            "EXCEPT (" + ", ".join(names) + "), " + ", ".join(i.strip() for i in items)
+        )
+        sql = sql[: m.start(1)] + replacement + sql[close + 1 :]
+
+
 def _match_paren(sql: str, open_idx: int) -> int:
     """Index of the ``)`` matching ``sql[open_idx] == '('`` (quote-aware)."""
     target = None
@@ -282,4 +341,5 @@ def duck_sql(spark: SparkSession, sql: str) -> DataFrame:
     """``spark.sql`` accepting the DuckDB dialect idioms above."""
     sql = rewrite_file_tables(sql)
     sql = rewrite_function_names(sql)
+    sql = rewrite_replace(sql)
     return spark.sql(rewrite_qualify(rewrite_exclude(sql)))

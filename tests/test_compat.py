@@ -194,3 +194,45 @@ class TestFileTables:
             "SELECT count(*) AS n FROM read_parquet('/root/testdata/sf0.001/nation.parquet')",
         ).collect()[0]["n"]
         assert n2 == 25
+
+
+class TestReplaceRewrite:
+    def test_rewrite_basic(self):
+        from duckdb_cloudflare_spark.compat import rewrite_replace
+
+        out = rewrite_replace("SELECT * REPLACE (lower(a) AS a) FROM t")
+        assert out == "SELECT * EXCEPT (a), lower(a) AS a FROM t"
+
+    def test_rewrite_multiple_and_nested_commas(self):
+        from duckdb_cloudflare_spark.compat import rewrite_replace
+
+        out = rewrite_replace(
+            "SELECT * REPLACE (round(x, 2) AS x, concat(a, ',') AS a) FROM t"
+        )
+        assert out == (
+            "SELECT * EXCEPT (x, a), round(x, 2) AS x, concat(a, ',') AS a FROM t"
+        )
+
+    def test_inside_string_untouched(self):
+        from duckdb_cloudflare_spark.compat import rewrite_replace
+
+        sql = "SELECT '* REPLACE (x AS y)' AS s FROM t"
+        assert rewrite_replace(sql) == sql
+
+    def test_missing_alias_raises(self):
+        import pytest
+
+        from duckdb_cloudflare_spark.compat import rewrite_replace
+
+        with pytest.raises(ValueError, match="REPLACE list items"):
+            rewrite_replace("SELECT * REPLACE (lower(a)) FROM t")
+
+    def test_executes(self, spark):
+        from duckdb_cloudflare_spark.compat import duck_sql
+
+        spark.createDataFrame([(1, "Ab"), (2, "cD")], "id int, name string") \
+            .createOrReplaceTempView("replace_t")
+        rows = duck_sql(
+            spark, "SELECT * REPLACE (lower(name) AS name) FROM replace_t"
+        ).collect()
+        assert {(r["id"], r["name"]) for r in rows} == {(1, "ab"), (2, "cd")}
