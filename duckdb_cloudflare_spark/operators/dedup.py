@@ -26,6 +26,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, LongType
+from pyspark.sql.window import Window
 from pyspark.storagelevel import StorageLevel
 
 from duckdb_cloudflare_spark.operators.text_analysis import normalize_text, tokens
@@ -527,6 +528,48 @@ def minhash_dedup(
     else:
         losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return df.join(losers, on=id_col, how="left_anti")
+
+
+def dedup_keep_best(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    score_col: str = "n_chars",
+    cc_variant: str = "minlabel",
+) -> DataFrame:
+    """Quality-aware canonical selection: cluster the near-dup ``pairs``
+    (connected components), then keep the HIGHEST-``score_col`` member of
+    every cluster (tie → min id) instead of min-id. Rows in no pair are
+    singletons and always survive.
+
+    This is the curation deliverable of a dedup pass — keep the best copy
+    (longest / highest-quality), drop the rest. Returns ``df`` rows that
+    survive, plus a ``cluster_size`` column (1 for singletons).
+
+    Scale shape: components over the (small) pair set, one broadcast-or-
+    shuffle join back to ``df`` on id, and a per-cluster top-1 window that
+    gets WindowGroupLimit partial push-down — the corpus itself is never
+    shuffled beyond the id join.
+    """
+    cc = connected_components if cc_variant == "minlabel" else connected_components_star
+    comp = cc(pairs)  # (id, component) — only ids that appear in pairs
+    labeled = df.join(
+        comp.select(F.col("id").alias(id_col), "component"), id_col, "left"
+    )
+    w = Window.partitionBy("component").orderBy(
+        F.col(score_col).desc(), F.col(id_col)
+    )
+    clustered = (
+        labeled.filter(F.col("component").isNotNull())
+        .withColumn("_rk", F.row_number().over(w))
+        .withColumn("cluster_size", F.count(F.lit(1)).over(Window.partitionBy("component")))
+        .filter(F.col("_rk") == 1)
+        .drop("_rk", "component")
+    )
+    singletons = labeled.filter(F.col("component").isNull()).drop("component").withColumn(
+        "cluster_size", F.lit(1).cast("long")
+    )
+    return clustered.unionByName(singletons)
 
 
 # ---------------------------------------------------------------------------

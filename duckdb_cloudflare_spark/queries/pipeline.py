@@ -899,3 +899,20 @@ def p29_lang_quality_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("ar") >= F.col("med"))
         .select("doc_id", "lang", F.round("ar", 6).alias("alpha_ratio"))
     )
+
+
+@register(
+    "p30_dedup_keep_best",
+    oracle=None,  # LSH candidate generation is probabilistic; pytest pins the
+    # keep-best selection on planted clusters (test_neardup_quality)
+    description="quality-aware canonical dedup: minhash near-dup pairs -> "
+    "connected components -> keep the LONGEST member of each cluster (tie: "
+    "min doc_id) instead of min-id — the curation deliverable of a dedup "
+    "pass. Components run over the small pair set; the corpus only pays one "
+    "id join plus a per-cluster top-1 window (WindowGroupLimit partial).",
+)
+def p30_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(docs, threshold=0.5)
+    kept = D.dedup_keep_best(docs, pairs, id_col="doc_id", score_col="n_chars")
+    return kept.select("doc_id", "n_chars", "cluster_size")

@@ -150,3 +150,43 @@ def test_ivf_topk_recall_vs_exact(ann_frames):
     emb, q, exact = ann_frames
     got = S.ivf_topk(q, emb, k=5, n_centroids=16, n_probe=4)
     assert _topk_recall(got, exact) >= 0.5
+
+
+def test_dedup_keep_best_selects_longest_per_planted_cluster(spark):
+    # Three planted near-dup clusters with different-length members plus
+    # unrelated singletons: exactly one survivor per cluster, and it is the
+    # longest member (tie broken by min id). Singletons all survive with
+    # cluster_size 1.
+    from duckdb_cloudflare_spark.operators.dedup import (
+        dedup_keep_best,
+        minhash_lsh_pairs,
+    )
+
+    bases = [
+        "the quick brown fox jumps over the lazy dog and runs far away "
+        "into the deep green forest while the sun sets slowly behind hills ",
+        "a completely different tale of ships sailing across stormy seas "
+        "carrying cargo between distant harbors under grey winter skies ",
+        "yet another account concerning mountain climbers scaling granite "
+        "walls with ropes and carabiners before the weather turns bad ",
+    ]
+    rows = []
+    # cluster k: ids 10k..10k+2, member i appends i extra sentences
+    for k in range(3):
+        for i in range(3):
+            rows.append(
+                (10 * k + i, bases[k] * 3 + ("extra words here " * i))
+            )
+    # singletons: unrelated content
+    rows.append((900, "completely different text about spark engines " * 4))
+    rows.append((901, "unrelated musings on parquet file layouts " * 4))
+    df = spark.createDataFrame(rows, "doc_id long, text string").withColumn(
+        "n_chars", __import__("pyspark.sql.functions", fromlist=["length"]).length("text").cast("long")
+    )
+    pairs = minhash_lsh_pairs(df, threshold=0.5)
+    kept = dedup_keep_best(df, pairs, id_col="doc_id", score_col="n_chars")
+    got = {r["doc_id"]: r["cluster_size"] for r in kept.collect()}
+    # the longest member of each planted cluster is the i=2 doc
+    assert {k for k in got if k < 900} == {2, 12, 22}
+    assert all(got[k] == 3 for k in (2, 12, 22))
+    assert got[900] == 1 and got[901] == 1
