@@ -1,0 +1,105 @@
+"""Streaming document pipeline: sequence packing as a custom stateful
+operator.
+
+The batch twin (queries p26) assigns each document a (seq_id, seq_off)
+from its running char offset per source via a window cumsum. In streaming,
+documents arrive incrementally, so the running offset must SURVIVE across
+micro-batches: classic keyed state, expressed with
+``applyInPandasWithState`` — the state is one long (the source's next
+write offset), each batch folds its documents in arrival order and emits
+their pack assignments.
+
+Determinism contract: assignments depend on arrival order per source. When
+the stream delivers documents in doc_id order (as the file source does for
+ordered input files), the output is row-identical to the batch p26 plan —
+pinned by tests/test_streaming_pack.py.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+DOC_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("text", StringType()),
+        StructField("lang", StringType()),
+        StructField("source", StringType()),
+        StructField("n_chars", LongType()),
+    ]
+)
+
+PACK_STATE_SCHEMA = StructType([StructField("offset", LongType())])
+PACK_OUT_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("source", StringType()),
+        StructField("seq_id", LongType()),
+        StructField("seq_off", LongType()),
+    ]
+)
+
+
+def read_document_stream(spark: SparkSession, path: str) -> DataFrame:
+    """File-source stream over document parquet files (one file per
+    micro-batch; ``availableNow`` drains it for tests/backfills)."""
+    return (
+        spark.readStream.schema(DOC_SCHEMA)
+        .option("pathGlobFilter", "*.parquet")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(path)
+    )
+
+
+def _make_pack_fn(budget: int):
+    def pack_fn(
+        key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (offset,) = state.get if state.exists else (0,)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            pdf = pdf.sort_values("doc_id")  # arrival order within the batch
+            lens = pdf["n_chars"].to_numpy()
+            starts = offset + lens.cumsum() - lens
+            offset = int(offset + lens.sum())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].to_numpy(),
+                    "source": key[0],
+                    "seq_id": starts // budget,
+                    "seq_off": starts % budget,
+                }
+            )
+        state.update((offset,))
+
+    return pack_fn
+
+
+def pack_stream(stream: DataFrame, budget: int = 2048) -> DataFrame:
+    """Streaming sequence packing: per-source running char offset carried
+    in keyed state; each document gets (seq_id, seq_off) exactly as the
+    batch window-cumsum plan assigns them. State is ONE long per source —
+    bounded by the number of sources, not the stream length."""
+    return (
+        stream.select("doc_id", "source", "n_chars")
+        .groupBy("source")
+        .applyInPandasWithState(
+            _make_pack_fn(budget),
+            outputStructType=PACK_OUT_SCHEMA,
+            stateStructType=PACK_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -1,0 +1,67 @@
+"""Streaming sequence packing: the applyInPandasWithState packer must be
+row-identical to the batch p26 window-cumsum plan when documents arrive in
+doc_id order — including offsets that CROSS micro-batch boundaries (the
+whole point of the keyed state)."""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pytest
+
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def split_docs_dir(spark, tmp_path_factory):
+    """The sf0.001 documents split into TWO parquet files by doc_id range,
+    written oldest-first so the file stream delivers them as two ordered
+    micro-batches per source."""
+    d = tmp_path_factory.mktemp("docstream")
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    mid = docs.agg(F.expr("percentile_approx(doc_id, 0.5)")).first()[0]
+    docs.filter(F.col("doc_id") <= mid).coalesce(1).write.parquet(str(d / "part1"))
+    time.sleep(1.1)  # distinct mtimes → deterministic oldest-first order
+    docs.filter(F.col("doc_id") > mid).coalesce(1).write.parquet(str(d / "part2"))
+    flat = tmp_path_factory.mktemp("docstream_flat")
+    n = 0
+    for sub in ("part1", "part2"):
+        for f in sorted(os.listdir(str(d / sub))):
+            if f.endswith(".parquet"):
+                src = str(d / sub / f)
+                dst = str(flat / f"{n:02d}.parquet")
+                os.rename(src, dst)
+                os.utime(dst, (time.time() + n, time.time() + n))
+                n += 1
+    assert n == 2
+    return str(flat)
+
+
+def test_pack_stream_matches_batch_p26_across_batches(spark, split_docs_dir):
+    from duckdb_cloudflare_spark import queries as Q
+    from duckdb_cloudflare_spark.streaming.documents import (
+        pack_stream,
+        read_document_stream,
+    )
+    from duckdb_cloudflare_spark.streaming.events import run_to_memory
+
+    stream = read_document_stream(spark, split_docs_dir)
+    got = run_to_memory(pack_stream(stream), "pack_stream_out")
+    stream_rows = {tuple(r) for r in got.collect()}
+
+    batch_rows = {
+        tuple(r)
+        for r in Q.all_queries()["p26_sequence_pack"](spark, SF_DIR).collect()
+    }
+    assert stream_rows == batch_rows and len(stream_rows) > 0
+
+
+def test_pack_stream_state_is_one_offset_per_source(spark, split_docs_dir):
+    # State bound: the packer's state schema is a single long per source —
+    # assert the declared schema (the contract that keeps state bounded).
+    from duckdb_cloudflare_spark.streaming.documents import PACK_STATE_SCHEMA
+
+    assert [f.dataType.simpleString() for f in PACK_STATE_SCHEMA.fields] == ["bigint"]
