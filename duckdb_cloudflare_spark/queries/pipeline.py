@@ -398,10 +398,13 @@ def p16_token_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
 def p17_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
+    from pyspark.sql.functions import broadcast
+
     raw = load(spark, sf_dir, "documents")
-    # count() on the raw scan is a metadata-cheap column-less read; counting
-    # after the repartition would pay a full shuffle just for N.
-    n_docs = raw.count()
+    # N as a 1-row aggregate cross-joined in (not a driver-side .count()):
+    # keeps the whole query ONE job — the separate count action cost a full
+    # scheduler round trip per execution.
+    nd = raw.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
     d = D.ensure_parallelism(raw)
     toks = d.select("doc_id", F.explode(T.tokens(F.col("text"))).alias("tok")).select(
         "doc_id", F.lower("tok").alias("tok")
@@ -417,10 +420,10 @@ def p17_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     # at corpus scale. AQE then broadcasts the small df relation (no shuffle
     # of tf) or skew-splits the join when the vocabulary is huge.
     df_rel = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
-    scored = tf.join(df_rel, "tok").select(
+    scored = tf.join(df_rel, "tok").crossJoin(broadcast(nd)).select(
         "doc_id",
         "tok",
-        F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6).alias("tfidf"),
+        F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6).alias("tfidf"),
     )
     w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("tok"))
     return (
