@@ -190,7 +190,11 @@ def p08_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "p09_embedding_neardup",
     oracle=None,
-    description="embedding-cosine near-dup pairs via random-hyperplane sketch buckets",
+    description="embedding-cosine near-dup pairs via random-hyperplane sketch "
+    "buckets. NOTE: the synthetic embeddings contain no near-duplicates (max "
+    "pairwise cosine ~0.51 at sf0.01), so ZERO rows is the exact all-pairs "
+    "answer on this testdata; recall on planted duplicates is pinned by "
+    "tests/test_neardup_quality.py",
 )
 def p09_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.embedding_neardup_pairs(load(spark, sf_dir, "embeddings"), threshold=0.9)
