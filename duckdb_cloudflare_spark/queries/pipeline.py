@@ -923,3 +923,106 @@ def p30_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = D.minhash_lsh_pairs(docs, threshold=0.5)
     kept = D.dedup_keep_best(docs, pairs, id_col="doc_id", score_col="n_chars")
     return kept.select("doc_id", "n_chars", "cluster_size")
+
+
+_GRAMS5_SQL = (
+    "CASE WHEN len({t}) >= 5 THEN list_distinct(list_transform("
+    "range(1, len({t}) - 3), i -> array_to_string({t}[i:i+4], ' '))) "
+    "WHEN len({t}) > 0 THEN [array_to_string({t}, ' ')] "
+    "ELSE [] END"
+)
+_BENCH_TOKS_SQL = "string_split_regex(trim(bench_text), '\\s+')"
+_BENCH_GRAMS_SQL = _GRAMS5_SQL.format(t=_BENCH_TOKS_SQL)
+_CORPUS_GRAMS_SQL = _GRAMS5_SQL.format(t=_TOKENS_SQL)
+
+
+@register(
+    "p31_fuzzy_decontaminate",
+    oracle=f"""
+    WITH bench_docs AS (
+        SELECT doc_id AS bench_id, text AS bench_text,
+               substr(text, 10, 120) AS snippet
+        FROM documents
+        WHERE doc_id % 97 = 0 AND length(substr(text, 10, 120)) >= 60
+    ), corpus AS (
+        SELECT c.doc_id,
+               CASE WHEN c.doc_id % 13 = 0 AND i.snippet IS NOT NULL
+                    THEN c.text || ' ' || i.snippet ELSE c.text END AS text
+        FROM documents c
+        LEFT JOIN bench_docs i ON i.bench_id = ((c.doc_id % 3) + 1) * 97
+        WHERE c.doc_id % 97 <> 0
+    ), bgrams AS (
+        SELECT DISTINCT unnest({_BENCH_GRAMS_SQL}) AS gram
+        FROM bench_docs
+    ), cgrams AS (
+        SELECT doc_id, g AS grams, len(g) AS n
+        FROM (SELECT doc_id,
+                     {_CORPUS_GRAMS_SQL} AS g
+              FROM corpus)
+        WHERE len(g) > 0
+    ), exploded AS (
+        SELECT doc_id, n, unnest(grams) AS gram FROM cgrams
+    )
+    SELECT e.doc_id,
+           round(CAST(count(*) AS DOUBLE) / n, 6) AS overlap_ratio
+    FROM exploded e JOIN bgrams USING (gram)
+    GROUP BY e.doc_id, n
+    HAVING CAST(count(*) AS DOUBLE) / n >= 0.10
+    """,
+    description="fuzzy decontamination: flag training docs whose word-5-gram "
+    "sets overlap any benchmark item's grams by >= 10% — the n-gram "
+    "escalation beyond p25's exact-substring check (catches light edits and "
+    "re-wrapped text). Contamination is INJECTED deterministically first "
+    "(p25's seed-then-detect fixture). The benchmark gram set is tiny and "
+    "BROADCAST; the corpus pays one map-side explode + a broadcast join + "
+    "one aggregation — no corpus-vs-corpus expansion, the 100 TB shape.",
+)
+def p31_fuzzy_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import broadcast
+
+    d = load(spark, sf_dir, "documents")
+    bench = (
+        d.filter(F.col("doc_id") % 97 == 0)
+        .select(
+            F.col("doc_id").alias("bench_id"),
+            F.col("text").alias("bench_text"),
+            F.substring("text", 10, 120).alias("snippet"),
+        )
+        .filter(F.length("snippet") >= 60)
+    )
+    inj = bench.select("bench_id", F.col("snippet").alias("inj_snippet"))
+    corpus = (
+        d.filter(F.col("doc_id") % 97 != 0)
+        .join(broadcast(inj), F.col("bench_id") == (F.col("doc_id") % 3 + 1) * 97, "left")
+        .select(
+            "doc_id",
+            F.when(
+                (F.col("doc_id") % 13 == 0) & F.col("inj_snippet").isNotNull(),
+                F.concat(F.col("text"), F.lit(" "), F.col("inj_snippet")),
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+    )
+    bgrams = (
+        bench.select(F.explode(D.shingles(F.col("bench_text"), 5)).alias("gram"))
+        .distinct()
+    )
+    cgrams = corpus.select(
+        "doc_id", D.shingles(F.col("text"), 5).alias("grams")
+    ).filter(F.size("grams") > 0)
+    exploded = cgrams.select(
+        "doc_id", F.size("grams").alias("n"), F.explode("grams").alias("gram")
+    )
+    m = (
+        exploded.join(broadcast(bgrams), "gram")
+        .groupBy("doc_id", "n")
+        .agg(F.count(F.lit(1)).alias("m"))
+    )
+    return (
+        m.filter(F.col("m").cast("double") / F.col("n") >= 0.10)
+        .select(
+            "doc_id",
+            F.round(F.col("m").cast("double") / F.col("n"), 6).alias("overlap_ratio"),
+        )
+    )
