@@ -1026,3 +1026,67 @@ def p31_fuzzy_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("m").cast("double") / F.col("n"), 6).alias("overlap_ratio"),
         )
     )
+
+
+@register(
+    "p32_corpus_mix",
+    oracle="""
+    SELECT doc_id, source, CAST(cum AS BIGINT) AS cum_chars
+    FROM (
+        SELECT doc_id, source, n_chars,
+               sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+                                  ROWS UNBOUNDED PRECEDING) AS cum
+        FROM documents
+    )
+    WHERE CAST(cum AS BIGINT) - n_chars < 4000
+    """,
+    description="data-mixture sampling: truncate each source at a 4000-char "
+    "budget — keep each source's docs (doc_id order) while the running "
+    "char total is inside its share, the per-source budget stage of a "
+    "training-mixture recipe. Same shard-parallel window cumsum as p26; "
+    "a doc straddling the boundary is kept (pack-truncation semantics).",
+)
+def p32_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = load(spark, sf_dir, "documents")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_chars").over(w).cast("long")
+    return (
+        d.select("doc_id", "source", "n_chars", cum.alias("cum_chars"))
+        .filter(F.col("cum_chars") - F.col("n_chars") < 4000)
+        .select("doc_id", "source", "cum_chars")
+    )
+
+
+@register(
+    "p33_label_centroids",
+    oracle="""
+    SELECT label,
+           CAST(idx - 1 AS INTEGER) AS dim,
+           round(avg(CAST(val AS DOUBLE)), 6) AS centroid
+    FROM (
+        SELECT label,
+               unnest(range(1, len(embedding) + 1)) AS idx,
+               unnest(embedding) AS val
+        FROM embeddings
+    )
+    GROUP BY label, dim
+    """,
+    description="per-label embedding centroids, exploded to (label, dim, "
+    "centroid) rows: posexplode -> one partial-aggregated shuffle on "
+    "(label, dim) — the class-centroid building block of IVF quantizers "
+    "and embedding-space evals, with no array reassembly (the exploded "
+    "shape hash-compares engine-independently and scales as a plain agg).",
+)
+def p33_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    return (
+        emb.select("label", F.posexplode("embedding").alias("dim", "val"))
+        .groupBy("label", "dim")
+        .agg(F.round(F.avg(F.col("val").cast("double")), 6).alias("centroid"))
+    )
