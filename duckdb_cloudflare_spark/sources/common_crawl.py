@@ -75,6 +75,11 @@ class CommonCrawlDataSource(DataSource):
         return "common_crawl"
 
     def schema(self) -> str:
+        from duckdb_cloudflare_spark.sources.options import CC_OPTIONS, validate_options
+
+        # bind-time error for unknown named parameters, matching the
+        # reference (test/sql/common_crawl_errors.test:7-31)
+        validate_options("common_crawl", dict(self.options), CC_OPTIONS)
         if _truthy(self.options.get("debug")):
             return _BASE_SCHEMA + ", cdx_url string"
         return _BASE_SCHEMA

@@ -375,6 +375,9 @@ class D1DataSource(DataSource):
         return "d1"
 
     def schema(self) -> StructType:
+        from duckdb_cloudflare_spark.sources.options import D1_OPTIONS, validate_options
+
+        validate_options("d1", dict(self.options), D1_OPTIONS)
         table = self.options.get("table")
         if not table:
             raise ValueError("d1 source requires .option('table', <name>)")

@@ -64,6 +64,12 @@ class WaybackMachineDataSource(DataSource):
         return "wayback_machine"
 
     def schema(self) -> str:
+        from duckdb_cloudflare_spark.sources.options import (
+            WAYBACK_OPTIONS,
+            validate_options,
+        )
+
+        validate_options("wayback_machine", dict(self.options), WAYBACK_OPTIONS)
         if _truthy(self.options.get("debug")):
             return _BASE_SCHEMA + ", cdx_url string"
         return _BASE_SCHEMA

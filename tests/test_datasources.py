@@ -946,3 +946,44 @@ def test_iceberg_catalog_conf_end_to_end(tmp_path):
         assert spark.sql("SELECT count(*) AS n FROM localr2.db.t").collect()[0]["n"] == 2
     finally:
         spark.stop()
+
+
+class TestUnknownOptionContract:
+    """The reference rejects unknown named parameters at bind time
+    (test/sql/common_crawl_errors.test:7-31); the DataSources mirror that
+    instead of silently ignoring typos."""
+
+    def test_cc_unknown_option_raises(self, registered):
+        import pytest
+
+        with pytest.raises(Exception, match="unknown option.*invalid_param"):
+            (
+                registered.read.format("common_crawl")
+                .option("url", "example.com/*")
+                .option("invalid_param", "1")
+                .load()
+                .schema
+            )
+
+    def test_wayback_unknown_option_raises(self, registered):
+        import pytest
+
+        with pytest.raises(Exception, match="unknown option.*collaps"):
+            (
+                registered.read.format("wayback_machine")
+                .option("url", "example.com")
+                .option("collaps", "urlkey")  # typo of collapse
+                .load()
+                .schema
+            )
+
+    def test_d1_unknown_option_raises(self, registered, d1_db):
+        import pytest
+
+        with pytest.raises(Exception, match="unknown option"):
+            (
+                registered.read.format("d1")
+                .options(table="users", tabel="users", **_d1_opts(d1_db))
+                .load()
+                .schema
+            )
