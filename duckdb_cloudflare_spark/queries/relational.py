@@ -1146,3 +1146,62 @@ def q39_stat_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
         F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias("covar_qty_price"),
     )
+
+
+@register(
+    "q52_date_arithmetic",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(date_trunc('month', o_orderdate) AS TIMESTAMP)       AS order_month,
+           date_diff('day', o_orderdate, TIMESTAMP '1998-01-01')     AS days_to_ref,
+           CAST(dayofweek(o_orderdate) + 1 AS INTEGER)               AS dow,
+           o_orderdate + INTERVAL 3 MONTH                            AS plus_3m
+    FROM orders
+    WHERE o_orderkey % 7 = 0
+    """,
+    description="date/interval arithmetic: month truncation, signed day "
+    "difference to a reference date, day-of-week (normalized to Spark's "
+    "1=Sunday convention), +3 months with end-of-month clamping — all "
+    "map-only codegen expressions",
+)
+def q52_date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 7 == 0)
+    ref = F.lit("1998-01-01 00:00:00").cast("timestamp")
+    return o.select(
+        "o_orderkey",
+        F.date_trunc("month", "o_orderdate").alias("order_month"),
+        F.datediff(F.to_date(ref), F.to_date("o_orderdate")).cast("long").alias("days_to_ref"),
+        F.dayofweek("o_orderdate").alias("dow"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 3 MONTH")).alias("plus_3m"),
+    )
+
+
+@register(
+    "q53_array_aggregation",
+    oracle="""
+    SELECT l_orderkey,
+           list_sort(list(l_linenumber))               AS line_numbers,
+           CAST(len(list(l_linenumber)) AS INTEGER)    AS n_lines,
+           list_contains(list(l_linenumber), 1)        AS has_first_line,
+           round(list_aggregate(list(l_quantity), 'sum'), 4) AS qty_sum
+    FROM lineitem
+    WHERE l_orderkey % 101 = 0
+    GROUP BY l_orderkey
+    """,
+    description="array aggregation: per-order sorted line-number arrays, "
+    "membership test, and an array-fold sum — collect_list/sort_array/"
+    "array_contains/aggregate, one partial-aggregated shuffle",
+)
+def q53_array_aggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 101 == 0)
+    return li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_list("l_linenumber")).alias("line_numbers"),
+        F.size(F.collect_list("l_linenumber")).alias("n_lines"),
+        F.array_contains(F.collect_list("l_linenumber"), 1).alias("has_first_line"),
+        F.round(
+            F.aggregate(
+                F.collect_list("l_quantity"), F.lit(0.0), lambda acc, x: acc + x
+            ),
+            4,
+        ).alias("qty_sum"),
+    )
