@@ -268,6 +268,12 @@ _FUNCTION_ALIASES = {
     "array_length": "size",
     "len": "length",
     "regexp_matches": "rlike",  # both are partial-match
+    "list_sort": "sort_array",  # both default ascending, NULLs first
+    "array_to_string": "array_join",
+    "list_distinct": "array_distinct",
+    # NOT mapped (need expression rewrites, not renames — raising beats
+    # mis-running): list_unique (= size(array_distinct(x))), list_slice
+    # (1-based inclusive vs Spark's slice(start, length)).
 }
 
 _FUNC_CALL = re.compile(r"\b([A-Za-z_]\w*)\s*\(", re.IGNORECASE)

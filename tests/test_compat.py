@@ -236,3 +236,20 @@ class TestReplaceRewrite:
             spark, "SELECT * REPLACE (lower(name) AS name) FROM replace_t"
         ).collect()
         assert {(r["id"], r["name"]) for r in rows} == {(1, "ab"), (2, "cd")}
+
+
+class TestMoreFunctionAliases:
+    def test_list_sort_and_friends(self, spark):
+        from duckdb_cloudflare_spark.compat import duck_sql
+
+        spark.createDataFrame(
+            [(1, [3, 1, 2, 2])], "id int, xs array<int>"
+        ).createOrReplaceTempView("alias_t2")
+        row = duck_sql(
+            spark,
+            "SELECT list_sort(xs) AS s, array_to_string(xs, '-') AS j, "
+            "list_distinct(xs) AS d FROM alias_t2",
+        ).first()
+        assert row["s"] == [1, 2, 2, 3]
+        assert row["j"] == "3-1-2-2"
+        assert sorted(row["d"]) == [1, 2, 3]

@@ -480,3 +480,35 @@ class TestDistinctOnCollapse:
 
         with pytest.raises(ValueError, match="not collapse-expressible"):
             read_wayback(spark, "example.com", distinct_on=("lang",))
+
+
+class TestLimitZeroAndBindErrors:
+    """Reference error/limit contracts: LIMIT 0 never touches the network
+    (test/sql/common_crawl_limit.test) and wrong-typed named parameters are
+    bind-time errors (test/sql/common_crawl_errors.test)."""
+
+    def test_limit_zero_runs_without_network(self, spark):
+        # no fixture_dir and no network access: any attempted HTTP would
+        # error loudly — limit 0 must short-circuit to an empty result
+        from duckdb_cloudflare_spark.sources.api import read_common_crawl
+
+        df = read_common_crawl(
+            spark, "*.example.com/*", limit=0, crawl_id="CC-MAIN-2025-43"
+        )
+        assert df.count() == 0
+
+    def test_bad_max_results_type_is_bind_error(self, spark):
+        import pytest
+
+        from duckdb_cloudflare_spark.session import register_sources
+
+        register_sources(spark)
+        with pytest.raises(Exception, match="invalid literal|max_results"):
+            (
+                spark.read.format("common_crawl")
+                .option("url", "example.com/*")
+                .option("max_results", "not_a_number")
+                .option("dry_run", "true")
+                .load()
+                .collect()
+            )
