@@ -116,3 +116,54 @@ def test_escape_cdx_regex_no_false_positive(value, other):
         return
     escaped = escape_cdx_regex(value).replace("%5C", "\\")
     assert not re.fullmatch(escaped, target), (value, other, escaped)
+
+
+class TestCollapseMappingProperties:
+    """Invariants of the DISTINCT ON → collapse expression analysis."""
+
+    @given(
+        col=st.sampled_from(
+            ["urlkey", "timestamp", "digest", "length", "statuscode", "mimetype", "url"]
+        ),
+        n=st.integers(min_value=1, max_value=99),
+    )
+    def test_prefix_forms_agree(self, col, n):
+        from duckdb_cloudflare_spark.sources.api import distinct_on_to_collapse as m
+
+        expected_field = "original" if col == "url" else col
+        assert m(f"substr({col}, 1, {n})") == f"{expected_field}:{n}"
+        assert m(f"{col}[:{n}]") == f"{expected_field}:{n}"
+        assert m(f"{col}[1:{n}]") == f"{expected_field}:{n}"
+        # bare column: full-value collapse
+        assert m(col) == expected_field
+
+    @given(name=st.from_regex(r"[A-Za-z_][A-Za-z0-9_]{0,10}", fullmatch=True))
+    def test_unknown_columns_abandon_not_raise(self, name):
+        from duckdb_cloudflare_spark.sources.api import distinct_on_to_collapse as m
+
+        if name.lower() in (
+            "urlkey", "timestamp", "digest", "length", "statuscode",
+            "mimetype", "url", "year",
+        ):
+            assert m(name) is not None
+        elif name.lower() == "month":
+            import pytest
+
+            with pytest.raises(ValueError):
+                m(name)
+        else:
+            assert m(name) is None
+
+
+class TestReplaceRewriteProperties:
+    @given(
+        col=st.from_regex(r"[a-z][a-z0-9_]{0,8}", fullmatch=True),
+        fn=st.sampled_from(["lower", "upper", "trim"]),
+    )
+    def test_single_item_shape(self, col, fn):
+        from duckdb_cloudflare_spark.compat import rewrite_replace
+
+        out = rewrite_replace(f"SELECT * REPLACE ({fn}({col}) AS {col}) FROM t")
+        assert out == f"SELECT * EXCEPT ({col}), {fn}({col}) AS {col} FROM t"
+        # idempotent on the rewritten form (no REPLACE remains)
+        assert rewrite_replace(out) == out
