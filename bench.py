@@ -30,6 +30,10 @@ def main() -> None:
     # ceiling. See session.py for the shipped defaults.
     conf = {
         "spark.sql.shuffle.partitions": "16",
+        # Local mode defaults to a 1g driver heap — far too small for
+        # local[32] with cached hot tables (GC churn dominates and
+        # destabilizes timings). Bench-scoped, not a library default.
+        "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
         # The bench caches its hot tables repartitioned to full parallelism
         # (cache_tables below), so the per-operator partition-count probe in
         # ensure_parallelism is pure overhead here — skip it, as its

@@ -148,16 +148,30 @@ def rewrite_replace(sql: str) -> str:
                 start = i + 1
         items.append(inner[start:])
         names = []
+        fixed_items = []
         for item in items:
-            am = re.search(r"\bAS\s+([A-Za-z_]\w*|\"[^\"]+\"|`[^`]+`)\s*$", item.strip(), re.IGNORECASE)
+            item = item.strip()
+            am = re.search(r"\bAS\s+([A-Za-z_]\w*|\"[^\"]+\"|`[^`]+`)\s*$", item, re.IGNORECASE)
             if not am:
                 raise ValueError(
                     "duck_sql: REPLACE list items must be 'expr AS name', got: "
-                    + item.strip()
+                    + item
                 )
-            names.append(am.group(1).strip('"`'))
+            raw = am.group(1)
+            if raw[0] in '"`':
+                # DuckDB double-quoted identifiers are string literals to
+                # Spark's default parser: normalize the alias to backticks in
+                # BOTH the EXCEPT list and the re-projected item so quoted
+                # names (spaces, keywords) survive the rewrite.
+                bare = raw[1:-1].replace('""', '"') if raw[0] == '"' else raw[1:-1]
+                quoted = "`" + bare.replace("`", "``") + "`"
+                item = item[: am.start(1)] + quoted
+                names.append(quoted)
+            else:
+                names.append(raw)
+            fixed_items.append(item)
         replacement = (
-            "EXCEPT (" + ", ".join(names) + "), " + ", ".join(i.strip() for i in items)
+            "EXCEPT (" + ", ".join(names) + "), " + ", ".join(fixed_items)
         )
         sql = sql[: m.start(1)] + replacement + sql[close + 1 :]
 

@@ -13,6 +13,8 @@ Scale notes:
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -93,12 +95,19 @@ def brute_force_topk(
     # Versus the per-(query, corpus-row) join formulation this ships each
     # corpus vector across the Arrow boundary once instead of m times, and
     # the top-k window shuffle carries 3 scalar columns, not embeddings.
+    # The collect is bounded: an oversized queries side must fail loudly as
+    # a misuse (use lsh_topk/ivf_topk for large query sets), not as a
+    # driver OOM.
+    max_q = int(os.environ.get("SPARK_GRAFT_BRUTE_MAX_QUERIES", "100000"))
+    collected = queries.select(query_id, query_vec).limit(max_q + 1).collect()
+    if len(collected) > max_q:
+        raise ValueError(
+            f"brute_force_topk: queries side exceeds {max_q} rows; this exact "
+            "operator collects the query matrix to the driver — use lsh_topk/"
+            "ivf_topk for large query sets, or raise SPARK_GRAFT_BRUTE_MAX_QUERIES"
+        )
     qrows = sorted(
-        (
-            (int(r[0]), r[1])
-            for r in queries.select(query_id, query_vec).collect()
-            if r[1] is not None
-        ),
+        ((int(r[0]), r[1]) for r in collected if r[1] is not None),
         key=lambda t: t[0],
     )
     spark = queries.sparkSession
@@ -116,7 +125,14 @@ def brute_force_topk(
         vals = vecs.tolist()
         n = len(vals)
         out: list = [None] * n
-        ok = [i for i in range(n) if vals[i] is not None and len(vals[i]) == Qt.shape[0]]
+        bad = [i for i in range(n) if vals[i] is not None and len(vals[i]) != Qt.shape[0]]
+        if bad:
+            raise ValueError(
+                f"brute_force_topk: corpus vector dimension {len(vals[bad[0]])} "
+                f"!= query dimension {Qt.shape[0]} — cosine is undefined across "
+                "dimensions; filter or re-embed the corpus first"
+            )
+        ok = [i for i in range(n) if vals[i] is not None]
         if ok:
             M = np.vstack([np.asarray(vals[i], dtype=np.float64) for i in ok])
             cn = np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)

@@ -117,6 +117,14 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     # naive TIMESTAMP) so every downstream query sees one type.
     if table == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # The NTZ→TimestampType cast below interprets the naive wall clock in
+        # the SESSION time zone at execution time: under a caller-provided
+        # session on a non-UTC zone the instants would shift (and DST gaps
+        # corrupt interval arithmetic), breaking oracle parity with DuckDB's
+        # naive TIMESTAMP and batch/streaming equivalence. Pin UTC (runtime
+        # conf, same precedent as the nanosAsLong pin above) so the rendered
+        # wall clock is the stored wall clock everywhere.
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
 
     from pyspark.sql import functions as F

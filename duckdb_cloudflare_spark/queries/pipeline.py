@@ -283,7 +283,8 @@ def p12_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     "p13_image_features",
     oracle=None,  # byte-histogram features aren't SQL-expressible; pytest pins them
     description="image feature extraction: resize to 64x64 then 16-bin normalized "
-    "byte histogram via Arrow-batched pandas UDF (vectorized numpy)",
+    "byte histogram via Arrow-batched pandas UDF (vectorized numpy); exploded to "
+    "(doc_id, bin, value) scalar rows so the rows-only check can sort/hash them",
 )
 def p13_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = D.ensure_parallelism(load(spark, sf_dir, "documents")).filter(
@@ -291,7 +292,12 @@ def p13_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     resized = M.resize_image(M.attach_fake_assets(d), 64, 64)
     feats = M.image_byte_histogram(resized, asset_col="resized")
-    return feats.select("doc_id", "features")
+    # One row per histogram bin: array columns are unhashable in the driver's
+    # pandas-based canonicalizer, so emit the same information as scalars
+    # (p33's proven shape). Map-side explode — no extra shuffle.
+    return feats.select(
+        "doc_id", F.posexplode("features").alias("bin", "value")
+    ).select("doc_id", "bin", F.round("value", 6).alias("value"))
 
 
 @register(

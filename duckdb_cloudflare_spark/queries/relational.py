@@ -1086,12 +1086,14 @@ def q51_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q36_qualify_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
     from duckdb_cloudflare_spark.compat import duck_sql
 
-    load(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    # Internal view name: registering plain "customer" would clobber any
+    # user-registered temp view of that name as a query side effect (ADVICE r3).
+    load(spark, sf_dir, "customer").createOrReplaceTempView("__q36_customer")
     return duck_sql(
         spark,
         """
         SELECT c_custkey, c_nationkey, round(c_acctbal, 4) AS acctbal
-        FROM customer
+        FROM __q36_customer
         QUALIFY row_number() OVER (PARTITION BY c_nationkey
                                    ORDER BY acctbal DESC, c_custkey) <= 3
         """,

@@ -34,12 +34,10 @@ _DEFAULTS = {
     # Python DataSource pushFilters support (off by default in Spark 4.1).
     "spark.sql.python.filterPushdown.enabled": "true",
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
-    # Local mode defaults to a 1g driver heap — far too small for local[32]
-    # with cached hot tables (GC churn dominates and destabilizes timings).
-    # Launch-time conf: applies when this factory creates the JVM; a
-    # caller-provided session keeps its own sizing.
-    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
 }
+# Heap sizing is NOT a library default: grabbing 16g from every embedding
+# process overcommits small hosts. The bench entrypoint (bench.py) and the
+# test harness opt in explicitly; SPARK_GRAFT_DRIVER_MEM overrides both.
 
 
 def get_spark(app_name: str = "duckdb_cloudflare_spark", master: str | None = None,

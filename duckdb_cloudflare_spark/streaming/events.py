@@ -53,6 +53,10 @@ def read_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     both the TIMESTAMP(NANOS) layout (read as long) and the timestamp[us]
     NTZ layout are handled."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Same UTC pin as the batch loader (queries.load): the NTZ→TimestampType
+    # cast reads the session zone at execution time, so a non-UTC caller
+    # session would shift instants and break batch/streaming equivalence.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     ts_type = spark.read.parquet(f"{sf_dir}/events.parquet").schema["ts"].dataType
     raw = (
         spark.readStream.schema(_event_schema(ts_type))

@@ -15,6 +15,9 @@ def spark():
     # on tiny data.
     spark = get_spark("tests", master="local[8]", extra_conf={
         "spark.sql.shuffle.partitions": "8",
+        # The library factory no longer sizes the heap (ADVICE r3); the test
+        # harness opts into a modest one so cached-table suites don't churn GC.
+        "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "4g"),
     })
     yield spark
 

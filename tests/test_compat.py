@@ -237,6 +237,29 @@ class TestReplaceRewrite:
         ).collect()
         assert {(r["id"], r["name"]) for r in rows} == {(1, "ab"), (2, "cd")}
 
+    def test_quoted_alias_normalized_to_backticks(self):
+        from duckdb_cloudflare_spark.compat import rewrite_replace
+
+        out = rewrite_replace('SELECT * REPLACE (lower(a) AS "my col") FROM t')
+        assert out == (
+            "SELECT * EXCEPT (`my col`), lower(a) AS `my col` FROM t"
+        )
+        # backtick-quoted aliases pass through unchanged
+        out2 = rewrite_replace("SELECT * REPLACE (lower(a) AS `my col`) FROM t")
+        assert out2 == (
+            "SELECT * EXCEPT (`my col`), lower(a) AS `my col` FROM t"
+        )
+
+    def test_quoted_alias_executes(self, spark):
+        from duckdb_cloudflare_spark.compat import duck_sql
+
+        spark.createDataFrame([(1, "Ab")], "id int, `my col` string") \
+            .createOrReplaceTempView("replace_q_t")
+        rows = duck_sql(
+            spark, 'SELECT * REPLACE (lower(`my col`) AS "my col") FROM replace_q_t'
+        ).collect()
+        assert rows[0]["my col"] == "ab"
+
 
 class TestMoreFunctionAliases:
     def test_list_sort_and_friends(self, spark):

@@ -190,3 +190,27 @@ def test_dedup_keep_best_selects_longest_per_planted_cluster(spark):
     assert {k for k in got if k < 900} == {2, 12, 22}
     assert all(got[k] == 3 for k in (2, 12, 22))
     assert got[900] == 1 and got[901] == 1
+
+
+def test_brute_force_query_cap_raises(spark, monkeypatch):
+    # Driver-OOM guard (ADVICE r3): an oversized queries side must fail
+    # loudly as misuse, not collect unboundedly.
+    monkeypatch.setenv("SPARK_GRAFT_BRUTE_MAX_QUERIES", "4")
+    emb = load(spark, SF_DIR, "embeddings")
+    q = emb.filter(F.col("vec_id") < 16)
+    with pytest.raises(ValueError, match="queries side exceeds 4 rows"):
+        S.brute_force_topk(q, emb, k=2)
+
+
+def test_brute_force_dim_mismatch_raises(spark):
+    # A corpus vector of the wrong dimension is undefined under cosine and
+    # must raise (ADVICE r3), not silently vanish from the result.
+    q = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])], "vec_id long, embedding array<double>"
+    )
+    corpus = spark.createDataFrame(
+        [(10, [1.0, 1.0]), (11, [1.0, 0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(Exception, match="dimension"):
+        S.brute_force_topk(q, corpus, k=1).collect()

@@ -58,10 +58,17 @@ def test_query_matches_oracle(spark, duck, sf_dir, name):
 
 @pytest.mark.parametrize("name", sorted(set(ALL) - set(ORACLES)))
 def test_query_runs_rows_only(spark, sf_dir, name):
-    """Queries without oracles must still run and return a stable schema."""
+    """Queries without oracles must still run, return a stable schema, AND
+    survive the driver's pandas canonicalizer (sort_values over all columns
+    dies on unhashable cells like array columns — the exact failure that made
+    p13 ungradable in round 3)."""
     sdf = ALL[name](spark, sf_dir)
     assert sdf.columns
-    assert sdf.count() >= 0
+    pdf = sdf.toPandas()
+    assert len(pdf) >= 0
+    # Replica of the driver's rows-only canonicalization: any column whose
+    # cells are lists/dicts raises TypeError here, exactly as in the driver.
+    pdf.sort_values(by=list(pdf.columns), kind="mergesort").reset_index(drop=True)
 
 
 def test_entry_smoke(spark):
