@@ -1096,3 +1096,80 @@ def p33_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("label", "dim")
         .agg(F.round(F.avg(F.col("val").cast("double")), 6).alias("centroid"))
     )
+
+
+@register(
+    "p34_exact_jaccard_pairs",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_transform(string_split_regex(trim(text), '\s+'),
+                              x -> lower(x)) AS ts
+        FROM documents
+    ), shins AS (
+        SELECT doc_id,
+               list_distinct(list_transform(range(1, len(ts) - 1),
+                   i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS sh
+        FROM toks WHERE len(ts) >= 3
+    ), pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+               (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS j
+        FROM shins a JOIN shins b ON a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, round(j, 6) AS jaccard
+    FROM pairs WHERE j >= 0.5
+    """,
+    description="EXACT all-pairs word-3-shingle Jaccard >= 0.5 via a "
+    "shingle-inverted-index join: distinct shingles exploded, equi-joined on "
+    "shingle (id_a < id_b), pair co-occurrence counted in one partial-"
+    "aggregated shuffle, unioned with per-doc set sizes. This is the exact-"
+    "semantics anchor for the approximate near-dup family (p06-p08), the way "
+    "p05 anchors p10/p14: the DuckDB oracle computes the same pairs from the "
+    "same shingle sets, so similarity semantics themselves sit under the hash "
+    "check. At 100 TB the inverted-index join's hot-shingle candidate blowup "
+    "is exactly why the LSH variants exist; run THIS for verification slices, "
+    "p06/p08 for the full corpus.",
+)
+def p34_exact_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = D.ensure_parallelism(load(spark, sf_dir, "documents"))
+    toks = F.transform(F.split(F.trim(F.col("text")), r"\s+"), lambda x: F.lower(x))
+    shins = (
+        d.select("doc_id", toks.alias("ts"))
+        .filter(F.size("ts") >= 3)
+        .select(
+            "doc_id",
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("ts") - 3),
+                    # 0-based element_at is getItem; concat_ws matches the
+                    # oracle's ' ' joined 3-gram exactly
+                    lambda i: F.concat_ws(
+                        " ",
+                        F.element_at(F.col("ts"), i + 1),
+                        F.element_at(F.col("ts"), i + 2),
+                        F.element_at(F.col("ts"), i + 3),
+                    ),
+                )
+            ).alias("sh"),
+        )
+    )
+    sizes = shins.select("doc_id", F.size("sh").alias("n_sh"))
+    inv = shins.select("doc_id", F.explode("sh").alias("shingle"))
+    a = inv.select(F.col("doc_id").alias("id_a"), "shingle")
+    b = inv.select(F.col("doc_id").alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sz_a = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    sz_b = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    j = F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter"))
+    return (
+        inter.join(sz_a, "id_a")
+        .join(sz_b, "id_b")
+        .filter(j >= 0.5)
+        .select("id_a", "id_b", F.round(j, 6).alias("jaccard"))
+    )
