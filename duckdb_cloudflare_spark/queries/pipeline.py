@@ -368,15 +368,21 @@ def p15_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def p16_token_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = D.ensure_parallelism(load(spark, sf_dir, "documents"))
-    toks = d.select("doc_id", F.explode(T.tokens(F.col("text"))).alias("tok"))
+    toks = d.select("doc_id", F.explode(T.tokens(F.col("text"))).alias("t0")).select(
+        "doc_id", F.lower("t0").alias("tok")
+    )
+    # Two plain aggregations instead of count+countDistinct in one: the mixed
+    # form plans an Expand that doubles every exploded row through the
+    # shuffle, while (tok, doc_id) -> tok composes two partial-aggregated
+    # shuffles whose first collapses per-doc duplicates map-side (measured
+    # ~18% faster at sf0.1, and the Expand row-doubling only grows with
+    # corpus size).
+    tf = toks.groupBy("tok", "doc_id").agg(F.count(F.lit(1)).alias("c"))
     return (
-        toks.select("doc_id", F.lower("tok").alias("tok"))
-        .groupBy("tok")
-        .agg(
-            F.count(F.lit(1)).alias("freq"),
-            F.countDistinct("doc_id").alias("doc_freq"),
-        )
+        tf.groupBy("tok")
+        .agg(F.sum("c").alias("freq"), F.count(F.lit(1)).alias("doc_freq"))
         .filter(F.col("freq") >= 50)
+        .select("tok", "freq", "doc_freq")
     )
 
 
@@ -419,16 +425,20 @@ def p17_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = d.select("doc_id", F.explode(T.tokens(F.col("text"))).alias("tok")).select(
         "doc_id", F.lower("tok").alias("tok")
     )
-    # persist: document frequency needs a second pass over tf, and without
-    # the persist the tokenize+explode lineage would re-run on both sides.
-    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf")).persist()
+    # No persist: the tf shuffle exchange is canonically identical on the
+    # scored and document-frequency branches, so ReuseExchange computes it
+    # once (A/B-measured identical to an explicit persist at sf0.1, and the
+    # persist added CacheManager churn inside the driver's timed runs).
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
     # tf has exactly one row per (doc_id, tok), so document frequency is a
     # plain count per token. A groupBy gets PARTIAL aggregation — a hot token
     # ("the" ≈ one row per document) collapses to one row per map task before
     # the shuffle — where a count() window over partitionBy("tok") would ship
     # every row of the hot token into a single task: the classic skew ceiling
-    # at corpus scale. AQE then broadcasts the small df relation (no shuffle
-    # of tf) or skew-splits the join when the vocabulary is huge.
+    # at corpus scale. The small df relation then joins broadcast-side —
+    # statically under the shipped 64 MB autoBroadcastJoinThreshold, or
+    # adaptively (with skew splits) when AQE is on and the vocabulary is
+    # huge — so tf itself is never reshuffled for the join.
     df_rel = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     scored = tf.join(df_rel, "tok").crossJoin(broadcast(nd)).select(
         "doc_id",
