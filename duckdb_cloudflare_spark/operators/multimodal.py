@@ -95,6 +95,20 @@ def encode_fake_video(width: int, height: int, fps: int, n_frames: int) -> bytes
     return _VID_HDR.pack(VID_MAGIC, width, height, fps, n_frames) + payload
 
 
+def real_codec():
+    """Import-probe for a real image codec. Returns the ``PIL.Image`` module
+    when Pillow is installed, else ``None``. Mirrors the Iceberg jar probe:
+    the sandbox lacks the library, so the synthetic-container path is the
+    tested default, but a deployment with Pillow gets real decode/resize
+    automatically (see the auto-activating test in test_multimodal.py)."""
+    try:
+        from PIL import Image  # noqa: PLC0415
+
+        return Image
+    except ImportError:
+        return None
+
+
 def decode_asset_meta(data: Optional[bytes]) -> dict:
     """Parse a synthetic container header → metadata dict (schema above).
     Malformed input produces an ``error`` value, not an exception —
@@ -130,7 +144,24 @@ def decode_asset_meta(data: Optional[bytes]) -> dict:
                 duration_ms=1000.0 * nf / fps if fps else None,
             )
         else:
-            meta["error"] = "[Error: unknown magic]"
+            img_mod = real_codec()
+            decoded = False
+            if img_mod is not None:
+                try:
+                    import io
+
+                    with img_mod.open(io.BytesIO(bytes(data))) as im:
+                        meta.update(
+                            mime=f"image/{(im.format or 'unknown').lower()}",
+                            width=im.width,
+                            height=im.height,
+                            channels=len(im.getbands()),
+                        )
+                        decoded = True
+                except Exception:
+                    pass
+            if not decoded:
+                meta["error"] = "[Error: unknown magic]"
     except struct.error:
         meta["error"] = "[Error: truncated header]"
     return meta
@@ -147,6 +178,20 @@ def _resize_bytes(data: Optional[bytes], width: int, height: int) -> Optional[by
         return None
     data = bytes(data)
     if data[:4] != IMG_MAGIC or len(data) < _IMG_HDR.size:
+        img_mod = real_codec()
+        if img_mod is not None:
+            # Real-codec path (auto-activates when Pillow is installed):
+            # decode, resample, re-encode in the original format.
+            try:
+                import io
+
+                with img_mod.open(io.BytesIO(data)) as im:
+                    fmt = im.format or "PNG"
+                    out = io.BytesIO()
+                    im.resize((width, height)).save(out, format=fmt)
+                    return out.getvalue()
+            except Exception:
+                return None
         return None
     _, w0, h0, c = _IMG_HDR.unpack_from(data)
     payload = data[_IMG_HDR.size :]
@@ -174,13 +219,21 @@ def _extract_frames(data: Optional[bytes], every_n: int) -> list[tuple[int, byte
     ]
 
 
-def decode_with_real_codec(data: bytes):  # pragma: no cover - explicit stub
-    """Hook for a real decoder (PIL/libav). The container image lacks those
-    libraries; wire them here when available."""
-    raise NotImplementedError(
-        "real media codecs are not available in this environment; "
-        "use the synthetic FIMG/FAUD/FVID containers or install PIL/av"
-    )
+def decode_with_real_codec(data: bytes):
+    """Decode non-container bytes with a real codec when one is installed
+    (``real_codec()`` probe); raises ``NotImplementedError`` otherwise.
+    ``decode_asset_meta``/``_resize_bytes`` already route through the probe
+    automatically — this entry point is for callers that want the decoded
+    image object itself."""
+    img_mod = real_codec()
+    if img_mod is None:
+        raise NotImplementedError(
+            "real media codecs are not available in this environment; "
+            "use the synthetic FIMG/FAUD/FVID containers or install Pillow"
+        )
+    import io
+
+    return img_mod.open(io.BytesIO(bytes(data)))
 
 
 # ---------------------------------------------------------------------------

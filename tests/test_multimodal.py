@@ -46,9 +46,34 @@ def test_decode_errors_land_in_row_not_exception():
     assert M.decode_asset_meta(M.IMG_MAGIC)["error"] == "[Error: truncated header]"
 
 
-def test_real_codec_hook_is_explicit_stub():
-    with pytest.raises(NotImplementedError):
-        M.decode_with_real_codec(b"anything")
+def test_real_codec_hook_raises_only_without_codec():
+    if M.real_codec() is None:
+        with pytest.raises(NotImplementedError):
+            M.decode_with_real_codec(b"anything")
+    else:
+        with pytest.raises(Exception):  # garbage bytes, but a real attempt
+            M.decode_with_real_codec(b"anything")
+
+
+@pytest.mark.skipif(M.real_codec() is None, reason="Pillow not installed")
+def test_real_codec_path_auto_activates(spark):
+    # Auto-activating twin of the Iceberg jar-gated test: when Pillow IS
+    # installed, real image bytes must flow through the same Spark plumbing
+    # (meta decode + resize) as the synthetic containers.
+    import io
+
+    Image = M.real_codec()
+    buf = io.BytesIO()
+    Image.new("RGB", (8, 6), color=(10, 20, 30)).save(buf, format="PNG")
+    png = buf.getvalue()
+    df = spark.createDataFrame([(1, bytearray(png))], "doc_id long, asset binary")
+    meta = M.with_asset_meta(df).select("meta.*").collect()[0]
+    assert (meta["mime"], meta["width"], meta["height"], meta["channels"]) == (
+        "image/png", 8, 6, 3,
+    )
+    resized = M.resize_image(df, 4, 3).select("resized").collect()[0][0]
+    with Image.open(io.BytesIO(bytes(resized))) as im:
+        assert (im.width, im.height) == (4, 3)
 
 
 # ---------------------------------------------------------------------------
