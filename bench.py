@@ -87,6 +87,10 @@ def main() -> None:
         "p15_quality_filter",
         "p16_token_vocab",
         "p17_tfidf_top_terms",
+        # Heavy exact near-dup anchor: the oracle is deliberately written in
+        # the same inverted-index formulation the Spark side runs, so this
+        # row is algorithm-for-algorithm like-for-like, not scan-floor noise.
+        "p34_exact_jaccard_pairs",
     ]
     registry = Q.all_queries()
 

@@ -1121,14 +1121,22 @@ def p33_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
                list_distinct(list_transform(range(1, len(ts) - 1),
                    i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS sh
         FROM toks WHERE len(ts) >= 3
-    ), pairs AS (
-        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-               CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-               (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS j
-        FROM shins a JOIN shins b ON a.doc_id < b.doc_id
+    ), sizes AS (SELECT doc_id, len(sh) AS n FROM shins),
+    inv AS (SELECT doc_id, unnest(sh) AS shingle FROM shins),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+        FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
     )
-    SELECT id_a, id_b, round(j, 6) AS jaccard
-    FROM pairs WHERE j >= 0.5
+    -- same inverted-index formulation the Spark side uses (a pair appears
+    -- iff it shares >= 1 shingle, which J >= 0.5 requires anyway), so the
+    -- bench baseline comparison is algorithm-for-algorithm fair
+    SELECT id_a, id_b,
+           round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5
     """,
     description="EXACT all-pairs word-3-shingle Jaccard >= 0.5 via a "
     "shingle-inverted-index join: distinct shingles exploded, equi-joined on "
@@ -1182,4 +1190,39 @@ def p34_exact_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(sz_b, "id_b")
         .filter(j >= 0.5)
         .select("id_a", "id_b", F.round(j, 6).alias("jaccard"))
+    )
+
+
+@register(
+    "p35_exact_cosine_pairs",
+    oracle="""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    scored AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               list_dot_product(a.e, b.e)
+               / (sqrt(list_dot_product(a.e, a.e))
+                  * sqrt(list_dot_product(b.e, b.e))) AS c
+        FROM v a JOIN v b ON a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b, round(c, 6) AS cosine_sim
+    FROM scored WHERE c >= 0.4
+    """,
+    description="EXACT all-pairs embedding cosine >= 0.4 — the oracle-bearing "
+    "exact anchor for the embedding near-dup/ANN family (p09/p10/p14), "
+    "complementing p34's text-side anchor: cosine semantics themselves sit "
+    "under the DuckDB hash check. Quadratic by definition (like p05's exact "
+    "top-k baseline): pairwise join with the batched float64 einsum cosine "
+    "UDF. Run THIS on verification slices; the hyperplane-bucketed variants "
+    "are the corpus-scale path.",
+)
+def p35_exact_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
+    sim = D.cosine_similarity(F.col("ea"), F.col("eb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", sim.alias("c"))
+        .filter(F.col("c") >= 0.4)
+        .select("id_a", "id_b", F.round("c", 6).alias("cosine_sim"))
     )
