@@ -11,8 +11,8 @@ NOTE on registry order: the driver grades a bounded prefix (observed: the
 first 50 entries) of ``queries()`` in registration order. The registry
 therefore imports pipeline → windows → relational so the least-graded
 surface sits inside the window; entries past the window remain covered by
-the full local replica gate (tests/test_oracle_parity.py, all 86 queries /
-76 oracles). When adding queries, append to the END of a module and check
+the full local replica gate (tests/test_oracle_parity.py, all 88 queries /
+78 oracles). When adding queries, append to the END of a module and check
 what rotates out of the first 50.
 """
 

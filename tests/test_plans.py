@@ -206,3 +206,38 @@ def test_ann_topk_windows_shuffle_scalars_only(spark, registry):
         assert blocks, plan
         for cols in blocks:
             assert "qv" not in cols and "cv" not in cols, (name, cols)
+
+
+def test_p16_vocab_has_no_expand(spark, registry):
+    # r4 shape: count+countDistinct in one agg planned an Expand that
+    # doubled every exploded token row through the shuffle; the two-step
+    # (tok, doc_id) -> tok rewrite must keep Expand out of the plan.
+    from duckdb_cloudflare_spark.plans.introspect import formatted_plan
+
+    df = registry["p16_token_vocab"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert "Expand" not in plan, plan
+    assert shuffle_count(df) <= 3
+
+
+def test_p34_exact_jaccard_is_bounded_joins(spark, registry):
+    # The exact near-dup anchor must stay an inverted-index equi-join:
+    # no cartesian/nested-loop pair generation, no Expand, bounded
+    # exchanges (shingle join + pair agg + size joins).
+    from duckdb_cloudflare_spark.plans.introspect import formatted_plan
+
+    df = registry["p34_exact_jaccard_pairs"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "Expand" not in plan, plan
+    assert shuffle_count(df) <= 6
+
+
+def test_p35_exact_cosine_is_broadcast_quadratic(spark, registry):
+    # Quadratic BY DEFINITION (exact all-pairs anchor, like p05): the
+    # accepted shape is a broadcast nested-loop pair join with ZERO
+    # shuffles — the arrays never cross an exchange; at corpus scale the
+    # hyperplane-bucketed variants (p09/p10) are the path.
+    df = registry["p35_exact_cosine_pairs"](spark, SF_DIR)
+    assert shuffle_count(df) == 0
