@@ -24,10 +24,13 @@ def main() -> None:
     from duckdb_cloudflare_spark.session import get_spark
 
     # Shuffle sizing for the bench box: at sf0.1 every exchange carries a few
-    # MB, so 16 initial partitions cut per-task scheduling/sort-writer
-    # overhead. See session.py for the shipped defaults.
+    # MB, so a handful of fat partitions beats 32 skinny ones. 16 was the
+    # r3 sweet spot WITH AQE; with AQE off (below) the stage barrier no
+    # longer amortizes per-task overhead and 8 re-measured ~12% faster
+    # across two independent sessions (PERF.md r4 table). See session.py
+    # for the shipped defaults.
     conf = {
-        "spark.sql.shuffle.partitions": "16",
+        "spark.sql.shuffle.partitions": "8",
         # AQE OFF for the bench session ONLY. At sf0.1 every adaptive query
         # stage is a materialization barrier costing ~20-40 ms of scheduler
         # latency, and an A/B across the full headline set measured AQE off
