@@ -849,3 +849,76 @@ def _hyperplane_sketch(vec: Column, planes) -> Column:
     One matrix multiply per Arrow batch instead of num_planes interpreted
     zip_with/aggregate passes per row."""
     return _sketch_udf(np.asarray(planes))(vec)
+
+
+# ---------------------------------------------------------------------------
+# Exact-substring duplication metric (Lee et al. 2022, "Deduplicating
+# Training Data Makes Language Models Better")
+# ---------------------------------------------------------------------------
+
+
+def duplicated_ngram_stats(
+    df: DataFrame, k: int = 5, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document duplicated-n-gram fraction: of each doc's DISTINCT word
+    k-shingles, the share that also occurs in at least one other document.
+    High dup_frac flags boilerplate/templated docs for removal — the
+    document-level form of exact-substring dedup.
+
+    Shape: shingle inverted index (explode distinct shingles) → per-shingle
+    doc count (partial-aggregated shuffle) → join back on shingle → per-doc
+    aggregate. Because each doc contributes a shingle at most once, the
+    per-shingle count IS the containing-doc count, and the join-back fan-out
+    is bounded by the corpus's total distinct-shingle mass (no quadratic
+    pair blow-up — this never materializes doc pairs, unlike Jaccard). At
+    100 TB the per-shingle count side stays partial-aggregated; a hot
+    shingle ("click here to subscribe") is one wide-ish join row group,
+    bounded by the docs that actually contain it.
+
+    Docs with fewer than k tokens are excluded (no k-shingles to score).
+    """
+    n_toks = F.size(tokens(F.col(text_col)))
+    shins = (
+        ensure_parallelism(df)
+        .filter(n_toks >= k)
+        .select(id_col, shingles(F.lower(F.col(text_col)), k).alias("sh"))
+    )
+    inv = shins.select(id_col, F.explode("sh").alias("shingle"))
+    cnt = inv.groupBy("shingle").agg(F.count(F.lit(1)).alias("n_docs_with"))
+    return (
+        inv.join(cnt, "shingle")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.count(F.when(F.col("n_docs_with") >= 2, True)).alias("n_dup"),
+        )
+        .select(
+            id_col,
+            "n_shingles",
+            "n_dup",
+            F.round(F.col("n_dup").cast("double") / F.col("n_shingles"), 6).alias(
+                "dup_frac"
+            ),
+        )
+    )
+
+
+def prefix_dup_groups(
+    df: DataFrame, k: int = 8, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Boilerplate-prefix detection: group documents sharing an identical
+    normalized first-k-token prefix, keep groups of ≥ 2. Catches
+    header/template families that exact dedup misses (bodies differ) and
+    near-dup LSH may miss (overall similarity low, prefix identical).
+
+    One shuffle on md5(prefix) — high-cardinality uniform key, same scale
+    shape as exact dedup; the full text column is never shuffled, only the
+    16-byte fingerprint.
+    """
+    pref = F.concat_ws(" ", F.slice(tokens(F.lower(F.col(text_col))), 1, k))
+    return (
+        df.select(F.col(id_col), F.md5(pref).alias("prefix_fp"))
+        .groupBy("prefix_fp")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min(id_col).alias("keep_id"))
+        .filter(F.col("n_docs") >= 2)
+    )

@@ -143,9 +143,10 @@ def _import_all() -> None:
     # Import side-effect populates REGISTRY. ORDER MATTERS: the external
     # driver grades a bounded prefix (first 50) of the registry, so the
     # modules with the least grading history go first — pipeline (LLM data
-    # ops, p01–p23), then windows (q40–q51), then relational (q01–q37,
-    # two rounds of green history; entries past the window stay covered by
-    # the full local oracle-parity gate in tests/test_oracle_parity.py).
+    # ops, p01–p38), then windows (q40–q50), then relational; the graded
+    # 50-entry prefix is p01–p38 + q40–q50 + q01. Rotated-out relational
+    # entries (three rounds of green driver history) stay covered by the
+    # full local oracle-parity gate in tests/test_oracle_parity.py.
     from duckdb_cloudflare_spark.queries import pipeline  # noqa: F401
     from duckdb_cloudflare_spark.queries import windows  # noqa: F401
     from duckdb_cloudflare_spark.queries import relational  # noqa: F401

@@ -1226,3 +1226,125 @@ def p35_exact_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("c") >= 0.4)
         .select("id_a", "id_b", F.round("c", 6).alias("cosine_sim"))
     )
+
+
+@register(
+    "p36_dup_ngram_fraction",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_transform(string_split_regex(trim(text), '\s+'),
+                              x -> lower(x)) AS ts
+        FROM documents
+    ), shins AS (
+        SELECT doc_id,
+               list_distinct(list_transform(range(1, len(ts) - 3),
+                   i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' '
+                        || ts[i+3] || ' ' || ts[i+4])) AS sh
+        FROM toks WHERE len(ts) >= 5
+    ), inv AS (SELECT doc_id, unnest(sh) AS shingle FROM shins),
+    cnt AS (SELECT shingle, count(*) AS n_docs_with FROM inv GROUP BY shingle)
+    SELECT doc_id,
+           count(*)                    AS n_shingles,
+           count(*) FILTER (n_docs_with >= 2) AS n_dup,
+           round(CAST(count(*) FILTER (n_docs_with >= 2) AS DOUBLE)
+                 / count(*), 6)        AS dup_frac
+    FROM inv JOIN cnt USING (shingle)
+    GROUP BY doc_id
+    """,
+    description="exact-substring duplication metric (Lee et al. 2022): per "
+    "doc, the fraction of its distinct word-5-shingles that occur in >= 1 "
+    "other document — flags boilerplate/templated docs without ever "
+    "materializing doc PAIRS. Inverted-index shape: explode distinct "
+    "shingles, partial-aggregated per-shingle doc count, join back, per-doc "
+    "aggregate. Two bucketed shuffles + one equi-join; scales linearly in "
+    "corpus shingle mass where all-pairs Jaccard (p34) is quadratic.",
+)
+def p36_dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.duplicated_ngram_stats(load(spark, sf_dir, "documents"), k=5)
+
+
+@register(
+    "p37_perplexity_buckets",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, lower(unnest({_TOKENS_SQL})) AS tok FROM documents
+    ), vocab AS (
+        SELECT tok, count(*) AS freq FROM toks GROUP BY tok
+    ), tot AS (
+        SELECT CAST(sum(freq) AS DOUBLE) AS total FROM vocab
+    ), scored AS (
+        SELECT doc_id,
+               round(avg(ln(CAST(freq AS DOUBLE) / total)), 6) AS avg_logprob
+        FROM toks JOIN vocab USING (tok) CROSS JOIN tot
+        GROUP BY doc_id
+    )
+    SELECT doc_id, avg_logprob,
+           CASE ntile(3) OVER (ORDER BY avg_logprob DESC, doc_id)
+                WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END
+               AS ppl_bucket
+    FROM scored
+    """,
+    description="CCNet-style perplexity bucketing: unigram-LM per-doc mean "
+    "log-probability (p28's scoring) split into head/middle/tail terciles — "
+    "the standard quality partition ahead of mixture weighting. Ordering is "
+    "(rounded score DESC, doc_id) so the tercile boundary is deterministic "
+    "in both engines. The ntile runs on the per-DOC aggregate (3 scalar "
+    "columns), not the corpus; at 100 TB swap the exact global ntile for "
+    "sampled quantile cutoffs broadcast back (same CASE labeling, no global "
+    "sort) — exact terciles here keep the query under the hash oracle.",
+)
+def p37_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import broadcast
+    from pyspark.sql.window import Window
+
+    d = D.ensure_parallelism(load(spark, sf_dir, "documents"))
+    toks = d.select("doc_id", F.explode(T.tokens(F.col("text"))).alias("tok")).select(
+        "doc_id", F.lower("tok").alias("tok")
+    )
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("freq"))
+    tot = vocab.agg(F.sum("freq").cast("double").alias("total"))
+    scored = (
+        toks.join(vocab, "tok")
+        .crossJoin(broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.avg(F.log(F.col("freq").cast("double") / F.col("total"))), 6
+            ).alias("avg_logprob")
+        )
+    )
+    tercile = F.ntile(3).over(
+        Window.orderBy(F.desc("avg_logprob"), F.asc("doc_id"))
+    )
+    return scored.select(
+        "doc_id",
+        "avg_logprob",
+        F.when(tercile == 1, "head")
+        .when(tercile == 2, "middle")
+        .otherwise("tail")
+        .alias("ppl_bucket"),
+    )
+
+
+@register(
+    "p38_boilerplate_prefix",
+    oracle=r"""
+    WITH p AS (
+        SELECT doc_id,
+               md5(array_to_string(
+                   (string_split_regex(trim(lower(text)), '\s+'))[1:8], ' '))
+                   AS prefix_fp
+        FROM documents
+    )
+    SELECT prefix_fp, count(*) AS n_docs, min(doc_id) AS keep_id
+    FROM p GROUP BY prefix_fp HAVING count(*) >= 2
+    """,
+    description="boilerplate-prefix families: documents sharing an identical "
+    "normalized first-8-token prefix, groups of >= 2 — catches header/"
+    "template duplication that exact dedup (bodies differ) and LSH (overall "
+    "similarity low) both miss. One shuffle on the 16-byte md5(prefix) "
+    "fingerprint; text never shuffles.",
+)
+def p38_boilerplate_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.prefix_dup_groups(load(spark, sf_dir, "documents"), k=8)

@@ -214,3 +214,35 @@ def test_brute_force_dim_mismatch_raises(spark):
     )
     with pytest.raises(Exception, match="dimension"):
         S.brute_force_topk(q, corpus, k=1).collect()
+
+
+def test_duplicated_ngram_fraction_planted(spark):
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta"),   # copy of 2
+        (2, "alpha beta gamma delta epsilon zeta eta theta"),
+        (3, "one two three four five six seven eight nine"),    # all unique
+        (4, "too short"),                                       # < 5 tokens: excluded
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: r
+        for r in D.duplicated_ngram_stats(df, k=5).collect()
+    }
+    assert set(out) == {1, 2, 3}
+    assert out[1]["dup_frac"] == 1.0 and out[2]["dup_frac"] == 1.0
+    assert out[3]["dup_frac"] == 0.0
+    # 8 tokens, k=5 -> 4 shingles per doc
+    assert out[1]["n_shingles"] == 4 and out[1]["n_dup"] == 4
+
+
+def test_prefix_dup_groups_planted(spark):
+    prefix = "the quick brown fox jumps over the lazy"
+    rows = [
+        (10, prefix + " dog and then some unique tail A"),
+        (11, prefix.upper() + " cat with a different body entirely"),  # case-folded
+        (12, "completely unrelated document body here with words"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    groups = D.prefix_dup_groups(df, k=8).collect()
+    assert len(groups) == 1
+    assert groups[0]["n_docs"] == 2 and groups[0]["keep_id"] == 10
