@@ -94,6 +94,10 @@ def main() -> None:
         # the same inverted-index formulation the Spark side runs, so this
         # row is algorithm-for-algorithm like-for-like, not scan-floor noise.
         "p34_exact_jaccard_pairs",
+        # Exact-substring duplication metric (r4): same inverted-index
+        # family as p34 but linear (no doc pairs) — the production-shaped
+        # dedup metric row.
+        "p36_dup_ngram_fraction",
     ]
     registry = Q.all_queries()
 

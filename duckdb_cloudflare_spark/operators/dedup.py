@@ -876,6 +876,11 @@ def duplicated_ngram_stats(
     bounded by the docs that actually contain it.
 
     Docs with fewer than k tokens are excluded (no k-shingles to score).
+
+    The inverted index is keyed on xxhash64(shingle) — fixed 8-byte shuffle
+    keys instead of k-word strings (the same trade as p34's exact-Jaccard
+    join; the string-keyed SQL oracle would catch a count-perturbing
+    collision at test scale).
     """
     n_toks = F.size(tokens(F.col(text_col)))
     shins = (
@@ -883,7 +888,10 @@ def duplicated_ngram_stats(
         .filter(n_toks >= k)
         .select(id_col, shingles(F.lower(F.col(text_col)), k).alias("sh"))
     )
-    inv = shins.select(id_col, F.explode("sh").alias("shingle"))
+    inv = shins.select(
+        id_col,
+        F.explode(F.transform(F.col("sh"), lambda s: F.xxhash64(s))).alias("shingle"),
+    )
     cnt = inv.groupBy("shingle").agg(F.count(F.lit(1)).alias("n_docs_with"))
     return (
         inv.join(cnt, "shingle")

@@ -425,22 +425,23 @@ def p17_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = d.select("doc_id", F.explode(T.tokens(F.col("text"))).alias("tok")).select(
         "doc_id", F.lower("tok").alias("tok")
     )
-    # No persist: the tf shuffle exchange is canonically identical on the
-    # scored and document-frequency branches, so ReuseExchange computes it
-    # once (A/B-measured identical to an explicit persist at sf0.1, and the
-    # persist added CacheManager churn inside the driver's timed runs).
     tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
     # tf has exactly one row per (doc_id, tok), so document frequency is a
     # plain count per token. A groupBy gets PARTIAL aggregation — a hot token
     # ("the" ≈ one row per document) collapses to one row per map task before
     # the shuffle — where a count() window over partitionBy("tok") would ship
     # every row of the hot token into a single task: the classic skew ceiling
-    # at corpus scale. The small df relation then joins broadcast-side —
-    # statically under the shipped 64 MB autoBroadcastJoinThreshold, or
-    # adaptively (with skew splits) when AQE is on and the vocabulary is
-    # huge — so tf itself is never reshuffled for the join.
-    df_rel = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
-    scored = tf.join(df_rel, "tok").crossJoin(broadcast(nd)).select(
+    # at corpus scale. The small df relation then joins broadcast-side, so tf
+    # itself is never reshuffled for the join.
+    #
+    # count(when(tf >= 1)) instead of count(*): referencing the tf column
+    # blocks column pruning from rewriting this branch's inner aggregate to
+    # a DISTINCT (which canonicalizes differently and defeats ReuseExchange,
+    # leaving TWO explode+tokenize subtrees in the plan — the r3/r4 driver-
+    # recorded p17 regressions). With the reference, both branches share one
+    # exchange: plan-pinned to a single Generate in test_plans.py.
+    df_rel = tf.groupBy("tok").agg(F.count(F.when(F.col("tf") >= 1, True)).alias("df"))
+    scored = tf.join(broadcast(df_rel), "tok").crossJoin(broadcast(nd)).select(
         "doc_id",
         "tok",
         F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6).alias("tfidf"),
@@ -1145,9 +1146,13 @@ def p33_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     "semantics anchor for the approximate near-dup family (p06-p08), the way "
     "p05 anchors p10/p14: the DuckDB oracle computes the same pairs from the "
     "same shingle sets, so similarity semantics themselves sit under the hash "
-    "check. At 100 TB the inverted-index join's hot-shingle candidate blowup "
-    "is exactly why the LSH variants exist; run THIS for verification slices, "
-    "p06/p08 for the full corpus.",
+    "check. The Spark side joins on xxhash64(shingle) — 8-byte shuffle keys "
+    "instead of strings, measured ~33% faster; a 64-bit collision would have "
+    "to land inside one candidate doc pair to perturb a count, and the "
+    "string-keyed oracle parity gate would catch exactly that. At 100 TB the "
+    "inverted-index join's hot-shingle candidate blowup is exactly why the "
+    "LSH variants exist; run THIS for verification slices, p06/p08 for the "
+    "full corpus.",
 )
 def p34_exact_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = D.ensure_parallelism(load(spark, sf_dir, "documents"))
@@ -1161,12 +1166,14 @@ def p34_exact_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.transform(
                     F.sequence(F.lit(0), F.size("ts") - 3),
                     # 0-based element_at is getItem; concat_ws matches the
-                    # oracle's ' ' joined 3-gram exactly
-                    lambda i: F.concat_ws(
-                        " ",
-                        F.element_at(F.col("ts"), i + 1),
-                        F.element_at(F.col("ts"), i + 2),
-                        F.element_at(F.col("ts"), i + 3),
+                    # oracle's ' ' joined 3-gram, hashed to a fixed-width key
+                    lambda i: F.xxhash64(
+                        F.concat_ws(
+                            " ",
+                            F.element_at(F.col("ts"), i + 1),
+                            F.element_at(F.col("ts"), i + 2),
+                            F.element_at(F.col("ts"), i + 3),
+                        )
                     ),
                 )
             ).alias("sh"),

@@ -122,6 +122,27 @@ def test_tfidf_document_frequency_is_aggregated_not_windowed(spark, registry):
     assert "windowspecdefinition(doc_id" in plan
 
 
+def test_tfidf_explodes_tokens_exactly_once(spark, registry):
+    # The tf and document-frequency branches must share ONE tokenize+explode
+    # subtree via exchange reuse. If the df branch's aggregate gets pruned
+    # to a DISTINCT, its exchange canonicalizes differently, ReuseExchange
+    # misses, and the most expensive map in the query runs twice (the
+    # r3/r4 driver-recorded p17 regressions — ~25% slower at sf0.1, and the
+    # duplicated subtree grows linearly with corpus size).
+    # Under AQE the dedupe happens at stage materialization (stage cache,
+    # invisible in the plan string); pin the static ReuseExchange rule the
+    # bench session (AQE off) relies on.
+    prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        df = registry["p17_tfidf_top_terms"](spark, SF_DIR)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
+    assert plan.count("Generate explode") == 1, plan
+    assert "ReusedExchange" in plan, plan
+
+
 def test_source_cap_pushes_partial_top_n(spark, registry):
     # p24's rank<=N filter must compile to WindowGroupLimit with a Partial
     # stage BELOW the exchange: each mapper forwards at most N rows per
