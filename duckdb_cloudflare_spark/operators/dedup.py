@@ -892,7 +892,13 @@ def duplicated_ngram_stats(
         id_col,
         F.explode(F.transform(F.col("sh"), lambda s: F.xxhash64(s))).alias("shingle"),
     )
-    cnt = inv.groupBy("shingle").agg(F.count(F.lit(1)).alias("n_docs_with"))
+    # shuffle_hash: high-cardinality uniform int64 key — hash beats the
+    # SortMergeJoin sorts (same trade as p34's pair join).
+    cnt = (
+        inv.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("n_docs_with"))
+        .hint("shuffle_hash")
+    )
     return (
         inv.join(cnt, "shingle")
         .groupBy(id_col)

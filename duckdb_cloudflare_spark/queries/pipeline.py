@@ -1182,7 +1182,12 @@ def p34_exact_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sizes = shins.select("doc_id", F.size("sh").alias("n_sh"))
     inv = shins.select("doc_id", F.explode("sh").alias("shingle"))
     a = inv.select(F.col("doc_id").alias("id_a"), "shingle")
-    b = inv.select(F.col("doc_id").alias("id_b"), "shingle")
+    # shuffle_hash: the self-join key is a high-cardinality uniform int64,
+    # so hashing beats SortMergeJoin's two full sorts (A/B: 3.4 -> 2.3 s at
+    # sf0.1). Per-partition hash tables hold one shuffle partition of
+    # (int64, int64) rows — bounded by shuffle-partition sizing, the knob
+    # that governs every other join here too.
+    b = inv.select(F.col("doc_id").alias("id_b"), "shingle").hint("shuffle_hash")
     inter = (
         a.join(b, "shingle")
         .filter(F.col("id_a") < F.col("id_b"))

@@ -252,7 +252,12 @@ def test_p34_exact_jaccard_is_bounded_joins(spark, registry):
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "Expand" not in plan, plan
-    assert shuffle_count(df) <= 6
+    # 8 not 6: the shuffle_hash hint on the pair join blocks ReuseExchange
+    # between the two inverted-index sides (one extra explode subtree +
+    # exchange), but A/B at sf0.1 measured the hint a clear net win over
+    # SortMergeJoin's two full sorts (3.4 -> 2.3 s) — wall clock over
+    # plan aesthetics.
+    assert shuffle_count(df) <= 8
 
 
 def test_p35_exact_cosine_is_broadcast_quadratic(spark, registry):
