@@ -936,3 +936,73 @@ def prefix_dup_groups(
         .agg(F.count(F.lit(1)).alias("n_docs"), F.min(id_col).alias("keep_id"))
         .filter(F.col("n_docs") >= 2)
     )
+
+
+def dup_span_stats(
+    df: DataFrame, k: int = 5, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Span-level exact-substring duplication (the curation form of Lee et
+    al. 2022): positions whose word-k-shingle occurs in >= 2 DISTINCT
+    documents are duplicate positions; overlapping duplicate windows merge
+    into maximal spans (gaps-and-islands). Returns, per doc with >= 1 span:
+    (doc_id, n_spans, dup_tokens) where dup_tokens is the merged span
+    token mass — the "how much of this doc is boilerplate" number the
+    span-removal pass consumes.
+
+    Shapes: positional shingle explode (map-side) → two-level distinct-doc
+    count per shingle (partial-aggregated, skew-bounded) → join back on
+    xxhash64 keys → per-doc windows ordered by position. The windows
+    partition by doc_id, so their sort is per-document and bounded by doc
+    length — no global sort at any scale. Within-doc repetition alone does
+    NOT mark a position (cross-document semantics).
+    """
+    toks = tokens(F.lower(F.col(text_col)))
+    base = (
+        ensure_parallelism(df)
+        .filter(F.size(toks) >= k)
+        .select(id_col, toks.alias("ts"))
+    )
+    # (doc, pos, shingle-hash) for EVERY position (not distinct — spans need
+    # positions); hash built from the same ' '-joined k-gram as p34/p36.
+    sh_at = F.transform(
+        F.sequence(F.lit(0), F.size("ts") - k),
+        lambda i: F.xxhash64(
+            F.concat_ws(
+                " ", *[F.element_at(F.col("ts"), i + j + 1) for j in range(k)]
+            )
+        ),
+    )
+    pos = base.select(
+        id_col, F.posexplode(sh_at).alias("pos", "sh")
+    )
+    dup_sh = (
+        pos.select("sh", id_col)
+        .distinct()
+        .groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("sh")
+        .hint("shuffle_hash")
+    )
+    duppos = pos.join(dup_sh, "sh").select(id_col, "pos")
+    w_prev = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = Window.partitionBy(id_col).orderBy("pos")
+    isl = duppos.withColumn(
+        "brk",
+        F.when(
+            F.col("pos")
+            >= F.coalesce(F.max(F.col("pos") + k).over(w_prev), F.lit(-1)),
+            1,
+        ).otherwise(0),
+    ).withColumn("island", F.sum("brk").over(w_run))
+    spans = isl.groupBy(id_col, "island").agg(
+        F.min("pos").alias("s"), (F.max("pos") + k).alias("e")
+    )
+    return spans.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum(F.col("e") - F.col("s")).alias("dup_tokens"),
+    )

@@ -122,3 +122,55 @@ def p40_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cnt").desc(), F.col("bigram"))
         .limit(40)
     )
+
+
+@register(
+    "p41_dup_span_stats",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_transform(string_split_regex(trim(text), '\s+'),
+                              x -> lower(x)) AS ts
+        FROM documents
+    ), pos AS (
+        SELECT doc_id,
+               unnest(range(0, len(ts) - 4))                       AS pos,
+               unnest(list_transform(range(1, len(ts) - 3),
+                   i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' '
+                        || ts[i+3] || ' ' || ts[i+4]))             AS sh
+        FROM toks WHERE len(ts) >= 5
+    ), dupsh AS (
+        SELECT sh
+        FROM (SELECT sh, doc_id FROM pos GROUP BY sh, doc_id)
+        GROUP BY sh HAVING count(*) >= 2
+    ), duppos AS (
+        SELECT doc_id, pos FROM pos JOIN dupsh USING (sh)
+    ), isl AS (
+        SELECT doc_id, pos,
+               CASE WHEN pos >= coalesce(max(pos + 5) OVER (
+                        PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                        -1)
+                    THEN 1 ELSE 0 END AS brk
+        FROM duppos
+    ), isl2 AS (
+        SELECT doc_id, pos,
+               sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+        FROM isl
+    ), spans AS (
+        SELECT doc_id, island, min(pos) AS s, max(pos) + 5 AS e
+        FROM isl2 GROUP BY doc_id, island
+    )
+    SELECT doc_id, count(*) AS n_spans, CAST(sum(e - s) AS BIGINT) AS dup_tokens
+    FROM spans GROUP BY doc_id
+    """,
+    description="span-level exact-substring duplication (Lee et al. 2022's "
+    "curation semantics): positions whose word-5-shingle appears in >= 2 "
+    "distinct docs, merged into maximal overlapping spans via gaps-and-"
+    "islands windows — (doc_id, n_spans, dup_tokens) is what a span-removal "
+    "pass consumes. Per-doc windows only (sort bounded by doc length, no "
+    "global sort); shingle counting is two-level partial aggregation on "
+    "xxhash64 keys.",
+)
+def p41_dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.dup_span_stats(load(spark, sf_dir, "documents"), k=5)

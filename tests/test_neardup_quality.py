@@ -246,3 +246,17 @@ def test_prefix_dup_groups_planted(spark):
     groups = D.prefix_dup_groups(df, k=8).collect()
     assert len(groups) == 1
     assert groups[0]["n_docs"] == 2 and groups[0]["keep_id"] == 10
+
+
+def test_dup_span_stats_planted(spark):
+    # B embeds tokens t3..t10 of A: shared word-5-grams mark positions
+    # 2..5 in A and 0..3 in B, each merging into ONE maximal span of 8
+    # tokens. C shares nothing.
+    a = "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10"
+    b = "t3 t4 t5 t6 t7 t8 t9 t10 u1 u2 u3"
+    c = "c1 c2 c3 c4 c5 c6 c7 c8 c9"
+    df = spark.createDataFrame([(1, a), (2, b), (3, c)], ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in D.dup_span_stats(df, k=5).collect()}
+    assert set(out) == {1, 2}
+    assert out[1]["n_spans"] == 1 and out[1]["dup_tokens"] == 8
+    assert out[2]["n_spans"] == 1 and out[2]["dup_tokens"] == 8
