@@ -260,3 +260,26 @@ def test_dup_span_stats_planted(spark):
     assert set(out) == {1, 2}
     assert out[1]["n_spans"] == 1 and out[1]["dup_tokens"] == 8
     assert out[2]["n_spans"] == 1 and out[2]["dup_tokens"] == 8
+
+
+def test_dup_span_stats_invariants_random_corpus(spark):
+    # Seeded random corpus from a tiny vocab (forced shingle collisions):
+    # spans must be well-formed — dup_tokens >= k per span-bearing doc,
+    # bounded by the doc's token count, and n_spans * k <= dup_tokens is
+    # impossible to violate only when spans are merged maximal (each span
+    # covers >= k tokens, and merged spans cannot exceed doc length).
+    rng = random.Random(42)
+    vocab = [f"w{i}" for i in range(8)]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randrange(5, 40))))
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    n_toks = {i: len(t.split()) for i, t in rows}
+    out = D.dup_span_stats(df, k=5).collect()
+    assert out, "tiny vocab must force cross-doc shingle collisions"
+    for r in out:
+        assert r["n_spans"] >= 1
+        assert r["dup_tokens"] >= 5  # every span spans at least k tokens
+        assert r["dup_tokens"] <= n_toks[r["doc_id"]]
+        assert r["n_spans"] <= r["dup_tokens"] // 5 + 1
