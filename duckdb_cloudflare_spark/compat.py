@@ -285,9 +285,21 @@ _FUNCTION_ALIASES = {
     "list_sort": "sort_array",  # both default ascending, NULLs first
     "array_to_string": "array_join",
     "list_distinct": "array_distinct",
+    "list_min": "array_min",  # both skip NULL elements
+    "list_max": "array_max",
+    "list_append": "array_append",  # both (list, element)
+    "list_reverse": "reverse",
+    "list_filter": "filter",  # both (list, lambda); `x ->` lambda syntax shared
+    "list_transform": "transform",
+    "string_split_regex": "split",  # both regex; both keep trailing empties
+    "strpos": "instr",  # both 1-based, 0 when absent
     # NOT mapped (need expression rewrites, not renames — raising beats
     # mis-running): list_unique (= size(array_distinct(x))), list_slice
-    # (1-based inclusive vs Spark's slice(start, length)).
+    # (1-based inclusive vs Spark's slice(start, length)), list_prepend
+    # (DuckDB is (element, list) — Spark array_prepend REVERSES the args),
+    # list_has_any (Spark arrays_overlap returns NULL when either side
+    # contains a NULL and no match — DuckDB returns false),
+    # list_position (DuckDB NULL when absent — Spark array_position 0).
 }
 
 _FUNC_CALL = re.compile(r"\b([A-Za-z_]\w*)\s*\(", re.IGNORECASE)

@@ -276,3 +276,23 @@ class TestMoreFunctionAliases:
         assert row["s"] == [1, 2, 2, 3]
         assert row["j"] == "3-1-2-2"
         assert sorted(row["d"]) == [1, 2, 3]
+
+
+class TestNewAliasCrossEngine:
+    def test_execute_new_aliases_cross_engine(self, t, duck):
+        # The same DuckDB-spelled statement, run natively in DuckDB and
+        # through duck_sql's rewrite in Spark, must agree value-for-value —
+        # the drop-in claim, checked by execution rather than by mapping.
+        body = (
+            "SELECT list_min(l) AS mn, list_max(l) AS mx, "
+            "list_reverse(list_append(l, 9)) AS rev, "
+            "list_filter(l, x -> x > 1) AS flt, "
+            "list_transform(l, x -> x * 2) AS dbl, "
+            "string_split_regex('a1b22c', '[0-9]+') AS sp, "
+            "strpos('hello', 'll') AS ps, "
+            "strpos('hello', 'zz') AS ps0 "
+            "FROM (SELECT list_value(3, 1, 2) AS l) AS s"
+        )
+        drow = list(duck.sql(body).fetchone())
+        srow = list(duck_sql(t, body).collect()[0])
+        assert srow == drow
