@@ -103,3 +103,22 @@ def pack_stream(stream: DataFrame, budget: int = 2048) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def decontaminate_stream(stream: DataFrame, benchmark: DataFrame) -> DataFrame:
+    """Streaming decontamination: drop stream documents whose normalized-
+    text fingerprint appears in a STATIC benchmark table — the stream-static
+    anti-join shape (the static side is re-broadcast per micro-batch, so
+    benchmark updates between restarts are picked up automatically).
+
+    This is the arrival-time form of the batch decontamination pass (p25):
+    run it on the ingest stream so contaminated documents never land in the
+    corpus, instead of sweeping them after the fact. The static side carries
+    only 16-byte fingerprints — broadcastable far beyond any realistic
+    benchmark-suite size.
+    """
+    from duckdb_cloudflare_spark.operators.text_analysis import fingerprint
+
+    fps = benchmark.select(fingerprint(F.col("text")).alias("fp")).distinct()
+    marked = stream.withColumn("fp", fingerprint(F.col("text")))
+    return marked.join(F.broadcast(fps), "fp", "left_anti").drop("fp")

@@ -65,3 +65,31 @@ def test_pack_stream_state_is_one_offset_per_source(spark, split_docs_dir):
     from duckdb_cloudflare_spark.streaming.documents import PACK_STATE_SCHEMA
 
     assert [f.dataType.simpleString() for f in PACK_STATE_SCHEMA.fields] == ["bigint"]
+
+
+def test_decontaminate_stream_matches_batch_anti_join(spark, split_docs_dir):
+    from duckdb_cloudflare_spark.operators.text_analysis import fingerprint
+    from duckdb_cloudflare_spark.streaming.documents import (
+        decontaminate_stream,
+        read_document_stream,
+    )
+    from duckdb_cloudflare_spark.streaming.events import run_to_memory
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    benchmark = docs.filter(F.col("doc_id") % 7 == 0).select("text")
+
+    stream = read_document_stream(spark, split_docs_dir)
+    got = run_to_memory(decontaminate_stream(stream, benchmark), "decon_out")
+    stream_ids = {r["doc_id"] for r in got.select("doc_id").collect()}
+
+    fps = benchmark.select(fingerprint(F.col("text")).alias("fp")).distinct()
+    batch_ids = {
+        r["doc_id"]
+        for r in docs.withColumn("fp", fingerprint(F.col("text")))
+        .join(fps, "fp", "left_anti")
+        .select("doc_id")
+        .collect()
+    }
+    n_docs = docs.count()
+    assert stream_ids == batch_ids
+    assert 0 < len(stream_ids) < n_docs  # something dropped, something kept
