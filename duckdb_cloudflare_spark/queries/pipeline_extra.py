@@ -174,3 +174,76 @@ def p40_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def p41_dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.dup_span_stats(load(spark, sf_dir, "documents"), k=5)
+
+
+@register(
+    "p42_centroid_assign",
+    oracle="""
+    WITH cent AS (
+        SELECT label, idx - 1 AS dim,
+               round(avg(CAST(val AS DOUBLE)), 6) AS c
+        FROM (
+            SELECT label,
+                   unnest(range(1, len(embedding) + 1)) AS idx,
+                   unnest(embedding) AS val
+            FROM embeddings
+        )
+        GROUP BY label, dim
+    ), vd AS (
+        SELECT vec_id,
+               unnest(range(1, len(embedding) + 1)) - 1 AS dim,
+               CAST(unnest(embedding) AS DOUBLE)        AS v
+        FROM embeddings
+    ), dist AS (
+        SELECT vec_id, label, sum((v - c) * (v - c)) AS d
+        FROM vd JOIN cent USING (dim)
+        GROUP BY vec_id, label
+    )
+    SELECT vec_id,
+           CAST(label AS INTEGER) AS assigned_label,
+           round(d, 6) AS sq_dist
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY d, label) AS rn
+        FROM dist
+    ) WHERE rn = 1
+    """,
+    description="nearest-centroid assignment (the k-means assignment step / "
+    "hard-cluster labeling): squared-euclidean distance of every embedding "
+    "to every label centroid (p33's ROUNDED centroids, so both engines "
+    "start from bit-identical values), argmin per vector with (distance, "
+    "label) tie-break. Exploded formulation — (vec, dim) rows join the "
+    "broadcast (label, dim) centroid table on dim, one partial-aggregated "
+    "shuffle to (vec, label) distances, one per-vector top-1 window. At "
+    "100 TB the centroid table stays broadcast (labels x dims) and the "
+    "corpus shuffles once on vec_id — the same shape an IVF assignment "
+    "pass uses.",
+)
+def p42_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import broadcast
+    from pyspark.sql.window import Window
+
+    emb = load(spark, sf_dir, "embeddings")
+    cent = (
+        emb.select("label", F.posexplode("embedding").alias("dim", "val"))
+        .groupBy("label", "dim")
+        .agg(F.round(F.avg(F.col("val").cast("double")), 6).alias("c"))
+    )
+    vd = emb.select(
+        "vec_id", F.posexplode("embedding").alias("dim", "v")
+    ).withColumn("v", F.col("v").cast("double"))
+    dist = (
+        vd.join(broadcast(cent), "dim")
+        .groupBy("vec_id", "label")
+        .agg(F.sum((F.col("v") - F.col("c")) * (F.col("v") - F.col("c"))).alias("d"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("d").asc(), F.col("label").asc())
+    return (
+        dist.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "vec_id",
+            F.col("label").cast("integer").alias("assigned_label"),
+            F.round("d", 6).alias("sq_dist"),
+        )
+    )
