@@ -250,12 +250,17 @@ def q47_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q48_percent_rank_cume",
     oracle="""
     SELECT c_custkey, c_nationkey,
-           round(percent_rank() OVER w, 6) AS pct_rank,
-           round(cume_dist()    OVER w, 6) AS cume
+           percent_rank() OVER w AS pct_rank,
+           cume_dist()    OVER w AS cume
     FROM customer
     WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
     """,
-    description="percent_rank and cume_dist distribution window functions",
+    description="percent_rank and cume_dist distribution window functions. "
+    "Deliberately UNROUNDED: both are single exact-integer divisions "
+    "((r-1)/(n-1), k/n), so the doubles are bit-identical across engines — "
+    "while round(x, 6) diverges exactly when a value lands on the half "
+    "(Spark HALF_UP vs DuckDB HALF_EVEN; bit at sf0.1 where 205/3200 hits "
+    "0.0640625).",
 )
 def q48_percent_rank_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load(spark, sf_dir, "customer")
@@ -263,8 +268,8 @@ def q48_percent_rank_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.select(
         "c_custkey",
         "c_nationkey",
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
     )
 
 
