@@ -910,9 +910,7 @@ def duplicated_ngram_stats(
             id_col,
             "n_shingles",
             "n_dup",
-            F.round(F.col("n_dup").cast("double") / F.col("n_shingles"), 6).alias(
-                "dup_frac"
-            ),
+            (F.col("n_dup").cast("double") / F.col("n_shingles")).alias("dup_frac"),
         )
     )
 

@@ -7,8 +7,13 @@ lineitem events documents embeddings). The driver hash-compares row values
 order-insensitively with columns sorted by name, so:
 
 - every computed/aggregate column is aliased IDENTICALLY on both sides;
-- float aggregates are rounded on BOTH sides (same rounding) so double
-  summation-order differences between engines can't flip the hash;
+- float aggregates whose SUMMATION ORDER differs between engines (sums,
+  avgs, transcendental pipelines) are rounded on BOTH sides so last-ulp
+  noise can't flip the hash — BUT single exact-integer divisions
+  (ratios, percent_rank, cume_dist) are deliberately UNROUNDED: both
+  engines produce bit-identical doubles there, while round(x, 6) itself
+  DIVERGES when a value lands near an exact decimal half (Spark
+  BigDecimal HALF_UP vs DuckDB's multiply-and-rint — bit q48 at sf0.1);
 - queries whose semantics are approximate / not SQL-expressible register
   ``oracle=None`` and get the driver's weaker rows-only check.
 """

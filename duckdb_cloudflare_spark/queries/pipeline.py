@@ -49,12 +49,12 @@ def p01_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(len({_TOKENS_SQL}) AS BIGINT)                        AS n_tokens,
            CAST(len(regexp_extract_all(text, '([A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s])')) AS BIGINT)
                                                                      AS n_bpe_tokens,
-           round(CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE)
-                 / len({_TOKENS_SQL}), 6)                            AS avg_token_len,
-           round(CAST(len(list_filter({_TOKENS_SQL},
+           CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE)
+                 / len({_TOKENS_SQL})                                AS avg_token_len,
+           CAST(len(list_filter({_TOKENS_SQL},
                      tok -> list_contains(['the','and','of','to','in','is','it','that','was','for'],
                                           lower(tok)))) AS DOUBLE)
-                 / len({_TOKENS_SQL}), 6)                            AS stopword_ratio
+                 / len({_TOKENS_SQL})                                AS stopword_ratio
     FROM documents
     WHERE len({_TOKENS_SQL}) > 0
     """,
@@ -71,10 +71,9 @@ def p02_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("text").cast("bigint").alias("n_chars"),
         n_tokens.alias("n_tokens"),
         F.size(T.bpe_ish_tokens(F.col("text"))).cast("bigint").alias("n_bpe_tokens"),
-        F.round(
-            F.length(F.regexp_replace("text", r"\s", "")).cast("double") / n_tokens, 6
-        ).alias("avg_token_len"),
-        F.round(n_stop.cast("double") / n_tokens, 6).alias("stopword_ratio"),
+        (F.length(F.regexp_replace("text", r"\s", "")).cast("double") / n_tokens
+         ).alias("avg_token_len"),
+        (n_stop.cast("double") / n_tokens).alias("stopword_ratio"),
     )
 
 
@@ -312,8 +311,8 @@ def p13_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM documents
     )
     SELECT doc_id, n_chars, n_tokens,
-           round(CAST(n_chars - n_nonpunct AS DOUBLE) / n_chars, 6) AS punct_ratio,
-           round(CAST(n_alpha AS DOUBLE) / n_chars, 6) AS alpha_ratio
+           CAST(n_chars - n_nonpunct AS DOUBLE) / n_chars AS punct_ratio,
+           CAST(n_alpha AS DOUBLE) / n_chars AS alpha_ratio
     FROM stats
     WHERE n_tokens >= 10
       AND n_chars >= 100
@@ -338,8 +337,8 @@ def p15_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             n_chars.alias("n_chars"),
             n_tokens.alias("n_tokens"),
-            F.round(punct_ratio, 6).alias("punct_ratio"),
-            F.round(alpha_ratio, 6).alias("alpha_ratio"),
+            punct_ratio.alias("punct_ratio"),
+            alpha_ratio.alias("alpha_ratio"),
         )
         .filter(
             (F.col("n_tokens") >= 10)
@@ -538,12 +537,12 @@ def p20_transitive_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) GROUP BY doc_id
     )
     SELECT toks.doc_id,
-           round(CAST(len(list_distinct(t)) AS DOUBLE) / len(t), 6) AS distinct_token_ratio,
-           round(1.0 - CAST(len(list_distinct(
+           CAST(len(list_distinct(t)) AS DOUBLE) / len(t) AS distinct_token_ratio,
+           1.0 - CAST(len(list_distinct(
                      list_transform(list_zip(t[1:len(t)-1], t[2:len(t)]),
                                     p -> p[1] || ' ' || p[2]))) AS DOUBLE)
-                     / (len(t) - 1), 6) AS dup_bigram_fraction,
-           round(CAST(freq.max_tok AS DOUBLE) / len(t), 6) AS top_token_fraction
+                     / (len(t) - 1) AS dup_bigram_fraction,
+           CAST(freq.max_tok AS DOUBLE) / len(t) AS top_token_fraction
     FROM toks JOIN freq ON toks.doc_id = freq.doc_id
     WHERE len(t) > 1
     """,
@@ -566,11 +565,11 @@ def p21_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     ratios = base.select(
         "doc_id",
         F.col("t"),
-        F.round(F.size(F.array_distinct("t")).cast("double") / F.size("t"), 6).alias(
+        (F.size(F.array_distinct("t")).cast("double") / F.size("t")).alias(
             "distinct_token_ratio"
         ),
-        F.round(
-            1.0 - F.size(F.array_distinct(bigrams)).cast("double") / (F.size("t") - 1), 6
+        (
+            1.0 - F.size(F.array_distinct(bigrams)).cast("double") / (F.size("t") - 1)
         ).alias("dup_bigram_fraction"),
     )
     freq = (
@@ -586,7 +585,7 @@ def p21_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             "distinct_token_ratio",
             "dup_bigram_fraction",
-            F.round(F.col("max_tok").cast("double") / F.size("t"), 6).alias(
+            (F.col("max_tok").cast("double") / F.size("t")).alias(
                 "top_token_fraction"
             ),
         )
@@ -896,7 +895,7 @@ def p28_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), m AS (
         SELECT lang, median(ar) AS med FROM s GROUP BY lang
     )
-    SELECT doc_id, lang, round(ar, 6) AS alpha_ratio
+    SELECT doc_id, lang, ar AS alpha_ratio
     FROM s JOIN m USING (lang)
     WHERE ar >= med
     """,
@@ -921,7 +920,7 @@ def p29_lang_quality_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         s.join(broadcast(med), "lang")
         .filter(F.col("ar") >= F.col("med"))
-        .select("doc_id", "lang", F.round("ar", 6).alias("alpha_ratio"))
+        .select("doc_id", "lang", F.col("ar").alias("alpha_ratio"))
     )
 
 
@@ -981,7 +980,7 @@ _CORPUS_GRAMS_SQL = _GRAMS5_SQL.format(t=_TOKENS_SQL)
         SELECT doc_id, n, unnest(grams) AS gram FROM cgrams
     )
     SELECT e.doc_id,
-           round(CAST(count(*) AS DOUBLE) / n, 6) AS overlap_ratio
+           CAST(count(*) AS DOUBLE) / n AS overlap_ratio
     FROM exploded e JOIN bgrams USING (gram)
     GROUP BY e.doc_id, n
     HAVING CAST(count(*) AS DOUBLE) / n >= 0.10
@@ -1040,7 +1039,7 @@ def p31_fuzzy_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         m.filter(F.col("m").cast("double") / F.col("n") >= 0.10)
         .select(
             "doc_id",
-            F.round(F.col("m").cast("double") / F.col("n"), 6).alias("overlap_ratio"),
+            (F.col("m").cast("double") / F.col("n")).alias("overlap_ratio"),
         )
     )
 
@@ -1133,7 +1132,7 @@ def p33_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     -- iff it shares >= 1 shingle, which J >= 0.5 requires anyway), so the
     -- bench baseline comparison is algorithm-for-algorithm fair
     SELECT id_a, id_b,
-           round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) AS jaccard
+           CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jaccard
     FROM inter
     JOIN sizes sa ON sa.doc_id = id_a
     JOIN sizes sb ON sb.doc_id = id_b
@@ -1201,7 +1200,7 @@ def p34_exact_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         inter.join(sz_a, "id_a")
         .join(sz_b, "id_b")
         .filter(j >= 0.5)
-        .select("id_a", "id_b", F.round(j, 6).alias("jaccard"))
+        .select("id_a", "id_b", j.alias("jaccard"))
     )
 
 
@@ -1259,8 +1258,8 @@ def p35_exact_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            count(*)                    AS n_shingles,
            count(*) FILTER (n_docs_with >= 2) AS n_dup,
-           round(CAST(count(*) FILTER (n_docs_with >= 2) AS DOUBLE)
-                 / count(*), 6)        AS dup_frac
+           CAST(count(*) FILTER (n_docs_with >= 2) AS DOUBLE)
+                 / count(*)            AS dup_frac
     FROM inv JOIN cnt USING (shingle)
     GROUP BY doc_id
     """,

@@ -172,8 +172,8 @@ def q45_window_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l_returnflag, l_linestatus, round(grp_rev, 4) AS revenue,
            round(grp_rev / sum(grp_rev) OVER (), 6)      AS revenue_share,
-           round(percent_rank() OVER (ORDER BY grp_rev), 6) AS pct_rank,
-           round(cume_dist() OVER (ORDER BY grp_rev), 6)    AS cdist
+           percent_rank() OVER (ORDER BY grp_rev) AS pct_rank,
+           cume_dist() OVER (ORDER BY grp_rev)    AS cdist
     FROM (
         SELECT l_returnflag, l_linestatus,
                sum(l_extendedprice * (1 - l_discount)) AS grp_rev
@@ -194,8 +194,8 @@ def q46_cumulative_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_linestatus",
         F.round("grp_rev", 4).alias("revenue"),
         F.round(F.col("grp_rev") / F.sum("grp_rev").over(w_all), 6).alias("revenue_share"),
-        F.round(F.percent_rank().over(w_ord), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w_ord), 6).alias("cdist"),
+        F.percent_rank().over(w_ord).alias("pct_rank"),
+        F.cume_dist().over(w_ord).alias("cdist"),
     )
 
 
