@@ -247,3 +247,41 @@ def p42_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("d", 6).alias("sq_dist"),
         )
     )
+
+
+@register(
+    "p43_epoch_shuffle",
+    oracle="""
+    WITH keyed AS (
+        SELECT doc_id, md5('epoch-7:' || CAST(doc_id AS VARCHAR)) AS k
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(('0x' || substr(k, 1, 4))::BIGINT % 8 AS INTEGER) AS shard,
+           CAST(row_number() OVER (
+                    PARTITION BY ('0x' || substr(k, 1, 4))::BIGINT % 8
+                    ORDER BY k, doc_id) AS BIGINT)                AS pos_in_shard
+    FROM keyed
+    """,
+    description="deterministic epoch shuffle: the training-reader shard/"
+    "order assignment — every doc gets a shard (hash bucket of a seeded "
+    "md5 key) and a position inside it (rank of the key), so epoch N's "
+    "global order is reproducible from the seed alone, with no stored "
+    "permutation and no global sort (each shard ranks independently; at "
+    "100 TB the per-shard window is the only sort and shards are sized by "
+    "the bucket count). Distinct from p19 (train/test split: one hash "
+    "bucket, no ordering) and p18 (stratified downsample).",
+)
+def p43_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = load(spark, sf_dir, "documents")
+    k = F.md5(F.concat(F.lit("epoch-7:"), F.col("doc_id").cast("string")))
+    keyed = d.select("doc_id", k.alias("k"))
+    shard = (F.conv(F.substring("k", 1, 4), 16, 10).cast("long") % 8).cast("integer")
+    w = Window.partitionBy(shard).orderBy("k", "doc_id")
+    return keyed.select(
+        "doc_id",
+        shard.alias("shard"),
+        F.row_number().over(w).cast("long").alias("pos_in_shard"),
+    )
