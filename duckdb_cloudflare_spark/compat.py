@@ -369,9 +369,83 @@ def rewrite_file_tables(sql: str) -> str:
     return "".join(out)
 
 
+# DuckDB list functions whose Spark equivalent is an EXPRESSION, not a
+# rename: these need argument-aware rewriting (balanced parens, quoted
+# strings respected). Handled here rather than left to raise:
+#   list_unique(x)        → size(array_distinct(x))   (count of distincts)
+#   list_slice(l, a, b)   → slice(l, a, (b) - (a) + 1)
+# list_slice caveat: both are 1-based and end-inclusive for POSITIVE
+# indices, which the rewrite preserves exactly; DuckDB's negative-index /
+# NULL-bound forms do not map onto Spark's (start, length) signature and
+# will produce Spark's semantics instead.
+_LIST_EXPR = re.compile(r"\b(list_unique|list_slice)\s*\(", re.IGNORECASE)
+
+
+def _call_args(sql: str, open_idx: int) -> tuple[int, list[str]]:
+    """Given the index of a call's ``(``, return (index of its ``)``,
+    top-level-comma-split argument texts). Nested parens and single/double
+    quoted strings (with doubled-quote escapes) are respected."""
+    i, n, depth = open_idx, len(sql), 0
+    args: list[str] = []
+    start = open_idx + 1
+    while i < n:
+        c = sql[i]
+        if c == "'" or c == '"':
+            q = c
+            i += 1
+            while i < n:
+                if sql[i] == q:
+                    if i + 1 < n and sql[i + 1] == q:
+                        i += 2
+                        continue
+                    break
+                i += 1
+        elif c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+            if depth == 0:
+                args.append(sql[start:i])
+                return i, args
+        elif c == "," and depth == 1:
+            args.append(sql[start:i])
+            start = i + 1
+        i += 1
+    raise ValueError("unbalanced parentheses in SQL function call")
+
+
+def rewrite_list_exprs(sql: str) -> str:
+    """Expand ``list_unique`` / ``list_slice`` call sites into their Spark
+    expression equivalents (see the note above). Outermost-first with a
+    fixpoint loop, so nested occurrences inside rewritten arguments are
+    picked up on the next pass."""
+    for _ in range(200):  # bound: more list_* calls than this is not real SQL
+        real = {i for i, _, _ in _scan_top_level(sql)}
+        m = next(
+            (m for m in _LIST_EXPR.finditer(sql) if m.start(1) in real), None
+        )
+        if m is None:
+            return sql
+        open_idx = m.end() - 1  # the regex requires the "(" at match end
+        close, args = _call_args(sql, open_idx)
+        fn = m.group(1).lower()
+        if fn == "list_unique":
+            if len(args) != 1:
+                raise ValueError("list_unique takes exactly 1 argument")
+            repl = f"size(array_distinct({args[0].strip()}))"
+        else:
+            if len(args) != 3:
+                raise ValueError("list_slice takes exactly 3 arguments")
+            lst, a, b = (x.strip() for x in args)
+            repl = f"slice({lst}, {a}, ({b}) - ({a}) + 1)"
+        sql = sql[: m.start(1)] + repl + sql[close + 1 :]
+    raise ValueError("rewrite_list_exprs did not converge (too many call sites)")
+
+
 def duck_sql(spark: SparkSession, sql: str) -> DataFrame:
     """``spark.sql`` accepting the DuckDB dialect idioms above."""
     sql = rewrite_file_tables(sql)
+    sql = rewrite_list_exprs(sql)
     sql = rewrite_function_names(sql)
     sql = rewrite_replace(sql)
     return spark.sql(rewrite_qualify(rewrite_exclude(sql)))

@@ -296,3 +296,37 @@ class TestNewAliasCrossEngine:
         drow = list(duck.sql(body).fetchone())
         srow = list(duck_sql(t, body).collect()[0])
         assert srow == drow
+
+
+class TestListExprRewrites:
+    def test_rewrites(self):
+        from duckdb_cloudflare_spark.compat import rewrite_list_exprs as rw
+
+        assert rw("SELECT list_unique(l) FROM t") == (
+            "SELECT size(array_distinct(l)) FROM t"
+        )
+        assert rw("SELECT list_slice(l, 2, 5) FROM t") == (
+            "SELECT slice(l, 2, (5) - (2) + 1) FROM t"
+        )
+        # nested call sites resolve via the fixpoint pass
+        assert rw("SELECT list_unique(list_slice(l, 1, n)) FROM t") == (
+            "SELECT size(array_distinct(slice(l, 1, (n) - (1) + 1))) FROM t"
+        )
+        # inside a string literal -> untouched
+        assert rw("SELECT 'list_unique(l)' AS s FROM t") == (
+            "SELECT 'list_unique(l)' AS s FROM t"
+        )
+        # commas inside nested calls / strings don't split arguments
+        out = rw("SELECT list_slice(split(s, ','), 1, 2) FROM t")
+        assert out == "SELECT slice(split(s, ','), 1, (2) - (1) + 1) FROM t"
+
+    def test_execute_cross_engine(self, t, duck):
+        # Same DuckDB-spelled statement natively vs through duck_sql:
+        # positive-index list_slice is 1-based end-inclusive in both.
+        body = (
+            "SELECT list_unique(l) AS u, list_slice(l, 2, 4) AS sl "
+            "FROM (SELECT list_value(5, 5, 6, 7, 8) AS l) AS s"
+        )
+        drow = list(duck.sql(body).fetchone())
+        srow = list(duck_sql(t, body).collect()[0])
+        assert srow == drow
