@@ -271,8 +271,10 @@ def rewrite_qualify(sql: str) -> str:
 # DuckDB function spellings whose Spark builtin is a drop-in (same argument
 # order and semantics for the common arities). Deliberately NOT mapped:
 # string_split (DuckDB splits on a LITERAL separator, Spark split() treats it
-# as a regex — a silent-wrong rewrite), strftime (C format codes vs Java
-# patterns). Those raise naturally in Spark analysis instead of mis-running.
+# as a regex — a silent-wrong rewrite). strftime is handled separately by
+# ``rewrite_strftime`` (literal formats translated code-by-code, anything
+# untranslatable raises). Unmapped spellings raise naturally in Spark
+# analysis instead of mis-running.
 _FUNCTION_ALIASES = {
     "arg_max": "max_by",
     "arg_min": "min_by",
@@ -414,6 +416,73 @@ def _call_args(sql: str, open_idx: int) -> tuple[int, list[str]]:
     raise ValueError("unbalanced parentheses in SQL function call")
 
 
+# C strftime codes → Java DateTimeFormatter patterns, for the subset with
+# an exact equivalent. Codes outside this map make the rewrite RAISE —
+# a clear bind-time error beats silently wrong timestamps.
+_STRFTIME_MAP = {
+    "%Y": "yyyy", "%y": "yy", "%m": "MM", "%d": "dd", "%H": "HH",
+    "%I": "hh", "%M": "mm", "%S": "ss", "%f": "SSSSSS", "%p": "a",
+    "%j": "DDD", "%a": "EEE", "%A": "EEEE", "%b": "MMM", "%B": "MMMM",
+    "%%": "%",
+}
+_STRFTIME_CALL = re.compile(r"\bstrftime\s*\(", re.IGNORECASE)
+
+
+def _translate_strftime_format(fmt: str) -> str:
+    out, i = [], 0
+    while i < len(fmt):
+        if fmt[i] == "%":
+            code = fmt[i : i + 2]
+            if code not in _STRFTIME_MAP:
+                raise ValueError(
+                    f"strftime code {code!r} has no exact Java-pattern "
+                    "equivalent; use date_format with a Spark pattern"
+                )
+            out.append(_STRFTIME_MAP[code])
+            i += 2
+        else:
+            # literal text: quote alphabetic runs so Java doesn't interpret
+            j = i
+            while j < len(fmt) and fmt[j] != "%":
+                j += 1
+            lit = fmt[i:j]
+            out.append(f"'{lit}'" if any(c.isalpha() for c in lit) else lit)
+            i = j
+    return "".join(out)
+
+
+def rewrite_strftime(sql: str) -> str:
+    """``strftime(expr, '%Y-%m-%d')`` → ``date_format(expr, 'yyyy-MM-dd')``
+    for literal formats whose codes all have exact Java equivalents
+    (untranslatable codes raise at rewrite time). Non-literal format
+    arguments pass through untouched and fail Spark analysis naturally."""
+    for _ in range(200):
+        real = {i for i, _, _ in _scan_top_level(sql)}
+        hit = None
+        for m in _STRFTIME_CALL.finditer(sql):
+            if m.start() not in real:
+                continue
+            close, args = _call_args(sql, m.end() - 1)
+            if len(args) != 2:
+                continue
+            fmt_arg = args[1].strip()
+            if not (fmt_arg.startswith("'") and fmt_arg.endswith("'")):
+                continue  # non-literal format: leave for Spark to reject
+            hit = (m, close, args, fmt_arg)
+            break
+        if hit is None:
+            return sql
+        m, close, args, fmt_arg = hit
+        fmt = fmt_arg[1:-1].replace("''", "'")
+        java = _translate_strftime_format(fmt).replace("'", "''")
+        sql = (
+            sql[: m.start()]
+            + f"date_format({args[0].strip()}, '{java}')"
+            + sql[close + 1 :]
+        )
+    raise ValueError("rewrite_strftime did not converge")
+
+
 def rewrite_list_exprs(sql: str) -> str:
     """Expand ``list_unique`` / ``list_slice`` call sites into their Spark
     expression equivalents (see the note above). Outermost-first with a
@@ -446,6 +515,7 @@ def duck_sql(spark: SparkSession, sql: str) -> DataFrame:
     """``spark.sql`` accepting the DuckDB dialect idioms above."""
     sql = rewrite_file_tables(sql)
     sql = rewrite_list_exprs(sql)
+    sql = rewrite_strftime(sql)
     sql = rewrite_function_names(sql)
     sql = rewrite_replace(sql)
     return spark.sql(rewrite_qualify(rewrite_exclude(sql)))

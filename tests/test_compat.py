@@ -330,3 +330,36 @@ class TestListExprRewrites:
         drow = list(duck.sql(body).fetchone())
         srow = list(duck_sql(t, body).collect()[0])
         assert srow == drow
+
+
+class TestStrftimeRewrite:
+    def test_rewrites(self):
+        from duckdb_cloudflare_spark.compat import rewrite_strftime as rw
+
+        assert rw("SELECT strftime(ts, '%Y-%m-%d') FROM t") == (
+            "SELECT date_format(ts, 'yyyy-MM-dd') FROM t"
+        )
+        # literal text with alphabetic runs gets Java-quoted
+        assert rw("SELECT strftime(ts, '%Y-%m-%dT%H:%M:%S') FROM t") == (
+            "SELECT date_format(ts, 'yyyy-MM-dd''T''HH:mm:ss') FROM t"
+        )
+        # untranslatable code -> loud error, not silent wrong output
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="%U"):
+            rw("SELECT strftime(ts, '%U') FROM t")
+        # non-literal format passes through for Spark to reject
+        sql = "SELECT strftime(ts, fmt_col) FROM t"
+        assert rw(sql) == sql
+        # inside a string literal -> untouched
+        sql2 = "SELECT 'strftime(ts, x)' FROM t"
+        assert rw(sql2) == sql2
+
+    def test_execute_cross_engine(self, t, duck):
+        body = (
+            "SELECT strftime(TIMESTAMP '2024-03-05 07:09:11', "
+            "'%Y-%m-%dT%H:%M:%S') AS s"
+        )
+        drow = list(duck.sql(body).fetchone())
+        srow = list(duck_sql(t, body).collect()[0])
+        assert srow == drow == ["2024-03-05T07:09:11"]
