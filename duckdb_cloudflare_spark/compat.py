@@ -295,13 +295,16 @@ _FUNCTION_ALIASES = {
     "list_transform": "transform",
     "string_split_regex": "split",  # both regex; both keep trailing empties
     "strpos": "instr",  # both 1-based, 0 when absent
+    "epoch_ms": "unix_millis",  # both BIGINT milliseconds (verified)
     # NOT mapped (need expression rewrites, not renames — raising beats
     # mis-running): list_unique (= size(array_distinct(x))), list_slice
     # (1-based inclusive vs Spark's slice(start, length)), list_prepend
     # (DuckDB is (element, list) — Spark array_prepend REVERSES the args),
     # list_has_any (Spark arrays_overlap returns NULL when either side
     # contains a NULL and no match — DuckDB returns false),
-    # list_position (DuckDB NULL when absent — Spark array_position 0).
+    # list_position (DuckDB NULL when absent — Spark array_position 0),
+    # epoch (DuckDB DOUBLE with fractional seconds — Spark unix_timestamp
+    # truncates to BIGINT seconds).
 }
 
 _FUNC_CALL = re.compile(r"\b([A-Za-z_]\w*)\s*\(", re.IGNORECASE)
@@ -511,11 +514,36 @@ def rewrite_list_exprs(sql: str) -> str:
     raise ValueError("rewrite_list_exprs did not converge (too many call sites)")
 
 
+_REGEXP_EXTRACT_CALL = re.compile(r"\bregexp_extract\s*\(", re.IGNORECASE)
+
+
+def rewrite_regexp_extract(sql: str) -> str:
+    """Two-argument ``regexp_extract(s, re)`` → ``regexp_extract(s, re, 0)``.
+
+    The name exists in BOTH engines but the default group index differs:
+    DuckDB returns the WHOLE match (group 0), Spark returns capture group 1
+    — the worst kind of dialect gap, silently wrong output rather than an
+    error. Pinning the explicit 0 reproduces DuckDB's semantics; 3-argument
+    calls already agree and pass through."""
+    out_spans: list[tuple[int, str]] = []
+    real = {i for i, _, _ in _scan_top_level(sql)}
+    for m in _REGEXP_EXTRACT_CALL.finditer(sql):
+        if m.start() not in real:
+            continue
+        close, args = _call_args(sql, m.end() - 1)
+        if len(args) == 2:
+            out_spans.append((close, ", 0"))
+    for pos, ins in sorted(out_spans, reverse=True):
+        sql = sql[:pos] + ins + sql[pos:]
+    return sql
+
+
 def duck_sql(spark: SparkSession, sql: str) -> DataFrame:
     """``spark.sql`` accepting the DuckDB dialect idioms above."""
     sql = rewrite_file_tables(sql)
     sql = rewrite_list_exprs(sql)
     sql = rewrite_strftime(sql)
+    sql = rewrite_regexp_extract(sql)
     sql = rewrite_function_names(sql)
     sql = rewrite_replace(sql)
     return spark.sql(rewrite_qualify(rewrite_exclude(sql)))

@@ -363,3 +363,29 @@ class TestStrftimeRewrite:
         drow = list(duck.sql(body).fetchone())
         srow = list(duck_sql(t, body).collect()[0])
         assert srow == drow == ["2024-03-05T07:09:11"]
+
+
+class TestRegexpExtractDefaultGroup:
+    def test_rewrites(self):
+        from duckdb_cloudflare_spark.compat import rewrite_regexp_extract as rw
+
+        assert rw("SELECT regexp_extract(s, '([a-z]+)([0-9]+)') FROM t") == (
+            "SELECT regexp_extract(s, '([a-z]+)([0-9]+)', 0) FROM t"
+        )
+        # 3-arity untouched; string-literal occurrence untouched
+        sql = "SELECT regexp_extract(s, 'x(y)', 1), 'regexp_extract(a,b)' FROM t"
+        assert rw(sql) == sql
+        # nested commas inside the pattern don't fool the arg split
+        assert rw("SELECT regexp_extract(s, 'a{1,3}') FROM t") == (
+            "SELECT regexp_extract(s, 'a{1,3}', 0) FROM t"
+        )
+
+    def test_execute_cross_engine(self, t, duck):
+        body = (
+            "SELECT regexp_extract('ab123cd', '([a-z]+)([0-9]+)') AS whole, "
+            "regexp_extract('ab123cd', '([a-z]+)([0-9]+)', 2) AS grp2, "
+            "epoch_ms(TIMESTAMP '2021-01-01 00:00:00.5') AS ms"
+        )
+        drow = list(duck.sql(body).fetchone())
+        srow = list(duck_sql(t, body).collect()[0])
+        assert srow == drow == ["ab123", "123", 1609459200500]
