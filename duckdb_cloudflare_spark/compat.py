@@ -514,6 +514,90 @@ def rewrite_list_exprs(sql: str) -> str:
     raise ValueError("rewrite_list_exprs did not converge (too many call sites)")
 
 
+# --- same-name, DIFFERENT-semantics hazards (the silent-wrong class) -----
+# Verified empirically (see tests): DuckDB log(x) is LOG BASE 10, Spark
+# log(x) is ln; DuckDB regexp_replace defaults to FIRST match (needs 'g'
+# for all), Spark replaces all; DuckDB subscripts are 1-based, Spark's are
+# 0-based. Each gets an explicit rewrite (or a loud error) below.
+
+_LOG_CALL = re.compile(r"\blog\s*\(", re.IGNORECASE)
+
+
+def rewrite_log10(sql: str) -> str:
+    """One-argument ``log(x)`` → ``log10(x)`` (DuckDB's base; Spark's
+    1-arity log is ln — silently wrong by a factor). Two-argument
+    ``log(base, x)`` agrees between engines and passes through."""
+    real = {i for i, _, _ in _scan_top_level(sql)}
+    spans: list[tuple[int, int]] = []
+    for m in _LOG_CALL.finditer(sql):
+        if m.start() not in real:
+            continue
+        _, args = _call_args(sql, m.end() - 1)
+        if len(args) == 1:
+            spans.append((m.start(), m.start() + 3))
+    for start, end in sorted(spans, reverse=True):
+        sql = sql[:start] + "log10" + sql[end:]
+    return sql
+
+
+_REGEXP_REPLACE_CALL = re.compile(r"\bregexp_replace\s*\(", re.IGNORECASE)
+
+
+def rewrite_regexp_replace(sql: str) -> str:
+    """DuckDB's ``regexp_replace`` defaults to replacing the FIRST match;
+    Spark always replaces ALL. 4-arity with a literal ``'g'`` flag (the
+    replace-all spelling) maps exactly: drop the flag. 3-arity (first-only)
+    and non-'g' flags have no Spark builtin equivalent — raise with a
+    clear message instead of silently replacing everything."""
+    real = {i for i, _, _ in _scan_top_level(sql)}
+    edits: list[tuple[int, int, str]] = []
+    for m in _REGEXP_REPLACE_CALL.finditer(sql):
+        if m.start() not in real:
+            continue
+        close, args = _call_args(sql, m.end() - 1)
+        if len(args) == 3:
+            raise ValueError(
+                "regexp_replace(s, re, rep) replaces only the FIRST match in "
+                "DuckDB but ALL matches in Spark; add the 'g' flag if you "
+                "meant replace-all, or rewrite the first-only case explicitly"
+            )
+        if len(args) == 4:
+            flag = args[3].strip()
+            if flag == "'g'":
+                # drop the flag: Spark's 3-arity IS replace-all
+                edits.append((m.end() - 1, close, "(" + ",".join(args[:3]) + ")"))
+            else:
+                raise ValueError(
+                    f"regexp_replace flag {flag} has no Spark equivalent "
+                    "(only 'g' maps); embed (?i) etc. in the pattern instead"
+                )
+    for start, end, repl in sorted(edits, reverse=True):
+        sql = sql[:start] + repl + sql[end + 1 :]
+    return sql
+
+
+# Identifier (possibly dotted) followed by an INTEGER-literal subscript.
+# DuckDB is 1-based, Spark 0-based — element_at() is 1-based in Spark and
+# key-based on maps in both, so it reproduces DuckDB's reading for both
+# container kinds. String subscripts (map['k']) agree already and pass
+# through; subscripts on non-identifier targets (e.g. list literals, which
+# Spark cannot parse anyway) are left alone.
+_INT_SUBSCRIPT = re.compile(r"\b([A-Za-z_][A-Za-z0-9_.]*)\s*\[\s*(\d+)\s*\]")
+
+
+def rewrite_int_subscripts(sql: str) -> str:
+    real = {i for i, _, _ in _scan_top_level(sql)}
+    out, prev = [], 0
+    for m in _INT_SUBSCRIPT.finditer(sql):
+        if m.start(1) not in real:
+            continue
+        out.append(sql[prev : m.start()])
+        out.append(f"element_at({m.group(1)}, {m.group(2)})")
+        prev = m.end()
+    out.append(sql[prev:])
+    return "".join(out)
+
+
 _REGEXP_EXTRACT_CALL = re.compile(r"\bregexp_extract\s*\(", re.IGNORECASE)
 
 
@@ -544,6 +628,9 @@ def duck_sql(spark: SparkSession, sql: str) -> DataFrame:
     sql = rewrite_list_exprs(sql)
     sql = rewrite_strftime(sql)
     sql = rewrite_regexp_extract(sql)
+    sql = rewrite_regexp_replace(sql)
+    sql = rewrite_log10(sql)
+    sql = rewrite_int_subscripts(sql)
     sql = rewrite_function_names(sql)
     sql = rewrite_replace(sql)
     return spark.sql(rewrite_qualify(rewrite_exclude(sql)))

@@ -389,3 +389,44 @@ class TestRegexpExtractDefaultGroup:
         drow = list(duck.sql(body).fetchone())
         srow = list(duck_sql(t, body).collect()[0])
         assert srow == drow == ["ab123", "123", 1609459200500]
+
+
+class TestSameNameDifferentSemantics:
+    def test_log10_rewrite(self):
+        from duckdb_cloudflare_spark.compat import rewrite_log10 as rw
+
+        assert rw("SELECT log(x) FROM t") == "SELECT log10(x) FROM t"
+        assert rw("SELECT log(2, x) FROM t") == "SELECT log(2, x) FROM t"
+        assert rw("SELECT 'log(x)' FROM t") == "SELECT 'log(x)' FROM t"
+
+    def test_regexp_replace_g_flag(self):
+        from duckdb_cloudflare_spark.compat import rewrite_regexp_replace as rw
+
+        assert rw("SELECT regexp_replace(s, 'a', 'b', 'g') FROM t") == (
+            "SELECT regexp_replace(s, 'a', 'b') FROM t"
+        )
+        with pytest.raises(ValueError, match="FIRST match"):
+            rw("SELECT regexp_replace(s, 'a', 'b') FROM t")
+        with pytest.raises(ValueError, match="no Spark equivalent"):
+            rw("SELECT regexp_replace(s, 'a', 'b', 'i') FROM t")
+
+    def test_int_subscripts(self):
+        from duckdb_cloudflare_spark.compat import rewrite_int_subscripts as rw
+
+        assert rw("SELECT l[1], t.col[23] FROM t") == (
+            "SELECT element_at(l, 1), element_at(t.col, 23) FROM t"
+        )
+        # string subscripts agree across engines: untouched
+        assert rw("SELECT m['k'] FROM t") == "SELECT m['k'] FROM t"
+        assert rw("SELECT 'l[1]' FROM t") == "SELECT 'l[1]' FROM t"
+
+    def test_execute_cross_engine(self, t, duck):
+        body = (
+            "SELECT log(100) AS lg, "
+            "regexp_replace('aaa', 'a', 'b', 'g') AS rr, "
+            "l[1] AS first_el "
+            "FROM (SELECT list_value(10, 20, 30) AS l) AS s"
+        )
+        drow = list(duck.sql(body).fetchone())
+        srow = list(duck_sql(t, body).collect()[0])
+        assert srow == drow == [2.0, "bbb", 10]
