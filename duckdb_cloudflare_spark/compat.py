@@ -305,6 +305,14 @@ _FUNCTION_ALIASES = {
     # list_position (DuckDB NULL when absent — Spark array_position 0),
     # epoch (DuckDB DOUBLE with fractional seconds — Spark unix_timestamp
     # truncates to BIGINT seconds).
+    #
+    # KNOWN UNFIXABLE DIVERGENCE (documented, not rewritten): concat() —
+    # DuckDB SKIPS NULL arguments ('a'+NULL+'b' → 'ab'), Spark propagates
+    # NULL. A static rewrite to concat_ws('', …) would reproduce the NULL
+    # behavior but silently BREAK DuckDB's list-concatenation use of the
+    # same function (types are unknowable at rewrite time). Migrating SQL
+    # that relies on NULL-skipping concat should use concat_ws explicitly;
+    # the || operator agrees between engines (NULL-propagating) and is safe.
 }
 
 _FUNC_CALL = re.compile(r"\b([A-Za-z_]\w*)\s*\(", re.IGNORECASE)
