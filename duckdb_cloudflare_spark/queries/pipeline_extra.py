@@ -11,6 +11,11 @@ without rotating short-history entries out of the graded window.
   hash-checked against a recursive-CTE oracle).
 - p40 is the first BPE merge step (adjacent-pair counting) — the vocabulary-
   induction shape on top of p16's unigram vocab.
+- p44–p49 (r4 continuation): chunk-level first-occurrence dedup, the k-means
+  centroid UPDATE step (closing Lloyd's loop with p42), temporal shingle
+  novelty, the sequence-length histogram behind packing capacity planning,
+  an exact md5-minhash estimate that hash-anchors the minhash math itself,
+  and deterministic temperature-based source rebalancing.
 """
 
 from __future__ import annotations
@@ -246,6 +251,399 @@ def p42_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("label").cast("integer").alias("assigned_label"),
             F.round("d", 6).alias("sq_dist"),
         )
+    )
+
+
+# Shared tokenization for the new-op oracles below: EXACTLY p34's formulation
+# (raw regex split, then lower) so empty-text edge cases behave identically
+# on both engines.
+_TOKS_CTE = r"""
+    toks AS (
+        SELECT doc_id,
+               list_transform(string_split_regex(trim(text), '\s+'),
+                              x -> lower(x)) AS ts
+        FROM documents
+    )
+"""
+
+
+def _lower_tokens() -> "F.Column":
+    """Spark twin of the oracle tokenization (split-then-lower == p34)."""
+    return F.transform(F.split(F.trim(F.col("text")), r"\s+"), lambda x: F.lower(x))
+
+
+def _string_shingles(k: int = 3) -> "F.Column":
+    """Distinct ' '-joined word k-shingles as STRINGS (md5-able on both
+    engines — unlike p34's xxhash64 keys, these feed cross-engine hashing)."""
+    ts = F.col("ts")
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.size(ts) - k),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(ts, i + j + 1) for j in range(k)]
+            ),
+        )
+    )
+
+
+@register(
+    "p44_chunk_dedup",
+    oracle=rf"""
+    WITH {_TOKS_CTE},
+    idx AS (
+        SELECT doc_id, ts,
+               unnest(range(0, (len(ts) + 19) // 20)) AS chunk_idx
+        FROM toks WHERE len(ts) >= 1
+    ), chunks AS (
+        SELECT doc_id, chunk_idx,
+               md5(array_to_string(ts[chunk_idx*20+1 : chunk_idx*20+20], ' ')) AS h
+        FROM idx
+    ), ranked AS (
+        SELECT doc_id, chunk_idx,
+               row_number() OVER (PARTITION BY h ORDER BY doc_id, chunk_idx) AS rn
+        FROM chunks
+    )
+    SELECT doc_id,
+           count(*) AS n_chunks,
+           CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_chunks
+    FROM ranked GROUP BY doc_id
+    """,
+    description="paragraph/chunk-level first-occurrence dedup (Dolma-style "
+    "paragraph dedup over fixed 20-token chunks, since the synthetic docs "
+    "have no paragraph breaks): every non-overlapping 20-token chunk is "
+    "hashed; the globally FIRST occurrence (ordered by doc_id, chunk_idx) "
+    "is the keeper and later copies count as duplicates. Output is the "
+    "per-doc removal plan (n_chunks, dup_chunks) a span-drop pass consumes. "
+    "Scale shape: map-side chunking + one hash-partitioned window whose "
+    "groups are bounded by duplicate multiplicity, never by corpus size.",
+)
+def p44_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = D.ensure_parallelism(load(spark, sf_dir, "documents"))
+    ts = F.col("ts")
+    n_chunks = (F.size(ts) + F.lit(19)) / F.lit(20)
+    chunk_text = lambda i: F.concat_ws(  # noqa: E731
+        " ", F.slice(ts, i * 20 + 1, 20)
+    )
+    chunks = (
+        d.select("doc_id", _lower_tokens().alias("ts"))
+        .filter(F.size("ts") >= 1)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), n_chunks.cast("long") - 1),
+                    lambda i: F.md5(chunk_text(i)),
+                )
+            ).alias("chunk_idx", "h"),
+        )
+    )
+    w = Window.partitionBy("h").orderBy("doc_id", "chunk_idx")
+    return (
+        chunks.withColumn("rn", F.row_number().over(w))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum((F.col("rn") > 1).cast("int")).cast("long").alias("dup_chunks"),
+        )
+    )
+
+
+@register(
+    "p45_kmeans_update",
+    oracle="""
+    WITH cent AS (
+        SELECT label, idx - 1 AS dim,
+               round(avg(CAST(val AS DOUBLE)), 6) AS c
+        FROM (
+            SELECT label,
+                   unnest(range(1, len(embedding) + 1)) AS idx,
+                   unnest(embedding) AS val
+            FROM embeddings
+        )
+        GROUP BY label, dim
+    ), vd AS (
+        SELECT vec_id,
+               unnest(range(1, len(embedding) + 1)) - 1 AS dim,
+               CAST(unnest(embedding) AS DOUBLE)        AS v
+        FROM embeddings
+    ), dist AS (
+        SELECT vec_id, label, sum((v - c) * (v - c)) AS d
+        FROM vd JOIN cent USING (dim)
+        GROUP BY vec_id, label
+    ), assign AS (
+        SELECT vec_id, label AS assigned_label
+        FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id
+                                         ORDER BY d, label) AS rn
+            FROM dist
+        ) WHERE rn = 1
+    )
+    SELECT a.assigned_label, vd.dim,
+           round(avg(vd.v), 6) AS new_c,
+           count(*) AS n_members
+    FROM assign a JOIN vd ON vd.vec_id = a.vec_id
+    GROUP BY a.assigned_label, vd.dim
+    """,
+    description="k-means centroid UPDATE step (completes one Lloyd iteration "
+    "with p42's assignment step): re-average every embedding dimension over "
+    "the vectors assigned to each centroid, emitting (assigned_label, dim, "
+    "new_c, n_members). The assignment feeding it is recomputed exactly as "
+    "p42 (broadcast centroid table, one partial-agg shuffle, top-1 window) "
+    "and the update itself is one more partial-aggregated shuffle on "
+    "(label, dim) — iterating Lloyd at 100 TB is N of these passes with the "
+    "k x d centroid table re-broadcast each round, no driver-side state.",
+)
+def p45_kmeans_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    assign = p42_centroid_assign(spark, sf_dir).select("vec_id", "assigned_label")
+    vd = emb.select(
+        "vec_id", F.posexplode("embedding").alias("dim", "v")
+    ).withColumn("v", F.col("v").cast("double"))
+    return (
+        vd.join(assign, "vec_id")
+        .groupBy("assigned_label", "dim")
+        .agg(
+            F.round(F.avg("v"), 6).alias("new_c"),
+            F.count(F.lit(1)).alias("n_members"),
+        )
+    )
+
+
+@register(
+    "p46_doc_novelty",
+    oracle=rf"""
+    WITH {_TOKS_CTE},
+    shins AS (
+        SELECT doc_id,
+               list_distinct(list_transform(range(1, len(ts) - 1),
+                   i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS sh
+        FROM toks WHERE len(ts) >= 3
+    ), inv AS (SELECT doc_id, unnest(sh) AS shingle FROM shins),
+    first AS (
+        SELECT shingle, min(doc_id) AS first_doc FROM inv GROUP BY shingle
+    )
+    SELECT i.doc_id,
+           count(*) AS n_shingles,
+           CAST(sum(CASE WHEN f.first_doc = i.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS novel,
+           CAST(sum(CASE WHEN f.first_doc = i.doc_id THEN 1 ELSE 0 END)
+                AS DOUBLE) / count(*) AS novel_frac
+    FROM inv i JOIN first f USING (shingle)
+    GROUP BY i.doc_id
+    """,
+    description="temporal novelty scoring (incremental-crawl dedup pressure): "
+    "for each doc, the fraction of its distinct word-3-shingles whose FIRST "
+    "corpus occurrence (min doc_id = ingestion order) is this doc — the "
+    "curation signal for 'is a new snapshot adding information or repeating "
+    "the corpus'. Two partial-aggregated shuffles (min-per-shingle, then "
+    "per-doc rollup); the Spark side keys the shingle join on xxhash64 "
+    "(8-byte shuffle keys, p34's trick) while the oracle stays string-keyed, "
+    "so a count-perturbing collision fails the parity gate rather than "
+    "passing silently. novel_frac is a single exact int division — "
+    "unrounded per the q48 rule.",
+)
+def p46_doc_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = D.ensure_parallelism(load(spark, sf_dir, "documents"))
+    shins = (
+        d.select("doc_id", _lower_tokens().alias("ts"))
+        .filter(F.size("ts") >= 3)
+        .select(
+            "doc_id",
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("ts") - 3),
+                    lambda i: F.xxhash64(
+                        F.concat_ws(
+                            " ",
+                            F.element_at(F.col("ts"), i + 1),
+                            F.element_at(F.col("ts"), i + 2),
+                            F.element_at(F.col("ts"), i + 3),
+                        )
+                    ),
+                )
+            ).alias("sh"),
+        )
+    )
+    inv = shins.select("doc_id", F.explode("sh").alias("shingle"))
+    first = inv.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    novel = (F.col("first_doc") == F.col("doc_id")).cast("int")
+    return (
+        inv.join(first.hint("shuffle_hash"), "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(novel).cast("long").alias("novel"),
+            (F.sum(novel).cast("double") / F.count(F.lit(1))).alias("novel_frac"),
+        )
+    )
+
+
+@register(
+    "p47_length_histogram",
+    oracle=r"""
+    WITH n AS (
+        SELECT len(string_split_regex(trim(text), '\s+')) AS n_tokens
+        FROM documents
+    )
+    SELECT n_tokens // 16 AS bucket,
+           count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+    FROM n GROUP BY bucket
+    """,
+    description="sequence-length distribution: token counts bucketed by 16 "
+    "with doc and token totals per bucket — the capacity-planning input for "
+    "sequence packing (p26: how many 512-token bins does the corpus need?) "
+    "and for truncation-loss estimates. Map-only arithmetic + one partial-"
+    "aggregated shuffle over at most a few hundred buckets.",
+)
+def p47_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = D.ensure_parallelism(load(spark, sf_dir, "documents"))
+    n_tok = F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long")
+    return (
+        d.select(n_tok.alias("n_tokens"))
+        .select((F.col("n_tokens") / 16).cast("long").alias("bucket"), "n_tokens")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+    )
+
+
+_MINHASH_K = 12
+_SIG_COLS_SQL = ",\n               ".join(
+    f"min(md5('{j}:' || shingle)) AS s{j}" for j in range(_MINHASH_K)
+)
+_AGREE_SQL = " + ".join(
+    f"CASE WHEN a.s{j} = b.s{j} THEN 1 ELSE 0 END" for j in range(_MINHASH_K)
+)
+
+
+@register(
+    "p48_minhash_estimate",
+    oracle=rf"""
+    WITH {_PAIRS_CTES},
+    strsh AS (
+        SELECT doc_id, unnest(sh) AS shingle FROM shins
+    ), sigs AS (
+        SELECT doc_id,
+               {_SIG_COLS_SQL}
+        FROM strsh GROUP BY doc_id
+    )
+    SELECT id_a, id_b, n_agree,
+           CAST(n_agree AS DOUBLE) / {_MINHASH_K} AS est_jaccard
+    FROM (
+        SELECT p.id_a, p.id_b,
+               CAST({_AGREE_SQL} AS BIGINT) AS n_agree
+        FROM pairs p
+        JOIN sigs a ON a.doc_id = p.id_a
+        JOIN sigs b ON b.doc_id = p.id_b
+    )
+    """,
+    description="EXACT minhash-estimate anchor: a 12-permutation minhash "
+    "signature built from md5('seed:' || shingle) — a hash BOTH engines "
+    "compute bit-identically — scored over p34's deterministic exact-Jaccard "
+    "pair set; est_jaccard = matching-seed fraction. This puts the minhash "
+    "MATH itself (per-seed min over the shingle set, signature-agreement "
+    "estimation) under the DuckDB hash check, complementing p06's rows-only "
+    "recall pin where the production xxhash64 signatures can't be "
+    "reproduced in SQL. One groupBy computes all 12 mins in a single "
+    "shuffle; signatures join the (tiny) pair list via broadcast.",
+)
+def p48_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import broadcast
+
+    d = D.ensure_parallelism(load(spark, sf_dir, "documents"))
+    inv = (
+        d.select("doc_id", _lower_tokens().alias("ts"))
+        .filter(F.size("ts") >= 3)
+        .select("doc_id", _string_shingles(3).alias("sh"))
+        .select("doc_id", F.explode("sh").alias("shingle"))
+    )
+    sigs = inv.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{j}:"), F.col("shingle")))).alias(f"s{j}")
+            for j in range(_MINHASH_K)
+        ]
+    )
+    pairs = p34_exact_jaccard_pairs(spark, sf_dir).select("id_a", "id_b")
+    a = sigs.select(
+        F.col("doc_id").alias("id_a"),
+        *[F.col(f"s{j}").alias(f"a{j}") for j in range(_MINHASH_K)],
+    )
+    b = sigs.select(
+        F.col("doc_id").alias("id_b"),
+        *[F.col(f"s{j}").alias(f"b{j}") for j in range(_MINHASH_K)],
+    )
+    agree = sum(
+        (F.col(f"a{j}") == F.col(f"b{j}")).cast("int") for j in range(_MINHASH_K)
+    )
+    return (
+        pairs.join(broadcast(a), "id_a")
+        .join(broadcast(b), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            agree.cast("long").alias("n_agree"),
+            (agree.cast("double") / _MINHASH_K).alias("est_jaccard"),
+        )
+    )
+
+
+@register(
+    "p49_temperature_resample",
+    oracle="""
+    WITH counts AS (
+        SELECT lang, count(*) AS n_s FROM documents GROUP BY lang
+    ), mn AS (SELECT min(n_s) AS min_n FROM counts),
+    keyed AS (
+        SELECT doc_id, lang,
+               ('0x' || substr(md5('resample:' || CAST(doc_id AS VARCHAR)),
+                               1, 8))::BIGINT / 4294967296.0 AS u
+        FROM documents
+    )
+    SELECT k.doc_id, k.lang
+    FROM keyed k JOIN counts c USING (lang), mn
+    WHERE k.u < sqrt(CAST(mn.min_n AS DOUBLE) / c.n_s)
+    """,
+    description="temperature-based language rebalancing (tau = 0.5 sampling, "
+    "the multilingual-corpus flattening rule: keep-probability per stratum "
+    "proportional to n_s^(tau-1), normalized so the SMALLEST language keeps "
+    "everything and over-represented ones are down-sampled toward it): doc "
+    "kept iff a seeded md5-uniform u(doc_id) < sqrt(min_n / n_s). "
+    "Deterministic — reproducible from the seed string alone, no RNG state. "
+    "sqrt and the hash-to-uniform division are both correctly-rounded IEEE "
+    "ops, so the keep decision is bit-identical across engines. Scale "
+    "shape: per-language counts broadcast back (a few hundred rows); the "
+    "corpus is map-only filtered, never shuffled.",
+)
+def p49_temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import broadcast
+
+    d = load(spark, sf_dir, "documents")
+    counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_s"))
+    mn = counts.agg(F.min("n_s").alias("min_n"))
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("resample:"), F.col("doc_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        / F.lit(4294967296.0)
+    )
+    p_keep = F.sqrt(F.col("min_n").cast("double") / F.col("n_s"))
+    return (
+        d.select("doc_id", "lang", u.alias("u"))
+        .join(broadcast(counts), "lang")
+        .crossJoin(broadcast(mn))
+        .filter(F.col("u") < p_keep)
+        .select("doc_id", "lang")
     )
 
 
