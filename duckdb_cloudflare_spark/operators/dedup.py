@@ -1004,3 +1004,110 @@ def dup_span_stats(
         F.count(F.lit(1)).alias("n_spans"),
         F.sum(F.col("e") - F.col("s")).alias("dup_tokens"),
     )
+
+
+def chunk_dedup_stats(
+    df: DataFrame,
+    chunk_tokens: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Chunk-level first-occurrence dedup (Dolma's paragraph-dedup semantics
+    over fixed-size token chunks, for corpora without paragraph structure):
+    every non-overlapping ``chunk_tokens``-token chunk is md5-hashed; the
+    globally FIRST occurrence — ordered by (doc_id, chunk_idx) — is the
+    keeper and every later copy counts as a duplicate. Returns the per-doc
+    removal plan ``(doc_id, n_chunks, dup_chunks)``.
+
+    Scale shape: chunking and hashing are map-side; the only shuffle is the
+    hash-partitioned first-occurrence window, whose groups are bounded by a
+    chunk's duplicate multiplicity (never corpus size). The full text never
+    shuffles — only 32-char digests.
+
+    Tokenization is raw split-then-lower (p34's oracle-exact formulation),
+    NOT ``text_analysis.tokens`` — blank text yields a single empty token on
+    both engines, keeping DuckDB oracle parity on edge cases.
+    """
+    ts = F.col("ts")
+    n_chunks = ((F.size(ts) + F.lit(chunk_tokens - 1)) / F.lit(chunk_tokens)).cast(
+        "long"
+    )
+    chunks = (
+        ensure_parallelism(df)
+        .select(
+            id_col,
+            F.transform(
+                F.split(F.trim(F.col(text_col)), r"\s+"), lambda x: F.lower(x)
+            ).alias("ts"),
+        )
+        .filter(F.size("ts") >= 1)
+        .select(
+            id_col,
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), n_chunks - 1),
+                    lambda i: F.md5(
+                        F.concat_ws(
+                            " ", F.slice(ts, i * chunk_tokens + 1, chunk_tokens)
+                        )
+                    ),
+                )
+            ).alias("chunk_idx", "h"),
+        )
+    )
+    w = Window.partitionBy("h").orderBy(id_col, "chunk_idx")
+    return (
+        chunks.withColumn("rn", F.row_number().over(w))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum((F.col("rn") > 1).cast("int")).cast("long").alias("dup_chunks"),
+        )
+    )
+
+
+def md5_minhash_sigs(
+    df: DataFrame,
+    k: int = 12,
+    shingle_k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-engine-reproducible minhash signatures: per doc, the min of
+    ``md5(seed || ':' || shingle)`` over its distinct word-``shingle_k``
+    shingles, for ``k`` seeds — a minhash whose every byte DuckDB can
+    recompute (unlike the production xxhash64+numpy path in
+    ``minhash_signature``, whose permutation constants live Python-side).
+    Returns ``(doc_id, s0..s{k-1})``; the agreement fraction between two
+    docs' signature rows is the standard unbiased Jaccard estimate.
+
+    One groupBy computes all ``k`` mins in a single partial-aggregated
+    shuffle; everything before it is map-side codegen (split, transform,
+    md5). Used by p48 to put the minhash estimation math itself under the
+    DuckDB hash check."""
+    ts = F.col("ts")
+    shins = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.size(ts) - shingle_k),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(ts, i + j + 1) for j in range(shingle_k)]
+            ),
+        )
+    )
+    inv = (
+        ensure_parallelism(df)
+        .select(
+            id_col,
+            F.transform(
+                F.split(F.trim(F.col(text_col)), r"\s+"), lambda x: F.lower(x)
+            ).alias("ts"),
+        )
+        .filter(F.size("ts") >= shingle_k)
+        .select(id_col, F.explode(shins).alias("shingle"))
+    )
+    return inv.groupBy(id_col).agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{j}:"), F.col("shingle")))).alias(f"s{j}")
+            for j in range(k)
+        ]
+    )

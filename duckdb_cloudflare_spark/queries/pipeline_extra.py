@@ -272,20 +272,6 @@ def _lower_tokens() -> "F.Column":
     return F.transform(F.split(F.trim(F.col("text")), r"\s+"), lambda x: F.lower(x))
 
 
-def _string_shingles(k: int = 3) -> "F.Column":
-    """Distinct ' '-joined word k-shingles as STRINGS (md5-able on both
-    engines — unlike p34's xxhash64 keys, these feed cross-engine hashing)."""
-    ts = F.col("ts")
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), F.size(ts) - k),
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(ts, i + j + 1) for j in range(k)]
-            ),
-        )
-    )
-
-
 @register(
     "p44_chunk_dedup",
     oracle=rf"""
@@ -318,36 +304,7 @@ def _string_shingles(k: int = 3) -> "F.Column":
     "groups are bounded by duplicate multiplicity, never by corpus size.",
 )
 def p44_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
-
-    d = D.ensure_parallelism(load(spark, sf_dir, "documents"))
-    ts = F.col("ts")
-    n_chunks = (F.size(ts) + F.lit(19)) / F.lit(20)
-    chunk_text = lambda i: F.concat_ws(  # noqa: E731
-        " ", F.slice(ts, i * 20 + 1, 20)
-    )
-    chunks = (
-        d.select("doc_id", _lower_tokens().alias("ts"))
-        .filter(F.size("ts") >= 1)
-        .select(
-            "doc_id",
-            F.posexplode(
-                F.transform(
-                    F.sequence(F.lit(0), n_chunks.cast("long") - 1),
-                    lambda i: F.md5(chunk_text(i)),
-                )
-            ).alias("chunk_idx", "h"),
-        )
-    )
-    w = Window.partitionBy("h").orderBy("doc_id", "chunk_idx")
-    return (
-        chunks.withColumn("rn", F.row_number().over(w))
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_chunks"),
-            F.sum((F.col("rn") > 1).cast("int")).cast("long").alias("dup_chunks"),
-        )
-    )
+    return D.chunk_dedup_stats(load(spark, sf_dir, "documents"), chunk_tokens=20)
 
 
 @register(
@@ -555,18 +512,8 @@ _AGREE_SQL = " + ".join(
 def p48_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.functions import broadcast
 
-    d = D.ensure_parallelism(load(spark, sf_dir, "documents"))
-    inv = (
-        d.select("doc_id", _lower_tokens().alias("ts"))
-        .filter(F.size("ts") >= 3)
-        .select("doc_id", _string_shingles(3).alias("sh"))
-        .select("doc_id", F.explode("sh").alias("shingle"))
-    )
-    sigs = inv.groupBy("doc_id").agg(
-        *[
-            F.min(F.md5(F.concat(F.lit(f"{j}:"), F.col("shingle")))).alias(f"s{j}")
-            for j in range(_MINHASH_K)
-        ]
+    sigs = D.md5_minhash_sigs(
+        load(spark, sf_dir, "documents"), k=_MINHASH_K, shingle_k=3
     )
     pairs = p34_exact_jaccard_pairs(spark, sf_dir).select("id_a", "id_b")
     a = sigs.select(
