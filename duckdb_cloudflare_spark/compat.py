@@ -280,7 +280,7 @@ _FUNCTION_ALIASES = {
     "arg_min": "min_by",
     "list": "collect_list",
     "list_value": "array",
-    "list_contains": "array_contains",
+    "list_pack": "array",  # DuckDB alias of list_value
     "array_length": "size",
     "len": "length",
     "regexp_matches": "rlike",  # both are partial-match
@@ -291,14 +291,23 @@ _FUNCTION_ALIASES = {
     "list_max": "array_max",
     "list_append": "array_append",  # both (list, element)
     "list_reverse": "reverse",
+    "array_reverse": "reverse",  # DuckDB alias of list_reverse
     "list_filter": "filter",  # both (list, lambda); `x ->` lambda syntax shared
     "list_transform": "transform",
     "string_split_regex": "split",  # both regex; both keep trailing empties
+    "str_split_regex": "split",  # DuckDB alias of string_split_regex
+    "regexp_split_to_array": "split",  # DuckDB alias of string_split_regex
     "strpos": "instr",  # both 1-based, 0 when absent
     "epoch_ms": "unix_millis",  # both BIGINT milliseconds (verified)
+    "starts_with": "startswith",  # both NULL-propagating (verified)
+    "ends_with": "endswith",  # both NULL-propagating (verified)
     # NOT mapped (need expression rewrites, not renames — raising beats
-    # mis-running): list_unique (= size(array_distinct(x))), list_slice
-    # (1-based inclusive vs Spark's slice(start, length)), list_prepend
+    # mis-running): list_unique (= size(array_distinct(x))), list_slice /
+    # array_slice (1-based inclusive vs Spark's slice(start, length)),
+    # list_contains / list_has / array_has (Spark array_contains returns
+    # NULL when the array holds a NULL and the value is absent — DuckDB
+    # returns false; handled in rewrite_list_exprs), list_first / list_last
+    # (→ try_element_at, also in rewrite_list_exprs), list_prepend
     # (DuckDB is (element, list) — Spark array_prepend REVERSES the args),
     # list_has_any (Spark arrays_overlap returns NULL when either side
     # contains a NULL and no match — DuckDB returns false),
@@ -313,6 +322,9 @@ _FUNCTION_ALIASES = {
     # same function (types are unknowable at rewrite time). Migrating SQL
     # that relies on NULL-skipping concat should use concat_ws explicitly;
     # the || operator agrees between engines (NULL-propagating) and is safe.
+    # Same class: list_cat / list_concat / array_concat also skip NULL
+    # arguments in DuckDB (list_cat(NULL, [1]) → [1], verified) while
+    # Spark's concat propagates — likewise unmapped, same reason.
 }
 
 _FUNC_CALL = re.compile(r"\b([A-Za-z_]\w*)\s*\(", re.IGNORECASE)
@@ -386,12 +398,27 @@ def rewrite_file_tables(sql: str) -> str:
 # rename: these need argument-aware rewriting (balanced parens, quoted
 # strings respected). Handled here rather than left to raise:
 #   list_unique(x)        → size(array_distinct(x))   (count of distincts)
-#   list_slice(l, a, b)   → slice(l, a, (b) - (a) + 1)
+#   list_slice(l, a, b)   → slice(l, a, (b) - (a) + 1)   (array_slice alias too)
+#   list_contains(l, v)   → CASE WHEN l IS NULL OR v IS NULL THEN NULL
+#                           ELSE coalesce(array_contains(l, v), false) END
+#     (Spark array_contains returns NULL when the array holds a NULL and
+#     the value is absent; DuckDB returns false — verified on both. The
+#     CASE preserves DuckDB's NULL-list/NULL-value → NULL. list_has /
+#     array_has are DuckDB aliases. The list and value expressions are
+#     textually duplicated — nondeterministic argument expressions would
+#     evaluate twice.)
+#   list_first(l) / list_last(l) → try_element_at(l, 1 / -1)
+#     (empty or NULL list → NULL on both engines; Spark 4's ANSI-mode
+#     element_at would raise on empty, hence the try_ form.)
 # list_slice caveat: both are 1-based and end-inclusive for POSITIVE
 # indices, which the rewrite preserves exactly; DuckDB's negative-index /
 # NULL-bound forms do not map onto Spark's (start, length) signature and
 # will produce Spark's semantics instead.
-_LIST_EXPR = re.compile(r"\b(list_unique|list_slice)\s*\(", re.IGNORECASE)
+_LIST_EXPR = re.compile(
+    r"\b(list_unique|list_slice|array_slice|list_contains|list_has|array_has"
+    r"|list_first|list_last)\s*\(",
+    re.IGNORECASE,
+)
 
 
 def _call_args(sql: str, open_idx: int) -> tuple[int, list[str]]:
@@ -513,11 +540,24 @@ def rewrite_list_exprs(sql: str) -> str:
             if len(args) != 1:
                 raise ValueError("list_unique takes exactly 1 argument")
             repl = f"size(array_distinct({args[0].strip()}))"
-        else:
+        elif fn in ("list_slice", "array_slice"):
             if len(args) != 3:
-                raise ValueError("list_slice takes exactly 3 arguments")
+                raise ValueError(f"{fn} takes exactly 3 arguments")
             lst, a, b = (x.strip() for x in args)
             repl = f"slice({lst}, {a}, ({b}) - ({a}) + 1)"
+        elif fn in ("list_contains", "list_has", "array_has"):
+            if len(args) != 2:
+                raise ValueError(f"{fn} takes exactly 2 arguments")
+            lst, v = (x.strip() for x in args)
+            repl = (
+                f"CASE WHEN ({lst}) IS NULL OR ({v}) IS NULL THEN NULL "
+                f"ELSE coalesce(array_contains({lst}, {v}), false) END"
+            )
+        else:  # list_first / list_last
+            if len(args) != 1:
+                raise ValueError(f"{fn} takes exactly 1 argument")
+            idx = 1 if fn == "list_first" else -1
+            repl = f"try_element_at({args[0].strip()}, {idx})"
         sql = sql[: m.start(1)] + repl + sql[close + 1 :]
     raise ValueError("rewrite_list_exprs did not converge (too many call sites)")
 

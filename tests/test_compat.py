@@ -139,8 +139,14 @@ class TestFunctionAliases:
 
         assert rw("SELECT arg_max(a, b) FROM t") == "SELECT max_by(a, b) FROM t"
         assert rw("SELECT list(x), len(s) FROM t") == "SELECT collect_list(x), length(s) FROM t"
-        assert rw("SELECT list_contains(l, 3), array_length(l) FROM t") == (
-            "SELECT array_contains(l, 3), size(l) FROM t"
+        assert rw("SELECT list_value(1), array_length(l) FROM t") == (
+            "SELECT array(1), size(l) FROM t"
+        )
+        assert rw("SELECT starts_with(s, 'a'), ends_with(s, 'b') FROM t") == (
+            "SELECT startswith(s, 'a'), endswith(s, 'b') FROM t"
+        )
+        assert rw("SELECT regexp_split_to_array(s, ',') FROM t") == (
+            "SELECT split(s, ',') FROM t"
         )
         # not a call site / inside a string literal → untouched
         assert rw("SELECT 'arg_max(a,b)' AS s, list FROM t") == (
@@ -330,6 +336,46 @@ class TestListExprRewrites:
         drow = list(duck.sql(body).fetchone())
         srow = list(duck_sql(t, body).collect()[0])
         assert srow == drow
+
+    def test_list_contains_null_semantics_cross_engine(self, t, duck):
+        # The silent-wrong case the plain array_contains alias missed: a
+        # NULL ELEMENT in the array with an absent value is false in DuckDB
+        # but NULL under Spark's three-valued array_contains. The CASE
+        # rewrite must reproduce DuckDB on all four NULL corners.
+        body = (
+            "SELECT list_contains(l, 3) AS absent_with_null, "
+            "list_contains(l, 1) AS present_with_null, "
+            "list_contains(l, CAST(NULL AS INT)) AS null_value, "
+            "list_contains(CASE WHEN 1 = 0 THEN l ELSE NULL END, 1) AS null_list "
+            "FROM (SELECT list_value(1, CAST(NULL AS INT)) AS l) AS s"
+        )
+        drow = list(duck.sql(body).fetchone())
+        srow = list(duck_sql(t, body).collect()[0])
+        assert srow == drow == [False, True, None, None]
+
+    def test_list_first_last_and_slice_alias_cross_engine(self, t, duck):
+        body = (
+            "SELECT list_first(l) AS f, list_last(l) AS la, "
+            "list_first(e) AS ef, list_last(e) AS el, "
+            "array_slice(l, 2, 3) AS sl "
+            "FROM (SELECT list_value(7, 8, 9) AS l, "
+            "list_filter(list_value(1), x -> x > 5) AS e) AS s"
+        )
+        drow = list(duck.sql(body).fetchone())
+        srow = list(duck_sql(t, body).collect()[0])
+        assert srow == drow == [7, 9, None, None, [8, 9]]
+
+    def test_new_string_aliases_cross_engine(self, t, duck):
+        body = (
+            "SELECT starts_with('hello', 'he') AS sw, "
+            "ends_with('hello', 'lo') AS ew, "
+            "starts_with(CAST(NULL AS STRING), 'a') AS swn, "
+            "regexp_split_to_array('a1b22c', '[0-9]+') AS sp, "
+            "array_reverse(list_pack(1, 2, 3)) AS rev"
+        )
+        drow = list(duck.sql(body).fetchone())
+        srow = list(duck_sql(t, body).collect()[0])
+        assert srow == drow == [True, True, None, ["a", "b", "c"], [3, 2, 1]]
 
 
 class TestStrftimeRewrite:
