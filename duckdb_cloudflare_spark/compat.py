@@ -670,8 +670,23 @@ def rewrite_regexp_extract(sql: str) -> str:
     return sql
 
 
+def rewrite_named_args(sql: str) -> str:
+    """DuckDB's named-argument token ``:=`` → Spark's ``=>`` (the reference's
+    table-function calls: ``common_crawl_index(url := '...', ...)``). ``:=``
+    is not valid Spark SQL anywhere, so every real-code occurrence is a
+    named argument; strings/quoted identifiers/comments are skipped."""
+    real = {i for i, _, _ in _scan_top_level(sql)}
+    out = list(sql)
+    for i in range(len(sql) - 1):
+        if sql[i] == ":" and sql[i + 1] == "=" and i in real:
+            out[i] = "="
+            out[i + 1] = ">"
+    return "".join(out)
+
+
 def duck_sql(spark: SparkSession, sql: str) -> DataFrame:
     """``spark.sql`` accepting the DuckDB dialect idioms above."""
+    sql = rewrite_named_args(sql)
     sql = rewrite_file_tables(sql)
     sql = rewrite_list_exprs(sql)
     sql = rewrite_strftime(sql)

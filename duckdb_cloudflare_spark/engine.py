@@ -44,10 +44,17 @@ class Engine:
 
     def __init__(self, spark: SparkSession):
         from duckdb_cloudflare_spark.functions.content import register_all
+        from duckdb_cloudflare_spark.functions.table_functions import (
+            register_table_functions,
+        )
 
         self.spark = spark
         register_sources(spark)
         register_all(spark)
+        # The reference's table-function call shape in SQL:
+        # SELECT * FROM common_crawl_index(url := '...', ...) — ``:=`` is
+        # rewritten to ``=>`` by duck_sql (compat.rewrite_named_args).
+        register_table_functions(spark)
 
     # -- SQL (DuckDB dialect accepted) ----------------------------------
     def sql(self, query: str) -> DataFrame:

@@ -1,0 +1,146 @@
+"""SQL table-function parity: the reference's ``SELECT * FROM
+common_crawl_index(url := ..., ...)`` call shape as Python UDTFs, sharing
+the DataSource readers (golden URLs, options, error contract identical by
+construction)."""
+
+from __future__ import annotations
+
+import gzip
+import json
+
+import pytest
+
+from duckdb_cloudflare_spark.sources.cdx import build_cc_cdx_url
+
+CC_CRAWL = "CC-MAIN-2025-43"
+CC_FIELDS = ["url", "timestamp", "mimetype", "statuscode", "digest",
+             "filename", "offset", "length"]
+
+
+@pytest.fixture(scope="module")
+def tf_spark(spark):
+    from duckdb_cloudflare_spark.functions.table_functions import (
+        register_table_functions,
+    )
+
+    register_table_functions(spark)
+    return spark
+
+
+@pytest.fixture(scope="module")
+def tf_fixture_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("tf_fixtures")
+    member = gzip.compress(
+        b"WARC/1.0\r\nWARC-Type: response\r\n\r\n"
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n<html>tf</html>"
+    )
+    (d / "blob.warc.gz").write_bytes(member)
+    cdx_rows = [
+        {
+            "url": "https://www.example.com/",
+            "timestamp": "20251015120000",
+            "mime": "text/html",
+            "status": "200",
+            "digest": "DIGESTAAAA",
+            "filename": "crawl-data/seg/x.warc.gz",
+            "offset": "10",
+            "length": str(len(member)),
+        }
+    ]
+    (d / "cc_cdx.ndjson").write_text("\n".join(json.dumps(r) for r in cdx_rows))
+    cc_url = build_cc_cdx_url(CC_CRAWL, "*.example.com/*", CC_FIELDS, max_results=100)
+    (d / "manifest.json").write_text(json.dumps({cc_url: "cc_cdx.ndjson"}))
+    return str(d)
+
+
+class TestSchemasPinnedToDataSourceDDL:
+    def test_cc_schema_matches_datasource_ddl(self, spark):
+        from pyspark.sql.types import StructType
+
+        from duckdb_cloudflare_spark.functions.table_functions import CC_SCHEMA
+        from duckdb_cloudflare_spark.sources.common_crawl import _BASE_SCHEMA
+
+        assert CC_SCHEMA == StructType.fromDDL(_BASE_SCHEMA)
+
+    def test_wayback_schema_matches_datasource_ddl(self, spark):
+        from pyspark.sql.types import StructType
+
+        from duckdb_cloudflare_spark.functions.table_functions import WAYBACK_SCHEMA
+        from duckdb_cloudflare_spark.sources.wayback import _BASE_SCHEMA
+
+        assert WAYBACK_SCHEMA == StructType.fromDDL(_BASE_SCHEMA)
+
+
+class TestCommonCrawlUDTF:
+    def test_dry_run_golden_url(self, tf_spark):
+        rows = tf_spark.sql(
+            "SELECT cdx_url FROM common_crawl_index("
+            "url => '*.example.com/*', crawl_id => 'CC-MAIN-2025-43', "
+            "debug => 'true', dry_run => 'true')"
+        ).collect()
+        expected = build_cc_cdx_url(
+            CC_CRAWL, "*.example.com/*", CC_FIELDS, max_results=100
+        )
+        assert [r["cdx_url"] for r in rows] == [expected]
+
+    def test_duckdb_named_arg_syntax_via_duck_sql(self, tf_spark):
+        from duckdb_cloudflare_spark.compat import duck_sql
+
+        rows = duck_sql(
+            tf_spark,
+            "SELECT cdx_url FROM common_crawl_index("
+            "url := '*.example.com/*', crawl_id := 'CC-MAIN-2025-43', "
+            "debug := 'true', dry_run := 'true')",
+        ).collect()
+        assert rows[0]["cdx_url"].startswith("https://index.commoncrawl.org/")
+
+    def test_rows_match_datasource_reader(self, tf_spark, tf_fixture_dir):
+        from duckdb_cloudflare_spark.session import register_sources
+
+        register_sources(tf_spark)
+        via_udtf = tf_spark.sql(
+            "SELECT url, timestamp, statuscode, crawl_id FROM common_crawl_index("
+            f"url => '*.example.com/*', crawl_id => '{CC_CRAWL}', "
+            f"fixture_dir => '{tf_fixture_dir}')"
+        ).collect()
+        via_ds = (
+            tf_spark.read.format("common_crawl")
+            .option("url", "*.example.com/*")
+            .option("crawl_id", CC_CRAWL)
+            .option("fixture_dir", tf_fixture_dir)
+            .load()
+            .select("url", "timestamp", "statuscode", "crawl_id")
+            .collect()
+        )
+        assert via_udtf == via_ds
+        assert via_udtf[0]["url"] == "https://www.example.com/"
+
+    def test_unknown_option_is_bind_time_error(self, tf_spark):
+        from pyspark.errors import AnalysisException
+
+        with pytest.raises(AnalysisException, match="unknown option"):
+            tf_spark.sql(
+                "SELECT * FROM common_crawl_index(url => 'x', bogus => '1')"
+            ).collect()
+
+
+class TestWaybackUDTF:
+    def test_dry_run_golden_url(self, tf_spark):
+        rows = tf_spark.sql(
+            "SELECT cdx_url FROM wayback_machine("
+            "url => 'example.com/*', debug => 'true', dry_run => 'true')"
+        ).collect()
+        assert len(rows) == 1
+        assert rows[0]["cdx_url"].startswith("https://web.archive.org/cdx/search/cdx")
+
+
+class TestNamedArgRewrite:
+    def test_rewrite_and_string_safety(self):
+        from duckdb_cloudflare_spark.compat import rewrite_named_args as rw
+
+        assert rw("SELECT * FROM f(a := 1, b := 'x')") == (
+            "SELECT * FROM f(a => 1, b => 'x')"
+        )
+        assert rw("SELECT ':=' AS s, x FROM t") == "SELECT ':=' AS s, x FROM t"
+        # cast operator :: is untouched
+        assert rw("SELECT x::INT FROM t") == "SELECT x::INT FROM t"
