@@ -162,6 +162,82 @@ class WaybackMachineUDTF:
             yield from reader.read(part)
 
 
+class D1ScanUDTF:
+    """``d1_scan(table => ..., ...)`` — typed rows via the shared D1 reader.
+    Schema discovery (remote PRAGMA + affinity rules) happens at analyze
+    time, mirroring the reference's bind-time schema fetch.
+
+    Credential caveat: ``analyze``/``eval`` run in separate Python
+    processes, so the in-process secrets registry is NOT visible — use env
+    credentials (CLOUDFLARE_ACCOUNT_ID / CLOUDFLARE_API_TOKEN), explicit
+    ``account_id``/``api_token`` arguments, or the test stub options."""
+
+    @staticmethod
+    def analyze(**kwargs):
+        from pyspark.sql.functions import AnalyzeResult
+
+        from duckdb_cloudflare_spark.sources.d1 import _client_from_options
+        from duckdb_cloudflare_spark.sources.options import (
+            D1_OPTIONS,
+            validate_options,
+        )
+
+        opts = _options_from(kwargs)
+        validate_options("d1_scan", opts, D1_OPTIONS)
+        table = opts.get("table")
+        if not table:
+            raise ValueError("d1_scan requires a table => '<name>' argument")
+        return AnalyzeResult(
+            schema=_client_from_options(opts).table_schema(table)
+        )
+
+    def eval(self, **kwargs):
+        from duckdb_cloudflare_spark.sources.d1 import D1Reader, _client_from_options
+
+        opts = _options_from(kwargs)
+        schema = _client_from_options(opts).table_schema(opts["table"])
+        reader = D1Reader(schema, opts)
+        for part in reader.partitions():
+            yield from reader.read(part)
+
+
+class D1QueryUDTF:
+    """``d1_query(sql => ...)`` — arbitrary SQL, all-VARCHAR rows with column
+    order from the first result row (the reference's degenerate d1_query
+    schema, src/d1_functions.cpp:119-131). Like the reference, the query
+    runs at BIND time to discover columns (and again at execution)."""
+
+    @staticmethod
+    def analyze(**kwargs):
+        from pyspark.sql.functions import AnalyzeResult
+
+        from duckdb_cloudflare_spark.sources.d1 import _client_from_options
+
+        opts = _options_from(kwargs)
+        sql = opts.pop("sql", None)
+        if not sql:
+            raise ValueError("d1_query requires a sql => '<statement>' argument")
+        rows = _client_from_options(opts).query(sql)
+        cols = list(rows[0].keys()) if rows else ["result"]
+        return AnalyzeResult(
+            schema=StructType([_s(c, StringType()) for c in cols])
+        )
+
+    def eval(self, **kwargs):
+        from duckdb_cloudflare_spark.sources.d1 import _client_from_options, _plain
+
+        opts = _options_from(kwargs)
+        sql = opts.pop("sql")
+        rows = _client_from_options(opts).query(sql)
+        if not rows:
+            return
+        cols = list(rows[0].keys())
+        for r in rows:
+            yield tuple(
+                None if r.get(c) is None else str(_plain(r.get(c))) for c in cols
+            )
+
+
 def register_table_functions(spark) -> None:
     """Register the reference's table-function names on the session
     (idempotent — re-registration replaces)."""
@@ -169,3 +245,5 @@ def register_table_functions(spark) -> None:
 
     spark.udtf.register("common_crawl_index", udtf(CommonCrawlIndexUDTF))
     spark.udtf.register("wayback_machine", udtf(WaybackMachineUDTF))
+    spark.udtf.register("d1_scan", udtf(D1ScanUDTF))
+    spark.udtf.register("d1_query", udtf(D1QueryUDTF))

@@ -134,6 +134,64 @@ class TestWaybackUDTF:
         assert rows[0]["cdx_url"].startswith("https://web.archive.org/cdx/search/cdx")
 
 
+@pytest.fixture(scope="module")
+def tf_d1_db(tmp_path_factory):
+    import sqlite3
+
+    d = tmp_path_factory.mktemp("tf_d1")
+    path = str(d / "fixture.sqlite")
+    con = sqlite3.connect(path)
+    con.executescript(
+        """
+        CREATE TABLE users (id INTEGER PRIMARY KEY, name TEXT, score REAL);
+        INSERT INTO users VALUES (1, 'alice', 91.5);
+        INSERT INTO users VALUES (2, 'bob', 12.25);
+        """
+    )
+    con.commit()
+    con.close()
+    return path
+
+
+_D1_ARGS = (
+    "account_id => 'acct', api_token => 'tok', "
+    "database_id => '00000000-0000-0000-0000-000000000001'"
+)
+
+
+class TestD1UDTFs:
+    def test_d1_scan_typed_rows(self, tf_spark, tf_d1_db):
+        df = tf_spark.sql(
+            f"SELECT * FROM d1_scan(table => 'users', {_D1_ARGS}, "
+            f"d1_sqlite_stub => '{tf_d1_db}')"
+        )
+        assert [f.dataType.simpleString() for f in df.schema.fields] == [
+            "bigint", "string", "double",
+        ]
+        assert sorted(tuple(r) for r in df.collect()) == [
+            (1, "alice", 91.5), (2, "bob", 12.25),
+        ]
+
+    def test_d1_query_all_varchar(self, tf_spark, tf_d1_db):
+        df = tf_spark.sql(
+            "SELECT * FROM d1_query(sql => 'SELECT id, score FROM users "
+            f"ORDER BY id', {_D1_ARGS}, d1_sqlite_stub => '{tf_d1_db}')"
+        )
+        assert [f.dataType.simpleString() for f in df.schema.fields] == [
+            "string", "string",
+        ]
+        assert [tuple(r) for r in df.collect()] == [("1", "91.5"), ("2", "12.25")]
+
+    def test_d1_scan_missing_table_is_bind_error(self, tf_spark, tf_d1_db):
+        from pyspark.errors import AnalysisException
+
+        with pytest.raises(AnalysisException, match="requires a table"):
+            tf_spark.sql(
+                f"SELECT * FROM d1_scan({_D1_ARGS}, "
+                f"d1_sqlite_stub => '{tf_d1_db}')"
+            ).collect()
+
+
 class TestNamedArgRewrite:
     def test_rewrite_and_string_safety(self):
         from duckdb_cloudflare_spark.compat import rewrite_named_args as rw
