@@ -267,3 +267,57 @@ def test_p35_exact_cosine_is_broadcast_quadratic(spark, registry):
     # hyperplane-bucketed variants (p09/p10) are the path.
     df = registry["p35_exact_cosine_pairs"](spark, SF_DIR)
     assert shuffle_count(df) == 0
+
+
+def test_p44_chunk_dedup_shuffles_digests_not_text(spark, registry):
+    # Chunk-level dedup must shuffle only (doc_id, chunk_idx, md5 digest):
+    # the text column dies at the map side. A plan that carries `text`
+    # through the window exchange ships the whole corpus twice at 100 TB.
+    df = registry["p44_chunk_dedup"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    hash_exchanges = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+    for keys in hash_exchanges:
+        assert "text" not in keys
+    # one window exchange + one aggregation exchange; the only other
+    # allowed Exchange is ensure_parallelism's round-robin fan-out of the
+    # single-file test scan (absent at real scale / under assumeParallel)
+    assert len(hash_exchanges) <= 2
+
+
+def test_p46_novelty_is_two_partial_aggregated_shuffles(spark, registry):
+    # min-doc-per-shingle + per-doc rollup (plus the shuffle_hash join's
+    # exchanges); no sort-merge join — the join key is a high-cardinality
+    # int64 where hashing beats two full sorts (p34's measured rule).
+    df = registry["p46_doc_novelty"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan
+    import re as _re
+
+    # min-per-shingle agg, join exchanges (both sides on the int64 shingle
+    # key), final per-doc rollup — and nothing keyed on text
+    hash_exchanges = _re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+    assert len(hash_exchanges) <= 4
+    assert all("text" not in k for k in hash_exchanges)
+
+
+def test_p48_minhash_estimate_broadcasts_signatures(spark, registry):
+    # The 500-row signature table must broadcast onto the tiny pair list —
+    # a shuffle join here would re-shuffle the corpus-wide signature
+    # aggregate twice for a 25-row output.
+    df = registry["p48_minhash_estimate"](spark, SF_DIR)
+    assert broadcast_join_count(df) >= 2
+
+
+def test_p49_resample_corpus_is_never_shuffled(spark, registry):
+    # The corpus side must reach the filter map-only: per-lang counts and
+    # the 1-row min broadcast back; only the tiny aggregates may exchange.
+    df = registry["p49_temperature_resample"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        # only the counts aggregation may hash-partition, and only on lang
+        assert "doc_id" not in m.group(1)
+    assert broadcast_join_count(df) >= 1
