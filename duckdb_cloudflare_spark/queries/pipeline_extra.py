@@ -16,6 +16,9 @@ without rotating short-history entries out of the graded window.
   novelty, the sequence-length histogram behind packing capacity planning,
   an exact md5-minhash estimate that hash-anchors the minhash math itself,
   and deterministic temperature-based source rebalancing.
+- p50–p52: bigram-LM scoring (order-sensitive quality above p28), the
+  cross-source contamination matrix, and the token-coverage curve behind
+  vocabulary sizing.
 """
 
 from __future__ import annotations
@@ -629,4 +632,187 @@ def p43_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         shard.alias("shard"),
         F.row_number().over(w).cast("long").alias("pos_in_shard"),
+    )
+
+
+@register(
+    "p50_bigram_logprob",
+    oracle=rf"""
+    WITH {_TOKS_CTE},
+    uni AS (
+        SELECT lower(x) AS tok FROM (SELECT unnest(ts) AS x FROM toks)
+    ), c1 AS (SELECT tok, count(*) AS f1 FROM uni GROUP BY tok),
+    v AS (SELECT CAST(count(*) AS DOUBLE) AS vsize FROM c1),
+    big AS (
+        SELECT doc_id,
+               unnest(ts[1 : len(ts) - 1]) AS w1,
+               unnest(ts[2 : len(ts)])     AS w2
+        FROM toks WHERE len(ts) >= 2
+    ), c2 AS (SELECT w1, w2, count(*) AS f2 FROM big GROUP BY w1, w2)
+    SELECT doc_id,
+           round(avg(ln((f2 + 1) / (f1 + vsize))), 6) AS avg_logprob,
+           count(*) AS n_bigrams
+    FROM big
+    JOIN c2 USING (w1, w2)
+    JOIN c1 ON c1.tok = big.w1
+    CROSS JOIN v
+    GROUP BY doc_id
+    """,
+    description="bigram language-model scoring with add-one smoothing: "
+    "per-doc mean ln((c(w1,w2)+1)/(c(w1)+V)) — the next step up from p28's "
+    "unigram proxy, sensitive to word ORDER scrambling that unigram scores "
+    "can't see. Corpus-wide bigram and unigram tables are partial-aggregated "
+    "(two bucketed shuffles); V is a 1-row broadcast; the per-doc mean is "
+    "one more shuffle on doc_id. Same ln+round(6) cross-engine discipline "
+    "as p28 (pinned at sf0.1 by the scale sweep).",
+)
+def p50_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import broadcast
+
+    d = D.ensure_parallelism(load(spark, sf_dir, "documents"))
+    ts = F.col("ts")
+    n = F.size(ts)
+    pairs = F.transform(
+        F.sequence(F.lit(0), n - 2),
+        lambda i: F.struct(
+            F.element_at(ts, i + 1).alias("w1"), F.element_at(ts, i + 2).alias("w2")
+        ),
+    )
+    toks = d.select("doc_id", _lower_tokens().alias("ts"))
+    big = (
+        toks.filter(n >= 2)
+        .select("doc_id", F.explode(pairs).alias("p"))
+        .select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    )
+    uni = toks.select(F.explode(ts).alias("tok"))
+    c1 = uni.groupBy("tok").agg(F.count(F.lit(1)).alias("f1"))
+    v = c1.agg(F.count(F.lit(1)).cast("double").alias("vsize"))
+    c2 = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("f2"))
+    return (
+        big.join(c2, ["w1", "w2"])
+        .join(c1, big["w1"] == c1["tok"])
+        .crossJoin(broadcast(v))
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.avg(F.log((F.col("f2") + 1) / (F.col("f1") + F.col("vsize")))), 6
+            ).alias("avg_logprob"),
+            F.count(F.lit(1)).alias("n_bigrams"),
+        )
+    )
+
+
+@register(
+    "p51_source_overlap",
+    oracle=rf"""
+    WITH {_TOKS_CTE},
+    shins AS (
+        SELECT t.doc_id,
+               list_distinct(list_transform(range(1, len(ts) - 3),
+                   i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' '
+                        || ts[i+3] || ' ' || ts[i+4])) AS sh
+        FROM toks t WHERE len(ts) >= 5
+    ), srcsh AS (
+        SELECT DISTINCT d.source, s.shingle
+        FROM (SELECT doc_id, unnest(sh) AS shingle FROM shins) s
+        JOIN documents d USING (doc_id)
+    )
+    SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_shared
+    FROM srcsh a JOIN srcsh b
+      ON a.shingle = b.shingle AND a.source < b.source
+    GROUP BY src_a, src_b
+    """,
+    description="cross-source contamination matrix: for every source pair, "
+    "the number of distinct word-5-shingles both emit — the audit that "
+    "finds mirror/syndication relationships between crawl sources before "
+    "train/eval splits are drawn along source lines. Same inverted-index "
+    "join family as p34 but aggregated to source granularity first, so the "
+    "self-join input is |sources| x |shingles-per-source| DISTINCT rows "
+    "(far below corpus scale) and the output is at most C(n_sources, 2) "
+    "rows. Spark joins on xxhash64(shingle); string-keyed oracle catches "
+    "any count-perturbing collision.",
+)
+def p51_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = D.ensure_parallelism(load(spark, sf_dir, "documents"))
+    sh = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.size("ts") - 5),
+            lambda i: F.xxhash64(
+                F.concat_ws(
+                    " ", *[F.element_at(F.col("ts"), i + j + 1) for j in range(5)]
+                )
+            ),
+        )
+    )
+    srcsh = (
+        d.select("source", _lower_tokens().alias("ts"))
+        .filter(F.size("ts") >= 5)
+        .select("source", F.explode(sh).alias("shingle"))
+        .distinct()
+    )
+    a = srcsh.select(F.col("source").alias("src_a"), "shingle")
+    b = srcsh.select(F.col("source").alias("src_b"), "shingle")
+    return (
+        a.join(b.hint("shuffle_hash"), "shingle")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+
+
+@register(
+    "p52_token_coverage",
+    oracle=rf"""
+    WITH {_TOKS_CTE},
+    uni AS (SELECT unnest(ts) AS tok FROM toks),
+    vocab AS (SELECT tok, count(*) AS cnt FROM uni GROUP BY tok),
+    tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM vocab),
+    ranked AS (
+        SELECT cnt,
+               row_number() OVER (ORDER BY cnt DESC, tok) AS r,
+               sum(cnt) OVER (ORDER BY cnt DESC, tok
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS cum
+        FROM vocab
+    )
+    SELECT r AS k, CAST(cum AS BIGINT) AS cum_tokens,
+           cum / total AS coverage
+    FROM ranked CROSS JOIN tot
+    WHERE r IN (10, 100, 1000)
+    """,
+    description="token-coverage curve: the fraction of all token "
+    "occurrences covered by the top-k vocabulary (k = 10/100/1000, "
+    "deterministic count-desc/token tie-break) — the vocab-sizing input "
+    "for tokenizer design (where does the Zipf tail stop paying for "
+    "itself?). The global-order window runs over the VOCAB aggregate, not "
+    "the corpus — at 100 TB that table is millions of rows (one per "
+    "distinct token), and only ranks <= 1000 survive the filter, so the "
+    "sort is bounded and cheap. coverage is a single exact division "
+    "(unrounded, q48 rule: sum and total are exact integers as doubles).",
+)
+def p52_token_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import broadcast
+    from pyspark.sql.window import Window
+
+    d = D.ensure_parallelism(load(spark, sf_dir, "documents"))
+    vocab = (
+        d.select(F.explode(_lower_tokens()).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    tot = vocab.agg(F.sum("cnt").cast("double").alias("total"))
+    w = Window.orderBy(F.col("cnt").desc(), F.col("tok"))
+    ranked = vocab.select(
+        "cnt",
+        F.row_number().over(w).alias("k"),
+        F.sum("cnt").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
+    )
+    return (
+        ranked.filter(F.col("k").isin(10, 100, 1000))
+        .crossJoin(broadcast(tot))
+        .select(
+            F.col("k").cast("long").alias("k"),
+            F.col("cum").cast("long").alias("cum_tokens"),
+            (F.col("cum") / F.col("total")).alias("coverage"),
+        )
     )
