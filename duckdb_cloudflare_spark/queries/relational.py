@@ -1207,3 +1207,89 @@ def q53_array_aggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("qty_sum"),
     )
+
+
+@register(
+    "q54_recursive_cte",
+    oracle="""
+    WITH RECURSIVE bounds AS (
+        SELECT date_trunc('month', min(o_orderdate)) AS lo,
+               date_trunc('month', max(o_orderdate)) AS hi
+        FROM orders
+    ), spine(m) AS (
+        SELECT lo FROM bounds
+        UNION ALL
+        SELECT m + INTERVAL 1 MONTH FROM spine, bounds WHERE m < hi
+    ), cnt AS (
+        SELECT date_trunc('month', o_orderdate) AS m, count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS revenue
+        FROM orders GROUP BY 1
+    )
+    SELECT CAST(spine.m AS DATE) AS month,
+           coalesce(n_orders, 0) AS n_orders,
+           coalesce(revenue, 0.0) AS revenue
+    FROM spine LEFT JOIN cnt ON cnt.m = spine.m
+    """,
+    description="recursive CTE (Spark 4's WITH RECURSIVE — new engine "
+    "surface): a month calendar spine generated recursively from the order "
+    "date bounds, left-joined to per-month counts so EMPTY months appear "
+    "as zero rows — the gaps-aware time series every reporting layer "
+    "needs. The recursion depth is the month span (tiny and bounded); the "
+    "corpus-side aggregate is one partial-aggregated shuffle. DuckDB runs "
+    "the identical recursive SQL as the oracle.",
+)
+def q54_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "orders").createOrReplaceTempView("__q54_orders")
+    return spark.sql(
+        """
+        WITH RECURSIVE bounds AS (
+            SELECT date_trunc('month', min(o_orderdate)) AS lo,
+                   date_trunc('month', max(o_orderdate)) AS hi
+            FROM __q54_orders
+        ), spine(m) AS (
+            SELECT lo FROM bounds
+            UNION ALL
+            SELECT m + INTERVAL '1' MONTH FROM spine, bounds WHERE m < hi
+        ), cnt AS (
+            SELECT date_trunc('month', o_orderdate) AS m, count(*) AS n_orders,
+                   round(sum(o_totalprice), 2) AS revenue
+            FROM __q54_orders GROUP BY 1
+        )
+        SELECT CAST(spine.m AS DATE) AS month,
+               coalesce(n_orders, 0) AS n_orders,
+               coalesce(revenue, 0.0) AS revenue
+        FROM spine LEFT JOIN cnt ON cnt.m = spine.m
+        """
+    )
+
+
+@register(
+    "q55_lateral_topk",
+    oracle="""
+    SELECT n.n_name, top.c_name, top.c_acctbal
+    FROM nation n, LATERAL (
+        SELECT c_name, round(c_acctbal, 2) AS c_acctbal
+        FROM customer c WHERE c.c_nationkey = n.n_nationkey
+        ORDER BY c.c_acctbal DESC, c_name LIMIT 2
+    ) top
+    """,
+    description="correlated LATERAL subquery with per-row ORDER BY + LIMIT "
+    "(top-2 customers by balance per nation) — the lateral top-N idiom "
+    "DuckDB users write instead of a window+filter. Spark plans the "
+    "correlation as a join + per-group limit; the window-rank formulation "
+    "(q45's family) remains the preferred shape at scale, this entry pins "
+    "that the LATERAL spelling itself works and agrees with DuckDB.",
+)
+def q55_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "nation").createOrReplaceTempView("__q55_nation")
+    load(spark, sf_dir, "customer").createOrReplaceTempView("__q55_customer")
+    return spark.sql(
+        """
+        SELECT n.n_name, top.c_name, top.c_acctbal
+        FROM __q55_nation n, LATERAL (
+            SELECT c_name, round(c_acctbal, 2) AS c_acctbal
+            FROM __q55_customer c WHERE c.c_nationkey = n.n_nationkey
+            ORDER BY c.c_acctbal DESC, c_name LIMIT 2
+        ) top
+        """
+    )
