@@ -1006,35 +1006,26 @@ def dup_span_stats(
     )
 
 
-def chunk_dedup_stats(
+def chunk_digests(
     df: DataFrame,
     chunk_tokens: int = 20,
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """Chunk-level first-occurrence dedup (Dolma's paragraph-dedup semantics
-    over fixed-size token chunks, for corpora without paragraph structure):
-    every non-overlapping ``chunk_tokens``-token chunk is md5-hashed; the
-    globally FIRST occurrence — ordered by (doc_id, chunk_idx) — is the
-    keeper and every later copy counts as a duplicate. Returns the per-doc
-    removal plan ``(doc_id, n_chunks, dup_chunks)``.
-
-    Scale shape: chunking and hashing are map-side; the only shuffle is the
-    hash-partitioned first-occurrence window, whose groups are bounded by a
-    chunk's duplicate multiplicity (never corpus size). The full text never
-    shuffles — only 32-char digests.
+    """Map-side chunking: ``(id, chunk_idx, h)`` rows where ``h`` is the md5
+    of each non-overlapping ``chunk_tokens``-token chunk. Pure projection —
+    no shuffle, no partition probe — so it works on STREAMING DataFrames too
+    (``streaming.documents.chunk_dedup_stream`` builds on it).
 
     Tokenization is raw split-then-lower (p34's oracle-exact formulation),
     NOT ``text_analysis.tokens`` — blank text yields a single empty token on
-    both engines, keeping DuckDB oracle parity on edge cases.
-    """
+    both engines, keeping DuckDB oracle parity on edge cases."""
     ts = F.col("ts")
     n_chunks = ((F.size(ts) + F.lit(chunk_tokens - 1)) / F.lit(chunk_tokens)).cast(
         "long"
     )
-    chunks = (
-        ensure_parallelism(df)
-        .select(
+    return (
+        df.select(
             id_col,
             F.transform(
                 F.split(F.trim(F.col(text_col)), r"\s+"), lambda x: F.lower(x)
@@ -1054,6 +1045,29 @@ def chunk_dedup_stats(
                 )
             ).alias("chunk_idx", "h"),
         )
+    )
+
+
+def chunk_dedup_stats(
+    df: DataFrame,
+    chunk_tokens: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Chunk-level first-occurrence dedup (Dolma's paragraph-dedup semantics
+    over fixed-size token chunks, for corpora without paragraph structure):
+    every non-overlapping ``chunk_tokens``-token chunk is md5-hashed; the
+    globally FIRST occurrence — ordered by (doc_id, chunk_idx) — is the
+    keeper and every later copy counts as a duplicate. Returns the per-doc
+    removal plan ``(doc_id, n_chunks, dup_chunks)``.
+
+    Scale shape: chunking and hashing are map-side; the only shuffle is the
+    hash-partitioned first-occurrence window, whose groups are bounded by a
+    chunk's duplicate multiplicity (never corpus size). The full text never
+    shuffles — only 32-char digests.
+    """
+    chunks = chunk_digests(
+        ensure_parallelism(df), chunk_tokens, text_col=text_col, id_col=id_col
     )
     w = Window.partitionBy("h").orderBy(id_col, "chunk_idx")
     return (

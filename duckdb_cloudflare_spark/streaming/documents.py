@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    BooleanType,
     LongType,
     StringType,
     StructField,
@@ -122,3 +123,56 @@ def decontaminate_stream(stream: DataFrame, benchmark: DataFrame) -> DataFrame:
     fps = benchmark.select(fingerprint(F.col("text")).alias("fp")).distinct()
     marked = stream.withColumn("fp", fingerprint(F.col("text")))
     return marked.join(F.broadcast(fps), "fp", "left_anti").drop("fp")
+
+
+CHUNK_OUT_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("chunk_idx", LongType()),
+        StructField("h", StringType()),
+        StructField("is_dup", BooleanType()),
+    ]
+)
+
+CHUNK_STATE_SCHEMA = StructType([StructField("seen", LongType())])
+
+
+def _chunk_dedup_fn(
+    key, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    rows = pd.concat(list(pdfs)).sort_values(["doc_id", "chunk_idx"])
+    seen = state.exists
+    dup = [True] * len(rows)
+    if not seen:
+        dup[0] = False  # first arrival of this digest is the keeper
+        state.update((1,))
+    rows = rows.assign(is_dup=dup)
+    yield rows[["doc_id", "chunk_idx", "h", "is_dup"]]
+
+
+def chunk_dedup_stream(stream: DataFrame, chunk_tokens: int = 20) -> DataFrame:
+    """Streaming chunk-level first-occurrence dedup (batch twin: p44 /
+    ``dedup.chunk_dedup_stats``): each document is chunked map-side into
+    ``chunk_tokens``-token md5 digests; keyed state per DIGEST remembers
+    whether it has ever been seen, so the first arrival (ordered by
+    (doc_id, chunk_idx) inside a batch, by arrival across batches) is the
+    keeper and every later copy — including copies in LATER micro-batches —
+    is marked ``is_dup``. That cross-batch memory is exactly what a
+    stateless per-batch dropDuplicates cannot give.
+
+    Determinism contract (same as ``pack_stream``): when the stream delivers
+    documents in doc_id order, output is row-identical to the batch plan.
+    State is one long per DISTINCT chunk digest — the same corpus-lifetime
+    dedup domain the batch operator scans; at scale, bound it by routing
+    only recent-window digests through state (watermark + state TTL) or by
+    periodic state snapshots to a static side."""
+    from duckdb_cloudflare_spark.operators.dedup import chunk_digests
+
+    chunks = chunk_digests(stream, chunk_tokens)
+    return chunks.groupBy("h").applyInPandasWithState(
+        _chunk_dedup_fn,
+        outputStructType=CHUNK_OUT_SCHEMA,
+        stateStructType=CHUNK_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

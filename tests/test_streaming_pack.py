@@ -93,3 +93,40 @@ def test_decontaminate_stream_matches_batch_anti_join(spark, split_docs_dir):
     n_docs = docs.count()
     assert stream_ids == batch_ids
     assert 0 < len(stream_ids) < n_docs  # something dropped, something kept
+
+
+def test_chunk_dedup_stream_matches_batch_p44_across_batches(spark, split_docs_dir):
+    # The digest-keyed state must carry first-occurrence memory ACROSS
+    # micro-batches: a chunk first seen in batch 1 must mark its batch-2
+    # copies as duplicates, and per-doc totals must equal the batch plan's.
+    from duckdb_cloudflare_spark.operators.dedup import chunk_dedup_stats
+    from duckdb_cloudflare_spark.streaming.documents import (
+        chunk_dedup_stream,
+        read_document_stream,
+    )
+    from duckdb_cloudflare_spark.streaming.events import run_to_memory
+
+    stream = read_document_stream(spark, split_docs_dir)
+    got = run_to_memory(chunk_dedup_stream(stream), "chunk_dedup_out")
+    stream_stats = {
+        (r["doc_id"], r["n_chunks"], r["dup_chunks"])
+        for r in got.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(F.col("is_dup").cast("int")).cast("long").alias("dup_chunks"),
+        )
+        .collect()
+    }
+    batch_stats = {
+        tuple(r)
+        for r in chunk_dedup_stats(
+            spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        ).collect()
+    }
+    assert stream_stats == batch_stats and len(stream_stats) > 0
+
+
+def test_chunk_dedup_stream_state_is_one_row_per_digest(spark):
+    from duckdb_cloudflare_spark.streaming.documents import CHUNK_STATE_SCHEMA
+
+    assert [f.dataType.simpleString() for f in CHUNK_STATE_SCHEMA.fields] == ["bigint"]
