@@ -816,3 +816,65 @@ def p52_token_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("cum") / F.col("total")).alias("coverage"),
         )
     )
+
+
+@register(
+    "p53_gopher_rules",
+    oracle=rf"""
+    WITH {_TOKS_CTE},
+    stats AS (
+        SELECT doc_id,
+               CAST(len(ts) AS BIGINT) AS n_words,
+               CAST(list_aggregate(list_transform(ts, x -> length(x)), 'sum')
+                    AS BIGINT) AS total_len,
+               CAST(len(list_filter(ts, x -> x IN
+                    ('the', 'be', 'to', 'of', 'and', 'that', 'have', 'with')))
+                    AS BIGINT) AS stop_hits
+        FROM toks
+    )
+    SELECT doc_id, n_words,
+           CAST(total_len AS DOUBLE) / n_words AS mean_word_len,
+           CAST(stop_hits AS DOUBLE) / n_words AS stop_frac,
+           n_words BETWEEN 16 AND 100000           AS ok_word_count,
+           CAST(total_len AS DOUBLE) / n_words BETWEEN 3 AND 10
+                                                    AS ok_mean_word_len,
+           stop_hits >= 2                           AS ok_stopwords,
+           (n_words BETWEEN 16 AND 100000)
+             AND (CAST(total_len AS DOUBLE) / n_words BETWEEN 3 AND 10)
+             AND stop_hits >= 2                     AS keep
+    FROM stats WHERE n_words >= 1
+    """,
+    description="Gopher-style rule REPORT (Rae et al. 2021's repetition-free "
+    "subset of the rules, adapted to the synthetic corpus): per-document "
+    "word-count window, mean-word-length window, and minimum-stopword-hits "
+    "gates emitted as SEPARATE boolean columns plus the conjunction — the "
+    "diagnostic shape a curation team audits ('which rule rejected this "
+    "doc?'), vs p15's pass-only filter. Map-only JVM expressions, no "
+    "shuffle; ratios are single exact int divisions (q48 rule: unrounded).",
+)
+def p53_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    ts = _lower_tokens()
+    stops = ("the", "be", "to", "of", "and", "that", "have", "with")
+    n_words = F.size(ts).cast("bigint")
+    total_len = F.aggregate(
+        F.transform(ts, lambda x: F.length(x)), F.lit(0), lambda a, x: a + x
+    ).cast("bigint")
+    stop_hits = F.size(
+        F.filter(ts, lambda x: x.isin(*stops))
+    ).cast("bigint")
+    mean_len = total_len.cast("double") / n_words
+    stop_frac = stop_hits.cast("double") / n_words
+    ok_wc = (n_words >= 16) & (n_words <= 100000)
+    ok_mwl = (mean_len >= 3) & (mean_len <= 10)
+    ok_stop = stop_hits >= 2
+    return d.filter(n_words >= 1).select(
+        "doc_id",
+        n_words.alias("n_words"),
+        mean_len.alias("mean_word_len"),
+        stop_frac.alias("stop_frac"),
+        ok_wc.alias("ok_word_count"),
+        ok_mwl.alias("ok_mean_word_len"),
+        ok_stop.alias("ok_stopwords"),
+        (ok_wc & ok_mwl & ok_stop).alias("keep"),
+    )
