@@ -16,9 +16,12 @@ without rotating short-history entries out of the graded window.
   novelty, the sequence-length histogram behind packing capacity planning,
   an exact md5-minhash estimate that hash-anchors the minhash math itself,
   and deterministic temperature-based source rebalancing.
-- p50–p52: bigram-LM scoring (order-sensitive quality above p28), the
-  cross-source contamination matrix, and the token-coverage curve behind
-  vocabulary sizing.
+- p50–p53: bigram-LM scoring (order-sensitive quality above p28), the
+  cross-source contamination matrix, the token-coverage curve behind
+  vocabulary sizing, and the Gopher-rules diagnostic report.
+- p54: the capstone — a full deterministic curation pass (gate → exact
+  dedup → near-dup CC keep-best → temperature rebalance → epoch shuffle)
+  verified as ONE query against a single recursive-CTE DuckDB program.
 """
 
 from __future__ import annotations
@@ -877,4 +880,214 @@ def p53_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         ok_mwl.alias("ok_mean_word_len"),
         ok_stop.alias("ok_stopwords"),
         (ok_wc & ok_mwl & ok_stop).alias("keep"),
+    )
+
+
+@register(
+    "p54_curation_pipeline",
+    oracle=rf"""
+    WITH RECURSIVE {_TOKS_CTE},
+    -- stage 1: Gopher-style quality gate (p53's conjunction)
+    gated AS (
+        SELECT d.doc_id, d.lang, d.n_chars, d.text
+        FROM documents d JOIN toks t USING (doc_id)
+        WHERE len(t.ts) BETWEEN 16 AND 100000
+          AND CAST(list_aggregate(list_transform(t.ts, x -> length(x)), 'sum')
+                   AS DOUBLE) / len(t.ts) BETWEEN 3 AND 10
+          AND len(list_filter(t.ts, x -> x IN
+              ('the', 'be', 'to', 'of', 'and', 'that', 'have', 'with'))) >= 2
+    ),
+    -- stage 2: exact dedup (first doc_id per text digest survives)
+    exact AS (
+        SELECT doc_id, lang, n_chars FROM (
+            SELECT g.*, row_number() OVER (PARTITION BY md5(text)
+                                           ORDER BY doc_id) AS rn
+            FROM gated g
+        ) WHERE rn = 1
+    ),
+    -- stage 3: near-dup components over the exact survivors (p34 edges
+    -- restricted to survivors), keep the LONGEST member per component
+    shins AS (
+        SELECT t.doc_id,
+               list_distinct(list_transform(range(1, len(ts) - 1),
+                   i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS sh
+        FROM toks t JOIN exact e USING (doc_id) WHERE len(ts) >= 3
+    ), sizes AS (SELECT doc_id, len(sh) AS n FROM shins),
+    inv AS (SELECT doc_id, unnest(sh) AS shingle FROM shins),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+        FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ), pairs AS (
+        SELECT id_a, id_b FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5
+    ),
+    undirected AS (
+        SELECT id_a AS u, id_b AS v FROM pairs
+        UNION ALL SELECT id_b, id_a FROM pairs
+    ),
+    walk(node, lab) AS (
+        SELECT u, u FROM (SELECT DISTINCT u FROM undirected)
+        UNION
+        SELECT e.u, w.lab FROM undirected e JOIN walk w ON w.node = e.v
+    ),
+    comp AS (SELECT node AS doc_id, min(lab) AS component FROM walk GROUP BY node),
+    canon AS (
+        SELECT doc_id, lang FROM (
+            SELECT e.doc_id, e.lang,
+                   row_number() OVER (
+                       PARTITION BY coalesce(c.component, e.doc_id)
+                       ORDER BY e.n_chars DESC, e.doc_id) AS rn
+            FROM exact e LEFT JOIN comp c USING (doc_id)
+        ) WHERE rn = 1
+    ),
+    -- stage 4: temperature rebalancing over the SURVIVING corpus (p49 rule)
+    counts AS (SELECT lang, count(*) AS n_s FROM canon GROUP BY lang),
+    mn AS (SELECT min(n_s) AS min_n FROM counts),
+    sampled AS (
+        SELECT k.doc_id, k.lang
+        FROM (SELECT doc_id, lang,
+                     ('0x' || substr(md5('resample:' || CAST(doc_id AS VARCHAR)),
+                                     1, 8))::BIGINT / 4294967296.0 AS u
+              FROM canon) k
+        JOIN counts c USING (lang), mn
+        WHERE k.u < sqrt(CAST(mn.min_n AS DOUBLE) / c.n_s)
+    )
+    -- stage 5: deterministic epoch shuffle of the final corpus (p43 rule)
+    SELECT doc_id, lang,
+           CAST(('0x' || substr(md5('epoch-7:' || CAST(doc_id AS VARCHAR)),
+                                1, 4))::BIGINT % 8 AS INTEGER) AS shard,
+           CAST(row_number() OVER (
+                    PARTITION BY ('0x' || substr(md5('epoch-7:' ||
+                        CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 8
+                    ORDER BY md5('epoch-7:' || CAST(doc_id AS VARCHAR)), doc_id)
+                AS BIGINT) AS pos_in_shard
+    FROM sampled
+    """,
+    description="END-TO-END deterministic curation pass — the capstone "
+    "composition showing a full training-data pipeline runs on this engine "
+    "under ONE cross-engine hash check: (1) Gopher-style quality gate "
+    "(p53's rules) → (2) exact dedup, first-id-wins on md5(text) → "
+    "(3) exact-Jaccard >= 0.5 near-dup components over the survivors "
+    "(p34's edges + p39's closure), keeping the LONGEST member per cluster "
+    "→ (4) temperature-based language rebalancing (p49's seeded rule) → "
+    "(5) deterministic epoch shuffle (p43's shard/pos assignment). Every "
+    "stage is the already-anchored operator, composed; the Spark side "
+    "chains the operator library (connected_components iterates "
+    "DataFrames; everything else is windows/joins/filters). Scale notes "
+    "live with each stage's own operator.",
+)
+def p54_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import broadcast
+    from pyspark.sql.window import Window
+
+    d = load(spark, sf_dir, "documents")
+    ts = _lower_tokens()
+    stops = ("the", "be", "to", "of", "and", "that", "have", "with")
+    n_words = F.size(ts).cast("bigint")
+    total_len = F.aggregate(
+        F.transform(ts, lambda x: F.length(x)), F.lit(0), lambda a, x: a + x
+    ).cast("bigint")
+    mean_len = total_len.cast("double") / n_words
+    stop_hits = F.size(F.filter(ts, lambda x: x.isin(*stops)))
+    gated = d.filter(
+        (n_words >= 16) & (n_words <= 100000)
+        & (mean_len >= 3) & (mean_len <= 10)
+        & (stop_hits >= 2)
+    ).select("doc_id", "lang", "n_chars", "text")
+
+    w_exact = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    exact = (
+        gated.withColumn("rn", F.row_number().over(w_exact))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "lang", "n_chars")
+    )
+
+    # Near-dup edges: p34's pair derivation restricted to the survivors
+    # (semi join BEFORE shingling — the corpus that didn't survive never
+    # pays the explode).
+    survivors_text = d.join(exact.select("doc_id"), "doc_id", "left_semi")
+    shins = (
+        D.ensure_parallelism(survivors_text)
+        .select("doc_id", ts.alias("ts"))
+        .filter(F.size("ts") >= 3)
+        .select(
+            "doc_id",
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("ts") - 3),
+                    lambda i: F.xxhash64(
+                        F.concat_ws(
+                            " ",
+                            F.element_at(F.col("ts"), i + 1),
+                            F.element_at(F.col("ts"), i + 2),
+                            F.element_at(F.col("ts"), i + 3),
+                        )
+                    ),
+                )
+            ).alias("sh"),
+        )
+    )
+    sizes = shins.select("doc_id", F.size("sh").alias("n_sh"))
+    inv = shins.select("doc_id", F.explode("sh").alias("shingle"))
+    a = inv.select(F.col("doc_id").alias("id_a"), "shingle")
+    b = inv.select(F.col("doc_id").alias("id_b"), "shingle")
+    inter = (
+        a.join(b.hint("shuffle_hash"), "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    pairs = (
+        inter.join(broadcast(sizes.withColumnRenamed("doc_id", "id_a")
+                             .withColumnRenamed("n_sh", "na")), "id_a")
+        .join(broadcast(sizes.withColumnRenamed("doc_id", "id_b")
+                        .withColumnRenamed("n_sh", "nb")), "id_b")
+        .filter(
+            F.col("i").cast("double") / (F.col("na") + F.col("nb") - F.col("i"))
+            >= 0.5
+        )
+        .select("id_a", "id_b")
+    )
+    comp = D.connected_components(pairs)
+    w_canon = Window.partitionBy("component").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id")
+    )
+    canon = (
+        exact.join(comp.withColumnRenamed("id", "doc_id"), "doc_id", "left")
+        .withColumn("component", F.coalesce("component", "doc_id"))
+        .withColumn("rn", F.row_number().over(w_canon))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "lang")
+    )
+
+    counts = canon.groupBy("lang").agg(F.count(F.lit(1)).alias("n_s"))
+    mn = counts.agg(F.min("n_s").alias("min_n"))
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("resample:"), F.col("doc_id").cast("string"))),
+                1, 8,
+            ), 16, 10,
+        ).cast("long")
+        / F.lit(4294967296.0)
+    )
+    sampled = (
+        canon.withColumn("u", u)
+        .join(broadcast(counts), "lang")
+        .crossJoin(broadcast(mn))
+        .filter(F.col("u") < F.sqrt(F.col("min_n").cast("double") / F.col("n_s")))
+        .select("doc_id", "lang")
+    )
+
+    k = F.md5(F.concat(F.lit("epoch-7:"), F.col("doc_id").cast("string")))
+    keyed = sampled.withColumn("k", k)
+    shard = (F.conv(F.substring("k", 1, 4), 16, 10).cast("long") % 8).cast("integer")
+    w_shard = Window.partitionBy(shard).orderBy("k", "doc_id")
+    return keyed.select(
+        "doc_id", "lang",
+        shard.alias("shard"),
+        F.row_number().over(w_shard).cast("long").alias("pos_in_shard"),
     )
