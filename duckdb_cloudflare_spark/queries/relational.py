@@ -1217,7 +1217,7 @@ def q53_array_aggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
                date_trunc('month', max(o_orderdate)) AS hi
         FROM orders
     ), spine(m) AS (
-        SELECT lo FROM bounds
+        SELECT lo FROM bounds WHERE lo IS NOT NULL
         UNION ALL
         SELECT m + INTERVAL 1 MONTH FROM spine, bounds WHERE m < hi
     ), cnt AS (
@@ -1247,7 +1247,7 @@ def q54_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
                    date_trunc('month', max(o_orderdate)) AS hi
             FROM __q54_orders
         ), spine(m) AS (
-            SELECT lo FROM bounds
+            SELECT lo FROM bounds WHERE lo IS NOT NULL
             UNION ALL
             SELECT m + INTERVAL '1' MONTH FROM spine, bounds WHERE m < hi
         ), cnt AS (

