@@ -59,3 +59,37 @@ def write_sized_parquet(
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
     return rows_per_file
+
+
+def write_epoch_shards(
+    df: DataFrame,
+    path: str,
+    shard_col: str = "shard",
+    order_col: str = "pos_in_shard",
+    mode: str = "overwrite",
+) -> None:
+    """Materialize an epoch-shuffle assignment (p43/p54's ``(shard,
+    pos_in_shard)`` columns) into one directory per shard whose parquet
+    rows are PHYSICALLY in training order — the layout a sequential
+    training reader consumes with zero sorting at read time.
+
+    One repartition on the shard column co-locates each shard in a single
+    task, ``sortWithinPartitions`` orders rows inside it (a per-shard
+    sort, bounded by shard size — the shard COUNT is the lever that keeps
+    this in memory at 100 TB), and ``partitionBy`` writes the directory
+    tree. Readers that must re-verify order still can: the order column is
+    retained in the files.
+    """
+    (
+        df.repartition(shard_col)
+        .sortWithinPartitions(shard_col, order_col)
+        .write.mode(mode)
+        .partitionBy(shard_col)
+        .parquet(path)
+    )
+
+
+def read_epoch_shard(spark, path: str, shard: int, shard_col: str = "shard"):
+    """One shard of an epoch-shuffled dataset, in stored (training) order.
+    Partition pruning keeps the scan to the one shard directory."""
+    return spark.read.parquet(path).filter(f"{shard_col} = {shard}")

@@ -46,3 +46,48 @@ def test_empty_frame(spark, tmp_path):
     out = str(tmp_path / "empty")
     write_sized_parquet(df, out, target_file_mb=1)
     assert spark.read.parquet(out).count() == 0
+
+
+class TestEpochShards:
+    def test_roundtrip_order_and_pruning(self, spark, tmp_path):
+        from duckdb_cloudflare_spark import queries as Q
+        from duckdb_cloudflare_spark.sources.write import (
+            read_epoch_shard,
+            write_epoch_shards,
+        )
+
+        assigned = Q.all_queries()["p43_epoch_shuffle"](
+            spark, "/root/testdata/sf0.001"
+        )
+        out = str(tmp_path / "epoch7")
+        write_epoch_shards(assigned, out)
+
+        expected = {tuple(r) for r in assigned.collect()}
+        got = set()
+        shards = sorted(r["shard"] for r in assigned.select("shard").distinct().collect())
+        for s in shards:
+            # read WITHOUT re-sorting: file order must already be training
+            # order (the whole point of the writer's per-shard sort)
+            rows = read_epoch_shard(spark, out, s).collect()
+            positions = [r["pos_in_shard"] for r in rows]
+            assert positions == sorted(positions), f"shard {s} not in stored order"
+            got.update((r["doc_id"], r["shard"], r["pos_in_shard"]) for r in rows)
+        assert got == expected and len(got) > 0
+
+    def test_shard_read_prunes_partitions(self, spark, tmp_path):
+        from duckdb_cloudflare_spark import queries as Q
+        from duckdb_cloudflare_spark.sources.write import (
+            read_epoch_shard,
+            write_epoch_shards,
+        )
+
+        assigned = Q.all_queries()["p43_epoch_shuffle"](
+            spark, "/root/testdata/sf0.001"
+        )
+        out = str(tmp_path / "epoch7b")
+        write_epoch_shards(assigned, out)
+        df = read_epoch_shard(spark, out, 3)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # partition filter reaches the scan: only shard=3's directory read
+        assert "PartitionFilters: [isnotnull(shard" in plan or "shard#" in plan
+        assert all(r["shard"] == 3 for r in df.collect())
