@@ -304,9 +304,10 @@ _FUNCTION_ALIASES = {
     # NOT mapped (need expression rewrites, not renames — raising beats
     # mis-running): list_unique (= size(array_distinct(x))), list_slice /
     # array_slice (1-based inclusive vs Spark's slice(start, length)),
-    # list_contains / list_has / array_has (Spark array_contains returns
-    # NULL when the array holds a NULL and the value is absent — DuckDB
-    # returns false; handled in rewrite_list_exprs), list_first / list_last
+    # list_contains / list_has / array_has / array_contains (Spark
+    # array_contains returns NULL when the array holds a NULL and the value
+    # is absent — DuckDB returns false; all four spellings handled in
+    # rewrite_list_exprs via array_position), list_first / list_last
     # (→ try_element_at, also in rewrite_list_exprs), list_prepend
     # (DuckDB is (element, list) — Spark array_prepend REVERSES the args),
     # list_has_any (Spark arrays_overlap returns NULL when either side
@@ -399,14 +400,15 @@ def rewrite_file_tables(sql: str) -> str:
 # strings respected). Handled here rather than left to raise:
 #   list_unique(x)        → size(array_distinct(x))   (count of distincts)
 #   list_slice(l, a, b)   → slice(l, a, (b) - (a) + 1)   (array_slice alias too)
-#   list_contains(l, v)   → CASE WHEN l IS NULL OR v IS NULL THEN NULL
-#                           ELSE coalesce(array_contains(l, v), false) END
-#     (Spark array_contains returns NULL when the array holds a NULL and
-#     the value is absent; DuckDB returns false — verified on both. The
-#     CASE preserves DuckDB's NULL-list/NULL-value → NULL. list_has /
-#     array_has are DuckDB aliases. The list and value expressions are
-#     textually duplicated — nondeterministic argument expressions would
-#     evaluate twice.)
+#   list_contains(l, v)   → (array_position(l, v) > 0)
+#     (Spark array_contains is three-valued: NULL when the array holds a
+#     NULL and the value is absent, where DuckDB returns false — verified
+#     on both. array_position has NO three-valued case: absent → 0 even
+#     with NULL elements, NULL list/value → NULL, so `> 0` reproduces
+#     DuckDB on all four NULL corners with each argument evaluated once.
+#     list_has / array_has / array_contains itself are DuckDB aliases of
+#     list_contains, so ALL FOUR spellings are rewritten — a bare Spark
+#     array_contains would silently run with Spark's NULL semantics.)
 #   list_first(l) / list_last(l) → try_element_at(l, 1 / -1)
 #     (empty or NULL list → NULL on both engines; Spark 4's ANSI-mode
 #     element_at would raise on empty, hence the try_ form.)
@@ -416,7 +418,7 @@ def rewrite_file_tables(sql: str) -> str:
 # will produce Spark's semantics instead.
 _LIST_EXPR = re.compile(
     r"\b(list_unique|list_slice|array_slice|list_contains|list_has|array_has"
-    r"|list_first|list_last)\s*\(",
+    r"|array_contains|list_first|list_last)\s*\(",
     re.IGNORECASE,
 )
 
@@ -545,14 +547,11 @@ def rewrite_list_exprs(sql: str) -> str:
                 raise ValueError(f"{fn} takes exactly 3 arguments")
             lst, a, b = (x.strip() for x in args)
             repl = f"slice({lst}, {a}, ({b}) - ({a}) + 1)"
-        elif fn in ("list_contains", "list_has", "array_has"):
+        elif fn in ("list_contains", "list_has", "array_has", "array_contains"):
             if len(args) != 2:
                 raise ValueError(f"{fn} takes exactly 2 arguments")
             lst, v = (x.strip() for x in args)
-            repl = (
-                f"CASE WHEN ({lst}) IS NULL OR ({v}) IS NULL THEN NULL "
-                f"ELSE coalesce(array_contains({lst}, {v}), false) END"
-            )
+            repl = f"(array_position({lst}, {v}) > 0)"
         else:  # list_first / list_last
             if len(args) != 1:
                 raise ValueError(f"{fn} takes exactly 1 argument")

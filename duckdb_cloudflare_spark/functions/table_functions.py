@@ -93,14 +93,47 @@ WAYBACK_SCHEMA = StructType(
 
 def _options_from(kwargs: dict) -> dict:
     """Normalize UDTF argument values to the string options the readers
-    expect (booleans lowercased so ``_truthy`` sees 'true')."""
+    expect (booleans lowercased so ``_truthy`` sees 'true'). At analyze
+    time the values are AnalyzeArguments: NON-CONSTANT arguments (e.g. a
+    lateral column reference) are rejected loudly — silently treating them
+    as absent would let analyze and eval disagree on the schema (the
+    debug-column hazard)."""
     out = {}
     for k, v in kwargs.items():
+        if hasattr(v, "isConstantExpression") and not v.isConstantExpression:
+            raise ValueError(
+                f"table-function argument {k!r} must be a constant expression "
+                "(the reference's named parameters are bind-time literals); "
+                "use the DataFrame reader for per-row-driven scans"
+            )
         val = getattr(v, "value", v)  # AnalyzeArgument at analyze time
         if val is None:
             continue
         out[k] = str(val).lower() if isinstance(val, bool) else str(val)
     return out
+
+
+# analyze() → __init__ carriage: the worker passes the (pickled) subclass
+# instance to the UDTF constructor, so eval() consumes EXACTLY the options
+# and schema analyze validated — bind and execution cannot disagree (the
+# column-order / debug-column hazards), and d1's remote schema discovery
+# runs once at bind, not again per execution. The subclass is MODULE-level
+# so it pickles by reference regardless of serializer.
+import dataclasses as _dc
+from dataclasses import field as _field
+
+from pyspark.sql.functions import AnalyzeResult as _AnalyzeResult
+
+
+@_dc.dataclass
+class CarryingAnalyzeResult(_AnalyzeResult):
+    """AnalyzeResult + an opaque payload dict carried from analyze to eval."""
+
+    payload: dict = _field(default_factory=dict)
+
+
+def _make_carrying_result(schema, **extra):
+    return CarryingAnalyzeResult(schema=schema, payload=extra)
 
 
 def _with_debug(base: StructType, options: dict) -> StructType:
@@ -114,10 +147,11 @@ class CommonCrawlIndexUDTF:
     parameters, defaults, bind-time unknown-option errors, and row contract
     as the ``common_crawl`` DataSource (they share the reader)."""
 
+    def __init__(self, analyze_result=None):
+        self._ar = analyze_result
+
     @staticmethod
     def analyze(**kwargs):
-        from pyspark.sql.functions import AnalyzeResult
-
         from duckdb_cloudflare_spark.sources.options import (
             CC_OPTIONS,
             validate_options,
@@ -125,12 +159,12 @@ class CommonCrawlIndexUDTF:
 
         opts = _options_from(kwargs)
         validate_options("common_crawl_index", opts, CC_OPTIONS)
-        return AnalyzeResult(schema=_with_debug(CC_SCHEMA, opts))
+        return _make_carrying_result(_with_debug(CC_SCHEMA, opts), options=opts)
 
     def eval(self, **kwargs):
         from duckdb_cloudflare_spark.sources.common_crawl import CommonCrawlReader
 
-        opts = _options_from(kwargs)
+        opts = self._ar.payload["options"] if self._ar else _options_from(kwargs)
         reader = CommonCrawlReader(_with_debug(CC_SCHEMA, opts), opts)
         for part in reader.partitions():
             yield from reader.read(part)
@@ -140,10 +174,11 @@ class WaybackMachineUDTF:
     """``wayback_machine(url => ..., collapse => ..., ...)`` — the reference's
     Internet Archive table function as a UDTF over the shared reader."""
 
+    def __init__(self, analyze_result=None):
+        self._ar = analyze_result
+
     @staticmethod
     def analyze(**kwargs):
-        from pyspark.sql.functions import AnalyzeResult
-
         from duckdb_cloudflare_spark.sources.options import (
             WAYBACK_OPTIONS,
             validate_options,
@@ -151,12 +186,12 @@ class WaybackMachineUDTF:
 
         opts = _options_from(kwargs)
         validate_options("wayback_machine", opts, WAYBACK_OPTIONS)
-        return AnalyzeResult(schema=_with_debug(WAYBACK_SCHEMA, opts))
+        return _make_carrying_result(_with_debug(WAYBACK_SCHEMA, opts), options=opts)
 
     def eval(self, **kwargs):
         from duckdb_cloudflare_spark.sources.wayback import WaybackReader
 
-        opts = _options_from(kwargs)
+        opts = self._ar.payload["options"] if self._ar else _options_from(kwargs)
         reader = WaybackReader(_with_debug(WAYBACK_SCHEMA, opts), opts)
         for part in reader.partitions():
             yield from reader.read(part)
@@ -172,10 +207,11 @@ class D1ScanUDTF:
     credentials (CLOUDFLARE_ACCOUNT_ID / CLOUDFLARE_API_TOKEN), explicit
     ``account_id``/``api_token`` arguments, or the test stub options."""
 
+    def __init__(self, analyze_result=None):
+        self._ar = analyze_result
+
     @staticmethod
     def analyze(**kwargs):
-        from pyspark.sql.functions import AnalyzeResult
-
         from duckdb_cloudflare_spark.sources.d1 import _client_from_options
         from duckdb_cloudflare_spark.sources.options import (
             D1_OPTIONS,
@@ -187,15 +223,17 @@ class D1ScanUDTF:
         table = opts.get("table")
         if not table:
             raise ValueError("d1_scan requires a table => '<name>' argument")
-        return AnalyzeResult(
-            schema=_client_from_options(opts).table_schema(table)
-        )
+        schema = _client_from_options(opts).table_schema(table)
+        return _make_carrying_result(schema, options=opts, struct=schema)
 
     def eval(self, **kwargs):
         from duckdb_cloudflare_spark.sources.d1 import D1Reader, _client_from_options
 
-        opts = _options_from(kwargs)
-        schema = _client_from_options(opts).table_schema(opts["table"])
+        if self._ar:  # schema discovered ONCE at bind (no re-PRAGMA per exec)
+            opts, schema = self._ar.payload["options"], self._ar.payload["struct"]
+        else:
+            opts = _options_from(kwargs)
+            schema = _client_from_options(opts).table_schema(opts["table"])
         reader = D1Reader(schema, opts)
         for part in reader.partitions():
             yield from reader.read(part)
@@ -207,10 +245,11 @@ class D1QueryUDTF:
     schema, src/d1_functions.cpp:119-131). Like the reference, the query
     runs at BIND time to discover columns (and again at execution)."""
 
+    def __init__(self, analyze_result=None):
+        self._ar = analyze_result
+
     @staticmethod
     def analyze(**kwargs):
-        from pyspark.sql.functions import AnalyzeResult
-
         from duckdb_cloudflare_spark.sources.d1 import _client_from_options
 
         opts = _options_from(kwargs)
@@ -219,19 +258,30 @@ class D1QueryUDTF:
             raise ValueError("d1_query requires a sql => '<statement>' argument")
         rows = _client_from_options(opts).query(sql)
         cols = list(rows[0].keys()) if rows else ["result"]
-        return AnalyzeResult(
-            schema=StructType([_s(c, StringType()) for c in cols])
+        return _make_carrying_result(
+            StructType([_s(c, StringType()) for c in cols]),
+            options=opts, sql=sql, cols=cols,
         )
 
     def eval(self, **kwargs):
         from duckdb_cloudflare_spark.sources.d1 import _client_from_options, _plain
 
-        opts = _options_from(kwargs)
-        sql = opts.pop("sql")
+        if self._ar:
+            opts = self._ar.payload["options"]
+            sql = self._ar.payload["sql"]
+            cols = self._ar.payload["cols"]
+        else:
+            opts = _options_from(kwargs)
+            sql = opts.pop("sql")
+            cols = None
         rows = _client_from_options(opts).query(sql)
         if not rows:
             return
-        cols = list(rows[0].keys())
+        if cols is None:
+            cols = list(rows[0].keys())
+        # values keyed by the ANALYZE-TIME column list: a result whose key
+        # order (or arity) drifts between bind and execution maps by NAME,
+        # never by position — missing keys surface as NULL, extras drop.
         for r in rows:
             yield tuple(
                 None if r.get(c) is None else str(_plain(r.get(c))) for c in cols

@@ -1125,3 +1125,118 @@ def md5_minhash_sigs(
             for j in range(k)
         ]
     )
+
+
+def hashed_word_shingles(k: int = 3) -> Column:
+    """Distinct xxhash64 keys of ' '-joined word-``k`` shingles over a
+    lowered token array column named ``ts`` (p34's oracle-exact
+    formulation) — 8-byte shuffle keys instead of strings; the string-keyed
+    oracle parity gates catch any count-perturbing collision."""
+    ts = F.col("ts")
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.size(ts) - k),
+            lambda i: F.xxhash64(
+                F.concat_ws(
+                    " ", *[F.element_at(ts, i + j + 1) for j in range(k)]
+                )
+            ),
+        )
+    )
+
+
+def lowered_tokens(text_col: str = "text") -> Column:
+    """Raw split-then-lower tokenization (p34's oracle-exact formulation:
+    blank text yields one empty token, matching DuckDB string_split_regex)."""
+    return F.transform(
+        F.split(F.trim(F.col(text_col)), r"\s+"), lambda x: F.lower(x)
+    )
+
+
+def exact_jaccard_pairs(
+    df: DataFrame,
+    k: int = 3,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """EXACT all-pairs word-``k``-shingle Jaccard >= ``threshold`` over any
+    document DataFrame via the shingle-inverted-index join (p34's engine,
+    extracted so compositions like the p54 curation pipeline run it over a
+    FILTERED corpus without re-implementing the derivation). Returns
+    ``(id_a, id_b, jaccard)``.
+
+    Scale shape: distinct shingles exploded map-side, shuffle_hash
+    equi-join on 8-byte xxhash64 keys (high-cardinality uniform int64 —
+    hashing beats SortMergeJoin's two full sorts, measured at sf0.1),
+    pair co-occurrence partial-aggregated, per-doc set sizes broadcast
+    back. The hot-shingle candidate blowup is why the LSH families exist;
+    run THIS for verification slices, minhash/LSH for the full corpus.
+    """
+    shins = (
+        ensure_parallelism(df)
+        .select(id_col, lowered_tokens(text_col).alias("ts"))
+        .filter(F.size("ts") >= k)
+        .select(id_col, hashed_word_shingles(k).alias("sh"))
+    )
+    sizes = shins.select(id_col, F.size("sh").alias("n_sh"))
+    inv = shins.select(id_col, F.explode("sh").alias("shingle"))
+    a = inv.select(F.col(id_col).alias("id_a"), "shingle")
+    b = inv.select(F.col(id_col).alias("id_b"), "shingle").hint("shuffle_hash")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sz_a = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    sz_b = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    j = F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter"))
+    return (
+        inter.join(sz_a, "id_a")
+        .join(sz_b, "id_b")
+        .filter(j >= threshold)
+        .select("id_a", "id_b", j.alias("jaccard"))
+    )
+
+
+def seeded_uniform(prefix: str, id_col: Column) -> Column:
+    """Deterministic uniform [0, 1) from a seed string + id: the first 8
+    md5 hex chars as an integer over 2^32 — bit-identical in DuckDB
+    (``('0x' || substr(md5(...), 1, 8))::BIGINT / 4294967296.0``), the
+    reproducible-sampling primitive under p49/p54."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(prefix), id_col.cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        / F.lit(4294967296.0)
+    )
+
+
+def epoch_shard_assign(
+    df: DataFrame,
+    seed: str = "epoch-7:",
+    n_shards: int = 8,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic epoch shuffle (p43's engine, shared with p54): every
+    row gets a shard (hash bucket of the seeded md5 key) and a position
+    inside it (rank of the key) — epoch order reproducible from the seed
+    alone, no stored permutation, no global sort (per-shard windows only;
+    shard count is the sort-size lever). Appends ``shard`` and
+    ``pos_in_shard`` to ``df``'s columns."""
+    k = F.md5(F.concat(F.lit(seed), F.col(id_col).cast("string")))
+    keyed = df.withColumn("__k", k)
+    shard = (
+        F.conv(F.substring("__k", 1, 4), 16, 10).cast("long") % n_shards
+    ).cast("integer")
+    w = Window.partitionBy(shard).orderBy("__k", id_col)
+    return keyed.select(
+        *df.columns,
+        shard.alias("shard"),
+        F.row_number().over(w).cast("long").alias("pos_in_shard"),
+    )

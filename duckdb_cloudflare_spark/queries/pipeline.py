@@ -1154,54 +1154,7 @@ def p33_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     "full corpus.",
 )
 def p34_exact_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = D.ensure_parallelism(load(spark, sf_dir, "documents"))
-    toks = F.transform(F.split(F.trim(F.col("text")), r"\s+"), lambda x: F.lower(x))
-    shins = (
-        d.select("doc_id", toks.alias("ts"))
-        .filter(F.size("ts") >= 3)
-        .select(
-            "doc_id",
-            F.array_distinct(
-                F.transform(
-                    F.sequence(F.lit(0), F.size("ts") - 3),
-                    # 0-based element_at is getItem; concat_ws matches the
-                    # oracle's ' ' joined 3-gram, hashed to a fixed-width key
-                    lambda i: F.xxhash64(
-                        F.concat_ws(
-                            " ",
-                            F.element_at(F.col("ts"), i + 1),
-                            F.element_at(F.col("ts"), i + 2),
-                            F.element_at(F.col("ts"), i + 3),
-                        )
-                    ),
-                )
-            ).alias("sh"),
-        )
-    )
-    sizes = shins.select("doc_id", F.size("sh").alias("n_sh"))
-    inv = shins.select("doc_id", F.explode("sh").alias("shingle"))
-    a = inv.select(F.col("doc_id").alias("id_a"), "shingle")
-    # shuffle_hash: the self-join key is a high-cardinality uniform int64,
-    # so hashing beats SortMergeJoin's two full sorts (A/B: 3.4 -> 2.3 s at
-    # sf0.1). Per-partition hash tables hold one shuffle partition of
-    # (int64, int64) rows — bounded by shuffle-partition sizing, the knob
-    # that governs every other join here too.
-    b = inv.select(F.col("doc_id").alias("id_b"), "shingle").hint("shuffle_hash")
-    inter = (
-        a.join(b, "shingle")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
-    sz_a = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("n_a"))
-    sz_b = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("n_b"))
-    j = F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter"))
-    return (
-        inter.join(sz_a, "id_a")
-        .join(sz_b, "id_b")
-        .filter(j >= 0.5)
-        .select("id_a", "id_b", j.alias("jaccard"))
-    )
+    return D.exact_jaccard_pairs(load(spark, sf_dir, "documents"), k=3, threshold=0.5)
 
 
 @register(

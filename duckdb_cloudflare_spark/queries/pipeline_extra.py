@@ -273,11 +273,6 @@ _TOKS_CTE = r"""
 """
 
 
-def _lower_tokens() -> "F.Column":
-    """Spark twin of the oracle tokenization (split-then-lower == p34)."""
-    return F.transform(F.split(F.trim(F.col("text")), r"\s+"), lambda x: F.lower(x))
-
-
 @register(
     "p44_chunk_dedup",
     oracle=rf"""
@@ -410,24 +405,9 @@ def p45_kmeans_update(spark: SparkSession, sf_dir: str) -> DataFrame:
 def p46_doc_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = D.ensure_parallelism(load(spark, sf_dir, "documents"))
     shins = (
-        d.select("doc_id", _lower_tokens().alias("ts"))
+        d.select("doc_id", D.lowered_tokens().alias("ts"))
         .filter(F.size("ts") >= 3)
-        .select(
-            "doc_id",
-            F.array_distinct(
-                F.transform(
-                    F.sequence(F.lit(0), F.size("ts") - 3),
-                    lambda i: F.xxhash64(
-                        F.concat_ws(
-                            " ",
-                            F.element_at(F.col("ts"), i + 1),
-                            F.element_at(F.col("ts"), i + 2),
-                            F.element_at(F.col("ts"), i + 3),
-                        )
-                    ),
-                )
-            ).alias("sh"),
-        )
+        .select("doc_id", D.hashed_word_shingles(3).alias("sh"))
     )
     inv = shins.select("doc_id", F.explode("sh").alias("shingle"))
     first = inv.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
@@ -578,18 +558,7 @@ def p49_temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_s"))
     mn = counts.agg(F.min("n_s").alias("min_n"))
-    u = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit("resample:"), F.col("doc_id").cast("string"))),
-                1,
-                8,
-            ),
-            16,
-            10,
-        ).cast("long")
-        / F.lit(4294967296.0)
-    )
+    u = D.seeded_uniform("resample:", F.col("doc_id"))
     p_keep = F.sqrt(F.col("min_n").cast("double") / F.col("n_s"))
     return (
         d.select("doc_id", "lang", u.alias("u"))
@@ -624,18 +593,8 @@ def p49_temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     "bucket, no ordering) and p18 (stratified downsample).",
 )
 def p43_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
-
-    d = load(spark, sf_dir, "documents")
-    k = F.md5(F.concat(F.lit("epoch-7:"), F.col("doc_id").cast("string")))
-    keyed = d.select("doc_id", k.alias("k"))
-    shard = (F.conv(F.substring("k", 1, 4), 16, 10).cast("long") % 8).cast("integer")
-    w = Window.partitionBy(shard).orderBy("k", "doc_id")
-    return keyed.select(
-        "doc_id",
-        shard.alias("shard"),
-        F.row_number().over(w).cast("long").alias("pos_in_shard"),
-    )
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    return D.epoch_shard_assign(d, seed="epoch-7:", n_shards=8)
 
 
 @register(
@@ -681,7 +640,7 @@ def p50_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.element_at(ts, i + 1).alias("w1"), F.element_at(ts, i + 2).alias("w2")
         ),
     )
-    toks = d.select("doc_id", _lower_tokens().alias("ts"))
+    toks = d.select("doc_id", D.lowered_tokens().alias("ts"))
     big = (
         toks.filter(n >= 2)
         .select("doc_id", F.explode(pairs).alias("p"))
@@ -737,20 +696,10 @@ def p50_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def p51_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = D.ensure_parallelism(load(spark, sf_dir, "documents"))
-    sh = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), F.size("ts") - 5),
-            lambda i: F.xxhash64(
-                F.concat_ws(
-                    " ", *[F.element_at(F.col("ts"), i + j + 1) for j in range(5)]
-                )
-            ),
-        )
-    )
     srcsh = (
-        d.select("source", _lower_tokens().alias("ts"))
+        d.select("source", D.lowered_tokens().alias("ts"))
         .filter(F.size("ts") >= 5)
-        .select("source", F.explode(sh).alias("shingle"))
+        .select("source", F.explode(D.hashed_word_shingles(5)).alias("shingle"))
         .distinct()
     )
     a = srcsh.select(F.col("source").alias("src_a"), "shingle")
@@ -799,7 +748,7 @@ def p52_token_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = D.ensure_parallelism(load(spark, sf_dir, "documents"))
     vocab = (
-        d.select(F.explode(_lower_tokens()).alias("tok"))
+        d.select(F.explode(D.lowered_tokens()).alias("tok"))
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
@@ -857,7 +806,7 @@ def p52_token_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def p53_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
-    ts = _lower_tokens()
+    ts = D.lowered_tokens()
     stops = ("the", "be", "to", "of", "and", "that", "have", "with")
     n_words = F.size(ts).cast("bigint")
     total_len = F.aggregate(
@@ -984,7 +933,7 @@ def p54_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     d = load(spark, sf_dir, "documents")
-    ts = _lower_tokens()
+    ts = D.lowered_tokens()
     stops = ("the", "be", "to", "of", "and", "that", "have", "with")
     n_words = F.size(ts).cast("bigint")
     total_len = F.aggregate(
@@ -1005,51 +954,12 @@ def p54_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang", "n_chars")
     )
 
-    # Near-dup edges: p34's pair derivation restricted to the survivors
-    # (semi join BEFORE shingling — the corpus that didn't survive never
-    # pays the explode).
+    # Near-dup edges: p34's operator (D.exact_jaccard_pairs) over the
+    # survivors only — semi join BEFORE shingling, so the corpus that
+    # didn't survive never pays the explode.
     survivors_text = d.join(exact.select("doc_id"), "doc_id", "left_semi")
-    shins = (
-        D.ensure_parallelism(survivors_text)
-        .select("doc_id", ts.alias("ts"))
-        .filter(F.size("ts") >= 3)
-        .select(
-            "doc_id",
-            F.array_distinct(
-                F.transform(
-                    F.sequence(F.lit(0), F.size("ts") - 3),
-                    lambda i: F.xxhash64(
-                        F.concat_ws(
-                            " ",
-                            F.element_at(F.col("ts"), i + 1),
-                            F.element_at(F.col("ts"), i + 2),
-                            F.element_at(F.col("ts"), i + 3),
-                        )
-                    ),
-                )
-            ).alias("sh"),
-        )
-    )
-    sizes = shins.select("doc_id", F.size("sh").alias("n_sh"))
-    inv = shins.select("doc_id", F.explode("sh").alias("shingle"))
-    a = inv.select(F.col("doc_id").alias("id_a"), "shingle")
-    b = inv.select(F.col("doc_id").alias("id_b"), "shingle")
-    inter = (
-        a.join(b.hint("shuffle_hash"), "shingle")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("i"))
-    )
-    pairs = (
-        inter.join(broadcast(sizes.withColumnRenamed("doc_id", "id_a")
-                             .withColumnRenamed("n_sh", "na")), "id_a")
-        .join(broadcast(sizes.withColumnRenamed("doc_id", "id_b")
-                        .withColumnRenamed("n_sh", "nb")), "id_b")
-        .filter(
-            F.col("i").cast("double") / (F.col("na") + F.col("nb") - F.col("i"))
-            >= 0.5
-        )
-        .select("id_a", "id_b")
+    pairs = D.exact_jaccard_pairs(survivors_text, k=3, threshold=0.5).select(
+        "id_a", "id_b"
     )
     comp = D.connected_components(pairs)
     w_canon = Window.partitionBy("component").orderBy(
@@ -1065,29 +975,12 @@ def p54_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     counts = canon.groupBy("lang").agg(F.count(F.lit(1)).alias("n_s"))
     mn = counts.agg(F.min("n_s").alias("min_n"))
-    u = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit("resample:"), F.col("doc_id").cast("string"))),
-                1, 8,
-            ), 16, 10,
-        ).cast("long")
-        / F.lit(4294967296.0)
-    )
     sampled = (
-        canon.withColumn("u", u)
+        canon.withColumn("u", D.seeded_uniform("resample:", F.col("doc_id")))
         .join(broadcast(counts), "lang")
         .crossJoin(broadcast(mn))
         .filter(F.col("u") < F.sqrt(F.col("min_n").cast("double") / F.col("n_s")))
         .select("doc_id", "lang")
     )
 
-    k = F.md5(F.concat(F.lit("epoch-7:"), F.col("doc_id").cast("string")))
-    keyed = sampled.withColumn("k", k)
-    shard = (F.conv(F.substring("k", 1, 4), 16, 10).cast("long") % 8).cast("integer")
-    w_shard = Window.partitionBy(shard).orderBy("k", "doc_id")
-    return keyed.select(
-        "doc_id", "lang",
-        shard.alias("shard"),
-        F.row_number().over(w_shard).cast("long").alias("pos_in_shard"),
-    )
+    return D.epoch_shard_assign(sampled, seed="epoch-7:", n_shards=8)

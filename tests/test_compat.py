@@ -346,12 +346,13 @@ class TestListExprRewrites:
             "SELECT list_contains(l, 3) AS absent_with_null, "
             "list_contains(l, 1) AS present_with_null, "
             "list_contains(l, CAST(NULL AS INT)) AS null_value, "
-            "list_contains(CASE WHEN 1 = 0 THEN l ELSE NULL END, 1) AS null_list "
+            "list_contains(CASE WHEN 1 = 0 THEN l ELSE NULL END, 1) AS null_list, "
+            "array_contains(l, 3) AS ac_absent_with_null "
             "FROM (SELECT list_value(1, CAST(NULL AS INT)) AS l) AS s"
         )
         drow = list(duck.sql(body).fetchone())
         srow = list(duck_sql(t, body).collect()[0])
-        assert srow == drow == [False, True, None, None]
+        assert srow == drow == [False, True, None, None, False]
 
     def test_list_first_last_and_slice_alias_cross_engine(self, t, duck):
         body = (

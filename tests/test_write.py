@@ -88,6 +88,13 @@ class TestEpochShards:
         write_epoch_shards(assigned, out)
         df = read_epoch_shard(spark, out, 3)
         plan = df._jdf.queryExecution().executedPlan().toString()
-        # partition filter reaches the scan: only shard=3's directory read
-        assert "PartitionFilters: [isnotnull(shard" in plan or "shard#" in plan
+        # The filter must land in PartitionFilters (directory pruning), not
+        # as a post-scan Filter — and DataFilters must stay empty, so the
+        # scan reads ONLY shard=3's directory.
+        import re
+
+        m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+        assert m and "shard" in m.group(1) and "= 3" in m.group(1), plan
+        dm = re.search(r"DataFilters: \[([^\]]*)\]", plan)
+        assert dm is not None and dm.group(1).strip() == "", plan
         assert all(r["shard"] == 3 for r in df.collect())
