@@ -301,6 +301,9 @@ _FUNCTION_ALIASES = {
     "epoch_ms": "unix_millis",  # both BIGINT milliseconds (verified)
     "starts_with": "startswith",  # both NULL-propagating (verified)
     "ends_with": "endswith",  # both NULL-propagating (verified)
+    # verified drop-in: absent → 0, NULL list/value → NULL on BOTH engines
+    "list_position": "array_position",
+    "list_indexof": "array_position",  # DuckDB alias of list_position
     # NOT mapped (need expression rewrites, not renames — raising beats
     # mis-running): list_unique (= size(array_distinct(x))), list_slice /
     # array_slice (1-based inclusive vs Spark's slice(start, length)),
@@ -308,11 +311,13 @@ _FUNCTION_ALIASES = {
     # array_contains returns NULL when the array holds a NULL and the value
     # is absent — DuckDB returns false; all four spellings handled in
     # rewrite_list_exprs via array_position), list_first / list_last
-    # (→ try_element_at, also in rewrite_list_exprs), list_prepend
-    # (DuckDB is (element, list) — Spark array_prepend REVERSES the args),
-    # list_has_any (Spark arrays_overlap returns NULL when either side
-    # contains a NULL and no match — DuckDB returns false),
-    # list_position (DuckDB NULL when absent — Spark array_position 0),
+    # (→ try_element_at, also in rewrite_list_exprs), list_has_any
+    # (NULL elements never match in DuckDB but DO in Spark array_intersect
+    # and produce NULL in arrays_overlap — rewritten in rewrite_list_exprs
+    # via a NULL-stripped intersect), list_prepend (DuckDB is (element,
+    # list) AND treats a NULL list as empty — list_prepend(1, NULL) → [1],
+    # verified — where Spark array_prepend propagates NULL; not cleanly
+    # rewritable without double-evaluating arguments, so it raises),
     # epoch (DuckDB DOUBLE with fractional seconds — Spark unix_timestamp
     # truncates to BIGINT seconds).
     #
@@ -409,6 +414,8 @@ def rewrite_file_tables(sql: str) -> str:
 #     list_has / array_has / array_contains itself are DuckDB aliases of
 #     list_contains, so ALL FOUR spellings are rewritten — a bare Spark
 #     array_contains would silently run with Spark's NULL semantics.)
+#   list_has_any(a, b)    → (size(array_intersect(filter(a, x -> x IS NOT
+#                             NULL), b)) > 0)   (see inline comment)
 #   list_first(l) / list_last(l) → try_element_at(l, 1 / -1)
 #     (empty or NULL list → NULL on both engines; Spark 4's ANSI-mode
 #     element_at would raise on empty, hence the try_ form.)
@@ -418,7 +425,7 @@ def rewrite_file_tables(sql: str) -> str:
 # will produce Spark's semantics instead.
 _LIST_EXPR = re.compile(
     r"\b(list_unique|list_slice|array_slice|list_contains|list_has|array_has"
-    r"|array_contains|list_first|list_last)\s*\(",
+    r"|array_contains|list_has_any|list_first|list_last)\s*\(",
     re.IGNORECASE,
 )
 
@@ -552,6 +559,20 @@ def rewrite_list_exprs(sql: str) -> str:
                 raise ValueError(f"{fn} takes exactly 2 arguments")
             lst, v = (x.strip() for x in args)
             repl = f"(array_position({lst}, {v}) > 0)"
+        elif fn == "list_has_any":
+            if len(args) != 2:
+                raise ValueError("list_has_any takes exactly 2 arguments")
+            a_, b_ = (x.strip() for x in args)
+            # DuckDB: NULL elements never match (SQL equality), NULL side →
+            # NULL. Spark array_intersect matches NULLs and arrays_overlap
+            # is three-valued; stripping one side's NULLs before intersect
+            # reproduces DuckDB exactly (a NULL in a could only match a
+            # NULL in b, which never matches). size(NULL) → NULL keeps the
+            # NULL-side corners; each argument is evaluated once.
+            repl = (
+                f"(size(array_intersect(filter({a_}, x -> x IS NOT NULL), "
+                f"{b_})) > 0)"
+            )
         else:  # list_first / list_last
             if len(args) != 1:
                 raise ValueError(f"{fn} takes exactly 1 argument")

@@ -366,6 +366,21 @@ class TestListExprRewrites:
         srow = list(duck_sql(t, body).collect()[0])
         assert srow == drow == [7, 9, None, None, [8, 9]]
 
+    def test_has_any_and_position_cross_engine(self, t, duck):
+        body = (
+            "SELECT list_has_any(l, list_value(2)) AS no_match_with_null, "
+            "list_has_any(l, list_value(1, 9)) AS match, "
+            "list_has_any(ln, ln) AS null_never_matches, "
+            "list_position(l, 1) AS pos_found, "
+            "list_position(l, 42) AS pos_absent, "
+            "list_indexof(l, 1) AS idx "
+            "FROM (SELECT list_value(1, CAST(NULL AS INT)) AS l, "
+            "list_value(CAST(NULL AS INT)) AS ln) AS s"
+        )
+        drow = list(duck.sql(body).fetchone())
+        srow = list(duck_sql(t, body).collect()[0])
+        assert srow == drow == [False, True, False, 1, 0, 1]
+
     def test_new_string_aliases_cross_engine(self, t, duck):
         body = (
             "SELECT starts_with('hello', 'he') AS sw, "
