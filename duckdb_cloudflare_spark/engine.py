@@ -78,6 +78,16 @@ class Engine:
                 registered.append(t)
         return registered
 
+    # -- curation pipeline ----------------------------------------------
+    def curate(self, docs: DataFrame, **kwargs) -> DataFrame:
+        """Full deterministic curation pass (quality gate → exact dedup →
+        near-dup keep-best → temperature rebalance → epoch shuffle) over a
+        document DataFrame; see ``operators.curation.curate`` for knobs.
+        The composition is hash-verified end-to-end against DuckDB (p54)."""
+        from duckdb_cloudflare_spark.operators.curation import curate
+
+        return curate(docs, **kwargs)
+
     # -- federated sources ----------------------------------------------
     def read_common_crawl(self, url: str, **kwargs) -> DataFrame:
         from duckdb_cloudflare_spark.sources.api import read_common_crawl

@@ -1,0 +1,127 @@
+"""The end-to-end curation pass as a reusable operator.
+
+``curate`` chains the anchored stages — Gopher-style quality gate → exact
+dedup (first-id-wins on md5(text)) → exact-Jaccard near-dup connected
+components keeping the longest member per cluster → temperature-based
+stratum rebalancing → deterministic epoch shuffle — over ANY document
+DataFrame. The p54 registry query binds it to the testdata corpus and
+hash-verifies the whole composition against a single recursive-CTE DuckDB
+program at sf0.01 and sf0.1; ``Engine.curate`` exposes it to users.
+
+Every stage's scale notes live with its own operator (``dedup.py``); this
+module only sequences them. Deterministic end to end: the output is
+reproducible from the seeds alone.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+from pyspark.sql.window import Window
+
+from duckdb_cloudflare_spark.operators import dedup as D
+
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def quality_gate(
+    df: DataFrame,
+    text_col: str = "text",
+    min_words: int = 16,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    min_stopword_hits: int = 2,
+) -> DataFrame:
+    """Gopher-style filter (Rae et al. 2021's repetition-free subset): word
+    count window, mean-word-length window, minimum stopword hits. Map-only."""
+    ts = D.lowered_tokens(text_col)
+    n_words = F.size(ts).cast("bigint")
+    total_len = F.aggregate(
+        F.transform(ts, lambda x: F.length(x)), F.lit(0), lambda a, x: a + x
+    ).cast("bigint")
+    mean_len = total_len.cast("double") / n_words
+    stop_hits = F.size(F.filter(ts, lambda x: x.isin(*GOPHER_STOPWORDS)))
+    return df.filter(
+        (n_words >= min_words) & (n_words <= max_words)
+        & (mean_len >= min_mean_word_len) & (mean_len <= max_mean_word_len)
+        & (stop_hits >= min_stopword_hits)
+    )
+
+
+def temperature_resample(
+    df: DataFrame,
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+    seed: str = "resample:",
+) -> DataFrame:
+    """tau = 0.5 stratum flattening: keep iff seeded_uniform(id) <
+    sqrt(min_n / n_stratum) — the smallest stratum keeps everything, the
+    rest are down-sampled toward it. Per-stratum counts broadcast back;
+    the corpus is map-only filtered, never shuffled."""
+    counts = df.groupBy(stratum_col).agg(F.count(F.lit(1)).alias("n_s"))
+    mn = counts.agg(F.min("n_s").alias("min_n"))
+    return (
+        df.withColumn("__u", D.seeded_uniform(seed, F.col(id_col)))
+        .join(broadcast(counts), stratum_col)
+        .crossJoin(broadcast(mn))
+        .filter(F.col("__u") < F.sqrt(F.col("min_n").cast("double") / F.col("n_s")))
+        .select(*df.columns)
+    )
+
+
+def curate(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    stratum_col: str = "lang",
+    score_col: str = "n_chars",
+    jaccard_threshold: float = 0.5,
+    shingle_k: int = 3,
+    resample_seed: str = "resample:",
+    epoch_seed: str = "epoch-7:",
+    n_shards: int = 8,
+) -> DataFrame:
+    """Full deterministic curation pass over ``docs`` (needs ``id_col``,
+    ``text_col``, ``stratum_col``, ``score_col`` columns). Returns
+    ``(id_col, stratum_col, shard, pos_in_shard)`` — the training-ready
+    corpus assignment, reproducible from the seeds alone. Feed the result
+    to ``sources.write.write_epoch_shards`` to materialize training order.
+    """
+    gated = quality_gate(docs, text_col).select(
+        id_col, stratum_col, score_col, text_col
+    )
+
+    w_exact = Window.partitionBy(F.md5(text_col)).orderBy(id_col)
+    exact = (
+        gated.withColumn("__rn", F.row_number().over(w_exact))
+        .filter(F.col("__rn") == 1)
+        .select(id_col, stratum_col, score_col)
+    )
+
+    # Near-dup components over the exact survivors only — semi join BEFORE
+    # shingling, so the corpus that didn't survive never pays the explode.
+    survivors_text = docs.join(exact.select(id_col), id_col, "left_semi")
+    pairs = D.exact_jaccard_pairs(
+        survivors_text, k=shingle_k, threshold=jaccard_threshold,
+        text_col=text_col, id_col=id_col,
+    ).select("id_a", "id_b")
+    comp = D.connected_components(pairs)
+    w_canon = Window.partitionBy("component").orderBy(
+        F.col(score_col).desc(), F.col(id_col)
+    )
+    canon = (
+        exact.join(comp.withColumnRenamed("id", id_col), id_col, "left")
+        .withColumn("component", F.coalesce("component", id_col))
+        .withColumn("__rn", F.row_number().over(w_canon))
+        .filter(F.col("__rn") == 1)
+        .select(id_col, stratum_col)
+    )
+
+    sampled = temperature_resample(
+        canon, stratum_col=stratum_col, id_col=id_col, seed=resample_seed
+    )
+    return D.epoch_shard_assign(
+        sampled, seed=epoch_seed, n_shards=n_shards, id_col=id_col
+    )

@@ -929,58 +929,6 @@ def p53_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     "live with each stage's own operator.",
 )
 def p54_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.functions import broadcast
-    from pyspark.sql.window import Window
+    from duckdb_cloudflare_spark.operators.curation import curate
 
-    d = load(spark, sf_dir, "documents")
-    ts = D.lowered_tokens()
-    stops = ("the", "be", "to", "of", "and", "that", "have", "with")
-    n_words = F.size(ts).cast("bigint")
-    total_len = F.aggregate(
-        F.transform(ts, lambda x: F.length(x)), F.lit(0), lambda a, x: a + x
-    ).cast("bigint")
-    mean_len = total_len.cast("double") / n_words
-    stop_hits = F.size(F.filter(ts, lambda x: x.isin(*stops)))
-    gated = d.filter(
-        (n_words >= 16) & (n_words <= 100000)
-        & (mean_len >= 3) & (mean_len <= 10)
-        & (stop_hits >= 2)
-    ).select("doc_id", "lang", "n_chars", "text")
-
-    w_exact = Window.partitionBy(F.md5("text")).orderBy("doc_id")
-    exact = (
-        gated.withColumn("rn", F.row_number().over(w_exact))
-        .filter(F.col("rn") == 1)
-        .select("doc_id", "lang", "n_chars")
-    )
-
-    # Near-dup edges: p34's operator (D.exact_jaccard_pairs) over the
-    # survivors only — semi join BEFORE shingling, so the corpus that
-    # didn't survive never pays the explode.
-    survivors_text = d.join(exact.select("doc_id"), "doc_id", "left_semi")
-    pairs = D.exact_jaccard_pairs(survivors_text, k=3, threshold=0.5).select(
-        "id_a", "id_b"
-    )
-    comp = D.connected_components(pairs)
-    w_canon = Window.partitionBy("component").orderBy(
-        F.col("n_chars").desc(), F.col("doc_id")
-    )
-    canon = (
-        exact.join(comp.withColumnRenamed("id", "doc_id"), "doc_id", "left")
-        .withColumn("component", F.coalesce("component", "doc_id"))
-        .withColumn("rn", F.row_number().over(w_canon))
-        .filter(F.col("rn") == 1)
-        .select("doc_id", "lang")
-    )
-
-    counts = canon.groupBy("lang").agg(F.count(F.lit(1)).alias("n_s"))
-    mn = counts.agg(F.min("n_s").alias("min_n"))
-    sampled = (
-        canon.withColumn("u", D.seeded_uniform("resample:", F.col("doc_id")))
-        .join(broadcast(counts), "lang")
-        .crossJoin(broadcast(mn))
-        .filter(F.col("u") < F.sqrt(F.col("min_n").cast("double") / F.col("n_s")))
-        .select("doc_id", "lang")
-    )
-
-    return D.epoch_shard_assign(sampled, seed="epoch-7:", n_shards=8)
+    return curate(load(spark, sf_dir, "documents"))

@@ -197,3 +197,30 @@ def test_temperature_resample_flattens_toward_smallest_lang(spark):
         .groupBy("lang").agg(F.count("*").alias("n")).collect()
     }
     assert again == kept
+
+
+def test_curate_operator_parameterized_stratum(spark):
+    """The extracted curation operator must work over arbitrary columns:
+    stratify by source instead of lang, different seeds/shard count."""
+    from duckdb_cloudflare_spark.operators.curation import curate
+
+    docs = load(spark, SF_DIR, "documents")
+    out = curate(
+        docs, stratum_col="source", n_shards=4, epoch_seed="epoch-9:",
+        resample_seed="rs2:",
+    )
+    rows = out.collect()
+    assert rows and set(out.columns) == {"doc_id", "source", "shard", "pos_in_shard"}
+    assert {r["shard"] for r in rows} <= {0, 1, 2, 3}
+    # positions are 1..n contiguous per shard (a permutation, not a sample)
+    by_shard: dict[int, list[int]] = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(r["pos_in_shard"])
+    for s, ps in by_shard.items():
+        assert sorted(ps) == list(range(1, len(ps) + 1)), s
+    # determinism
+    again = curate(
+        docs, stratum_col="source", n_shards=4, epoch_seed="epoch-9:",
+        resample_seed="rs2:",
+    ).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, rows))
