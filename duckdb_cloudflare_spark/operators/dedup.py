@@ -962,14 +962,18 @@ def dup_span_stats(
     )
     # (doc, pos, shingle-hash) for EVERY position (not distinct — spans need
     # positions); hash built from the same ' '-joined k-gram as p34/p36.
-    sh_at = F.transform(
-        F.sequence(F.lit(0), F.size("ts") - k),
-        lambda i: F.xxhash64(
-            F.concat_ws(
-                " ", *[F.element_at(F.col("ts"), i + j + 1) for j in range(k)]
-            )
+    # Total (see hashed_word_shingles): safe under predicate pushdown.
+    sh_at = F.when(
+        F.size("ts") >= k,
+        F.transform(
+            F.sequence(F.lit(0), F.size("ts") - k),
+            lambda i: F.xxhash64(
+                F.concat_ws(
+                    " ", *[F.element_at(F.col("ts"), i + j + 1) for j in range(k)]
+                )
+            ),
         ),
-    )
+    ).otherwise(F.array().cast("array<bigint>"))
     pos = base.select(
         id_col, F.posexplode(sh_at).alias("pos", "sh")
     )
@@ -1024,6 +1028,16 @@ def chunk_digests(
     n_chunks = ((F.size(ts) + F.lit(chunk_tokens - 1)) / F.lit(chunk_tokens)).cast(
         "long"
     )
+    # Total (see hashed_word_shingles): safe under predicate pushdown.
+    digests = F.when(
+        F.size(ts) >= 1,
+        F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.md5(
+                F.concat_ws(" ", F.slice(ts, i * chunk_tokens + 1, chunk_tokens))
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     return (
         df.select(
             id_col,
@@ -1032,19 +1046,7 @@ def chunk_digests(
             ).alias("ts"),
         )
         .filter(F.size("ts") >= 1)
-        .select(
-            id_col,
-            F.posexplode(
-                F.transform(
-                    F.sequence(F.lit(0), n_chunks - 1),
-                    lambda i: F.md5(
-                        F.concat_ws(
-                            " ", F.slice(ts, i * chunk_tokens + 1, chunk_tokens)
-                        )
-                    ),
-                )
-            ).alias("chunk_idx", "h"),
-        )
+        .select(id_col, F.posexplode(digests).alias("chunk_idx", "h"))
     )
 
 
@@ -1100,14 +1102,18 @@ def md5_minhash_sigs(
     md5). Used by p48 to put the minhash estimation math itself under the
     DuckDB hash check."""
     ts = F.col("ts")
-    shins = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), F.size(ts) - shingle_k),
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(ts, i + j + 1) for j in range(shingle_k)]
-            ),
-        )
-    )
+    # Total (see hashed_word_shingles): safe under predicate pushdown.
+    shins = F.when(
+        F.size(ts) >= shingle_k,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size(ts) - shingle_k),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(ts, i + j + 1) for j in range(shingle_k)]
+                ),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     inv = (
         ensure_parallelism(df)
         .select(
@@ -1133,16 +1139,25 @@ def hashed_word_shingles(k: int = 3) -> Column:
     formulation) — 8-byte shuffle keys instead of strings; the string-keyed
     oracle parity gates catch any count-perturbing collision."""
     ts = F.col("ts")
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), F.size(ts) - k),
-            lambda i: F.xxhash64(
-                F.concat_ws(
-                    " ", *[F.element_at(ts, i + j + 1) for j in range(k)]
-                )
-            ),
-        )
-    )
+    # TOTAL expression (the when-guard, not the caller's filter, is what
+    # makes it safe): Catalyst pushes derived predicates on the shingle
+    # column below the caller's size(ts) >= k filter, so this expression
+    # CAN be evaluated on shorter arrays — where sequence(0, size-k) turns
+    # descending and element_at goes out of bounds (an executor error
+    # under ANSI mode). Guarding here keeps any evaluation order safe.
+    return F.when(
+        F.size(ts) >= k,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size(ts) - k),
+                lambda i: F.xxhash64(
+                    F.concat_ws(
+                        " ", *[F.element_at(ts, i + j + 1) for j in range(k)]
+                    )
+                ),
+            )
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
 
 
 def lowered_tokens(text_col: str = "text") -> Column:

@@ -634,12 +634,17 @@ def p50_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = D.ensure_parallelism(load(spark, sf_dir, "documents"))
     ts = F.col("ts")
     n = F.size(ts)
-    pairs = F.transform(
-        F.sequence(F.lit(0), n - 2),
-        lambda i: F.struct(
-            F.element_at(ts, i + 1).alias("w1"), F.element_at(ts, i + 2).alias("w2")
+    # Total (see dedup.hashed_word_shingles): safe under predicate pushdown.
+    pairs = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(0), n - 2),
+            lambda i: F.struct(
+                F.element_at(ts, i + 1).alias("w1"),
+                F.element_at(ts, i + 2).alias("w2"),
+            ),
         ),
-    )
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
     toks = d.select("doc_id", D.lowered_tokens().alias("ts"))
     big = (
         toks.filter(n >= 2)
