@@ -294,7 +294,12 @@ def image_byte_histogram(
                 out.append([0.0] * bins)
                 continue
             hist, _ = np.histogram(payload, bins=bins, range=(0, 256))
-            out.append((hist / payload.size).round(6).tolist())
+            # EXACT ratios, deliberately unrounded: count / payload.size is
+            # a single integer division (size is 4096 = 2^12 after resize
+            # padding), bit-identical in any engine — while round-to-6
+            # DIVERGES at exact binary halves (numpy half-even vs SQL
+            # half-up; k=32/4096 = 0.0078125 is a real tie). q48's rule.
+            out.append((hist / payload.size).tolist())
         return pd.Series(out)
 
     return df.withColumn(out_col, histo(F.col(asset_col)))

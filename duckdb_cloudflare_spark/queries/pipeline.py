@@ -280,10 +280,37 @@ def p12_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "p13_image_features",
-    oracle=None,  # byte-histogram features aren't SQL-expressible; pytest pins them
+    # The synthetic image payload is the doc's UTF-8 text (ASCII corpus,
+    # verified byte==char length) and the 64x64 resize is payload[:4096]
+    # zero-padded (operators/multimodal.py::_resize_bytes), so the 16-bin
+    # byte histogram IS SQL-expressible: per-char ascii()//16 counts, the
+    # zero padding added to bin 0, normalized by 4096. Values are EXACT
+    # unrounded k/4096 doubles (2^12 denominator — bit-identical across
+    # engines; rounding to 6 would tie-break differently at k=32).
+    oracle="""
+    WITH imgs AS (
+        SELECT doc_id, text, length(text) AS L
+        FROM documents WHERE doc_id % 3 = 0
+    ), chars AS (
+        SELECT doc_id, ascii(substr(text, CAST(i AS INTEGER), 1)) // 16 AS bin
+        FROM imgs, unnest(range(1, L + 1)) AS t(i)
+    ), counts AS (
+        SELECT doc_id, bin, count(*) AS c FROM chars GROUP BY doc_id, bin
+    ), grid AS (
+        SELECT i.doc_id, i.L, b.bin
+        FROM imgs i, (SELECT unnest(range(0, 16)) AS bin) b
+    )
+    SELECT g.doc_id, CAST(g.bin AS INTEGER) AS bin,
+           (coalesce(c.c, 0)
+            + CASE WHEN g.bin = 0 THEN 4096 - g.L ELSE 0 END) / 4096.0 AS value
+    FROM grid g LEFT JOIN counts c
+      ON c.doc_id = g.doc_id AND c.bin = g.bin
+    """,
     description="image feature extraction: resize to 64x64 then 16-bin normalized "
     "byte histogram via Arrow-batched pandas UDF (vectorized numpy); exploded to "
-    "(doc_id, bin, value) scalar rows so the rows-only check can sort/hash them",
+    "(doc_id, bin, value) scalar rows. The full encode -> resize -> histogram "
+    "byte path is hash-checked against a closed-form DuckDB oracle (the "
+    "synthetic payload is reconstructible in SQL) — upgraded from rows-only.",
 )
 def p13_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = D.ensure_parallelism(load(spark, sf_dir, "documents")).filter(
@@ -294,9 +321,7 @@ def p13_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     # One row per histogram bin: array columns are unhashable in the driver's
     # pandas-based canonicalizer, so emit the same information as scalars
     # (p33's proven shape). Map-side explode — no extra shuffle.
-    return feats.select(
-        "doc_id", F.posexplode("features").alias("bin", "value")
-    ).select("doc_id", "bin", F.round("value", 6).alias("value"))
+    return feats.select("doc_id", F.posexplode("features").alias("bin", "value"))
 
 
 @register(
