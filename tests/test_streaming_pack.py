@@ -130,3 +130,38 @@ def test_chunk_dedup_stream_state_is_one_row_per_digest(spark):
     from duckdb_cloudflare_spark.streaming.documents import CHUNK_STATE_SCHEMA
 
     assert [f.dataType.simpleString() for f in CHUNK_STATE_SCHEMA.fields] == ["bigint"]
+
+
+def test_quality_gate_composes_on_streams(spark, split_docs_dir):
+    # The batch quality_gate is map-only, so the SAME operator must apply
+    # to a readStream unchanged — ingest-time filtering without a separate
+    # streaming implementation. Composed with decontaminate_stream this is
+    # the gate -> decontaminate ingest front of the curation pipeline.
+    from duckdb_cloudflare_spark.operators.curation import quality_gate
+    from duckdb_cloudflare_spark.streaming.documents import (
+        decontaminate_stream,
+        read_document_stream,
+    )
+    from duckdb_cloudflare_spark.streaming.events import run_to_memory
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    benchmark = docs.filter(F.col("doc_id") % 11 == 0).select("text")
+
+    stream = read_document_stream(spark, split_docs_dir)
+    got = run_to_memory(
+        decontaminate_stream(quality_gate(stream), benchmark), "gated_ingest"
+    )
+    stream_ids = {r["doc_id"] for r in got.select("doc_id").collect()}
+
+    from duckdb_cloudflare_spark.operators.text_analysis import fingerprint
+
+    fps = benchmark.select(fingerprint(F.col("text")).alias("fp")).distinct()
+    batch_ids = {
+        r["doc_id"]
+        for r in quality_gate(docs)
+        .withColumn("fp", fingerprint(F.col("text")))
+        .join(fps, "fp", "left_anti")
+        .select("doc_id")
+        .collect()
+    }
+    assert stream_ids == batch_ids and len(stream_ids) > 0
