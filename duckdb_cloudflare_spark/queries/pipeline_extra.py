@@ -937,3 +937,61 @@ def p54_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from duckdb_cloudflare_spark.operators.curation import curate
 
     return curate(load(spark, sf_dir, "documents"))
+
+
+_RP_DIM = 8  # projection target dimension
+
+
+@register(
+    "p55_random_projection",
+    oracle=f"""
+    WITH vd AS (
+        SELECT vec_id,
+               unnest(range(1, len(embedding) + 1)) - 1 AS dim,
+               CAST(unnest(embedding) AS DOUBLE)        AS v
+        FROM embeddings
+    ), dims AS (SELECT DISTINCT dim FROM vd),
+    proj AS (
+        SELECT dim, unnest(range(0, {_RP_DIM})) AS j,
+               ('0x' || substr(md5('rp:' || CAST(dim AS VARCHAR) || ':'
+                   || CAST(unnest(range(0, {_RP_DIM})) AS VARCHAR)), 1, 8))::BIGINT
+                   / 4294967296.0 - 0.5 AS r
+        FROM dims
+    )
+    SELECT vd.vec_id, p.j,
+           round(sum(vd.v * p.r), 6) AS proj
+    FROM vd JOIN proj p USING (dim)
+    GROUP BY vd.vec_id, p.j
+    """,
+    description=f"seeded random projection to {_RP_DIM} dims (the Johnson-"
+    "Lindenstrauss dimensionality-reduction step before ANN indexing at "
+    "scale): projection-matrix entries are md5-seeded uniforms in [-0.5, "
+    "0.5) — the p49/p43 determinism trick applied to a MATRIX, so both "
+    "engines build the identical matrix from the seed string alone and "
+    "the whole projection sits under the hash check (sum order differs -> "
+    "round 6). Shape: the (vec, dim) explode joins a broadcast (dim x k) "
+    "matrix table and partial-aggregates to (vec, j) — the corpus shuffles "
+    "once on vec_id, the matrix is dims x k rows (trivially broadcast at "
+    "any scale). A learned PCA would replace the matrix table; the "
+    "pipeline shape is identical.",
+)
+def p55_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import broadcast
+
+    emb = load(spark, sf_dir, "embeddings")
+    vd = emb.select(
+        "vec_id", F.posexplode("embedding").alias("dim", "v")
+    ).withColumn("v", F.col("v").cast("double"))
+    dims = vd.select("dim").distinct()
+    j = F.explode(F.sequence(F.lit(0), F.lit(_RP_DIM - 1))).alias("j")
+    proj = dims.select("dim", j).withColumn(
+        "r",
+        D.seeded_uniform(
+            "rp:", F.concat(F.col("dim").cast("string"), F.lit(":"), F.col("j").cast("string"))
+        ) - F.lit(0.5),
+    )
+    return (
+        vd.join(broadcast(proj), "dim")
+        .groupBy("vec_id", "j")
+        .agg(F.round(F.sum(F.col("v") * F.col("r")), 6).alias("proj"))
+    )
