@@ -24,7 +24,7 @@ ALL = Q.all_queries()
 
 TABLES = (
     "region", "nation", "customer", "supplier", "part", "orders",
-    "lineitem", "events", "embeddings",
+    "lineitem", "embeddings",
 )
 
 # The five operators that crashed before the guards, plus one per family.
@@ -33,6 +33,8 @@ SMOKE = [
     "p48_minhash_estimate", "p54_curation_pipeline", "p44_chunk_dedup",
     "p41_dup_span_stats", "p50_bigram_logprob", "p02_text_stats",
     "p49_temperature_resample",
+    # dirty-events representatives: windows, sessionize, funnel, time bucket
+    "q40_ranking", "q47_sessionize_batch", "q51_funnel", "q28_time_bucket",
 ]
 
 
@@ -55,6 +57,22 @@ def dirty_dir(spark, tmp_path_factory):
         schema=docs.schema,
     )
     docs.unionByName(extra).write.parquet(str(d / "documents.parquet"))
+    # dirty events too: NULL ts / user_id / event_type / value / props
+    # (windows, sessionization, funnels, and time buckets must all cope)
+    import datetime
+
+    from duckdb_cloudflare_spark.queries import load
+
+    ev = load(spark, src, "events")
+    ev_extra = spark.createDataFrame(
+        [
+            (9900001, None, 42, "click", 1.0, "{}"),
+            (9900002, datetime.datetime(2024, 1, 1), None, "view", None, None),
+            (9900003, datetime.datetime(2024, 1, 2), 43, None, 2.0, "not json"),
+        ],
+        schema=ev.schema,
+    )
+    ev.unionByName(ev_extra).write.parquet(str(d / "events.parquet"))
     return str(d)
 
 
