@@ -425,7 +425,7 @@ def rewrite_file_tables(sql: str) -> str:
 # will produce Spark's semantics instead.
 _LIST_EXPR = re.compile(
     r"\b(list_unique|list_slice|array_slice|list_contains|list_has|array_has"
-    r"|array_contains|list_has_any|list_first|list_last)\s*\(",
+    r"|array_contains|list_has_any|list_first|list_last|date_add)\s*\(",
     re.IGNORECASE,
 )
 
@@ -531,14 +531,21 @@ def rewrite_strftime(sql: str) -> str:
 
 
 def rewrite_list_exprs(sql: str) -> str:
-    """Expand ``list_unique`` / ``list_slice`` call sites into their Spark
-    expression equivalents (see the note above). Outermost-first with a
-    fixpoint loop, so nested occurrences inside rewritten arguments are
-    picked up on the next pass."""
+    """Expand the expression-level rewrites above into their Spark
+    equivalents. Outermost-first with a fixpoint loop, so nested
+    occurrences inside rewritten arguments are picked up on the next pass;
+    ``skip`` holds call sites deliberately left alone (e.g. integer-days
+    ``date_add``) so the loop still terminates."""
+    skip: set[int] = set()
     for _ in range(200):  # bound: more list_* calls than this is not real SQL
         real = {i for i, _, _ in _scan_top_level(sql)}
         m = next(
-            (m for m in _LIST_EXPR.finditer(sql) if m.start(1) in real), None
+            (
+                m
+                for m in _LIST_EXPR.finditer(sql)
+                if m.start(1) in real and m.start(1) not in skip
+            ),
+            None,
         )
         if m is None:
             return sql
@@ -573,12 +580,30 @@ def rewrite_list_exprs(sql: str) -> str:
                 f"(size(array_intersect(filter({a_}, x -> x IS NOT NULL), "
                 f"{b_})) > 0)"
             )
+        elif fn == "date_add":
+            # DuckDB date_add(DATE, INTERVAL …) returns TIMESTAMP (midnight)
+            # where Spark's date_add takes (date, int-days) and rejects an
+            # interval. Rewrite ONLY when the second argument is a visible
+            # INTERVAL literal — both engines clamp month-ends identically
+            # (2024-01-31 + 1 MONTH = 2024-02-29, verified). The integer-
+            # days form is already drop-in (both return DATE): left alone.
+            if len(args) != 2:
+                raise ValueError("date_add takes exactly 2 arguments")
+            a_, b_ = (x.strip() for x in args)
+            if not b_.upper().startswith("INTERVAL"):
+                skip.add(m.start(1))
+                continue
+            repl = f"CAST(({a_}) + ({b_}) AS TIMESTAMP)"
         else:  # list_first / list_last
             if len(args) != 1:
                 raise ValueError(f"{fn} takes exactly 1 argument")
             idx = 1 if fn == "list_first" else -1
             repl = f"try_element_at({args[0].strip()}, {idx})"
+        # indices in ``skip`` shift when text before them is edited; they
+        # only matter for date_add sites, which are re-validated cheaply —
+        # clear and let the loop re-discover them at their new offsets.
         sql = sql[: m.start(1)] + repl + sql[close + 1 :]
+        skip.clear()
     raise ValueError("rewrite_list_exprs did not converge (too many call sites)")
 
 

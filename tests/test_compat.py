@@ -381,6 +381,21 @@ class TestListExprRewrites:
         srow = list(duck_sql(t, body).collect()[0])
         assert srow == drow == [False, True, False, 1, 0, 1]
 
+    def test_date_add_interval_cross_engine(self, t, duck):
+        body = (
+            "SELECT date_add(DATE '2024-01-31', INTERVAL 1 MONTH) AS clamped, "
+            "date_add(DATE '2024-01-01', INTERVAL 2 DAY) AS plus2, "
+            "date_add(DATE '2024-01-01', 5) AS int_days"
+        )
+        drow = list(duck.sql(body).fetchone())
+        srow = list(duck_sql(t, body).collect()[0])
+        import datetime
+
+        assert srow == drow == [
+            datetime.datetime(2024, 2, 29), datetime.datetime(2024, 1, 3),
+            datetime.date(2024, 1, 6),
+        ]
+
     def test_new_string_aliases_cross_engine(self, t, duck):
         body = (
             "SELECT starts_with('hello', 'he') AS sw, "
