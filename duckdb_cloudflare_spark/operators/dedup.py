@@ -471,14 +471,30 @@ def connected_components_star(pairs: DataFrame, max_iterations: int = 30) -> Dat
             .distinct()
         )
         small = small.localCheckpoint(eager=True)
-        changed = (
-            small.exceptAll(edges).limit(1).count()
-            + edges.exceptAll(small).limit(1).count()
+        # Convergence probe: a one-job aggregate fingerprint (count +
+        # hash-sum) over the materialized edges; only when fingerprints
+        # MATCH do we pay the exact two-sided exceptAll confirmation — so
+        # the expensive set comparison runs once at convergence instead of
+        # every round, and a (cosmically unlikely) fingerprint collision
+        # still cannot terminate the loop early.
+        _fp_aggs = (
+            F.count(F.lit(1)),
+            # bit_xor, not sum: order-insensitive AND overflow-free under
+            # ANSI mode (sum of int64 hashes overflows)
+            F.expr("bit_xor(xxhash64(a, b))"),
         )
+        fp = tuple(small.agg(*_fp_aggs).first())
+        prev_fp = tuple(edges.agg(*_fp_aggs).first())
+        if fp == prev_fp:
+            changed = (
+                small.exceptAll(edges).limit(1).count()
+                + edges.exceptAll(small).limit(1).count()
+            )
+            if changed == 0:
+                edges = small
+                converged = True
+                break
         edges = small
-        if changed == 0:
-            converged = True
-            break
     if not converged:
         _warn_unconverged("connected_components_star", max_iterations)
 
