@@ -53,6 +53,8 @@ def dirty_dir(spark, tmp_path_factory):
             (900002, "", None, "srcX", 0),        # empty text, NULL lang
             (900003, "   ", "en", None, 3),       # whitespace-only, NULL source
             (900004, "one two three four five", "xx", "srcY", 23),  # short doc
+            # non-ASCII doc: multi-byte UTF-8 through every tokenizer/hash
+            (900005, "héllo wörld ünïcode ✓ 測試 текст emoji 🚀 done", "xx", "srcY", 46),
         ],
         schema=docs.schema,
     )
