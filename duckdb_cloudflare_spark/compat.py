@@ -284,7 +284,11 @@ _FUNCTION_ALIASES = {
     "array_length": "size",
     "len": "length",
     "regexp_matches": "rlike",  # both are partial-match
-    "list_sort": "sort_array",  # both default ascending, NULLs first
+    # array_sort, NOT sort_array: DuckDB's default list_sort order is ASC
+    # NULLS LAST ([3,1,NULL] → [1,3,NULL], verified) — Spark's sort_array
+    # puts NULLs FIRST, Spark's array_sort puts them LAST. The previous
+    # sort_array mapping was silently wrong on NULL elements.
+    "list_sort": "array_sort",
     "array_to_string": "array_join",
     "list_distinct": "array_distinct",
     "list_min": "array_min",  # both skip NULL elements
@@ -298,6 +302,9 @@ _FUNCTION_ALIASES = {
     "str_split_regex": "split",  # DuckDB alias of string_split_regex
     "regexp_split_to_array": "split",  # DuckDB alias of string_split_regex
     "strpos": "instr",  # both 1-based, 0 when absent
+    "strlen": "length",  # DuckDB alias
+    "prefix": "startswith",  # DuckDB aliases of starts_with/ends_with
+    "suffix": "endswith",
     "epoch_ms": "unix_millis",  # both BIGINT milliseconds (verified)
     "starts_with": "startswith",  # both NULL-propagating (verified)
     "ends_with": "endswith",  # both NULL-propagating (verified)
@@ -425,7 +432,8 @@ def rewrite_file_tables(sql: str) -> str:
 # will produce Spark's semantics instead.
 _LIST_EXPR = re.compile(
     r"\b(list_unique|list_slice|array_slice|list_contains|list_has|array_has"
-    r"|array_contains|list_has_any|list_first|list_last|date_add)\s*\(",
+    r"|array_contains|list_has_any|list_first|list_last|date_add"
+    r"|array_pop_back|array_pop_front|to_base)\s*\(",
     re.IGNORECASE,
 )
 
@@ -594,6 +602,26 @@ def rewrite_list_exprs(sql: str) -> str:
                 skip.add(m.start(1))
                 continue
             repl = f"CAST(({a_}) + ({b_}) AS TIMESTAMP)"
+        elif fn in ("array_pop_back", "array_pop_front"):
+            # NULL list → NULL and empty → empty on both engines (slice
+            # with greatest(size-1, 0) handles empty; the list expression
+            # is textually duplicated — nondeterministic arguments would
+            # evaluate more than once).
+            if len(args) != 1:
+                raise ValueError(f"{fn} takes exactly 1 argument")
+            lst = args[0].strip()
+            start = 1 if fn == "array_pop_back" else 2
+            repl = f"slice({lst}, {start}, greatest(size({lst}) - 1, 0))"
+        elif fn == "to_base":
+            # DuckDB to_base(n, radix) == Spark conv(n, 10, radix) (both
+            # uppercase, verified). The 3-arg min-length form has no Spark
+            # equivalent and raises.
+            if len(args) != 2:
+                raise ValueError(
+                    "to_base: only the 2-argument form maps to Spark conv"
+                )
+            a_, b_ = (x.strip() for x in args)
+            repl = f"conv({a_}, 10, {b_})"
         else:  # list_first / list_last
             if len(args) != 1:
                 raise ValueError(f"{fn} takes exactly 1 argument")

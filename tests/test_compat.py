@@ -381,6 +381,28 @@ class TestListExprRewrites:
         srow = list(duck_sql(t, body).collect()[0])
         assert srow == drow == [False, True, False, 1, 0, 1]
 
+    def test_list_sort_nulls_last_cross_engine(self, t, duck):
+        # The regression this pins: DuckDB list_sort is ASC NULLS LAST;
+        # Spark's sort_array is NULLS FIRST (the old mapping) while
+        # array_sort is NULLS LAST (the correct one).
+        body = (
+            "SELECT list_sort(list_value(3, 1, CAST(NULL AS INT))) AS s"
+        )
+        drow = list(duck.sql(body).fetchone())
+        srow = list(duck_sql(t, body).collect()[0])
+        assert srow == drow == [[1, 3, None]]
+
+    def test_pop_and_to_base_cross_engine(self, t, duck):
+        body = (
+            "SELECT array_pop_back(list_value(1, 2, 3)) AS pb, "
+            "array_pop_front(list_value(1, 2, 3)) AS pf, "
+            "to_base(255, 16) AS tb, strlen('abc') AS sl, "
+            "prefix('abc', 'ab') AS pre, suffix('abc', 'bc') AS suf"
+        )
+        drow = list(duck.sql(body).fetchone())
+        srow = list(duck_sql(t, body).collect()[0])
+        assert srow == drow == [[1, 2], [2, 3], "FF", 3, True, True]
+
     def test_date_add_interval_cross_engine(self, t, duck):
         body = (
             "SELECT date_add(DATE '2024-01-31', INTERVAL 1 MONTH) AS clamped, "
