@@ -165,6 +165,57 @@ def brute_force_topk(
     )
 
 
+def fit_ivf_centroids(
+    corpus: "DataFrame",
+    n_centroids: int = 16,
+    fit_sample: int = 10_000,
+    seed: int = 42,
+    corpus_vec: str = "embedding",
+):
+    """Deterministic k-means coarse quantizer fit on a bounded driver-side
+    sample (standard IVF practice — the quantizer needs a sample, not the
+    corpus): unit-normalized vectors, seeded init, fixed Lloyd iterations.
+    Returns a numpy (n_centroids x d) array, or None for an empty corpus.
+    Extracted from ``ivf_topk`` so the fitted centroids can ALSO drive
+    stream-time cell assignment (``assign_cells`` is map-only and applies
+    to readStream DataFrames unchanged)."""
+    import numpy as np
+
+    sample = [
+        r["v"]
+        for r in corpus.select(F.col(corpus_vec).alias("v")).limit(fit_sample).collect()
+    ]
+    if not sample:
+        return None
+    X = np.asarray(sample, dtype=np.float64)
+    X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    rng = np.random.RandomState(seed)
+    n_centroids = min(n_centroids, len(X))
+    cents = X[rng.choice(len(X), n_centroids, replace=False)]
+    for _ in range(10):  # fixed Lloyd iterations — deterministic
+        assign = np.argmax(X @ cents.T, axis=1)
+        for c in range(n_centroids):
+            members = X[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                cents[c] = m / max(np.linalg.norm(m), 1e-12)
+    return cents
+
+
+def assign_cells(
+    df: "DataFrame", cents, vec_col: str = "embedding", n_top: int = 1
+):
+    """Append the IVF ``cell`` assignment (n_top == 1) or a ``cells`` array
+    (n_top > 1) for every vector: one Arrow-batched matmul against the
+    broadcast centroid literal — map-only, so it works identically on
+    batch AND streaming DataFrames (ingest-time vector routing)."""
+    if n_top == 1:
+        return df.withColumn(
+            "cell", F.get(_cells_udf(cents, 1)(F.col(vec_col)), 0)
+        )
+    return df.withColumn("cells", _cells_udf(cents, n_top)(F.col(vec_col)))
+
+
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -189,37 +240,25 @@ def ivf_topk(
     probes) join — the corpus never shuffles, so the same plan holds at
     100 TB. Deterministic: fixed seed, fixed iteration count.
     """
-    import numpy as np
-
-    sample = [
-        r["v"]
-        for r in corpus.select(F.col(corpus_vec).alias("v")).limit(fit_sample).collect()
-    ]
-    if not sample:
+    cents = fit_ivf_centroids(
+        corpus, n_centroids=n_centroids, fit_sample=fit_sample, seed=seed,
+        corpus_vec=corpus_vec,
+    )
+    if cents is None:
         return queries.sparkSession.createDataFrame(
             [], "query_id long, neighbor_id long, cosine_sim double, nn_rank int"
         )
-    X = np.asarray(sample, dtype=np.float64)
-    X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
-    rng = np.random.RandomState(seed)
-    n_centroids = min(n_centroids, len(X))
-    cents = X[rng.choice(len(X), n_centroids, replace=False)]
-    for _ in range(10):  # fixed Lloyd iterations — deterministic
-        assign = np.argmax(X @ cents.T, axis=1)
-        for c in range(n_centroids):
-            members = X[assign == c]
-            if len(members):
-                m = members.mean(axis=0)
-                cents[c] = m / max(np.linalg.norm(m), 1e-12)
 
     # Cell scoring is one Arrow-batched matrix multiply (X @ centroids.T +
     # argsort) — the interpreted n_centroids-expression-trees-per-row variant
     # measured 4-5x slower (VERDICT r1 item 4). F.get (not element_at) so an
     # empty sketch row yields NULL instead of an ANSI index error.
-    c = corpus.select(
-        F.col(corpus_id).alias("neighbor_id"),
-        F.col(corpus_vec).alias("cv"),
-        F.get(_cells_udf(cents, 1)(F.col(corpus_vec)), 0).alias("cell"),
+    c = assign_cells(
+        corpus.select(
+            F.col(corpus_id).alias("neighbor_id"), F.col(corpus_vec).alias("cv")
+        ),
+        cents,
+        vec_col="cv",
     )
     c = ensure_parallelism(c)
     # queries: top-n_probe cells, exploded (query side is small by contract)

@@ -165,3 +165,49 @@ def test_quality_gate_composes_on_streams(spark, split_docs_dir):
         .collect()
     }
     assert stream_ids == batch_ids and len(stream_ids) > 0
+
+
+def test_ivf_cell_assignment_composes_on_streams(spark, tmp_path_factory):
+    # Vector-ingest routing: fit the quantizer once on the static corpus,
+    # then the SAME map-only assign_cells applies to a readStream of new
+    # vectors unchanged — every streamed vector lands in the identical
+    # cell the batch path assigns (index consistency at ingest time).
+    import os
+    import time
+
+    from duckdb_cloudflare_spark.operators.similarity import (
+        assign_cells,
+        fit_ivf_centroids,
+    )
+    from duckdb_cloudflare_spark.streaming.events import run_to_memory
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    cents = fit_ivf_centroids(emb, n_centroids=8, seed=7)
+
+    d = tmp_path_factory.mktemp("vecstream")
+    emb.coalesce(1).write.parquet(str(d / "part"))
+    flat = tmp_path_factory.mktemp("vecstream_flat")
+    n = 0
+    for f in sorted(os.listdir(str(d / "part"))):
+        if f.endswith(".parquet"):
+            os.rename(str(d / "part" / f), str(flat / f"{n:02d}.parquet"))
+            n += 1
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(flat))
+    )
+    got = run_to_memory(
+        assign_cells(stream.select("vec_id", "embedding"), cents).select(
+            "vec_id", "cell"
+        ),
+        "vec_cells",
+    )
+    stream_cells = {(r["vec_id"], r["cell"]) for r in got.collect()}
+    batch_cells = {
+        (r["vec_id"], r["cell"])
+        for r in assign_cells(emb.select("vec_id", "embedding"), cents)
+        .select("vec_id", "cell")
+        .collect()
+    }
+    assert stream_cells == batch_cells and len(stream_cells) > 0
