@@ -995,3 +995,70 @@ def p55_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("vec_id", "j")
         .agg(F.round(F.sum(F.col("v") * F.col("r")), 6).alias("proj"))
     )
+
+
+@register(
+    "p56_corpus_stats",
+    oracle=rf"""
+    WITH {_TOKS_CTE}
+    SELECT d.lang, d.source,
+           count(*) AS n_docs,
+           CAST(sum(len(t.ts)) AS BIGINT) AS n_tokens,
+           CAST(sum(d.n_chars) AS BIGINT) AS n_chars,
+           CAST(sum(len(t.ts)) AS DOUBLE) / count(*) AS mean_tokens,
+           CAST(min(d.n_chars) AS BIGINT) AS min_chars,
+           CAST(max(d.n_chars) AS BIGINT) AS max_chars
+    FROM documents d JOIN toks t USING (doc_id)
+    GROUP BY d.lang, d.source
+    """,
+    description="the corpus DATA CARD: per (lang, source) stratum — doc and "
+    "token totals, char mass, mean doc length (exact int ratio, unrounded "
+    "per the q48 rule), char bounds. The release-notes table every corpus "
+    "ships; one partial-aggregated shuffle over at most "
+    "|langs| x |sources| groups, token counting map-side.",
+)
+def p56_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    n_tok = F.size(D.lowered_tokens()).cast("bigint")
+    return (
+        d.select("lang", "source", "n_chars", n_tok.alias("nt"))
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("nt").alias("n_tokens"),
+            F.sum("n_chars").alias("n_chars"),
+            (F.sum("nt").cast("double") / F.count(F.lit(1))).alias("mean_tokens"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+    )
+
+
+@register(
+    "p57_kfold_assign",
+    oracle="""
+    SELECT doc_id, lang,
+           CAST(('0x' || substr(md5('fold:' || CAST(doc_id AS VARCHAR)),
+                                1, 8))::BIGINT % 5 AS INTEGER) AS fold
+    FROM documents
+    """,
+    description="deterministic k-fold assignment (k = 5): every doc's fold "
+    "is a hash bucket of a seeded md5 key — the standard cross-validation / "
+    "held-out-eval protocol, reproducible from the seed alone with no "
+    "stored permutation. Distinct from p19 (one train/test split) and p43 "
+    "(ordered epoch shards): folds are unordered, exhaustive, and "
+    "mutually exclusive by construction. Map-only, no shuffle.",
+)
+def p57_kfold_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    fold = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("fold:"), F.col("doc_id").cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 5
+    ).cast("integer")
+    return d.select("doc_id", "lang", fold.alias("fold"))
