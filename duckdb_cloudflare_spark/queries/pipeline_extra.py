@@ -1062,3 +1062,63 @@ def p57_kfold_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         % 5
     ).cast("integer")
     return d.select("doc_id", "lang", fold.alias("fold"))
+
+
+@register(
+    "p58_packing_report",
+    oracle="""
+    WITH packed AS (
+        SELECT doc_id, source, n_chars,
+               sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+                                  ROWS UNBOUNDED PRECEDING) - n_chars AS start
+        FROM documents
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST((sum(n_chars) + 2047) // 2048 AS BIGINT) AS n_seqs,
+           CAST(sum(CASE WHEN n_chars > 0
+                          AND start // 2048 != (start + n_chars - 1) // 2048
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_split_docs,
+           (CASE WHEN sum(n_chars) % 2048 = 0 THEN 2048
+                 ELSE sum(n_chars) % 2048 END) / 2048.0 AS last_fill
+    FROM packed GROUP BY source
+    """,
+    description="packing-efficiency report over p26's concat-then-cut bins: "
+    "per source — sequence count, boundary-split doc count (the docs a "
+    "2048-char cut bisects; the quality/throughput trade packing teams "
+    "monitor), and last-bin fill ratio (the only waste concat-then-cut "
+    "has). Same per-source window cumsum as p26 (shard-parallel, no "
+    "global sort) + one tiny aggregate; last_fill is an exact /2048.0 "
+    "division (2^11 denominator — bit-identical, unrounded).",
+)
+def p58_packing_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = load(spark, sf_dir, "documents")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    start = (F.sum("n_chars").over(w) - F.col("n_chars")).cast("long")
+    nc = F.col("n_chars")
+    split = (
+        (nc > 0)
+        & ((start / 2048).cast("long") != ((start + nc - 1) / 2048).cast("long"))
+    ).cast("int")
+    total = F.sum("n_chars")
+    last_rem = total % 2048
+    return (
+        d.select("doc_id", "source", "n_chars", split.alias("is_split"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            total.cast("bigint").alias("total_chars"),
+            ((total + 2047) / 2048).cast("long").alias("n_seqs"),
+            F.sum("is_split").cast("bigint").alias("n_split_docs"),
+            (
+                F.when(last_rem == 0, F.lit(2048)).otherwise(last_rem) / F.lit(2048.0)
+            ).alias("last_fill"),
+        )
+    )
