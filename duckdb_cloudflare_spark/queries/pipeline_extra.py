@@ -1122,3 +1122,75 @@ def p58_packing_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("last_fill"),
         )
     )
+
+
+@register(
+    "p59_contamination_audit",
+    oracle="""
+    WITH bench AS (
+      SELECT doc_id AS bench_id, substr(text, 10, 40) AS snippet
+      FROM documents
+      WHERE doc_id % 97 = 0 AND length(substr(text, 10, 40)) >= 20
+    ), corpus AS (
+      SELECT c.doc_id,
+             CASE WHEN c.doc_id % 13 = 0 AND i.snippet IS NOT NULL
+                  THEN c.text || ' ' || i.snippet ELSE c.text END AS text
+      FROM documents c
+      LEFT JOIN bench i ON i.bench_id = ((c.doc_id % 3) + 1) * 97
+      WHERE c.doc_id % 97 <> 0
+    )
+    SELECT b.bench_id,
+           CAST(count(c.doc_id) AS BIGINT) AS n_contaminated
+    FROM bench b
+    LEFT JOIN corpus c ON instr(c.text, b.snippet) > 0
+    GROUP BY b.bench_id
+    """,
+    description="the contamination AUDIT, p25's inverse direction: per "
+    "benchmark item, HOW MANY training docs contain its verbatim snippet "
+    "— the 'which eval items are compromised, and how badly' table an "
+    "eval team publishes before trusting a score (unhit items report 0). "
+    "Same seed-then-detect fixture and broadcast-benchmark scan shape as "
+    "p25: the corpus never shuffles; the per-item rollup aggregates at "
+    "benchmark cardinality (thousands of rows at any corpus scale).",
+)
+def p59_contamination_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import broadcast
+
+    d = load(spark, sf_dir, "documents")
+    bench = (
+        d.filter(F.col("doc_id") % 97 == 0)
+        .select(
+            F.col("doc_id").alias("bench_id"),
+            F.substring("text", 10, 40).alias("snippet"),
+        )
+        .filter(F.length("snippet") >= 20)
+    )
+    inj = bench.select("bench_id", F.col("snippet").alias("inj_snippet"))
+    corpus = (
+        d.filter(F.col("doc_id") % 97 != 0)
+        .join(
+            broadcast(inj),
+            F.col("bench_id") == (F.col("doc_id") % 3 + 1) * 97,
+            "left",
+        )
+        .select(
+            "doc_id",
+            F.when(
+                (F.col("doc_id") % 13 == 0) & F.col("inj_snippet").isNotNull(),
+                F.concat(F.col("text"), F.lit(" "), F.col("inj_snippet")),
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+    )
+    hits = corpus.join(
+        broadcast(bench), F.instr(F.col("text"), F.col("snippet")) > 0
+    ).groupBy("bench_id").agg(F.count(F.lit(1)).alias("n_hits"))
+    return (
+        bench.select("bench_id")
+        .join(hits, "bench_id", "left")
+        .select(
+            "bench_id",
+            F.coalesce("n_hits", F.lit(0)).cast("bigint").alias("n_contaminated"),
+        )
+    )
