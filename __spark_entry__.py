@@ -14,8 +14,9 @@ driver-graded entries first, so the r4 window is the 23 zero-history
 additions (p34–p54, q54/q55) plus the stalest relational corpus
 (q02–q28) — all 50 oracle-bearing. Entries past the window remain
 covered by the full local replica gate (tests/test_oracle_parity.py,
-all 109 queries / 100 oracles). When adding queries, add the name prefix
-to _WINDOW_PRIORITY.
+which always verifies the ENTIRE registry). When adding queries, add the
+name prefix to _WINDOW_PRIORITY (or leave it post-window deliberately,
+as the r4-continuation anchors p55–p59 are).
 """
 
 from __future__ import annotations

@@ -598,7 +598,9 @@ def rewrite_list_exprs(sql: str) -> str:
             if len(args) != 2:
                 raise ValueError("date_add takes exactly 2 arguments")
             a_, b_ = (x.strip() for x in args)
-            if not b_.upper().startswith("INTERVAL"):
+            if not re.match(r"INTERVAL\b", b_, re.IGNORECASE):
+                # word boundary required: a COLUMN named interval_days is
+                # the integer-days form, not an interval literal
                 skip.add(m.start(1))
                 continue
             repl = f"CAST(({a_}) + ({b_}) AS TIMESTAMP)"
@@ -621,17 +623,26 @@ def rewrite_list_exprs(sql: str) -> str:
                     "to_base: only the 2-argument form maps to Spark conv"
                 )
             a_, b_ = (x.strip() for x in args)
-            repl = f"conv({a_}, 10, {b_})"
+            # DuckDB raises on negative input where Spark conv returns the
+            # 64-bit two's-complement string — guard with raise_error so
+            # the divergence is loud, not silently wrong.
+            repl = (
+                f"CASE WHEN ({a_}) < 0 THEN "
+                f"raise_error('to_base: number must be greater than or "
+                f"equal to 0') ELSE conv({a_}, 10, {b_}) END"
+            )
         else:  # list_first / list_last
             if len(args) != 1:
                 raise ValueError(f"{fn} takes exactly 1 argument")
             idx = 1 if fn == "list_first" else -1
             repl = f"try_element_at({args[0].strip()}, {idx})"
-        # indices in ``skip`` shift when text before them is edited; they
-        # only matter for date_add sites, which are re-validated cheaply —
-        # clear and let the loop re-discover them at their new offsets.
+        # indices in ``skip`` shift when text BEFORE them is edited:
+        # offset-adjust entries past the edit point instead of clearing,
+        # so skipped sites are never re-scanned and the fixpoint bound
+        # stays linear in the number of rewritable call sites.
+        delta = len(repl) - (close + 1 - m.start(1))
         sql = sql[: m.start(1)] + repl + sql[close + 1 :]
-        skip.clear()
+        skip = {i + delta if i > m.start(1) else i for i in skip}
     raise ValueError("rewrite_list_exprs did not converge (too many call sites)")
 
 

@@ -25,6 +25,24 @@ from duckdb_cloudflare_spark.operators import dedup as D
 GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
 
 
+def gopher_metrics(text_col: str = "text"):
+    """The Gopher rule inputs (Rae et al. 2021's repetition-free subset) as
+    columns: ``(n_words, mean_word_len, stop_hits)``. THE single source of
+    these expressions — ``quality_gate`` (the filter), p53 (the diagnostic
+    report), and the p54 capstone all build on it, so a threshold or
+    stopword tweak cannot desynchronize them."""
+    ts = D.lowered_tokens(text_col)
+    n_words = F.size(ts).cast("bigint")
+    total_len = F.aggregate(
+        F.transform(ts, lambda x: F.length(x)), F.lit(0), lambda a, x: a + x
+    ).cast("bigint")
+    mean_len = total_len.cast("double") / n_words
+    stop_hits = F.size(F.filter(ts, lambda x: x.isin(*GOPHER_STOPWORDS))).cast(
+        "bigint"
+    )
+    return n_words, mean_len, stop_hits
+
+
 def quality_gate(
     df: DataFrame,
     text_col: str = "text",
@@ -36,13 +54,7 @@ def quality_gate(
 ) -> DataFrame:
     """Gopher-style filter (Rae et al. 2021's repetition-free subset): word
     count window, mean-word-length window, minimum stopword hits. Map-only."""
-    ts = D.lowered_tokens(text_col)
-    n_words = F.size(ts).cast("bigint")
-    total_len = F.aggregate(
-        F.transform(ts, lambda x: F.length(x)), F.lit(0), lambda a, x: a + x
-    ).cast("bigint")
-    mean_len = total_len.cast("double") / n_words
-    stop_hits = F.size(F.filter(ts, lambda x: x.isin(*GOPHER_STOPWORDS)))
+    n_words, mean_len, stop_hits = gopher_metrics(text_col)
     return df.filter(
         (n_words >= min_words) & (n_words <= max_words)
         & (mean_len >= min_mean_word_len) & (mean_len <= max_mean_word_len)

@@ -410,6 +410,15 @@ def connected_components(
     return labels
 
 
+def _fp_aggs():
+    # built lazily: Column construction needs an active SparkContext, and
+    # this module is imported session-less (registry collection, pytest)
+    return (
+        F.count(F.lit(1)),
+        F.expr("bit_xor(xxhash64(a, b))"),
+    )
+
+
 def connected_components_star(pairs: DataFrame, max_iterations: int = 30) -> DataFrame:
     """Connected components via alternating large-star/small-star rounds
     (Kiveris et al., "Connected Components in MapReduce and Beyond",
@@ -446,6 +455,7 @@ def connected_components_star(pairs: DataFrame, max_iterations: int = 30) -> Dat
             e.select(F.col("b").alias("u"), F.col("a").alias("v"))
         )
 
+    prev_fp = tuple(edges.agg(*_fp_aggs()).first())
     converged = False
     for _ in range(max_iterations):
         # large-star: m(u) = min over {u} ∪ N(u); neighbors v > u attach to m
@@ -471,20 +481,15 @@ def connected_components_star(pairs: DataFrame, max_iterations: int = 30) -> Dat
             .distinct()
         )
         small = small.localCheckpoint(eager=True)
-        # Convergence probe: a one-job aggregate fingerprint (count +
-        # hash-sum) over the materialized edges; only when fingerprints
-        # MATCH do we pay the exact two-sided exceptAll confirmation — so
-        # the expensive set comparison runs once at convergence instead of
-        # every round, and a (cosmically unlikely) fingerprint collision
-        # still cannot terminate the loop early.
-        _fp_aggs = (
-            F.count(F.lit(1)),
-            # bit_xor, not sum: order-insensitive AND overflow-free under
-            # ANSI mode (sum of int64 hashes overflows)
-            F.expr("bit_xor(xxhash64(a, b))"),
-        )
-        fp = tuple(small.agg(*_fp_aggs).first())
-        prev_fp = tuple(edges.agg(*_fp_aggs).first())
+        # Convergence probe: a ONE-job aggregate fingerprint (count +
+        # bit_xor of edge hashes — order-insensitive and overflow-free
+        # under ANSI; sum of int64 hashes overflows) over the freshly
+        # materialized edges, compared to the CARRIED fingerprint of the
+        # previous round (no re-scan of the old edges). Only a fingerprint
+        # MATCH pays the exact two-sided exceptAll confirmation, so the
+        # expensive set comparison runs once at convergence, and a
+        # (cosmically unlikely) collision cannot terminate the loop early.
+        fp = tuple(small.agg(*_fp_aggs()).first())
         if fp == prev_fp:
             changed = (
                 small.exceptAll(edges).limit(1).count()
@@ -495,6 +500,7 @@ def connected_components_star(pairs: DataFrame, max_iterations: int = 30) -> Dat
                 converged = True
                 break
         edges = small
+        prev_fp = fp
     if not converged:
         _warn_unconverged("connected_components_star", max_iterations)
 

@@ -157,8 +157,9 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 _WINDOW_PRIORITY = [
     # zero driver history (r4 additions), in addition order
     *[f"p{n}_" for n in range(34, 55)],
-    # p55 stays post-window (added after the 50-entry window was frozen for
-    # r4; it has the full local-gate + sf0.1 evidence like p39-p53)
+    # p55–p59 stay post-window deliberately (added after the r4 50-entry
+    # window was frozen; each carries full local-gate + sf0.1 evidence like
+    # p39–p53) — fold them into the r5 window per the rotation plan
     "q54_", "q55_",
     # stalest graded history (last green r2)
     *[f"q{n:02d}_" for n in range(2, 29)],

@@ -287,9 +287,16 @@ def p12_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     # zero padding added to bin 0, normalized by 4096. Values are EXACT
     # unrounded k/4096 doubles (2^12 denominator — bit-identical across
     # engines; rounding to 6 would tie-break differently at k=32).
+    # ASSUMPTIONS, enforced loudly: the oracle handles NULL text
+    # (coalesce -> all-padding histogram, matching the Spark path) but
+    # deliberately does NOT model the >= 4096-byte truncate/stride resize
+    # or multi-byte text (ascii()//16 > 15 bins / byte != char). Either
+    # would make the parity gate FAIL VISIBLY (bin mismatch / row-count
+    # drift), never pass silently — current testdata: max 577 bytes, pure
+    # ASCII, no NULLs (verified; re-check if TESTDATA regenerates).
     oracle="""
     WITH imgs AS (
-        SELECT doc_id, text, length(text) AS L
+        SELECT doc_id, text, coalesce(length(text), 0) AS L
         FROM documents WHERE doc_id % 3 = 0
     ), chars AS (
         SELECT doc_id, ascii(substr(text, CAST(i AS INTEGER), 1)) // 16 AS bin

@@ -810,17 +810,10 @@ def p52_token_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     "shuffle; ratios are single exact int divisions (q48 rule: unrounded).",
 )
 def p53_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duckdb_cloudflare_spark.operators.curation import gopher_metrics
+
     d = load(spark, sf_dir, "documents")
-    ts = D.lowered_tokens()
-    stops = ("the", "be", "to", "of", "and", "that", "have", "with")
-    n_words = F.size(ts).cast("bigint")
-    total_len = F.aggregate(
-        F.transform(ts, lambda x: F.length(x)), F.lit(0), lambda a, x: a + x
-    ).cast("bigint")
-    stop_hits = F.size(
-        F.filter(ts, lambda x: x.isin(*stops))
-    ).cast("bigint")
-    mean_len = total_len.cast("double") / n_words
+    n_words, mean_len, stop_hits = gopher_metrics()
     stop_frac = stop_hits.cast("double") / n_words
     ok_wc = (n_words >= 16) & (n_words <= 100000)
     ok_mwl = (mean_len >= 3) & (mean_len <= 10)

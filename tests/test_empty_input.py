@@ -1,7 +1,7 @@
 """Empty-input robustness sweep: every registry query must run (not crash)
 against a ZERO-ROW mirror of the testdata — the degenerate partition every
 100 TB job eventually meets (empty source, filter that matches nothing,
-empty shard after pruning). First full run: 109/109 clean, zero failures.
+empty shard after pruning). First full run: whole registry clean, zero failures.
 
 Gated behind SPARK_GRAFT_EMPTY_SWEEP=1 (adds ~1 min); a small always-on
 smoke covers one representative per operator family."""

@@ -9,7 +9,7 @@ faults under ANSI mode (executor error in p34/p39/p46/p48/p54). The
 transforms are now TOTAL expressions (when-guarded) — safe in any
 evaluation order — and this sweep pins that.
 
-Smoke subset always-on; the full 109-query sweep behind
+Smoke subset always-on; the full-registry sweep behind
 SPARK_GRAFT_NULL_SWEEP=1 (~1 min)."""
 
 from __future__ import annotations
