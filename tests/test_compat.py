@@ -529,3 +529,35 @@ class TestSameNameDifferentSemantics:
         drow = list(duck.sql(body).fetchone())
         srow = list(duck_sql(t, body).collect()[0])
         assert srow == drow == [2.0, "bbb", 10]
+
+
+class TestReviewRound2Regressions:
+    def test_date_add_column_named_interval_passes_through(self):
+        from duckdb_cloudflare_spark.compat import rewrite_list_exprs as rw
+
+        # a COLUMN whose name starts with 'interval' is the integer-days
+        # form — must NOT be rewritten to the TIMESTAMP cast
+        sql = "SELECT date_add(d, interval_days), date_add(d, intervals) FROM t"
+        assert rw(sql) == sql
+
+    def test_many_skipped_date_add_sites_converge(self):
+        from duckdb_cloudflare_spark.compat import rewrite_list_exprs as rw
+
+        # 30 integer-days date_add sites before 30 rewritable list calls:
+        # the skip set must be offset-adjusted, not cleared, or the
+        # 200-iteration fixpoint bound is exhausted by re-scans
+        parts = [f"date_add(d{i}, n{i})" for i in range(30)]
+        parts += [f"list_unique(l{i})" for i in range(30)]
+        out = rw("SELECT " + ", ".join(parts) + " FROM t")
+        assert out.count("date_add(") == 30
+        assert "list_unique" not in out and out.count("array_distinct") == 30
+
+    def test_to_base_negative_raises_like_duckdb(self, t, duck):
+        import pytest as _pytest
+
+        with _pytest.raises(Exception, match="greater than or equal to 0"):
+            duck.sql("SELECT to_base(-255, 16)").fetchall()
+        from pyspark.errors import SparkRuntimeException
+
+        with _pytest.raises(SparkRuntimeException, match="greater than or equal to 0"):
+            duck_sql(t, "SELECT to_base(-255, 16)").collect()
