@@ -1187,3 +1187,135 @@ def p59_contamination_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_hits", F.lit(0)).cast("bigint").alias("n_contaminated"),
         )
     )
+
+
+@register(
+    "p60_curation_funnel",
+    oracle="""
+    WITH RECURSIVE toks AS (
+        SELECT doc_id,
+               list_transform(string_split_regex(trim(text), '\\s+'),
+                              x -> lower(x)) AS ts
+        FROM documents
+    ),
+    gated AS (
+        SELECT d.doc_id, d.lang, d.n_chars, d.text
+        FROM documents d JOIN toks t USING (doc_id)
+        WHERE len(t.ts) BETWEEN 16 AND 100000
+          AND CAST(list_aggregate(list_transform(t.ts, x -> length(x)), 'sum')
+                   AS DOUBLE) / len(t.ts) BETWEEN 3 AND 10
+          AND len(list_filter(t.ts, x -> x IN
+              ('the', 'be', 'to', 'of', 'and', 'that', 'have', 'with'))) >= 2
+    ),
+    exact AS (
+        SELECT doc_id, lang, n_chars FROM (
+            SELECT g.*, row_number() OVER (PARTITION BY md5(text)
+                                           ORDER BY doc_id) AS rn
+            FROM gated g
+        ) WHERE rn = 1
+    ),
+    shins AS (
+        SELECT t.doc_id,
+               list_distinct(list_transform(range(1, len(ts) - 1),
+                   i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS sh
+        FROM toks t JOIN exact e USING (doc_id) WHERE len(ts) >= 3
+    ), sizes AS (SELECT doc_id, len(sh) AS n FROM shins),
+    inv AS (SELECT doc_id, unnest(sh) AS shingle FROM shins),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+        FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ), pairs AS (
+        SELECT id_a, id_b FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5
+    ),
+    undirected AS (
+        SELECT id_a AS u, id_b AS v FROM pairs
+        UNION ALL SELECT id_b, id_a FROM pairs
+    ),
+    walk(node, lab) AS (
+        SELECT u, u FROM (SELECT DISTINCT u FROM undirected)
+        UNION
+        SELECT e.u, w.lab FROM undirected e JOIN walk w ON w.node = e.v
+    ),
+    comp AS (SELECT node AS doc_id, min(lab) AS component FROM walk GROUP BY node),
+    canon AS (
+        SELECT doc_id, lang FROM (
+            SELECT e.doc_id, e.lang,
+                   row_number() OVER (
+                       PARTITION BY coalesce(c.component, e.doc_id)
+                       ORDER BY e.n_chars DESC, e.doc_id) AS rn
+            FROM exact e LEFT JOIN comp c USING (doc_id)
+        ) WHERE rn = 1
+    ),
+    counts AS (SELECT lang, count(*) AS n_s FROM canon GROUP BY lang),
+    mn AS (SELECT min(n_s) AS min_n FROM counts),
+    sampled AS (
+        SELECT k.doc_id FROM (
+            SELECT doc_id, lang,
+                   ('0x' || substr(md5('resample:' || CAST(doc_id AS VARCHAR)),
+                                   1, 8))::BIGINT / 4294967296.0 AS u
+            FROM canon) k
+        JOIN counts c USING (lang), mn
+        WHERE k.u < sqrt(CAST(mn.min_n AS DOUBLE) / c.n_s)
+    )
+    SELECT (SELECT count(*) FROM documents)          AS n_input,
+           (SELECT count(*) FROM gated)              AS n_gated,
+           (SELECT count(*) FROM exact)              AS n_exact,
+           (SELECT count(*) FROM canon)              AS n_canonical,
+           (SELECT count(*) FROM sampled)            AS n_sampled
+    """,
+    description="the curation FUNNEL: document counts surviving each p54 "
+    "stage (input → quality gate → exact dedup → near-dup canonical → "
+    "temperature resample) in one row — the attrition report every "
+    "curation run logs (where did the corpus go?). Each stage is the same "
+    "anchored derivation as p54's capstone, so the funnel and the output "
+    "cannot disagree; five counts, each a cheap aggregate over an "
+    "already-needed intermediate.",
+)
+def p60_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import broadcast
+    from pyspark.sql.window import Window
+
+    from duckdb_cloudflare_spark.operators.curation import (
+        quality_gate,
+        temperature_resample,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    gated = quality_gate(docs).select("doc_id", "lang", "n_chars", "text")
+    w_exact = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    exact = (
+        gated.withColumn("__rn", F.row_number().over(w_exact))
+        .filter(F.col("__rn") == 1)
+        .select("doc_id", "lang", "n_chars")
+    )
+    survivors_text = docs.join(exact.select("doc_id"), "doc_id", "left_semi")
+    pairs = D.exact_jaccard_pairs(survivors_text, k=3, threshold=0.5).select(
+        "id_a", "id_b"
+    )
+    comp = D.connected_components(pairs)
+    w_canon = Window.partitionBy("component").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id")
+    )
+    canon = (
+        exact.join(comp.withColumnRenamed("id", "doc_id"), "doc_id", "left")
+        .withColumn("component", F.coalesce("component", "doc_id"))
+        .withColumn("__rn", F.row_number().over(w_canon))
+        .filter(F.col("__rn") == 1)
+        .select("doc_id", "lang")
+    )
+    sampled = temperature_resample(canon)
+    counts = [
+        df.agg(F.count(F.lit(1)).alias(name))
+        for df, name in (
+            (docs, "n_input"), (gated, "n_gated"), (exact, "n_exact"),
+            (canon, "n_canonical"), (sampled, "n_sampled"),
+        )
+    ]
+    out = counts[0]
+    for c in counts[1:]:
+        out = out.crossJoin(broadcast(c))
+    return out
