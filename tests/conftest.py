@@ -4,7 +4,12 @@ import os
 
 import pytest
 
-SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+# Default gate runs at sf0.01 — the scale the external driver grades at —
+# so a query that diverges only above sf0.001 (the class q48 was: a
+# round-half divergence that needed enough rows to land on an exact half)
+# fails the DEFAULT suite, not just a gated sweep. Export
+# SPARK_GRAFT_TEST_SF_DIR=/root/testdata/sf0.001 for the fast inner loop.
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.01")
 
 
 @pytest.fixture(scope="session")

@@ -1,4 +1,4 @@
-"""The driver grades the FIRST 50 registry entries; this pins the r4 window
+"""The driver grades the FIRST 50 registry entries; this pins the r5 window
 composition exactly, so an innocent-looking registration change cannot
 silently rotate an unvetted query into (or a vetted one out of) the graded
 prefix. Update deliberately when applying the documented rotation plan."""
@@ -8,20 +8,37 @@ from __future__ import annotations
 from duckdb_cloudflare_spark import queries as Q
 
 
-def test_graded_window_is_exactly_the_r4_rotation():
+def test_graded_window_is_exactly_the_r5_rotation():
     names = list(Q.all_queries())
     window = names[:50]
     expected = (
-        [f"p{n}_" for n in range(34, 55)]      # 21 zero-history pipeline ops
-        + ["q54_", "q55_"]                     # zero-history relational
-        + [f"q{n:02d}_" for n in range(2, 29)]  # stalest graded (last r2)
+        # 11 never-driver-graded entries lead (r4 judge directive)
+        ["q36_", "q38_", "q39_", "q52_", "q53_"]
+        + [f"p{n}_" for n in range(55, 61)]
+        # stalest green history: r2 relational, q01, r3 pipeline + windows
+        + ["q29_", "q30_", "q32_", "q33_", "q34_", "q35_", "q37_", "q51_"]
+        + ["q01_"]
+        + [f"p{n:02d}_" for n in (*range(1, 6), *range(11, 14),
+                                  *range(15, 20), *range(21, 30),
+                                  *range(31, 34))]
+        + [f"q{n}_" for n in range(40, 45)]
     )
     assert len(window) == len(expected) == 50
     for name, prefix in zip(window, expected):
         assert name.startswith(prefix), (name, prefix)
-    # every windowed entry must be oracle-bearing (the r4 window guarantee)
+    # every windowed entry must be oracle-bearing (window invariant since r4)
     oracles = Q.all_oracles()
     assert all(n in oracles for n in window)
+
+
+def test_rows_only_entries_sort_last():
+    # The driver emits `err: no_oracle` for rows-only entries; they must
+    # never be adjacent to the window boundary. The reorder pushes them to
+    # the absolute end of the registry.
+    names = list(Q.all_queries())
+    oracles = Q.all_oracles()
+    rows_only = [n for n in names if n not in oracles]
+    assert rows_only == names[-len(rows_only):]
 
 
 def test_post_window_entries_all_locally_gated():
@@ -29,4 +46,4 @@ def test_post_window_entries_all_locally_gated():
     # gate verifies the FULL registry: assert the gate's source of truth
     # (all_queries) and the declared inventory agree in size.
     names = list(Q.all_queries())
-    assert len(names) >= 114  # grows monotonically; never silently shrinks
+    assert len(names) >= 115  # grows monotonically; never silently shrinks
