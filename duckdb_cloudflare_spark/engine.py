@@ -48,6 +48,8 @@ class Engine:
             register_table_functions,
         )
 
+        from duckdb_cloudflare_spark.catalog.statements import StatementDispatcher
+
         self.spark = spark
         register_sources(spark)
         register_all(spark)
@@ -55,12 +57,23 @@ class Engine:
         # SELECT * FROM common_crawl_index(url := '...', ...) — ``:=`` is
         # rewritten to ``=>`` by duck_sql (compat.rewrite_named_args).
         register_table_functions(spark)
+        # Statement surface (ATTACH / CREATE SECRET / BEGIN-COMMIT /
+        # CALL d1_execute / COPY TO): session-scoped dispatcher holding the
+        # attachment map and the open transaction buffer.
+        self.statements = StatementDispatcher(spark)
 
-    # -- SQL (DuckDB dialect accepted) ----------------------------------
+    # -- SQL (DuckDB dialect accepted, statements included) --------------
     def sql(self, query: str) -> DataFrame:
-        from duckdb_cloudflare_spark.compat import duck_sql
+        """One statement or query in the reference's DuckDB dialect.
+        Control-plane statements (ATTACH, CREATE/DROP SECRET, BEGIN/COMMIT/
+        ROLLBACK, CALL d1_execute, COPY TO) route to the Python APIs;
+        queries go through the compat rewriters to spark.sql."""
+        return self.statements.execute(query)
 
-        return duck_sql(self.spark, query)
+    def execute_script(self, script: str) -> DataFrame:
+        """Run a whole ``;``-separated reference SQL script; returns the
+        last statement's result."""
+        return self.statements.execute_script(script)
 
     # -- local data -----------------------------------------------------
     def attach_parquet_dir(

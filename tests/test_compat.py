@@ -561,3 +561,198 @@ class TestReviewRound2Regressions:
 
         with _pytest.raises(SparkRuntimeException, match="greater than or equal to 0"):
             duck_sql(t, "SELECT to_base(-255, 16)").collect()
+
+
+class TestStatementSurface:
+    """Script-level migration: the reference's SQL *statements* (ATTACH,
+    CREATE/DROP SECRET, BEGIN/COMMIT/ROLLBACK, CALL d1_execute, COPY TO)
+    run through Engine.sql / execute_script — done-criterion is the
+    reference README flow (README.md:199-255) end-to-end on the SQLite
+    stub, no Python API calls."""
+
+    @pytest.fixture()
+    def eng(self, spark):
+        from duckdb_cloudflare_spark.engine import Engine
+
+        return Engine(spark)
+
+    @pytest.fixture()
+    def d1_db(self, tmp_path):
+        import sqlite3
+
+        db = str(tmp_path / "stmt.db")
+        con = sqlite3.connect(db)
+        con.executescript(
+            "CREATE TABLE users (id INTEGER, name TEXT, active BOOLEAN);"
+            "INSERT INTO users VALUES (123, 'ada', 1), (456, 'bob', 0);"
+            "CREATE TABLE logs (id INTEGER, msg TEXT);"
+        )
+        con.commit()
+        con.close()
+        return db
+
+    def _cleanup_secret(self, name):
+        from duckdb_cloudflare_spark.catalog.secrets import global_registry
+
+        global_registry().drop_secret(name)
+
+    # -- CREATE / DROP SECRET --------------------------------------------
+    def test_create_secret_named(self, eng):
+        from duckdb_cloudflare_spark.catalog.secrets import global_registry
+
+        df = eng.sql(
+            "CREATE SECRET stmt_s (TYPE d1, ACCOUNT_ID 'a1', API_TOKEN 't1')"
+        )
+        try:
+            assert df.first()["Success"] is True
+            s = global_registry().get_secret("stmt_s")
+            assert s.get("account_id") == "a1" and s.type == "d1"
+            assert "t1" not in repr(s)  # redaction
+        finally:
+            self._cleanup_secret("stmt_s")
+
+    def test_create_secret_unnamed_gets_default_name(self, eng):
+        eng.sql("CREATE SECRET (TYPE r2_sql, ACCOUNT_ID 'a', API_TOKEN 't')")
+        from duckdb_cloudflare_spark.catalog.secrets import global_registry
+
+        try:
+            assert any(
+                s.name == "__default_r2_sql" for s in global_registry().list_secrets()
+            )
+        finally:
+            self._cleanup_secret("__default_r2_sql")
+
+    def test_create_secret_validation_matches_reference(self, eng):
+        # unknown param (src/d1_secret.cpp:26-29) and missing required
+        # param (:33-40) error like the reference
+        with pytest.raises(ValueError, match="Unknown parameter for d1 secret"):
+            eng.sql("CREATE SECRET x (TYPE d1, ACCOUNT_ID 'a', API_TOKEN 't', REGION 'x')")
+        with pytest.raises(ValueError, match="requires 'api_token'"):
+            eng.sql("CREATE SECRET x (TYPE d1, ACCOUNT_ID 'a')")
+        with pytest.raises(ValueError, match="Unknown secret type"):
+            eng.sql("CREATE SECRET x (TYPE s3, KEY_ID 'a')")
+
+    def test_drop_secret(self, eng):
+        eng.sql("CREATE SECRET dropme (TYPE d1, ACCOUNT_ID 'a', API_TOKEN 't')")
+        assert eng.sql("DROP SECRET dropme").first()["Success"] is True
+        with pytest.raises(KeyError):
+            eng.sql("DROP SECRET dropme")
+        eng.sql("DROP SECRET IF EXISTS dropme")  # tolerated
+
+    # -- ATTACH / DETACH ---------------------------------------------------
+    def test_attach_select_detach(self, eng, d1_db):
+        eng.sql("CREATE SECRET att_s (TYPE d1, ACCOUNT_ID 'acct', API_TOKEN 'tok')")
+        try:
+            views = eng.sql(
+                "ATTACH 'fixture-db' AS mydb "
+                f"(TYPE d1, SECRET 'att_s', d1_sqlite_stub '{d1_db}')"
+            )
+            names = {r["view"] for r in views.collect()}
+            assert {"mydb_users", "mydb_logs"} <= names
+            # alias.table references rewrite to the attached views
+            row = eng.sql("SELECT name FROM mydb.users WHERE id = 123").first()
+            assert row["name"] == "ada"
+            assert eng.sql("DETACH mydb").first()["Success"] is True
+            with pytest.raises(Exception):
+                eng.sql("SELECT * FROM mydb_users").collect()
+            eng.sql("DETACH IF EXISTS mydb")
+        finally:
+            self._cleanup_secret("att_s")
+
+    def test_attach_requires_type_d1(self, eng):
+        with pytest.raises(ValueError, match="only TYPE d1"):
+            eng.sql("ATTACH 'x.db' AS y (TYPE sqlite)")
+
+    def test_dml_on_attached_alias_raises_like_reference(self, eng, d1_db):
+        eng.sql("CREATE SECRET dml_s (TYPE d1, ACCOUNT_ID 'acct', API_TOKEN 'tok')")
+        try:
+            eng.sql(
+                f"ATTACH 'fixture-db' AS dmldb (TYPE d1, SECRET 'dml_s', d1_sqlite_stub '{d1_db}')"
+            )
+            # honest mirror of src/d1_storage.cpp:39-57 (PlanInsert throws)
+            with pytest.raises(NotImplementedError, match="d1_execute"):
+                eng.sql("INSERT INTO dmldb.logs VALUES (1, 'x')")
+            eng.sql("DETACH dmldb")
+        finally:
+            self._cleanup_secret("dml_s")
+
+    # -- transactions + d1_execute ----------------------------------------
+    def test_transaction_batches_one_post(self, eng, d1_db):
+        import sqlite3
+
+        eng.sql("BEGIN TRANSACTION")
+        eng.sql(
+            "CALL d1_execute('INSERT INTO logs VALUES (1, ''a'')', "
+            f"account_id => 'acct', api_token => 'tok', database => 'db', "
+            f"d1_sqlite_stub => '{d1_db}')"
+        )
+        df = eng.sql("CALL d1_execute('INSERT INTO logs VALUES (2, ''b'')')")
+        assert df.first()["buffered"] is True
+        # buffered writes are invisible before COMMIT (no read-your-writes)
+        con = sqlite3.connect(d1_db)
+        assert con.execute("SELECT count(*) FROM logs").fetchone()[0] == 0
+        changes = eng.sql("COMMIT").collect()
+        assert [r["changes"] for r in changes] == [1, 1]
+        assert con.execute("SELECT count(*) FROM logs").fetchone()[0] == 2
+        con.close()
+
+    def test_rollback_discards_buffer(self, eng, d1_db):
+        import sqlite3
+
+        eng.sql("BEGIN")
+        eng.sql(
+            "CALL d1_execute('INSERT INTO logs VALUES (9, ''z'')', "
+            f"account_id => 'acct', api_token => 'tok', database => 'db', "
+            f"d1_sqlite_stub => '{d1_db}')"
+        )
+        eng.sql("ROLLBACK")
+        con = sqlite3.connect(d1_db)
+        assert con.execute("SELECT count(*) FROM logs").fetchone()[0] == 0
+        con.close()
+
+    def test_d1_execute_immediate_outside_txn(self, eng, d1_db):
+        df = eng.sql(
+            "SELECT d1_execute('INSERT INTO logs VALUES (5, ''now'')', "
+            f"account_id => 'acct', api_token => 'tok', database => 'db', "
+            f"d1_sqlite_stub => '{d1_db}')"
+        )
+        assert df.first()["changes"] == 1
+
+    # -- COPY TO -----------------------------------------------------------
+    def test_copy_to_parquet(self, eng, tmp_path):
+        out = str(tmp_path / "out.parquet")
+        df = eng.sql(f"COPY (SELECT 1 AS a UNION ALL SELECT 2) TO '{out}'")
+        assert df.first()["Count"] == 2
+        assert eng.spark.read.parquet(out).count() == 2
+
+    # -- the README flow, end-to-end as ONE script -------------------------
+    def test_reference_readme_flow_script(self, eng, d1_db, tmp_path):
+        """CREATE SECRET → ATTACH → pushdown SELECT → batched writes →
+        COPY to parquet → DETACH, i.e. /root/reference README.md:199-255
+        as one migrated script."""
+        import sqlite3
+
+        out = str(tmp_path / "export.parquet")
+        last = eng.execute_script(
+            f"""
+            CREATE SECRET cf (TYPE d1, ACCOUNT_ID 'acct', API_TOKEN 'tok');
+            ATTACH 'fixture-db' AS mydb (TYPE d1, SECRET 'cf', d1_sqlite_stub '{d1_db}');
+            SELECT * FROM mydb.users WHERE id = 123;
+            BEGIN TRANSACTION;
+            CALL d1_execute('INSERT INTO logs VALUES (10, ''batch-1'')',
+                            secret => 'cf', database => 'db',
+                            d1_sqlite_stub => '{d1_db}');
+            CALL d1_execute('INSERT INTO logs VALUES (11, ''batch-2'')');
+            COMMIT;
+            COPY (SELECT * FROM mydb.users) TO '{out}';
+            DETACH mydb;
+            DROP SECRET cf;
+            """
+        )
+        assert last.first()["Success"] is True
+        con = sqlite3.connect(d1_db)
+        assert con.execute(
+            "SELECT count(*) FROM logs WHERE msg LIKE 'batch-%'"
+        ).fetchone()[0] == 2
+        con.close()
+        assert eng.spark.read.parquet(out).count() == 2
