@@ -7,13 +7,16 @@ The reference establishes the pattern with WARC content: an opaque
 (/root/reference/src/common_crawl_index.cpp:391-397). This module
 generalizes it to media assets for training-data pipelines.
 
-Container constraint: no image/audio codec libraries are installed, so the
-*codec* step is represented by a deterministic synthetic container format
-(``FIMG``/``FAUD``/``FVID`` headers, below) plus a clearly marked hook
-(`decode_with_real_codec`) that raises ``NotImplementedError`` until a real
-library (PIL / libav) is available. Everything Spark-side — schemas,
-``mapInPandas`` batch iteration, Arrow transfer, partition sizing, explode
-of frame samples — is real and tested.
+Codecs: **PNG is decoded/encoded/resized by a REAL codec** — the
+pure-Python stdlib-zlib implementation in ``util/png.py`` (full filter
+reconstruction, CRC verification), active with no optional dependency;
+other image formats route through Pillow when installed (``real_codec()``
+probe). Audio/video remain represented by the deterministic synthetic
+container format (``FIMG``/``FAUD``/``FVID`` headers, below) because no
+audio/video library exists in this environment — that half of
+``decode_with_real_codec`` stays an honest ``NotImplementedError``.
+Everything Spark-side — schemas, ``mapInPandas`` batch iteration, Arrow
+transfer, partition sizing, explode of frame samples — is real and tested.
 
 Scale notes (100 TB of media):
 - All operators are map-only over ``mapInPandas`` (no shuffle); throughput
@@ -35,6 +38,8 @@ from collections.abc import Iterator
 from typing import Optional
 
 import pandas as pd
+
+from duckdb_cloudflare_spark.util import png
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -143,6 +148,15 @@ def decode_asset_meta(data: Optional[bytes]) -> dict:
                 n_frames=nf,
                 duration_ms=1000.0 * nf / fps if fps else None,
             )
+        elif bytes(data[:8]) == png.PNG_SIGNATURE:
+            # REAL codec path: PNG via the pure-Python stdlib-zlib codec
+            # (util/png.py) — header-only probe; full pixel decode is
+            # decode_with_real_codec / resize_image.
+            try:
+                w, h, c = png.png_meta(bytes(data))
+                meta.update(mime="image/png", width=w, height=h, channels=c)
+            except png.PngFormatError as e:
+                meta["error"] = f"[Error: {e}]"
         else:
             img_mod = real_codec()
             decoded = False
@@ -177,6 +191,16 @@ def _resize_bytes(data: Optional[bytes], width: int, height: int) -> Optional[by
     if data is None:
         return None
     data = bytes(data)
+    if data[:8] == png.PNG_SIGNATURE:
+        # REAL codec: full decode → nearest-neighbor resample → re-encode
+        try:
+            w0, h0, c, pixels = png.decode_png(data)
+            return png.encode_png(
+                png.resize_nearest(pixels, w0, h0, c, width, height),
+                width, height, c,
+            )
+        except png.PngFormatError:
+            return None
     if data[:4] != IMG_MAGIC or len(data) < _IMG_HDR.size:
         img_mod = real_codec()
         if img_mod is not None:
@@ -220,20 +244,26 @@ def _extract_frames(data: Optional[bytes], every_n: int) -> list[tuple[int, byte
 
 
 def decode_with_real_codec(data: bytes):
-    """Decode non-container bytes with a real codec when one is installed
-    (``real_codec()`` probe); raises ``NotImplementedError`` otherwise.
-    ``decode_asset_meta``/``_resize_bytes`` already route through the probe
-    automatically — this entry point is for callers that want the decoded
-    image object itself."""
+    """Decode non-container bytes with a REAL codec.
+
+    PNG decodes through the built-in pure-Python codec (util/png.py —
+    stdlib zlib, full filter reconstruction, CRC checks); returns
+    ``(width, height, channels, pixels: bytes)``. Other formats go
+    through Pillow when installed (``real_codec()`` probe, returns the
+    PIL image object); otherwise ``NotImplementedError``."""
+    data = bytes(data)
+    if data[:8] == png.PNG_SIGNATURE:
+        return png.decode_png(data)
     img_mod = real_codec()
     if img_mod is None:
         raise NotImplementedError(
-            "real media codecs are not available in this environment; "
-            "use the synthetic FIMG/FAUD/FVID containers or install Pillow"
+            "no codec for this format in this environment: PNG decodes "
+            "built-in; other formats need Pillow (or use the synthetic "
+            "FIMG/FAUD/FVID containers)"
         )
     import io
 
-    return img_mod.open(io.BytesIO(bytes(data)))
+    return img_mod.open(io.BytesIO(data))
 
 
 # ---------------------------------------------------------------------------

@@ -1319,3 +1319,68 @@ def p60_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     for c in counts[1:]:
         out = out.crossJoin(broadcast(c))
     return out
+
+
+@register(
+    "p61_png_decode",
+    oracle="""
+    WITH dims AS (
+        SELECT doc_id,
+               8 + doc_id % 24 AS width,
+               8 + doc_id % 16 AS height,
+               md5(coalesce(text, '')) AS src
+        FROM documents
+    )
+    SELECT doc_id, width, height, CAST(3 AS BIGINT) AS channels,
+           md5(substring(repeat(src, CAST((width*height*3 + 31) // 32 AS INT)),
+                         1, CAST(width*height*3 AS INT))) AS pixel_md5
+    FROM dims
+    """,
+    description="REAL-codec byte path under the hash check: per document, "
+    "deterministic pixels (the md5-hex of the text, repeated to w*h*3 "
+    "bytes) are encoded to an actual standards-valid PNG (util/png.py: "
+    "zlib deflate, filtered scanlines, CRC-carrying chunks) and decoded "
+    "back (signature check, chunk walk, CRC verify, inflate, filter "
+    "reconstruction); the output row carries the IHDR-decoded dimensions "
+    "and the md5 of the RECOVERED pixels. The DuckDB oracle computes the "
+    "same dims and pixel hash in closed form, so any defect anywhere in "
+    "the encode->decode byte path flips the hash. Map-only mapInPandas "
+    "(one Python stage, no shuffle; PNG bytes never cross back to the "
+    "JVM) — the shape real-image metadata extraction takes at 100 TB.",
+)
+def p61_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from duckdb_cloudflare_spark.util import png as _png
+
+    out_schema = (
+        "doc_id long, width long, height long, channels long, pixel_md5 string"
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"doc_id": [], "width": [], "height": [],
+                    "channels": [], "pixel_md5": []}
+            for i, t in zip(pdf["doc_id"], pdf["text"]):
+                i = int(i)
+                w, h = 8 + i % 24, 8 + i % 16
+                n = w * h * 3
+                src = hashlib.md5((t or "").encode("utf-8")).hexdigest()
+                pixels = (src * ((n + 31) // 32))[:n].encode("ascii")
+                blob = _png.encode_png(pixels, w, h, 3)
+                w2, h2, c2, recovered = _png.decode_png(blob)
+                rows["doc_id"].append(i)
+                rows["width"].append(w2)
+                rows["height"].append(h2)
+                rows["channels"].append(c2)
+                rows["pixel_md5"].append(hashlib.md5(recovered).hexdigest())
+            yield pd.DataFrame(rows)
+
+    return (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .mapInPandas(gen, schema=out_schema)
+    )

@@ -12,16 +12,17 @@ def test_graded_window_is_exactly_the_r5_rotation():
     names = list(Q.all_queries())
     window = names[:50]
     expected = (
-        # 11 never-driver-graded entries lead (r4 judge directive)
+        # 12 never-driver-graded entries lead (r4 judge directive; p61 is
+        # the r5-new real-PNG-codec anchor)
         ["q36_", "q38_", "q39_", "q52_", "q53_"]
-        + [f"p{n}_" for n in range(55, 61)]
+        + [f"p{n}_" for n in range(55, 62)]
         # stalest green history: r2 relational, q01, r3 pipeline + windows
         + ["q29_", "q30_", "q32_", "q33_", "q34_", "q35_", "q37_", "q51_"]
         + ["q01_"]
         + [f"p{n:02d}_" for n in (*range(1, 6), *range(11, 14),
                                   *range(15, 20), *range(21, 30),
                                   *range(31, 34))]
-        + [f"q{n}_" for n in range(40, 45)]
+        + [f"q{n}_" for n in range(40, 44)]
     )
     assert len(window) == len(expected) == 50
     for name, prefix in zip(window, expected):
