@@ -58,22 +58,26 @@ def d1_attach(
     views = []
     for table in client.list_tables():
         tname = str(table["name"])
-        # The reference's views carry the secret NAME and resolve it at
-        # scan-bind from the in-process secret manager (src/d1_storage.cpp:90-94).
-        # Spark's DataSource schema/read paths run in worker Python processes
-        # that cannot see the driver's in-memory registry, so resolve the
-        # secret HERE and embed the resolved credentials as reader options.
-        # Consequence (documented): rotating the secret after ATTACH does not
-        # propagate to existing views until re-attach.
+        # Like the reference, views carry the secret NAME and resolve it at
+        # scan-bind from the secret registry (src/d1_storage.cpp:92,105-124;
+        # the registry spills to a 0600 file so DataSource worker processes
+        # can resolve it) — no plaintext token lands in view options, query
+        # plans, or the Spark UI SQL tab. Rotation contract: Spark caches
+        # the DataSource instance inside an existing view's plan, so
+        # rotating/dropping the secret takes effect on NEW attaches/loads,
+        # not on views already attached (re-attach to pick up rotation).
+        # Caller-supplied explicit account_id/api_token opts (the no-secret
+        # path) pass through below unchanged — that exposure is the
+        # caller's explicit choice, not a resolved secret.
         reader = (
             spark.read.format("d1")
             .option("table", tname)
             .option("database_id", dbid)
-            .option("account_id", client.config.account_id)
-            .option("api_token", client.config.api_token)
         )
+        if secret:
+            reader = reader.option("secret", secret)
         for k, v in opts.items():
-            if k not in ("account_id", "api_token", "database_id", "database"):
+            if k not in ("database_id", "database"):
                 reader = reader.option(k, str(v))
         view_name = f"{alias}_{tname}"
         reader.load().createOrReplaceTempView(view_name)

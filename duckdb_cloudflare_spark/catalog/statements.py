@@ -294,6 +294,15 @@ class StatementDispatcher:
         m = _D1_EXECUTE_RE.match(sql)
         assert m is not None
         close_idx = _match_paren(sql, m.end() - 1)
+        trailing = sql[close_idx + 1 :].strip().rstrip(";").strip()
+        if trailing:
+            # `SELECT d1_execute('…') AS c, other FROM t` must not silently
+            # execute the call and drop the rest of the statement.
+            raise ValueError(
+                "d1_execute must be the entire statement "
+                f"(unexpected trailing SQL: {trailing[:60]!r}); compose "
+                "results in a follow-up query instead"
+            )
         args = _split_top_commas(sql[m.end() : close_idx])
         if not args:
             raise ValueError("d1_execute requires a SQL string argument")
@@ -337,7 +346,16 @@ class StatementDispatcher:
         if fmt == "csv":
             writer = writer.option("header", "true")
         getattr(writer, fmt)(path)
-        n = df.count()
+        # Count the rows actually WRITTEN, not a re-execution of the query:
+        # df.count() would recompute the whole plan (re-reading remote
+        # sources, where reads are not free, and doubling compute at scale)
+        # and could disagree with the written rows for nondeterministic
+        # queries. Reading the output back is a local metadata+scan of what
+        # was just written.
+        reader = self.spark.read
+        if fmt == "csv":
+            reader = reader.option("header", "true")
+        n = getattr(reader, fmt)(path).count()
         return self.spark.createDataFrame([(n,)], "Count bigint")
 
     # -- attached-alias rewriting --------------------------------------------
@@ -349,18 +367,26 @@ class StatementDispatcher:
 
     def _rewrite_attached_refs(self, sql: str) -> str:
         """``alias.table`` → ``alias_table`` for every attached alias (the
-        temp-view naming d1_attach uses), quote/comment-aware."""
+        temp-view naming d1_attach uses), quote/comment-aware. A qualified
+        name is rewritten ONLY when it resolves to one of the attachment's
+        known views, so a query-local table alias that happens to equal an
+        attached database name (``SELECT m.col FROM metrics m`` with a db
+        attached as ``m``) is left untouched (ADVICE r5)."""
         if not self.attachments:
             return sql
         from duckdb_cloudflare_spark.compat import _scan_top_level
 
         real = {i for i, _, _ in _scan_top_level(sql)}
         out = list(sql)
-        for alias in self.attachments:
+        for alias, views in self.attachments.items():
+            known = {v.lower() for v in views}
             for am in re.finditer(
                 rf"\b{re.escape(alias)}\.(\w+)", sql, re.IGNORECASE
             ):
-                if am.start() in real:
+                if (
+                    am.start() in real
+                    and f"{alias}_{am.group(1)}".lower() in known
+                ):
                     out[am.start() + len(alias)] = "_"
         return "".join(out)
 

@@ -147,38 +147,33 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 # The external driver grades a bounded prefix (first 50) of the registry,
 # so ordering IS the rotation policy: least-recently-driver-graded first.
 #
-# r5 window (this list). Driver-grading provenance, corrected per the r4
-# judge (the earlier comment wrongly claimed q36/q38/q39/q52/q53 were
-# graded in r1–r2 — they were registered too late for those windows and
-# have NEVER been driver-graded; until r5 their only evidence was the
-# local replica gate):
-#   - never driver-graded (lead the window): q36, q38, q39, q52, q53
-#     (relational; local-gate green since r2/r3) and p55–p60 (added after
-#     the r4 window froze).
-#   - stalest green history next: q29/q30/q32–q35/q37/q51 (last green r2),
-#     q01 (r1–r3), then the r3-green oracle-bearing pipeline ops p01–p05/
-#     p11–p13/p15–p19/p21–p29/p31–p33 and windows q40–q44 to fill 50.
+# r6 window (this list):
+#   - q38 and q53 lead: driver-RED in r5 on canonicalization artifacts
+#     (HUGEINT→float64 hash / unhashable list column) with value-identical
+#     results; both fixed this round and must be driver re-graded.
+#   - stalest green history next: q45–q50 (last green r3), then the r4
+#     corpus — q02–q28 (relational) and p34–p48 (pipeline anchors) to
+#     fill 50. The rest of the r4 set (p49–p54, q54, q55) rotates in r7.
 # Every windowed entry is oracle-bearing. Deliberately NEVER windowed:
 # the rows-only approximates (q31, p06–p10, p14, p20, p30) — the driver
 # emits `err: no_oracle` for them, which reads as a failure row; they are
 # pinned by pytest recall/quality tests and each has an exact
 # oracle-bearing anchor (p34/p35/p36/p39/p48) instead. Rotated out with
-# green driver history: q02–q28 + p34–p54 + q54/q55 (r4), q45–q50 (r3).
+# green driver history: q36/q39/q52, p55–p61, q29/q30/q32–q35/q37/q51,
+# q01, p01–p05/p11–p13/p15–p19/p21–p29/p31–p33, q40–q43 (all r5).
 # ALL entries, windowed or not, are verified every run by the local
 # driver-replica gate (tests/test_oracle_parity.py) and the sf0.1 scale
 # sweep (tests/test_scale_parity.py).
 _WINDOW_PRIORITY = [
-    # never driver-graded — must lead the r5 window (p61 is the r5-new
-    # real-PNG-codec anchor)
-    "q36_", "q38_", "q39_", "q52_", "q53_",
-    *[f"p{n}_" for n in range(55, 62)],
-    # last green r2
-    "q29_", "q30_", "q32_", "q33_", "q34_", "q35_", "q37_", "q51_",
+    # r5 driver-red (values identical, canonicalization artifacts), fixed
+    # this round — lead the window for driver re-grading
+    "q38_", "q53_",
     # last green r3
-    "q01_",
-    *[f"p{n:02d}_" for n in (*range(1, 6), *range(11, 14), *range(15, 20),
-                             *range(21, 30), *range(31, 34))],
-    *[f"q{n}_" for n in range(40, 44)],
+    *[f"q{n}_" for n in range(45, 51)],
+    # last green r4: stalest relational corpus
+    *[f"q{n:02d}_" for n in range(2, 29)],
+    # last green r4: pipeline anchors (p49–p54 + q54/q55 rotate in r7)
+    *[f"p{n}_" for n in range(34, 49)],
 ]
 
 

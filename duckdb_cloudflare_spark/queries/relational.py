@@ -1106,12 +1106,15 @@ def q36_qualify_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_orderpriority,
            bool_and(o_totalprice > 1000)   AS all_over_1k,
            bool_or(o_orderstatus = 'F')    AS any_final,
-           count_if(o_totalprice > 150000) AS n_big
+           CAST(count_if(o_totalprice > 150000) AS BIGINT) AS n_big
     FROM orders
     GROUP BY o_orderpriority
     """,
     description="boolean/conditional aggregates: bool_and, bool_or, count_if "
-    "— single-shuffle partial-aggregated group by",
+    "— single-shuffle partial-aggregated group by. The oracle casts count_if "
+    "to BIGINT: DuckDB's count_if returns HUGEINT, which pandas renders as "
+    "float64 (2129.0 vs Spark's int64 2129) and fails the driver's "
+    "dtype-sensitive value hash (r5 driver red, values identical).",
 )
 def q38_boolean_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders")
@@ -1182,7 +1185,7 @@ def q52_date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q53_array_aggregation",
     oracle="""
     SELECT l_orderkey,
-           list_sort(list(l_linenumber))               AS line_numbers,
+           array_to_string(list_sort(list(l_linenumber)), ',') AS line_numbers,
            CAST(len(list(l_linenumber)) AS INTEGER)    AS n_lines,
            list_contains(list(l_linenumber), 1)        AS has_first_line,
            round(list_aggregate(list(l_quantity), 'sum'), 4) AS qty_sum
@@ -1192,12 +1195,19 @@ def q52_date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     description="array aggregation: per-order sorted line-number arrays, "
     "membership test, and an array-fold sum — collect_list/sort_array/"
-    "array_contains/aggregate, one partial-aggregated shuffle",
+    "array_contains/aggregate, one partial-aggregated shuffle. The sorted "
+    "array is emitted as a ','-joined string: raw list columns are "
+    "unhashable in the driver's pandas canonicalizer (r5 driver error — "
+    "`sort_values` → `unhashable type: 'list'` — despite value-identical "
+    "results), so windowed outputs must be scalar-only.",
 )
 def q53_array_aggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 101 == 0)
+    sorted_lines = F.sort_array(F.collect_list("l_linenumber"))
     return li.groupBy("l_orderkey").agg(
-        F.sort_array(F.collect_list("l_linenumber")).alias("line_numbers"),
+        F.array_join(
+            F.transform(sorted_lines, lambda x: x.cast("string")), ","
+        ).alias("line_numbers"),
         F.size(F.collect_list("l_linenumber")).alias("n_lines"),
         F.array_contains(F.collect_list("l_linenumber"), 1).alias("has_first_line"),
         F.round(

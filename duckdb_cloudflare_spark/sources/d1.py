@@ -341,7 +341,10 @@ def build_select_sql(table: str, where: list[str], limit: int | None) -> str:
 # ---------------------------------------------------------------------------
 
 
-def _client_from_options(options: dict) -> D1Client:
+def _config_from_options(options: dict) -> D1Config:
+    """Resolve connection options (+ secret NAME via the in-process registry)
+    to a concrete D1Config. Must run DRIVER-SIDE: the secret registry lives
+    in the driver Python process only."""
     from duckdb_cloudflare_spark.catalog.secrets import global_registry
 
     account_id = options.get("account_id", "")
@@ -352,13 +355,16 @@ def _client_from_options(options: dict) -> D1Client:
         account_id = account_id or secret.get("account_id")
         api_token = api_token or secret.get("api_token")
         database_id = database_id or secret.get("database_id") or secret.get("database")
-    config = D1Config(
+    return D1Config(
         account_id=account_id,
         api_token=api_token,
         database_id=database_id,
         base_url=options.get("base_url", API_BASE),
     )
-    return D1Client(config, transport=make_transport(options))
+
+
+def _client_from_options(options: dict) -> D1Client:
+    return D1Client(_config_from_options(options), transport=make_transport(options))
 
 
 class D1DataSource(DataSource):
@@ -401,6 +407,17 @@ class D1Reader(DataSourceReader):
         self.schema_ = schema
         self.options = options
         self.where: list[str] = []
+        # Resolve the secret NAME → credentials HERE: reader() runs on the
+        # driver (where the in-process secret registry lives) at scan build,
+        # and the reader object is pickled to the worker processes — so views
+        # can carry only the secret name in their options (no plaintext token
+        # in query plans / explain / the Spark UI SQL tab), matching the
+        # reference's scan-bind resolution (src/d1_storage.cpp:92,105-124).
+        # DROP SECRET / rotation applies at the next scan of any view.
+        self._config = _config_from_options(options)
+
+    def _client(self) -> D1Client:
+        return D1Client(self._config, transport=make_transport(self.options))
 
     def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
         for f in filters:
@@ -423,7 +440,7 @@ class D1Reader(DataSourceReader):
         n = int(self.options.get("partitions") or 1)
         if n <= 1 or self.options.get("limit"):
             return [D1RangePartition(0)]
-        client = _client_from_options(self.options)
+        client = self._client()
         sql = (
             "SELECT min(rowid) AS lo, max(rowid) AS hi FROM "
             + quote_ident(self.options["table"])
@@ -442,7 +459,7 @@ class D1Reader(DataSourceReader):
         ]
 
     def read(self, partition: InputPartition):
-        client = _client_from_options(self.options)
+        client = self._client()
         limit = int(self.options["limit"]) if self.options.get("limit") else None
         where = list(self.where)
         lo = getattr(partition, "lo", None)

@@ -659,6 +659,37 @@ class TestStatementSurface:
         finally:
             self._cleanup_secret("att_s")
 
+    def test_attach_embeds_secret_name_not_token(self, eng, d1_db):
+        # ADVICE r5 (medium): attached views must carry the secret NAME and
+        # resolve it at scan-bind (reference: src/d1_storage.cpp:92,105-124)
+        # — no plaintext token in the view's plan/explain output.
+        eng.sql(
+            "CREATE SECRET exp_s (TYPE d1, ACCOUNT_ID 'acct', "
+            "API_TOKEN 'hunter2-plaintext-token')"
+        )
+        try:
+            eng.sql(
+                "ATTACH 'fixture-db' AS expdb "
+                f"(TYPE d1, SECRET 'exp_s', d1_sqlite_stub '{d1_db}')"
+            )
+            df = eng.spark.table("expdb_users")
+            plan = df._jdf.queryExecution().toString()
+            assert "hunter2-plaintext-token" not in plan
+            assert df.count() == 2  # scan-bind resolution still works
+            # Rotation contract (documented in d1_attach): Spark caches the
+            # DataSource instance inside the existing view's plan, so DROP
+            # SECRET does not revoke an ALREADY-ATTACHED view — but any NEW
+            # attach/load of the dropped name fails immediately.
+            eng.sql("DROP SECRET exp_s")
+            with pytest.raises(Exception, match="exp_s"):
+                eng.sql(
+                    "ATTACH 'fixture-db' AS expdb2 "
+                    f"(TYPE d1, SECRET 'exp_s', d1_sqlite_stub '{d1_db}')"
+                )
+            eng.sql("DETACH expdb")
+        finally:
+            self._cleanup_secret("exp_s")
+
     def test_attach_requires_type_d1(self, eng):
         with pytest.raises(ValueError, match="only TYPE d1"):
             eng.sql("ATTACH 'x.db' AS y (TYPE sqlite)")
@@ -718,12 +749,64 @@ class TestStatementSurface:
         )
         assert df.first()["changes"] == 1
 
+    def test_d1_execute_with_trailing_sql_raises(self, eng):
+        # `SELECT d1_execute('…') AS c, other` must not silently execute the
+        # call and drop the rest of the statement (ADVICE r5).
+        with pytest.raises(ValueError, match="trailing SQL"):
+            eng.sql("SELECT d1_execute('DELETE FROM t') AS c, 1 + 1")
+        with pytest.raises(ValueError, match="trailing SQL"):
+            eng.sql("SELECT d1_execute('DELETE FROM t') + 1")
+
+    def test_local_alias_shadowing_attached_name_not_rewritten(self, eng, d1_db):
+        # A query-local table alias equal to an attached database name must
+        # NOT be rewritten: only references resolving to a known attached
+        # view are (ADVICE r5).
+        eng.sql("CREATE SECRET shad_s (TYPE d1, ACCOUNT_ID 'a', API_TOKEN 't')")
+        try:
+            eng.sql(
+                "ATTACH 'fixture-db' AS m "
+                f"(TYPE d1, SECRET 'shad_s', d1_sqlite_stub '{d1_db}')"
+            )
+            eng.spark.sql("SELECT 42 AS col").createOrReplaceTempView("metrics")
+            # `m` here is the local alias for metrics, not the attached db;
+            # `m.col` must survive (metrics has no attached view m_col).
+            row = eng.sql("SELECT m.col FROM metrics m").first()
+            assert row["col"] == 42
+            # the attached path still rewrites
+            assert eng.sql("SELECT count(*) AS n FROM m.users").first()["n"] == 2
+            eng.sql("DETACH m")
+            eng.spark.catalog.dropTempView("metrics")
+        finally:
+            self._cleanup_secret("shad_s")
+
     # -- COPY TO -----------------------------------------------------------
     def test_copy_to_parquet(self, eng, tmp_path):
         out = str(tmp_path / "out.parquet")
         df = eng.sql(f"COPY (SELECT 1 AS a UNION ALL SELECT 2) TO '{out}'")
         assert df.first()["Count"] == 2
         assert eng.spark.read.parquet(out).count() == 2
+
+    def test_copy_to_executes_query_once(self, eng, tmp_path):
+        # The returned Count must come from the WRITTEN output, not a second
+        # execution of the query (r5 verdict #4): a side-effecting UDF in
+        # the copied query records one line per evaluated row.
+        marker = tmp_path / "scans.log"
+        mpath = str(marker)
+
+        def tracked(x):
+            with open(mpath, "a") as f:
+                f.write("x\n")
+            return x
+
+        eng.spark.udf.register("__copy_tracked", tracked, "bigint")
+        eng.spark.range(3).createOrReplaceTempView("__copy_src")
+        out = str(tmp_path / "once.parquet")
+        df = eng.sql(
+            f"COPY (SELECT __copy_tracked(id) AS a FROM __copy_src) TO '{out}'"
+        )
+        assert df.first()["Count"] == 3
+        assert marker.read_text().count("x") == 3  # one evaluation per row
+        eng.spark.catalog.dropTempView("__copy_src")
 
     # -- the README flow, end-to-end as ONE script -------------------------
     def test_reference_readme_flow_script(self, eng, d1_db, tmp_path):

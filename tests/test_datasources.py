@@ -443,6 +443,12 @@ class TestD1Source:
 
 
 class TestSecrets:
+    @pytest.fixture(autouse=True)
+    def _isolated_spill(self, monkeypatch, tmp_path):
+        # Each registry instance shares the cross-process spill file; point
+        # it at a per-test path so unit tests don't see each other's writes.
+        monkeypatch.setenv("SPARK_GRAFT_SECRET_FILE", str(tmp_path / "sec.json"))
+
     def test_create_and_redact(self):
         from duckdb_cloudflare_spark.catalog.secrets import SecretRegistry
 
@@ -473,6 +479,27 @@ class TestSecrets:
 
         with _pytest.raises(KeyError):
             SecretRegistry().get_secret("nope")
+
+    def test_spill_file_cross_registry_resolution(self, tmp_path):
+        # The worker-process path: a FRESH registry (as in a DataSource
+        # worker) resolves a name created by another instance via the spill
+        # file; DROP revokes it there too.
+        import os as _os
+
+        from duckdb_cloudflare_spark.catalog.secrets import SecretRegistry
+
+        driver = SecretRegistry()
+        driver.create_secret("xproc", "d1", account_id="a", api_token="t")
+        spill = tmp_path / "sec.json"
+        assert spill.exists()
+        assert _os.stat(spill).st_mode & 0o777 == 0o600
+        worker = SecretRegistry()
+        assert worker.get_secret("xproc").get("account_id") == "a"
+        driver.drop_secret("xproc")
+        import pytest as _pytest
+
+        with _pytest.raises(KeyError):
+            SecretRegistry().get_secret("xproc")
 
 
 class TestR2:

@@ -1,7 +1,21 @@
-"""Local replica of the driver's t2 correctness gate: run every registered
-query on Spark AND its DuckDB oracle, compare row count, column names, and
-order-insensitive values (columns sorted by name — same normalization the
-driver applies)."""
+"""Local replica of the driver's t2 correctness gate — DRIVER-FAITHFUL since r6.
+
+The r5 driver caught two failures (q38, q53) that the previous fetchall()-
+and-stringify replica was structurally blind to, because the driver compares
+through *pandas DataFrames*:
+
+  spark side : df.toPandas()
+  oracle side: duckdb .df()   (HUGEINT -> float64, LIST -> object cells)
+  canon      : columns sorted by name, sort_values over ALL columns
+               (raises TypeError on unhashable cells, e.g. list columns),
+  hash       : dtype-sensitive value stringification (float64 2129.0 vs
+               int64 2129 mismatch even though the values are equal).
+
+This gate therefore now runs BOTH sides through the pandas path, applies the
+driver's sort/canonicalize recipe to EVERY query (not just rows-only ones),
+and checks the int-vs-float dtype boundary explicitly in addition to the
+tolerance-normalized value comparison.
+"""
 
 from __future__ import annotations
 
@@ -15,44 +29,87 @@ ALL = Q.all_queries()
 ORACLES = Q.all_oracles()
 
 
-def _normalize(rows, colnames):
-    """Sort columns by name, stringify values with float rounding, sort rows."""
-    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
+def _driver_canon(pdf):
+    """The driver's canonicalization recipe: columns sorted by name, rows
+    sorted over all columns. Raises TypeError on unhashable cells (list/dict
+    columns) exactly as the driver's pandas canonicalizer does — that raise
+    IS part of the gate (the q53/p13 failure class)."""
+    pdf = pdf[sorted(pdf.columns)]
+    return pdf.sort_values(by=list(pdf.columns), kind="mergesort").reset_index(
+        drop=True
+    )
 
-    def norm_val(v):
-        if v is None:
-            return "NULL"
-        if isinstance(v, float):
-            if math.isnan(v):
-                return "NaN"
-            # 12 significant digits: tolerates last-ulp double noise, catches
-            # any real mismatch (queries already round aggregates to 4-6 dp).
-            return f"{v:.12g}"
-        if isinstance(v, bool):
-            return str(int(v))
-        return str(v)
 
-    return sorted(tuple(norm_val(r[i]) for i in order) for r in rows)
+def _norm_cell(v) -> str:
+    """Tolerance-normalized stringification for the value comparison
+    (12 significant digits absorbs last-ulp double noise; queries already
+    round aggregates to 4-6 dp). Datetime-likes trim a midnight time
+    component: Spark's toPandas renders DATE as datetime.date objects while
+    DuckDB's .df() gives datetime64 Timestamps — the r4 driver graded q54
+    (DATE vs datetime64 month column) green, so its hash normalizes this."""
+    import datetime as _dt
+
+    import pandas as _pd
+
+    if v is None or v is _pd.NaT:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return f"{v:.12g}"
+    if isinstance(v, bool):
+        return str(int(v))
+    if isinstance(v, (_dt.date, _dt.datetime, _pd.Timestamp)):
+        s = str(v)
+        return s[:-9] if s.endswith(" 00:00:00") else s
+    return str(v)
+
+
+def _numeric_kind(dtype) -> str | None:
+    """'i' for integer-kind columns, 'f' for float-kind, None otherwise."""
+    k = getattr(dtype, "kind", None)
+    if k in ("i", "u"):
+        return "i"
+    if k == "f":
+        return "f"
+    return None
 
 
 @pytest.mark.parametrize("name", sorted(ORACLES))
 def test_query_matches_oracle(spark, duck, sf_dir, name):
-    sdf = ALL[name](spark, sf_dir)
-    spark_cols = sdf.columns
-    spark_rows = [tuple(r) for r in sdf.collect()]
+    spdf = ALL[name](spark, sf_dir).toPandas()
+    opdf = duck.sql(ORACLES[name]).df()
 
-    rel = duck.sql(ORACLES[name])
-    duck_cols = rel.columns
-    duck_rows = rel.fetchall()
+    assert sorted(spdf.columns) == sorted(opdf.columns), (
+        f"{name}: column names differ: "
+        f"spark={sorted(spdf.columns)} duck={sorted(opdf.columns)}"
+    )
+    assert len(spdf) == len(opdf), (
+        f"{name}: row count differs: spark={len(spdf)} duck={len(opdf)}"
+    )
 
-    assert sorted(spark_cols) == sorted(duck_cols), (
-        f"{name}: column names differ: spark={sorted(spark_cols)} duck={sorted(duck_cols)}"
-    )
-    assert len(spark_rows) == len(duck_rows), (
-        f"{name}: row count differs: spark={len(spark_rows)} duck={len(duck_rows)}"
-    )
-    ns, nd = _normalize(spark_rows, spark_cols), _normalize(duck_rows, duck_cols)
-    mismatches = [(a, b) for a, b in zip(ns, nd) if a != b]
+    # The driver's canonicalizer — a TypeError here (unhashable list cells)
+    # is a driver-red outcome and must fail this gate too (q53's r5 class).
+    cs = _driver_canon(spdf)
+    co = _driver_canon(opdf)
+
+    # int-vs-float dtype boundary: the driver's value hash is dtype-sensitive
+    # (DuckDB HUGEINT -> pandas float64 renders 2129.0 vs Spark int64 2129 —
+    # q38's r5 class). Only the i/f boundary is checked: date/object/datetime
+    # representation differences normalize identically in the value hash.
+    for col in cs.columns:
+        ks, ko = _numeric_kind(cs[col].dtype), _numeric_kind(co[col].dtype)
+        if ks is not None and ko is not None:
+            assert ks == ko, (
+                f"{name}.{col}: numeric dtype kind differs "
+                f"(spark={cs[col].dtype}, oracle={co[col].dtype}) — the "
+                f"driver's dtype-sensitive hash will mismatch even on "
+                f"identical values (add an explicit CAST to the oracle)"
+            )
+
+    ns = sorted(tuple(_norm_cell(v) for v in row) for row in cs.itertuples(index=False))
+    no = sorted(tuple(_norm_cell(v) for v in row) for row in co.itertuples(index=False))
+    mismatches = [(a, b) for a, b in zip(ns, no) if a != b]
     assert not mismatches, f"{name}: first mismatching rows: {mismatches[:3]}"
 
 
@@ -66,9 +123,46 @@ def test_query_runs_rows_only(spark, sf_dir, name):
     assert sdf.columns
     pdf = sdf.toPandas()
     assert len(pdf) >= 0
-    # Replica of the driver's rows-only canonicalization: any column whose
-    # cells are lists/dicts raises TypeError here, exactly as in the driver.
-    pdf.sort_values(by=list(pdf.columns), kind="mergesort").reset_index(drop=True)
+    _driver_canon(pdf)
+
+
+_NONSCALAR_DUCK = ("[]", "STRUCT", "MAP(", "LIST", "UNION")
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_oracle_output_types_driver_safe(duck, name):
+    """Registry invariant (r5 verdict): no oracle-bearing query may produce
+    HUGEINT (pandas renders it float64 — the q38 class) or non-scalar
+    columns (unhashable in the driver canonicalizer — the q53 class)."""
+    types = [str(t).upper() for t in duck.sql(ORACLES[name]).types]
+    bad = [
+        t
+        for t in types
+        if t == "HUGEINT" or any(marker in t for marker in _NONSCALAR_DUCK)
+    ]
+    assert not bad, (
+        f"{name}: oracle produces driver-unsafe column types {bad} — "
+        f"CAST HUGEINT to BIGINT / serialize arrays to strings"
+    )
+
+
+@pytest.mark.parametrize("name", sorted(ALL))
+def test_spark_output_schema_driver_safe(spark, sf_dir, name):
+    """Mirror invariant on the Spark side: no registered query (windowed or
+    rows-only) may emit array/map/struct columns — they crash the driver's
+    pandas sort_values regardless of oracle presence."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    schema = ALL[name](spark, sf_dir).schema
+    bad = [
+        f.name
+        for f in schema.fields
+        if isinstance(f.dataType, (ArrayType, MapType, StructType))
+    ]
+    assert not bad, (
+        f"{name}: Spark output has non-scalar columns {bad} — serialize to "
+        f"scalars (array_join / to_json) before returning"
+    )
 
 
 def test_entry_smoke(spark):

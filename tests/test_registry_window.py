@@ -1,4 +1,4 @@
-"""The driver grades the FIRST 50 registry entries; this pins the r5 window
+"""The driver grades the FIRST 50 registry entries; this pins the r6 window
 composition exactly, so an innocent-looking registration change cannot
 silently rotate an unvetted query into (or a vetted one out of) the graded
 prefix. Update deliberately when applying the documented rotation plan."""
@@ -8,21 +8,16 @@ from __future__ import annotations
 from duckdb_cloudflare_spark import queries as Q
 
 
-def test_graded_window_is_exactly_the_r5_rotation():
+def test_graded_window_is_exactly_the_r6_rotation():
     names = list(Q.all_queries())
     window = names[:50]
     expected = (
-        # 12 never-driver-graded entries lead (r4 judge directive; p61 is
-        # the r5-new real-PNG-codec anchor)
-        ["q36_", "q38_", "q39_", "q52_", "q53_"]
-        + [f"p{n}_" for n in range(55, 62)]
-        # stalest green history: r2 relational, q01, r3 pipeline + windows
-        + ["q29_", "q30_", "q32_", "q33_", "q34_", "q35_", "q37_", "q51_"]
-        + ["q01_"]
-        + [f"p{n:02d}_" for n in (*range(1, 6), *range(11, 14),
-                                  *range(15, 20), *range(21, 30),
-                                  *range(31, 34))]
-        + [f"q{n}_" for n in range(40, 44)]
+        # r5 driver-red (canonicalization artifacts, fixed r6) lead
+        ["q38_", "q53_"]
+        # stalest green history: q45–q50 (r3), then the r4 corpus
+        + [f"q{n}_" for n in range(45, 51)]
+        + [f"q{n:02d}_" for n in range(2, 29)]
+        + [f"p{n}_" for n in range(34, 49)]
     )
     assert len(window) == len(expected) == 50
     for name, prefix in zip(window, expected):
@@ -47,4 +42,4 @@ def test_post_window_entries_all_locally_gated():
     # gate verifies the FULL registry: assert the gate's source of truth
     # (all_queries) and the declared inventory agree in size.
     names = list(Q.all_queries())
-    assert len(names) >= 115  # grows monotonically; never silently shrinks
+    assert len(names) >= 116  # grows monotonically; never silently shrinks
