@@ -98,6 +98,12 @@ def main() -> None:
         # family as p34 but linear (no doc pairs) — the production-shaped
         # dedup metric row.
         "p36_dup_ngram_fraction",
+        # r6 headline expansion (r4/r5 advice): track the operator mix the
+        # registry actually carries — chunk-level first-occurrence dedup
+        # (Dolma-style, global window over chunk hashes) and bigram-LM
+        # scoring (order-sensitive quality, two vocab joins per doc).
+        "p44_chunk_dedup",
+        "p50_bigram_logprob",
     ]
     registry = Q.all_queries()
 

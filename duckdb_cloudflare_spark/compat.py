@@ -626,6 +626,12 @@ def rewrite_list_exprs(sql: str) -> str:
             # DuckDB raises on negative input where Spark conv returns the
             # 64-bit two's-complement string — guard with raise_error so
             # the divergence is loud, not silently wrong.
+            # CAVEAT (ADVICE r5, same class as array_pop_back above): the
+            # argument text is duplicated into the CASE guard, so a
+            # NONDETERMINISTIC argument (rand()-derived) evaluates twice
+            # and the guard may test a different sample than conv converts.
+            # Acceptable: to_base over a random expression has no stable
+            # cross-engine answer anyway; deterministic args are unaffected.
             repl = (
                 f"CASE WHEN ({a_}) < 0 THEN "
                 f"raise_error('to_base: number must be greater than or "

@@ -243,7 +243,16 @@ class D1QueryUDTF:
     """``d1_query(sql => ...)`` — arbitrary SQL, all-VARCHAR rows with column
     order from the first result row (the reference's degenerate d1_query
     schema, src/d1_functions.cpp:119-131). Like the reference, the query
-    runs at BIND time to discover columns (and again at execution)."""
+    runs at BIND time to discover columns (and again at execution).
+
+    READ-ONLY CONTRACT (ADVICE r5): because the statement executes TWICE
+    (analyze + eval) — and Spark may re-analyze/replan freely — d1_query is
+    for SELECTs only. A side-effecting statement (INSERT/UPDATE/DELETE)
+    would apply its effect an unpredictable number of times; route writes
+    through ``d1_execute`` / ``CALL d1_execute(...)``, which execute exactly
+    once (and batch inside transactions). Same split as the reference:
+    its d1_query bind also runs the query (src/d1_functions.cpp:119-131)
+    and its docs direct writes to d1_execute."""
 
     def __init__(self, analyze_result=None):
         self._ar = analyze_result

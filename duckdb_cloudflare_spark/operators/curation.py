@@ -74,9 +74,16 @@ def temperature_resample(
     the corpus is map-only filtered, never shuffled."""
     counts = df.groupBy(stratum_col).agg(F.count(F.lit(1)).alias("n_s"))
     mn = counts.agg(F.min("n_s").alias("min_n"))
+    # Null-safe join (ADVICE r5): groupBy keeps NULL as its own stratum, but
+    # a plain equi-join would silently DROP every NULL-stratum row. <=> makes
+    # NULL a first-class stratum, resampled like any other.
+    counts_r = counts.withColumnRenamed(stratum_col, "__stratum_r")
     return (
         df.withColumn("__u", D.seeded_uniform(seed, F.col(id_col)))
-        .join(broadcast(counts), stratum_col)
+        .join(
+            broadcast(counts_r),
+            F.col(stratum_col).eqNullSafe(F.col("__stratum_r")),
+        )
         .crossJoin(broadcast(mn))
         .filter(F.col("__u") < F.sqrt(F.col("min_n").cast("double") / F.col("n_s")))
         .select(*df.columns)

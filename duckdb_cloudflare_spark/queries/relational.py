@@ -876,7 +876,13 @@ def q30_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q31_approx_distinct",
-    oracle=None,  # HLL sketches differ across engines; pytest pins <2% error vs exact
+    # PERMANENTLY rows-only (r6 experiment, verdict item 6): at sf0.01 with
+    # rsd=0.01 Spark's HLL++ and DuckDB's approx_count_distinct return
+    # DIFFERENT estimates for the same input (e.g. l_partkey per returnflag:
+    # Spark 2013 vs DuckDB 1991, exact 2000) — the sketches hash with
+    # different functions, so no deterministic cross-engine oracle exists.
+    # pytest pins <2% error vs exact on both engines instead.
+    oracle=None,
     description="approx_count_distinct (HyperLogLog++) per group — the cardinality "
     "sketch that replaces COUNT(DISTINCT)'s full shuffle at 100 TB (partial sketches "
     "merge map-side; state is KB per group instead of the distinct-key set)",

@@ -92,4 +92,8 @@ def write_epoch_shards(
 def read_epoch_shard(spark, path: str, shard: int, shard_col: str = "shard"):
     """One shard of an epoch-shuffled dataset, in stored (training) order.
     Partition pruning keeps the scan to the one shard directory."""
-    return spark.read.parquet(path).filter(f"{shard_col} = {shard}")
+    from pyspark.sql import functions as F
+
+    # Typed predicate (ADVICE r5): a Column comparison instead of an
+    # f-string, so a non-integer ``shard`` can't inject into the filter.
+    return spark.read.parquet(path).filter(F.col(shard_col) == int(shard))

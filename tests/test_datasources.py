@@ -189,6 +189,48 @@ class TestCommonCrawlSource:
                 .collect()
             )
 
+    def test_many_crawl_fanout_ceiling_limit_division(self, registered):
+        # Boundary pin for the reference's limit-division semantics
+        # (src/common_crawl_index.cpp:1510-1513): a pushed LIMIT is divided
+        # across crawls with CEILING division, one partition per crawl.
+        # 25 crawls is well past any fixture default — guards against a
+        # future refactor quietly capping the fan-out or flooring the
+        # division (limit < n_crawls must still fetch 1 per crawl, not 0).
+        crawls = [f"CC-MAIN-2024-{n:02d}" for n in range(1, 26)]
+
+        def dry_rows(limit: int):
+            return (
+                registered.read.format("common_crawl")
+                .option("url", "*.example.com/*")
+                .option("crawl_id", ",".join(crawls))
+                .option("debug", "true")
+                .option("dry_run", "true")
+                .option("max_results", str(limit))
+                .load()
+                .select("cdx_url")
+                .collect()
+            )
+
+        # limit > n_crawls: ceil(100/25) = 4 per crawl
+        rows = dry_rows(100)
+        assert len(rows) == 25  # one partition per crawl, all fan out
+        assert all("&limit=4" in r["cdx_url"] for r in rows)
+        urls = sorted(r["cdx_url"] for r in rows)
+        assert len(set(urls)) == 25
+        for cid, u in zip(sorted(crawls), urls):
+            assert u.startswith(f"https://index.commoncrawl.org/{cid}-index?")
+
+        # limit < n_crawls: ceiling keeps 1 per crawl (floor would give 0
+        # and under-fetch); union cap 25 >= limit 10, trimmed by the
+        # consumer's LIMIT exactly as in the reference.
+        rows = dry_rows(10)
+        assert len(rows) == 25
+        assert all("&limit=1" in r["cdx_url"] for r in rows)
+
+        # non-divisible: ceil(30/25) = 2
+        rows = dry_rows(30)
+        assert all("&limit=2" in r["cdx_url"] for r in rows)
+
 
 class TestWaybackSource:
     def test_read_rows_with_year_month(self, registered, fixture_dir):

@@ -199,6 +199,23 @@ def test_temperature_resample_flattens_toward_smallest_lang(spark):
     assert again == kept
 
 
+def test_temperature_resample_null_stratum_is_a_stratum(spark):
+    """NULL strata must be resampled like any other, not silently dropped
+    by the counts join (ADVICE r5: plain equi-join vs <=>)."""
+    from duckdb_cloudflare_spark.operators.curation import temperature_resample
+
+    rows = [(f"d{i}", "en") for i in range(40)] + [
+        (f"n{i}", None) for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, lang string")
+    kept = temperature_resample(df, stratum_col="lang", id_col="doc_id")
+    by = {r["lang"]: r["n"] for r in kept.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    # NULL is the smallest stratum → keep-prob 1: all 10 survive.
+    assert by.get(None) == 10
+    # en down-samples toward it (sqrt(10/40)=0.5 → ~20, generous band).
+    assert 8 <= by.get("en", 0) <= 32
+
+
 def test_curate_operator_parameterized_stratum(spark):
     """The extracted curation operator must work over arbitrary columns:
     stratify by source instead of lang, different seeds/shard count."""
