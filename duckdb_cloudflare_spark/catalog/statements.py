@@ -354,7 +354,16 @@ class StatementDispatcher:
         # was just written.
         reader = self.spark.read
         if fmt == "csv":
-            reader = reader.option("header", "true")
+            # multiLine: Spark's CSV writer quotes embedded newlines; a plain
+            # read-back would count each physical line of such a value as a
+            # row and over-report Count (ADVICE r6). Match the writer's quote
+            # and escape defaults so the quoted field round-trips as one row.
+            reader = (
+                reader.option("header", "true")
+                .option("multiLine", "true")
+                .option("quote", '"')
+                .option("escape", "\\")
+            )
         n = getattr(reader, fmt)(path).count()
         return self.spark.createDataFrame([(n,)], "Count bigint")
 

@@ -147,33 +147,39 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 # The external driver grades a bounded prefix (first 50) of the registry,
 # so ordering IS the rotation policy: least-recently-driver-graded first.
 #
-# r6 window (this list):
-#   - q38 and q53 lead: driver-RED in r5 on canonicalization artifacts
-#     (HUGEINT→float64 hash / unhashable list column) with value-identical
-#     results; both fixed this round and must be driver re-graded.
-#   - stalest green history next: q45–q50 (last green r3), then the r4
-#     corpus — q02–q28 (relational) and p34–p48 (pipeline anchors) to
-#     fill 50. The rest of the r4 set (p49–p54, q54, q55) rotates in r7.
+# r7 window (this list):
+#   - q44 leads: it was graded r3 with q40–q50, but q40–q43 rotated r5 and
+#     q45–q50 rotated r6, leaving q44 the single stalest green entry (it
+#     had silently fallen through the r6 rotation bookkeeping — ADVICE r6).
+#   - then the rest of the r4-graded set per the documented plan:
+#     p49–p54, q54, q55.
+#   - then the stalest r5-graded greens to fill 50: q36/q39/q52, p55–p61,
+#     q29/q30/q32–q35/q37/q51, q01, p01–p05, p11–p13, p15–p19, p21–p29.
+#   Remaining r5 greens (p31–p33, q40–q43) and the whole r6-graded set
+#   rotate in r8.
 # Every windowed entry is oracle-bearing. Deliberately NEVER windowed:
 # the rows-only approximates (q31, p06–p10, p14, p20, p30) — the driver
 # emits `err: no_oracle` for them, which reads as a failure row; they are
 # pinned by pytest recall/quality tests and each has an exact
-# oracle-bearing anchor (p34/p35/p36/p39/p48) instead. Rotated out with
-# green driver history: q36/q39/q52, p55–p61, q29/q30/q32–q35/q37/q51,
-# q01, p01–p05/p11–p13/p15–p19/p21–p29/p31–p33, q40–q43 (all r5).
+# oracle-bearing anchor (p34/p35/p36/p39/p48) instead.
 # ALL entries, windowed or not, are verified every run by the local
 # driver-replica gate (tests/test_oracle_parity.py) and the sf0.1 scale
 # sweep (tests/test_scale_parity.py).
 _WINDOW_PRIORITY = [
-    # r5 driver-red (values identical, canonicalization artifacts), fixed
-    # this round — lead the window for driver re-grading
-    "q38_", "q53_",
-    # last green r3
-    *[f"q{n}_" for n in range(45, 51)],
-    # last green r4: stalest relational corpus
-    *[f"q{n:02d}_" for n in range(2, 29)],
-    # last green r4: pipeline anchors (p49–p54 + q54/q55 rotate in r7)
-    *[f"p{n}_" for n in range(34, 49)],
+    # single stalest green (graded r3; missed by the r5/r6 rotations)
+    "q44_",
+    # rest of the r4-graded set (documented r7 plan)
+    *[f"p{n}_" for n in range(49, 55)],
+    "q54_", "q55_",
+    # stalest r5-graded greens, in their r5 provenance order, to fill 50
+    "q36_", "q39_", "q52_",
+    *[f"p{n}_" for n in range(55, 62)],
+    "q29_", "q30_", "q32_", "q33_", "q34_", "q35_", "q37_", "q51_",
+    "q01_",
+    *[f"p{n:02d}_" for n in range(1, 6)],
+    "p11_", "p12_", "p13_",
+    *[f"p{n}_" for n in range(15, 20)],
+    *[f"p{n}_" for n in range(21, 30)],
 ]
 
 

@@ -786,6 +786,17 @@ class TestStatementSurface:
         assert df.first()["Count"] == 2
         assert eng.spark.read.parquet(out).count() == 2
 
+    def test_copy_to_csv_counts_embedded_newlines_once(self, eng, tmp_path):
+        # Spark's CSV writer quotes values containing newlines; the Count
+        # read-back must parse them as ONE row each (multiLine), not one row
+        # per physical line (ADVICE r6).
+        out = str(tmp_path / "nl.csv")
+        df = eng.sql(
+            "COPY (SELECT 'line1\nline2\nline3' AS s UNION ALL "
+            "SELECT 'plain') TO '" + out + "' (FORMAT csv)"
+        )
+        assert df.first()["Count"] == 2
+
     def test_copy_to_executes_query_once(self, eng, tmp_path):
         # The returned Count must come from the WRITTEN output, not a second
         # execution of the query (r5 verdict #4): a side-effecting UDF in

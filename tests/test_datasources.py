@@ -543,6 +543,98 @@ class TestSecrets:
         with _pytest.raises(KeyError):
             SecretRegistry().get_secret("xproc")
 
+    def test_planted_loose_permission_file_ignored(self, tmp_path):
+        # An attacker-pre-created (group/other-readable) file at the spill
+        # path must never be parsed: no credential injection into scans.
+        import os as _os
+
+        from duckdb_cloudflare_spark.catalog.secrets import SecretRegistry
+
+        spill = tmp_path / "sec.json"
+        spill.write_text('{"evil": {"type": "d1", "values": {"api_token": "x"}}}')
+        _os.chmod(spill, 0o666)
+        with pytest.warns(UserWarning, match="group/other-readable"):
+            with pytest.raises(KeyError):
+                SecretRegistry().get_secret("evil")
+
+    def test_planted_symlink_ignored(self, tmp_path):
+        # A symlink at the spill path must not be followed on load, and a
+        # write must replace the LINK (never its target).
+        import os as _os
+
+        from duckdb_cloudflare_spark.catalog.secrets import SecretRegistry
+
+        target = tmp_path / "target.json"
+        target.write_text('{"evil": {"type": "d1", "values": {"api_token": "x"}}}')
+        _os.chmod(target, 0o600)
+        spill = tmp_path / "sec.json"
+        spill.symlink_to(target)
+        with pytest.raises(KeyError):
+            SecretRegistry().get_secret("evil")
+        SecretRegistry().create_secret("mine", "d1", account_id="a", api_token="t")
+        assert not spill.is_symlink()  # os.replace swapped the link out
+        assert "evil" in target.read_text()  # target untouched
+
+    def test_env_beats_stale_spill_for_default_name(self, tmp_path, monkeypatch):
+        # A __default_d1 left on disk by an EARLIER session must not override
+        # live CLOUDFLARE_* env credentials in a new session (ADVICE r6).
+        from duckdb_cloudflare_spark.catalog.secrets import SecretRegistry
+
+        stale = SecretRegistry()
+        stale.create_secret("__default_d1", "d1", account_id="old", api_token="old")
+        monkeypatch.setenv("CLOUDFLARE_ACCOUNT_ID", "env-acct")
+        monkeypatch.setenv("CLOUDFLARE_API_TOKEN", "env-tok")
+        fresh = SecretRegistry()  # new session: empty in-memory registry
+        assert fresh.get_secret("", type="d1").get("account_id") == "env-acct"
+        # explicit NAME lookups still resolve via the file (worker path)
+        assert fresh.get_secret("__default_d1").get("account_id") == "old"
+
+    def test_concurrent_drivers_merge_not_clobber(self):
+        # Two registry instances sharing one spill path: the second driver's
+        # create must not erase the first driver's secret (read-merge-write).
+        from duckdb_cloudflare_spark.catalog.secrets import SecretRegistry
+
+        a, b = SecretRegistry(), SecretRegistry()
+        a.create_secret("from_a", "d1", account_id="a", api_token="t")
+        b.create_secret("from_b", "d1", account_id="b", api_token="t")
+        fresh = SecretRegistry()
+        assert fresh.get_secret("from_a").get("account_id") == "a"
+        assert fresh.get_secret("from_b").get("account_id") == "b"
+        b.drop_secret("from_b")
+        assert fresh.get_secret("from_a").get("account_id") == "a"
+        with pytest.raises(KeyError):
+            SecretRegistry().get_secret("from_b")
+
+    def test_atexit_cleanup_removes_only_this_sessions_names(self, tmp_path):
+        # Session secrets are scrubbed from the shared file at interpreter
+        # exit; names owned by OTHER processes survive.
+        import json as _json
+
+        from duckdb_cloudflare_spark.catalog import secrets as S
+
+        other = tmp_path / "sec.json"
+        reg = S.SecretRegistry()
+        reg.create_secret("mine", "d1", account_id="a", api_token="t")
+        # simulate another process's entry landing in the same file
+        data = _json.loads(other.read_text())
+        data["theirs"] = {"type": "d1", "values": {"account_id": "o", "api_token": "t"}}
+        S._atomic_write(str(other), data)
+        S._cleanup_owned()
+        left = _json.loads(other.read_text())
+        assert "mine" not in left and "theirs" in left
+        S._OWNED.discard((str(other), "mine"))  # don't leak into real atexit
+
+    def test_default_spill_path_is_under_private_cache_dir(self, monkeypatch):
+        import os as _os
+
+        from duckdb_cloudflare_spark.catalog import secrets as S
+
+        monkeypatch.delenv("SPARK_GRAFT_SECRET_FILE", raising=False)
+        monkeypatch.setenv("XDG_CACHE_HOME", "/does/not/matter")
+        p = S._spill_path()
+        assert p == "/does/not/matter/spark_graft/secrets.json"
+        assert _os.path.dirname(p).endswith("spark_graft")
+
 
 class TestR2:
     def test_query_raw_parity(self, registered, tmp_path):

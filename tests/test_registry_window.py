@@ -1,4 +1,4 @@
-"""The driver grades the FIRST 50 registry entries; this pins the r6 window
+"""The driver grades the FIRST 50 registry entries; this pins the r7 window
 composition exactly, so an innocent-looking registration change cannot
 silently rotate an unvetted query into (or a vetted one out of) the graded
 prefix. Update deliberately when applying the documented rotation plan."""
@@ -8,16 +8,24 @@ from __future__ import annotations
 from duckdb_cloudflare_spark import queries as Q
 
 
-def test_graded_window_is_exactly_the_r6_rotation():
+def test_graded_window_is_exactly_the_r7_rotation():
     names = list(Q.all_queries())
     window = names[:50]
     expected = (
-        # r5 driver-red (canonicalization artifacts, fixed r6) lead
-        ["q38_", "q53_"]
-        # stalest green history: q45–q50 (r3), then the r4 corpus
-        + [f"q{n}_" for n in range(45, 51)]
-        + [f"q{n:02d}_" for n in range(2, 29)]
-        + [f"p{n}_" for n in range(34, 49)]
+        # stalest green (r3; missed by the r5/r6 rotations — ADVICE r6)
+        ["q44_"]
+        # rest of the r4-graded set per the documented plan
+        + [f"p{n}_" for n in range(49, 55)]
+        + ["q54_", "q55_"]
+        # stalest r5-graded greens to fill 50
+        + ["q36_", "q39_", "q52_"]
+        + [f"p{n}_" for n in range(55, 62)]
+        + ["q29_", "q30_", "q32_", "q33_", "q34_", "q35_", "q37_", "q51_"]
+        + ["q01_"]
+        + [f"p{n:02d}_" for n in range(1, 6)]
+        + ["p11_", "p12_", "p13_"]
+        + [f"p{n}_" for n in range(15, 20)]
+        + [f"p{n}_" for n in range(21, 30)]
     )
     assert len(window) == len(expected) == 50
     for name, prefix in zip(window, expected):
