@@ -7,14 +7,17 @@ The reference establishes the pattern with WARC content: an opaque
 (/root/reference/src/common_crawl_index.cpp:391-397). This module
 generalizes it to media assets for training-data pipelines.
 
-Codecs: **PNG is decoded/encoded/resized by a REAL codec** — the
-pure-Python stdlib-zlib implementation in ``util/png.py`` (full filter
-reconstruction, CRC verification), active with no optional dependency;
-other image formats route through Pillow when installed (``real_codec()``
-probe). Audio/video remain represented by the deterministic synthetic
-container format (``FIMG``/``FAUD``/``FVID`` headers, below) because no
-audio/video library exists in this environment — that half of
-``decode_with_real_codec`` stays an honest ``NotImplementedError``.
+Codecs: **PNG and baseline grayscale JPEG are decoded/encoded/resized by
+REAL codecs** — the pure-Python stdlib-zlib PNG implementation in
+``util/png.py`` (full filter reconstruction, CRC verification) and the
+pure-Python ITU-T T.81 baseline JPEG implementation in ``util/jpeg.py``
+(DCT, Annex-K quant/Huffman tables, JFIF container), both active with no
+optional dependency; other image formats route through Pillow when
+installed (``real_codec()`` probe). Audio/video remain represented by the
+deterministic synthetic container format (``FIMG``/``FAUD``/``FVID``
+headers, below) because no audio/video library exists in this
+environment — that half of ``decode_with_real_codec`` stays an honest
+``NotImplementedError``.
 Everything Spark-side — schemas, ``mapInPandas`` batch iteration, Arrow
 transfer, partition sizing, explode of frame samples — is real and tested.
 
@@ -39,7 +42,7 @@ from typing import Optional
 
 import pandas as pd
 
-from duckdb_cloudflare_spark.util import png
+from duckdb_cloudflare_spark.util import jpeg, png
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -157,6 +160,14 @@ def decode_asset_meta(data: Optional[bytes]) -> dict:
                 meta.update(mime="image/png", width=w, height=h, channels=c)
             except png.PngFormatError as e:
                 meta["error"] = f"[Error: {e}]"
+        elif bytes(data[:2]) == jpeg.SOI:
+            # REAL codec path: baseline JPEG via util/jpeg.py — SOF0
+            # header-only probe (no entropy decode).
+            try:
+                w, h, c = jpeg.jpeg_meta(bytes(data))
+                meta.update(mime="image/jpeg", width=w, height=h, channels=c)
+            except jpeg.JpegFormatError as e:
+                meta["error"] = f"[Error: {e}]"
         else:
             img_mod = real_codec()
             decoded = False
@@ -200,6 +211,16 @@ def _resize_bytes(data: Optional[bytes], width: int, height: int) -> Optional[by
                 width, height, c,
             )
         except png.PngFormatError:
+            return None
+    if data[:2] == jpeg.SOI:
+        # REAL codec: entropy decode → nearest-neighbor resample → re-encode
+        try:
+            w0, h0, pixels = jpeg.decode_jpeg(data)
+            return jpeg.encode_jpeg(
+                png.resize_nearest(pixels, w0, h0, 1, width, height),
+                width, height,
+            )
+        except jpeg.JpegFormatError:
             return None
     if data[:4] != IMG_MAGIC or len(data) < _IMG_HDR.size:
         img_mod = real_codec()
@@ -254,12 +275,15 @@ def decode_with_real_codec(data: bytes):
     data = bytes(data)
     if data[:8] == png.PNG_SIGNATURE:
         return png.decode_png(data)
+    if data[:2] == jpeg.SOI:
+        w, h, pixels = jpeg.decode_jpeg(data)
+        return w, h, 1, pixels
     img_mod = real_codec()
     if img_mod is None:
         raise NotImplementedError(
-            "no codec for this format in this environment: PNG decodes "
-            "built-in; other formats need Pillow (or use the synthetic "
-            "FIMG/FAUD/FVID containers)"
+            "no codec for this format in this environment: PNG and baseline "
+            "grayscale JPEG decode built-in; other formats need Pillow (or "
+            "use the synthetic FIMG/FAUD/FVID containers)"
         )
     import io
 

@@ -1384,3 +1384,61 @@ def p61_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "text")
         .mapInPandas(gen, schema=out_schema)
     )
+
+
+@register(
+    "p62_jpeg_roundtrip",
+    oracle="""
+    SELECT doc_id,
+           CAST(8 + 8 * (doc_id % 3) AS BIGINT) AS width,
+           CAST(8 + 8 * (doc_id % 2) AS BIGINT) AS height,
+           CAST((doc_id * 37 + length(coalesce(text, ''))) % 256 AS BIGINT)
+               AS gray,
+           CAST(TRUE AS BOOLEAN) AS uniform
+    FROM documents
+    """,
+    description="SECOND real codec under the hash check (r5 verdict #8): "
+    "per document, a solid-gray image (value derived from the doc) is "
+    "encoded to an actual baseline JFIF JPEG (util/jpeg.py: 8x8 FDCT, "
+    "Annex-K quantization + Huffman tables, byte-stuffed entropy stream) "
+    "and entropy-DECODED back. At quality 75 the scaled table has "
+    "Q[0,0]=8 and a solid block's only coefficient is DC=8*(v-128), so "
+    "quantization is exact and the round trip is bit-perfect: the output "
+    "carries the SOF0-decoded dimensions, the recovered gray level, and "
+    "a uniformity flag over every decoded pixel. The DuckDB oracle "
+    "computes the same values closed-form, so a defect anywhere in the "
+    "DCT/quant/Huffman/stuffing path flips the hash. (General images are "
+    "lossy by design; error bounds are pinned in tests/test_jpeg_codec.py.) "
+    "Map-only mapInPandas — JPEG bytes never cross back to the JVM.",
+)
+def p62_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from duckdb_cloudflare_spark.util import jpeg as _jpeg
+
+    out_schema = "doc_id long, width long, height long, gray long, uniform boolean"
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"doc_id": [], "width": [], "height": [],
+                    "gray": [], "uniform": []}
+            for i, t in zip(pdf["doc_id"], pdf["text"]):
+                i = int(i)
+                w, h = 8 + 8 * (i % 3), 8 + 8 * (i % 2)
+                v = (i * 37 + len(t or "")) % 256
+                blob = _jpeg.encode_jpeg(bytes([v]) * (w * h), w, h, quality=75)
+                w2, h2, rec = _jpeg.decode_jpeg(blob)
+                rows["doc_id"].append(i)
+                rows["width"].append(w2)
+                rows["height"].append(h2)
+                rows["gray"].append(rec[0])
+                rows["uniform"].append(rec == bytes([rec[0]]) * len(rec))
+            yield pd.DataFrame(rows)
+
+    return (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .mapInPandas(gen, schema=out_schema)
+    )
