@@ -119,3 +119,110 @@ def identify_language(text: Column) -> Column:
 
 def with_language(df: DataFrame, text_col: str = "text", out_col: str = "lang_pred") -> DataFrame:
     return df.withColumn(out_col, identify_language(F.col(text_col)))
+
+
+def _word_ngrams(ts: Column, n: int) -> Column:
+    """Space-joined word n-grams from a token array (empty when < n tokens)."""
+    cols = [F.slice(ts, i + 1, F.greatest(F.size(ts) - n + 1, F.lit(0))) for i in range(n)]
+    out = cols[0]
+    for nxt in cols[1:]:
+        out = F.zip_with(out, nxt, lambda a, b: F.concat_ws(" ", a, b))
+    return out
+
+
+def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """WITHIN-document repetition diagnostics — the Gopher repetition-removal
+    rules (Rae et al. 2021, Table A1) that p53's length/stopword rules don't
+    cover. Per document:
+
+    - ``top2_frac`` / ``top3_frac``: fraction of (non-space) characters
+      covered by the single most frequent word 2-gram / 3-gram
+      (``count * gram_chars / total_chars``; Gopher drops docs above
+      0.20 / 0.18). Most-frequent tie-break is deterministic: count DESC,
+      gram char length DESC, gram ASC.
+    - ``dup5_frac``: summed character mass of all 5-grams occurring MORE
+      than once in the doc over total characters (the duplicated-n-gram
+      family; Gopher's threshold for n=5 is 0.15). Overlapping occurrences
+      are each counted, so the ratio may exceed 1 — it is a repetition
+      PRESSURE score, identical on both engines, not a coverage measure.
+
+    Character totals count letters only (sum of token lengths, no spaces).
+    Fractions are single integer/integer divisions → bit-identical doubles
+    across engines, no rounding needed.
+
+    Scale shape: one map-side explode per n plus a partial-aggregated
+    groupBy keyed by (doc_id, gram) — high cardinality, no hot keys — and
+    a per-doc top-1 window on the tiny (doc_id, gram, count) aggregate.
+    The corpus text itself never shuffles; only gram keys do.
+    """
+    base = df.select(
+        "doc_id",
+        tokens(F.col(text_col)).alias("ts"),
+    ).select(
+        "doc_id",
+        "ts",
+        F.aggregate(
+            F.transform(F.col("ts"), F.length), F.lit(0), lambda a, x: a + x
+        ).alias("total_chars"),
+    )
+
+    def top_frac(n: int, alias: str) -> DataFrame:
+        from pyspark.sql import Window
+
+        counts = (
+            base.select(
+                "doc_id",
+                "total_chars",
+                F.explode(_word_ngrams(F.col("ts"), n)).alias("gram"),
+            )
+            .groupBy("doc_id", "total_chars", "gram")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .withColumn("gchars", F.length("gram") - (n - 1))
+        )
+        w = Window.partitionBy("doc_id").orderBy(
+            F.col("cnt").desc(), F.col("gchars").desc(), F.col("gram")
+        )
+        return (
+            counts.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select(
+                "doc_id",
+                (
+                    (F.col("cnt") * F.col("gchars")).cast("double")
+                    / F.col("total_chars")
+                ).alias(alias),
+            )
+        )
+
+    dup5 = (
+        base.select(
+            "doc_id",
+            "total_chars",
+            F.explode(_word_ngrams(F.col("ts"), 5)).alias("gram"),
+        )
+        .groupBy("doc_id", "total_chars", "gram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= 2)
+        .groupBy("doc_id", "total_chars")
+        .agg(F.sum(F.col("cnt") * (F.length("gram") - 4)).alias("dup_mass"))
+        .select(
+            "doc_id",
+            (F.col("dup_mass").cast("double") / F.col("total_chars")).alias(
+                "dup5_frac"
+            ),
+        )
+    )
+
+    return (
+        base.select("doc_id", "total_chars")
+        .join(top_frac(2, "top2_frac"), "doc_id", "left")
+        .join(top_frac(3, "top3_frac"), "doc_id", "left")
+        .join(dup5, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("total_chars").cast("bigint").alias("total_chars"),
+            F.coalesce("top2_frac", F.lit(0.0)).alias("top2_frac"),
+            F.coalesce("top3_frac", F.lit(0.0)).alias("top3_frac"),
+            F.coalesce("dup5_frac", F.lit(0.0)).alias("dup5_frac"),
+        )
+    )

@@ -1,0 +1,85 @@
+"""Web/url operators for crawl-scale pipelines.
+
+The reference's scan surface is keyed by URL (CDX ``url`` patterns,
+collapse=urlkey dedup — /root/reference/src/common_crawl_index.cpp); a
+training-data pipeline consuming those scans needs the next step: URL
+CANONICALIZATION, so that the same page fetched under trivially-different
+URLs (scheme/host case, default ports, tracking parameters, fragment,
+trailing slash, parameter order) deduplicates to one key — the same
+normalization family CDX servers apply server-side as "urlkey"/SURT.
+
+Everything is built from JVM-side expressions (``parse_url`` + array
+functions) — no Python in the hot path; at 100 TB this is a map-only
+column derivation that whole-stage codegen fuses into the scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Query parameters that never identify content (tracking/click IDs).
+TRACKING_PARAMS = ("utm_", "fbclid", "gclid", "msclkid", "mc_eid", "igshid")
+
+
+def canonicalize_url(url: Column) -> Column:
+    """Normalize a URL column to a canonical dedup key:
+
+    - scheme and host lowercased (path case is PRESERVED — it is
+      significant per RFC 3986);
+    - default ports dropped (``:443`` for https, ``:80`` for http),
+      non-default ports kept;
+    - fragment dropped;
+    - tracking parameters removed (``TRACKING_PARAMS`` prefixes);
+    - remaining query parameters sorted byte-lexicographically, and the
+      ``?`` dropped entirely when none survive;
+    - empty path becomes ``/``; a trailing slash is stripped from
+      non-root paths.
+
+    Returns NULL for NULL input; a string without a parseable host
+    canonicalizes to NULL (parse_url semantics), which callers should
+    treat as "not a URL".
+    """
+    scheme = F.lower(F.try_parse_url(url, F.lit("PROTOCOL")))
+    host = F.lower(F.try_parse_url(url, F.lit("HOST")))
+    authority = F.try_parse_url(url, F.lit("AUTHORITY"))
+    port = F.regexp_extract(authority, r":(\d+)$", 1)
+    is_default = ((scheme == "https") & (port == "443")) | (
+        (scheme == "http") & (port == "80")
+    )
+    hostport = F.when((port == "") | is_default, host).otherwise(
+        F.concat(host, F.lit(":"), port)
+    )
+
+    path = F.coalesce(F.try_parse_url(url, F.lit("PATH")), F.lit(""))
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    path = F.when(path == "/", path).otherwise(F.regexp_replace(path, "/$", ""))
+
+    def _kept(p: Column) -> Column:
+        drop = (p == "") | p.startswith("utm_")
+        for t in TRACKING_PARAMS[1:]:
+            drop = drop | p.startswith(t + "=") | (p == t)
+        return ~drop
+
+    params = F.array_sort(
+        F.filter(F.split(F.coalesce(F.try_parse_url(url, F.lit("QUERY")), F.lit("")), "&"), _kept)
+    )
+    query = F.array_join(params, "&")
+
+    return F.when(
+        host.isNull() | (host == ""), F.lit(None).cast("string")
+    ).otherwise(
+        F.concat(
+            scheme,
+            F.lit("://"),
+            hostport,
+            path,
+            F.when(query == "", F.lit("")).otherwise(F.concat(F.lit("?"), query)),
+        )
+    )
+
+
+def url_host(url: Column) -> Column:
+    """Lowercased host — the grouping key for per-domain caps (p24) and
+    domain-level corpus stats."""
+    return F.lower(F.try_parse_url(url, F.lit("HOST")))

@@ -1442,3 +1442,111 @@ def p62_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "text")
         .mapInPandas(gen, schema=out_schema)
     )
+
+
+@register(
+    "p63_url_canonicalize",
+    oracle="""
+    SELECT doc_id,
+           'https://www.example' || (doc_id % 50) || '.com' ||
+           CASE WHEN doc_id % 2 = 0 THEN '' ELSE ':8080' END ||
+           '/Path/' || doc_id || '?a=1&b=' || (doc_id % 7) AS canonical,
+           'www.example' || (doc_id % 50) || '.com' AS host
+    FROM documents
+    """,
+    description="URL canonicalization — the dedup-key normalization a crawl "
+    "pipeline applies between the reference's CDX scans (keyed by url / "
+    "collapse=urlkey) and exact dedup. The corpus has no URL column, so a "
+    "deterministic DIRTY url is synthesized per doc (upper-case scheme+host, "
+    "default :443 or non-default :8080 port, trailing slash on every 3rd "
+    "doc, shuffled query with utm_/fbclid tracking params, fragment) and "
+    "the REAL operator (operators/web.py: parse_url + array filter/sort, "
+    "all JVM expressions) normalizes it: lowercased scheme+host, default "
+    "port dropped / non-default kept, fragment gone, tracking params "
+    "removed, surviving params sorted, trailing slash stripped. The oracle "
+    "states the expected canonical form closed-form, so every rule is "
+    "hash-checked. Map-only, whole-stage codegen.",
+)
+def p63_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duckdb_cloudflare_spark.operators.web import canonicalize_url, url_host
+
+    d = load(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    dirty = F.concat(
+        F.lit("HTTPS://WWW.Example"), (i % 50).cast("string"), F.lit(".COM"),
+        F.when(i % 2 == 0, F.lit(":443")).otherwise(F.lit(":8080")),
+        F.lit("/Path/"), i.cast("string"),
+        F.when(i % 3 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.lit("?utm_source=feed&b="), (i % 7).cast("string"),
+        F.lit("&a=1&fbclid=xyz#sec"),
+    )
+    return d.select(
+        "doc_id",
+        canonicalize_url(dirty).alias("canonical"),
+        url_host(dirty).alias("host"),
+    )
+
+
+@register(
+    "p64_repetition_stats",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id,
+               string_split_regex(trim(coalesce(text, '')), '\s+') AS ts
+        FROM documents
+    ),
+    tot AS (
+        SELECT doc_id,
+               CAST(list_aggregate(list_transform(ts, x -> length(x)), 'sum')
+                    AS BIGINT) AS total_chars
+        FROM toks
+    ),
+    g2 AS (SELECT doc_id, unnest(list_transform(range(1, len(ts)),
+               i -> ts[i] || ' ' || ts[i+1])) AS gram
+           FROM toks WHERE len(ts) >= 2),
+    c2 AS (SELECT doc_id, gram, count(*) AS cnt FROM g2 GROUP BY 1, 2),
+    t2 AS (SELECT doc_id, cnt, length(gram) - 1 AS gchars FROM c2
+           QUALIFY row_number() OVER (PARTITION BY doc_id
+               ORDER BY cnt DESC, length(gram) - 1 DESC, gram) = 1),
+    g3 AS (SELECT doc_id, unnest(list_transform(range(1, len(ts) - 1),
+               i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS gram
+           FROM toks WHERE len(ts) >= 3),
+    c3 AS (SELECT doc_id, gram, count(*) AS cnt FROM g3 GROUP BY 1, 2),
+    t3 AS (SELECT doc_id, cnt, length(gram) - 2 AS gchars FROM c3
+           QUALIFY row_number() OVER (PARTITION BY doc_id
+               ORDER BY cnt DESC, length(gram) - 2 DESC, gram) = 1),
+    g5 AS (SELECT doc_id, unnest(list_transform(range(1, len(ts) - 3),
+               i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' '
+                    || ts[i+3] || ' ' || ts[i+4])) AS gram
+           FROM toks WHERE len(ts) >= 5),
+    c5 AS (SELECT doc_id, gram, count(*) AS cnt FROM g5 GROUP BY 1, 2),
+    d5 AS (SELECT doc_id,
+                  CAST(sum(cnt * (length(gram) - 4)) AS BIGINT) AS dup_mass
+           FROM c5 WHERE cnt >= 2 GROUP BY doc_id)
+    SELECT tot.doc_id, tot.total_chars,
+           coalesce(CAST(t2.cnt * t2.gchars AS DOUBLE) / tot.total_chars, 0.0)
+               AS top2_frac,
+           coalesce(CAST(t3.cnt * t3.gchars AS DOUBLE) / tot.total_chars, 0.0)
+               AS top3_frac,
+           coalesce(CAST(d5.dup_mass AS DOUBLE) / tot.total_chars, 0.0)
+               AS dup5_frac
+    FROM tot
+    LEFT JOIN t2 ON t2.doc_id = tot.doc_id
+    LEFT JOIN t3 ON t3.doc_id = tot.doc_id
+    LEFT JOIN d5 ON d5.doc_id = tot.doc_id
+    """,
+    description="WITHIN-document repetition diagnostics — the Gopher "
+    "repetition-removal rules (Rae et al. 2021 Table A1) missing from "
+    "p53's length/stopword report: fraction of characters covered by the "
+    "most frequent word 2-/3-gram (deterministic count/charlen/gram "
+    "tie-break) and the summed character mass of 5-grams occurring more "
+    "than once. Fractions are single int/int divisions (bit-identical "
+    "doubles, unrounded). operators/text_analysis.py::repetition_stats: "
+    "one explode + partial-agg groupBy per n keyed by (doc_id, gram) — "
+    "high cardinality, no hot keys, corpus text never shuffles.",
+)
+def p64_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.coalesce(F.col("text"), F.lit("")).alias("text")
+    )
+    return T.repetition_stats(d)

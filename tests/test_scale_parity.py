@@ -17,7 +17,7 @@ import os
 import pytest
 
 from duckdb_cloudflare_spark import queries as Q
-from tests.test_oracle_parity import _normalize
+from tests.test_oracle_parity import _driver_canon, _norm_cell
 
 SCALE_SF_DIR = "/root/testdata/sf0.1"
 
@@ -54,15 +54,15 @@ def duck_scale():
     "name", sorted(set(ORACLES) - QUADRATIC_SLICE_ANCHORS)
 )
 def test_scale_parity(spark, duck_scale, name):
-    sdf = ALL[name](spark, SCALE_SF_DIR)
-    spark_rows = [tuple(r) for r in sdf.collect()]
-    rel = duck_scale.sql(ORACLES[name])
-    duck_rows = rel.fetchall()
-    assert sorted(sdf.columns) == sorted(rel.columns)
-    assert len(spark_rows) == len(duck_rows), (
-        f"{name}@sf0.1: rows {len(spark_rows)} vs {len(duck_rows)}"
+    # Same driver-faithful pandas protocol as the sf0.01 gate (r6 rewrite).
+    spdf = ALL[name](spark, SCALE_SF_DIR).toPandas()
+    opdf = duck_scale.sql(ORACLES[name]).df()
+    assert sorted(spdf.columns) == sorted(opdf.columns)
+    assert len(spdf) == len(opdf), (
+        f"{name}@sf0.1: rows {len(spdf)} vs {len(opdf)}"
     )
-    ns = _normalize(spark_rows, sdf.columns)
-    nd = _normalize(duck_rows, rel.columns)
-    mismatches = [(a, b) for a, b in zip(ns, nd) if a != b]
+    cs, co = _driver_canon(spdf), _driver_canon(opdf)
+    ns = sorted(tuple(_norm_cell(v) for v in row) for row in cs.itertuples(index=False))
+    no = sorted(tuple(_norm_cell(v) for v in row) for row in co.itertuples(index=False))
+    mismatches = [(a, b) for a, b in zip(ns, no) if a != b]
     assert not mismatches, f"{name}@sf0.1: first mismatches: {mismatches[:3]}"
