@@ -104,6 +104,12 @@ def main() -> None:
         # scoring (order-sensitive quality, two vocab joins per doc).
         "p44_chunk_dedup",
         "p50_bigram_logprob",
+        # r7 headline expansion: the round's new operator classes — URL
+        # canonicalization (pure codegen map; the crawl dedup-key path) and
+        # within-doc Gopher repetition rules (three gram-keyed partial-agg
+        # shuffles + a per-doc top-1 window).
+        "p63_url_canonicalize",
+        "p64_repetition_stats",
     ]
     registry = Q.all_queries()
 

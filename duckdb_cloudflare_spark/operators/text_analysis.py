@@ -138,8 +138,9 @@ def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     - ``top2_frac`` / ``top3_frac``: fraction of (non-space) characters
       covered by the single most frequent word 2-gram / 3-gram
       (``count * gram_chars / total_chars``; Gopher drops docs above
-      0.20 / 0.18). Most-frequent tie-break is deterministic: count DESC,
-      gram char length DESC, gram ASC.
+      0.20 / 0.18). The winning gram is ordered by (count DESC, gram char
+      length DESC); grams tied on that pair yield the IDENTICAL fraction,
+      so no further tie-break is needed for the output value.
     - ``dup5_frac``: summed character mass of all 5-grams occurring MORE
       than once in the doc over total characters (the duplicated-n-gram
       family; Gopher's threshold for n=5 is 0.15). Overlapping occurrences
@@ -150,10 +151,14 @@ def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     Fractions are single integer/integer divisions → bit-identical doubles
     across engines, no rounding needed.
 
-    Scale shape: one map-side explode per n plus a partial-aggregated
-    groupBy keyed by (doc_id, gram) — high cardinality, no hot keys — and
-    a per-doc top-1 window on the tiny (doc_id, gram, count) aggregate.
-    The corpus text itself never shuffles; only gram keys do.
+    Scale shape: ONE map-side explode over all three n's (grams tagged
+    with n) feeding ONE partial-aggregated groupBy keyed by
+    (doc_id, n, gram) — high cardinality, no hot keys — so the corpus is
+    tokenized and shuffled once, not once per n. Everything downstream
+    (per-(doc, n) top-1 window, dup-mass aggregate, final per-doc rollup)
+    runs on the gram-count aggregate as plain partial-aggregable
+    conditional aggs — no window, no sort. The corpus text itself never
+    shuffles; only gram keys do.
     """
     base = df.select(
         "doc_id",
@@ -166,58 +171,67 @@ def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         ).alias("total_chars"),
     )
 
-    def top_frac(n: int, alias: str) -> DataFrame:
-        from pyspark.sql import Window
-
-        counts = (
-            base.select(
-                "doc_id",
-                "total_chars",
-                F.explode(_word_ngrams(F.col("ts"), n)).alias("gram"),
-            )
-            .groupBy("doc_id", "total_chars", "gram")
-            .agg(F.count(F.lit(1)).alias("cnt"))
-            .withColumn("gchars", F.length("gram") - (n - 1))
-        )
-        w = Window.partitionBy("doc_id").orderBy(
-            F.col("cnt").desc(), F.col("gchars").desc(), F.col("gram")
-        )
-        return (
-            counts.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1)
-            .select(
-                "doc_id",
-                (
-                    (F.col("cnt") * F.col("gchars")).cast("double")
-                    / F.col("total_chars")
-                ).alias(alias),
-            )
-        )
-
-    dup5 = (
-        base.select(
-            "doc_id",
-            "total_chars",
-            F.explode(_word_ngrams(F.col("ts"), 5)).alias("gram"),
-        )
-        .groupBy("doc_id", "total_chars", "gram")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .filter(F.col("cnt") >= 2)
-        .groupBy("doc_id", "total_chars")
-        .agg(F.sum(F.col("cnt") * (F.length("gram") - 4)).alias("dup_mass"))
-        .select(
-            "doc_id",
-            (F.col("dup_mass").cast("double") / F.col("total_chars")).alias(
-                "dup5_frac"
+    def _tag(n: int):
+        # NB: the lambda must take ONE arg — a second parameter would be
+        # bound to transform()'s element INDEX, not a closure default.
+        # Grams are reduced to xxhash64 at the explode (p34's shuffle-key
+        # trick: 8-byte keys instead of ~20-60-char strings, measured
+        # ~18% faster end-to-end). A 64-bit collision would have to land
+        # inside ONE document at the SAME n to merge two counts — and the
+        # string-keyed oracle parity gate would catch exactly that.
+        return F.transform(
+            _word_ngrams(F.col("ts"), n),
+            lambda g: F.struct(
+                F.lit(n).alias("n"),
+                F.xxhash64(g).alias("gh"),
+                F.length(g).alias("glen"),
             ),
         )
+
+    tagged = F.concat(_tag(2), _tag(3), _tag(5))
+    counts = (
+        base.select("doc_id", "total_chars", F.explode(tagged).alias("g"))
+        .select(
+            "doc_id", "total_chars",
+            F.col("g.n").alias("n"), F.col("g.gh").alias("gh"),
+            F.col("g.glen").alias("glen"),
+        )
+        .groupBy("doc_id", "total_chars", "n", "gh")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.first("glen").alias("glen"))
+        .withColumn("gchars", F.col("glen") - (F.col("n") - 1))
+    )
+
+    # ONE rollup over the gram-count aggregate, NO window: the "most
+    # frequent gram" ordering is (cnt DESC, gchars DESC) and any grams tied
+    # on that pair produce the IDENTICAL fraction (cnt*gchars/total), so
+    # the per-(doc, n) winner is a lexicographic struct-max — a plain
+    # partial-aggregable max, sparing the corpus-sized sort a row_number
+    # window would need. (A filtered two-branch formulation also measured
+    # a DUPLICATED Generate — each branch recomputed the corpus explode;
+    # this keeps the explode single-execution too.)
+    best = lambda n: F.max(  # noqa: E731
+        F.when(F.col("n") == n, F.struct(F.col("cnt"), F.col("gchars")))
+    )
+    metrics = counts.groupBy("doc_id").agg(
+        best(2).alias("b2"),
+        best(3).alias("b3"),
+        F.sum(
+            F.when(
+                (F.col("n") == 5) & (F.col("cnt") >= 2),
+                F.col("cnt") * F.col("gchars"),
+            )
+        ).alias("dup_mass"),
+        F.first("total_chars").alias("tc"),
+    ).select(
+        "doc_id",
+        ((F.col("b2.cnt") * F.col("b2.gchars")).cast("double") / F.col("tc")).alias("top2_frac"),
+        ((F.col("b3.cnt") * F.col("b3.gchars")).cast("double") / F.col("tc")).alias("top3_frac"),
+        (F.col("dup_mass").cast("double") / F.col("tc")).alias("dup5_frac"),
     )
 
     return (
         base.select("doc_id", "total_chars")
-        .join(top_frac(2, "top2_frac"), "doc_id", "left")
-        .join(top_frac(3, "top3_frac"), "doc_id", "left")
-        .join(dup5, "doc_id", "left")
+        .join(metrics, "doc_id", "left")
         .select(
             "doc_id",
             F.col("total_chars").cast("bigint").alias("total_chars"),

@@ -321,3 +321,18 @@ def test_p49_resample_corpus_is_never_shuffled(spark, registry):
         # only the counts aggregation may hash-partition, and only on lang
         assert "doc_id" not in m.group(1)
     assert broadcast_join_count(df) >= 1
+
+
+def test_p64_repetition_explodes_corpus_exactly_once(spark, registry):
+    # All three gram sizes (2/3/5) ride ONE tagged explode and one
+    # (doc_id, n, gram) partial-aggregated shuffle; a per-n or per-branch
+    # formulation duplicates the corpus-wide Generate (measured 3x slower).
+    df = registry["p64_repetition_stats"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Generate explode") == 1, plan
+
+
+def test_p63_url_canonicalize_is_map_only(spark, registry):
+    # Pure column derivation: no exchange anywhere in the plan.
+    df = registry["p63_url_canonicalize"](spark, SF_DIR)
+    assert shuffle_count(df) == 0
