@@ -278,7 +278,10 @@ def rewrite_qualify(sql: str) -> str:
 _FUNCTION_ALIASES = {
     "arg_max": "max_by",
     "arg_min": "min_by",
-    "list": "collect_list",
+    # NB: the AGGREGATES list(x) / array_agg(x) are NOT simple renames —
+    # DuckDB keeps NULL elements ([1, NULL, 3]) where Spark's collect_list
+    # DROPS them (verified on both). They get a NULL-preserving expression
+    # rewrite in rewrite_list_exprs instead.
     "list_value": "array",
     "list_pack": "array",  # DuckDB alias of list_value
     "array_length": "size",
@@ -433,7 +436,8 @@ def rewrite_file_tables(sql: str) -> str:
 _LIST_EXPR = re.compile(
     r"\b(list_unique|list_slice|array_slice|list_contains|list_has|array_has"
     r"|array_contains|list_has_any|list_first|list_last|date_add"
-    r"|array_pop_back|array_pop_front|to_base)\s*\(",
+    r"|array_pop_back|array_pop_front|to_base|list|array_agg"
+    r"|date_diff|datediff)\s*\(",
     re.IGNORECASE,
 )
 
@@ -637,6 +641,48 @@ def rewrite_list_exprs(sql: str) -> str:
                 f"raise_error('to_base: number must be greater than or "
                 f"equal to 0') ELSE conv({a_}, 10, {b_}) END"
             )
+        elif fn in ("list", "array_agg"):
+            # DuckDB's list()/array_agg() KEEP NULL elements; Spark's
+            # collect_list drops them (verified: [1,NULL,3] vs [1,3]).
+            # NULL-preserving form: collect a non-null struct wrapper, then
+            # unwrap — struct(NULL AS v) is itself non-null, so nothing is
+            # dropped. Aggregation ORDER is unspecified in Spark either way
+            # (same caveat the plain rename had). DISTINCT / ORDER BY
+            # modifiers have no faithful Spark equivalent (collect_set also
+            # drops NULLs) → raise rather than mis-run.
+            if len(args) != 1:
+                raise ValueError(f"{fn} takes exactly 1 argument")
+            arg = args[0].strip()
+            if re.match(r"DISTINCT\b", arg, re.IGNORECASE) or re.search(
+                r"\bORDER\s+BY\b", arg, re.IGNORECASE
+            ):
+                raise ValueError(
+                    f"{fn}: DISTINCT/ORDER BY modifiers have no NULL-faithful "
+                    "Spark equivalent (collect_set drops NULLs); rewrite the "
+                    "query explicitly"
+                )
+            repl = f"transform(collect_list(struct(({arg}) AS v)), s -> s.v)"
+        elif fn in ("date_diff", "datediff"):
+            # DuckDB 3-arity date_diff(part, start, end) counts PART
+            # boundary crossings. Spark's 2-arity datediff(end, start)
+            # counts DAY boundary crossings identically (verified incl.
+            # timestamps: 23:59→00:01 = 1 on both) — so only the 'day'
+            # part maps exactly; month/year parts count boundaries in
+            # DuckDB but Spark's months_between is fractional → raise.
+            # The 2-arity spelling is already Spark's own: left alone.
+            if len(args) == 2:
+                skip.add(m.start(1))
+                continue
+            if len(args) != 3:
+                raise ValueError(f"{fn} takes 2 or 3 arguments")
+            part, a_, b_ = (x.strip() for x in args)
+            if part.strip("'\"").lower() not in ("day", "days", "d"):
+                raise ValueError(
+                    f"{fn}: only the 'day' part maps exactly to Spark "
+                    "datediff (other parts count boundary crossings in "
+                    "DuckDB with no Spark drop-in); rewrite explicitly"
+                )
+            repl = f"datediff(({b_}), ({a_}))"
         else:  # list_first / list_last
             if len(args) != 1:
                 raise ValueError(f"{fn} takes exactly 1 argument")

@@ -138,7 +138,9 @@ class TestFunctionAliases:
         from duckdb_cloudflare_spark.compat import rewrite_function_names as rw
 
         assert rw("SELECT arg_max(a, b) FROM t") == "SELECT max_by(a, b) FROM t"
-        assert rw("SELECT list(x), len(s) FROM t") == "SELECT collect_list(x), length(s) FROM t"
+        # list() is NO LONGER a rename (DuckDB keeps NULL elements,
+        # collect_list drops them) — it rewrites in rewrite_list_exprs.
+        assert rw("SELECT list(x), len(s) FROM t") == "SELECT list(x), length(s) FROM t"
         assert rw("SELECT list_value(1), array_length(l) FROM t") == (
             "SELECT array(1), size(l) FROM t"
         )
@@ -353,6 +355,48 @@ class TestListExprRewrites:
         drow = list(duck.sql(body).fetchone())
         srow = list(duck_sql(t, body).collect()[0])
         assert srow == drow == [False, True, None, None, False]
+
+    def test_list_agg_preserves_nulls_cross_engine(self, t, duck):
+        # DuckDB list()/array_agg() KEEP NULL elements; Spark collect_list
+        # drops them — the old plain rename was silently wrong here. The
+        # struct-wrap rewrite must keep [1, NULL, 3] intact (order-
+        # insensitive compare: Spark aggregation order is unspecified).
+        body = (
+            "SELECT list(x) AS l, array_agg(x) AS a "
+            "FROM (VALUES (1), (CAST(NULL AS INT)), (3)) AS s(x)"
+        )
+        drow = list(duck.sql(body).fetchone())
+        srow = list(duck_sql(t, body).collect()[0])
+        key = lambda v: (v is None, v)  # noqa: E731
+        assert sorted(srow[0], key=key) == sorted(drow[0], key=key)
+        assert sorted(srow[1], key=key) == sorted(drow[1], key=key)
+        assert None in srow[0] and None in srow[1]
+
+    def test_list_agg_modifiers_raise(self, t):
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="DISTINCT"):
+            duck_sql(t, "SELECT list(DISTINCT x) FROM (VALUES (1)) AS s(x)")
+
+    def test_date_diff_day_cross_engine(self, t, duck):
+        # 3-arity date_diff/datediff with the 'day' part: boundary-crossing
+        # counts agree (incl. the 23:59 -> 00:01 timestamp case = 1); other
+        # parts raise; Spark's own 2-arity spelling passes through.
+        body = (
+            "SELECT date_diff('day', DATE '2024-01-30', DATE '2024-03-01') AS d1, "
+            "datediff('day', TIMESTAMP '2024-01-01 23:59:00', "
+            "TIMESTAMP '2024-01-02 00:01:00') AS d2"
+        )
+        drow = list(duck.sql(body).fetchone())
+        srow = list(duck_sql(t, body).collect()[0])
+        assert srow == drow == [31, 1]
+        assert duck_sql(
+            t, "SELECT datediff(DATE '2024-03-01', DATE '2024-01-30') AS d"
+        ).first()["d"] == 31
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="'day' part"):
+            duck_sql(t, "SELECT date_diff('month', DATE '2024-01-01', DATE '2024-03-01')")
 
     def test_list_first_last_and_slice_alias_cross_engine(self, t, duck):
         body = (
