@@ -1,0 +1,73 @@
+"""Quality-model training operators: distributed batch gradient descent
+for logistic regression — the "train a quality classifier on corpus
+features" stage of a curation pipeline (the fastText/logreg quality
+filters of GPT-3/CCNet-style pipelines, reduced to its Spark shape).
+
+Like the k-means pair (p42 assignment / p45 update), the LOOP is the
+operator: each step is ONE partial-aggregated pass over the corpus
+(avg of per-row gradient terms), and the weight vector — a single row —
+rides a broadcast crossJoin into the next step's margin computation. No
+driver-side collect: `steps` chained aggregations build one lazy plan,
+so the same code runs on 100 TB (each step shuffles exactly one
+scalar-per-feature aggregate; the corpus is re-scanned per step, which
+is the textbook batch-GD access pattern — cache the feature frame for
+multi-step fits).
+
+Determinism: with fixed features, label, lr, and step count the result
+is exact up to float summation order (aggregation order is engine- and
+partitioning-dependent), so consumers comparing across engines must
+round — the p65 oracle rounds to 6 dp on both sides, the repo's standard
+for order-dependent float aggregates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _sigmoid(z: Column) -> Column:
+    return F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+
+
+def fit_logistic(
+    df: DataFrame,
+    feature_cols: list[str],
+    label_col: str,
+    steps: int = 2,
+    lr: float = 1.0,
+) -> DataFrame:
+    """``steps`` unrolled batch-GD updates of logistic regression, starting
+    from w = 0. Returns a ONE-ROW DataFrame with columns ``w_<feature>``.
+
+    Update rule (full-batch, mean gradient of the log-likelihood):
+        w ← w + lr * avg((y - sigmoid(w·x)) * x)
+
+    ``label_col`` must be 0/1 (numeric). Features should be pre-scaled to
+    O(1) magnitudes — batch GD, not a production optimizer; the operator
+    exists for its Spark shape (per-step single-aggregate pass + 1-row
+    broadcast), mirrored exactly by an unrolled-CTE SQL oracle."""
+    if not feature_cols:
+        raise ValueError("fit_logistic needs at least one feature column")
+    wcols = [f"w_{c}" for c in feature_cols]
+    weights: DataFrame | None = None  # None = all-zero w (first step)
+    for _ in range(steps):
+        if weights is None:
+            base = df
+            margin = F.lit(0.0)
+        else:
+            base = df.crossJoin(F.broadcast(weights))
+            margin = sum(
+                (F.col(w) * F.col(c) for w, c in zip(wcols[1:], feature_cols[1:])),
+                F.col(wcols[0]) * F.col(feature_cols[0]),
+            )
+        resid = F.col(label_col).cast("double") - _sigmoid(margin)
+        aggs = [
+            (
+                (F.lit(0.0) if weights is None else F.first(w))
+                + F.lit(lr) * F.avg(resid * F.col(c))
+            ).alias(w)
+            for w, c in zip(wcols, feature_cols)
+        ]
+        weights = base.agg(*aggs)
+    return weights

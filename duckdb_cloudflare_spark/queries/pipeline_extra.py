@@ -1550,3 +1550,78 @@ def p64_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.coalesce(F.col("text"), F.lit("")).alias("text")
     )
     return T.repetition_stats(d)
+
+
+@register(
+    "p65_logistic_gd",
+    oracle="""
+    WITH f AS (
+        SELECT CAST(CASE WHEN n_chars > 250 THEN 1 ELSE 0 END AS DOUBLE) AS y,
+               CAST(1.0 AS DOUBLE) AS x0,
+               CAST(length(text) - length(replace(text, 'e', '')) AS DOUBLE)
+                   / length(text) AS x1,
+               CAST(n_chars AS DOUBLE) / 500.0 AS x2
+        FROM documents
+        WHERE length(coalesce(text, '')) > 0
+    ), s1 AS (
+        SELECT avg((y - 0.5) * x0) AS w0,
+               avg((y - 0.5) * x1) AS w1,
+               avg((y - 0.5) * x2) AS w2,
+               count(*) AS n
+        FROM f
+    ), s2 AS (
+        SELECT n,
+               w0 + avg((y - 1.0/(1.0 + exp(-(w0*x0 + w1*x1 + w2*x2)))) * x0) AS v0,
+               w1 + avg((y - 1.0/(1.0 + exp(-(w0*x0 + w1*x1 + w2*x2)))) * x1) AS v1,
+               w2 + avg((y - 1.0/(1.0 + exp(-(w0*x0 + w1*x1 + w2*x2)))) * x2) AS v2
+        FROM f, s1
+        GROUP BY n, w0, w1, w2
+    )
+    SELECT CAST(n AS BIGINT) AS n_docs,
+           round(v0, 6) AS w_bias,
+           round(v1, 6) AS w_e_freq,
+           round(v2, 6) AS w_len
+    FROM s2
+    """,
+    description="Distributed quality-classifier TRAINING: two unrolled "
+    "batch-gradient-descent steps of logistic regression (w <- w + "
+    "avg((y - sigmoid(w.x)) x) from w=0) over per-doc features (bias, "
+    "'e'-frequency, scaled length) with label n_chars > 250 — the "
+    "CCNet/GPT-3-style quality-filter FIT stage, completing the iterative-"
+    "algorithm family (p42/p45 cover Lloyd's loop; this is the GD loop). "
+    "operators/quality_model.py::fit_logistic — each step is one partial-"
+    "aggregated corpus pass; the 1-row weight vector rides a broadcast "
+    "crossJoin into the next step, no driver collect. The oracle unrolls "
+    "the identical two steps as CTEs; weights are order-dependent float "
+    "sums, rounded to 6 dp on both sides per repo convention. Emits 0 "
+    "rows on an empty corpus (matching the oracle's empty cross join).",
+)
+def p65_logistic_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import broadcast
+
+    from duckdb_cloudflare_spark.operators.quality_model import fit_logistic
+
+    d = load(spark, sf_dir, "documents").filter(
+        F.length(F.coalesce(F.col("text"), F.lit(""))) > 0
+    )
+    f = d.select(
+        (F.col("n_chars") > 250).cast("double").alias("y"),
+        F.lit(1.0).alias("bias"),
+        (
+            (F.length("text") - F.length(F.replace(F.col("text"), F.lit("e")))).cast("double")
+            / F.length("text")
+        ).alias("e_freq"),
+        (F.col("n_chars").cast("double") / 500.0).alias("len"),
+    )
+    w = fit_logistic(f, ["bias", "e_freq", "len"], "y", steps=2)
+    n = f.agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        n.crossJoin(broadcast(w))
+        .filter(F.col("n_docs") > 0)
+        .select(
+            "n_docs",
+            F.round("w_bias", 6).alias("w_bias"),
+            F.round("w_e_freq", 6).alias("w_e_freq"),
+            F.round("w_len", 6).alias("w_len"),
+        )
+    )

@@ -110,3 +110,50 @@ class TestRepetitionStats:
         r = self._run(spark, "")
         assert r["total_chars"] == 0
         assert (r["top2_frac"], r["top3_frac"], r["dup5_frac"]) == (0.0, 0.0, 0.0)
+
+
+class TestFitLogistic:
+    def _fit(self, spark, rows, steps=1, lr=1.0):
+        from duckdb_cloudflare_spark.operators.quality_model import fit_logistic
+
+        df = spark.createDataFrame(rows, "y double, b double, x double")
+        return fit_logistic(df, ["b", "x"], "y", steps=steps, lr=lr).first()
+
+    def test_single_step_hand_computed(self, spark):
+        # From w=0 every sigmoid is 0.5: w_b = avg(y-0.5), w_x = avg((y-0.5)x).
+        rows = [(1.0, 1.0, 2.0), (0.0, 1.0, -2.0)]
+        w = self._fit(spark, rows, steps=1)
+        assert w["w_b"] == pytest.approx((0.5 - 0.5) / 1)  # avg(0.5, -0.5) = 0
+        assert w["w_x"] == pytest.approx((0.5 * 2.0 + (-0.5) * -2.0) / 2)  # 1.0
+
+    def test_two_steps_move_toward_separator(self, spark):
+        # Separable data (y=1 iff x>0): more steps grow the x weight
+        # monotonically and keep improving training log-likelihood.
+        import math
+
+        rows = [(1.0, 1.0, 1.0), (1.0, 1.0, 2.0), (0.0, 1.0, -1.0), (0.0, 1.0, -2.0)]
+        w1 = self._fit(spark, rows, steps=1)
+        w2 = self._fit(spark, rows, steps=2)
+        assert w2["w_x"] > w1["w_x"] > 0
+
+        def loglik(wb, wx):
+            tot = 0.0
+            for y, _, x in rows:
+                p = 1.0 / (1.0 + math.exp(-(wb + wx * x)))
+                tot += math.log(p if y else 1 - p)
+            return tot
+
+        assert loglik(w2["w_b"], w2["w_x"]) > loglik(w1["w_b"], w1["w_x"])
+
+    def test_lr_scales_first_step(self, spark):
+        rows = [(1.0, 1.0, 2.0), (0.0, 1.0, -2.0)]
+        half = self._fit(spark, rows, steps=1, lr=0.5)
+        full = self._fit(spark, rows, steps=1, lr=1.0)
+        assert half["w_x"] == pytest.approx(full["w_x"] * 0.5)
+
+    def test_no_features_raises(self, spark):
+        from duckdb_cloudflare_spark.operators.quality_model import fit_logistic
+
+        df = spark.createDataFrame([(1.0,)], "y double")
+        with pytest.raises(ValueError, match="at least one"):
+            fit_logistic(df, [], "y")
