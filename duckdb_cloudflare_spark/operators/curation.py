@@ -144,3 +144,38 @@ def curate(
     return D.epoch_shard_assign(
         sampled, seed=epoch_seed, n_shards=n_shards, id_col=id_col
     )
+
+
+def corpus_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Dataset-version diff — the incremental-pipeline primitive between two
+    corpus snapshots (yesterday's crawl vs today's): per document id, one of
+    ``added`` / ``removed`` / ``changed`` / ``unchanged``, decided by an
+    md5 content fingerprint.
+
+    Scale shape: each side reduces to (id, 16-byte fingerprint) BEFORE the
+    full outer join, so document text never shuffles — the join moves two
+    narrow columns per side no matter how wide the corpus rows are. One
+    shuffle per side on the id; at 100 TB pre-bucket both snapshots by id
+    (operators/scale.py) and the join is zero-exchange."""
+    o = old.select(
+        F.col(id_col).alias("__id"), F.md5(F.coalesce(F.col(text_col), F.lit(""))).alias("__old_fp")
+    )
+    n = new.select(
+        F.col(id_col).alias("__id"), F.md5(F.coalesce(F.col(text_col), F.lit(""))).alias("__new_fp")
+    )
+    return (
+        o.join(n, "__id", "full")
+        .select(
+            F.col("__id").alias(id_col),
+            F.when(F.col("__old_fp").isNull(), F.lit("added"))
+            .when(F.col("__new_fp").isNull(), F.lit("removed"))
+            .when(F.col("__old_fp") != F.col("__new_fp"), F.lit("changed"))
+            .otherwise(F.lit("unchanged"))
+            .alias("status"),
+        )
+    )

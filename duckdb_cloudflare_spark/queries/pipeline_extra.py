@@ -1625,3 +1625,40 @@ def p65_logistic_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("w_len", 6).alias("w_len"),
         )
     )
+
+
+@register(
+    "p66_corpus_diff",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN doc_id % 7 = 0 THEN 'added'
+                WHEN doc_id % 11 = 0 THEN 'removed'
+                WHEN doc_id % 5 = 0 THEN 'changed'
+                ELSE 'unchanged' END AS status
+    FROM documents
+    WHERE NOT (doc_id % 7 = 0 AND doc_id % 11 = 0)
+    """,
+    description="Dataset-version diff — the incremental-pipeline primitive "
+    "between two corpus snapshots: per doc id, added / removed / changed / "
+    "unchanged by md5 content fingerprint (operators/curation.py::"
+    "corpus_diff — both sides reduce to (id, fingerprint) BEFORE the full "
+    "outer join, so text never shuffles). Two deterministic versions are "
+    "derived from the corpus (old drops doc_id%7==0, new drops %11==0 and "
+    "rewrites text when %5==0), and the oracle states each id's expected "
+    "status closed-form — any defect in the join/fingerprint/status logic "
+    "flips the hash.",
+)
+def p66_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duckdb_cloudflare_spark.operators.curation import corpus_diff
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    old = docs.filter(F.col("doc_id") % 7 != 0)
+    new = docs.filter(F.col("doc_id") % 11 != 0).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 5 == 0, F.concat(F.coalesce("text", F.lit("")), F.lit(" v2"))
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return corpus_diff(old, new)

@@ -157,3 +157,39 @@ class TestFitLogistic:
         df = spark.createDataFrame([(1.0,)], "y double")
         with pytest.raises(ValueError, match="at least one"):
             fit_logistic(df, [], "y")
+
+
+class TestCorpusDiff:
+    def test_statuses(self, spark):
+        from duckdb_cloudflare_spark.operators.curation import corpus_diff
+
+        old = spark.createDataFrame(
+            [(1, "same"), (2, "before"), (3, "gone")],
+            "doc_id long, text string",
+        )
+        new = spark.createDataFrame(
+            [(1, "same"), (2, "after"), (4, "fresh")],
+            "doc_id long, text string",
+        )
+        got = {r["doc_id"]: r["status"] for r in corpus_diff(old, new).collect()}
+        assert got == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}
+
+    def test_null_text_fingerprints_as_empty(self, spark):
+        from duckdb_cloudflare_spark.operators.curation import corpus_diff
+
+        old = spark.createDataFrame([(1, None)], "doc_id long, text string")
+        new = spark.createDataFrame([(1, "")], "doc_id long, text string")
+        assert corpus_diff(old, new).first()["status"] == "unchanged"
+
+    def test_text_never_shuffles(self, spark):
+        # The join must move (id, fingerprint) only: no exchange carries the
+        # text column.
+        from duckdb_cloudflare_spark.operators.curation import corpus_diff
+
+        old = spark.range(100).selectExpr("id AS doc_id", "repeat('x', 100) AS text")
+        new = spark.range(50, 150).selectExpr("id AS doc_id", "repeat('y', 100) AS text")
+        plan = corpus_diff(old, new)._jdf.queryExecution().executedPlan().toString()
+        import re
+
+        for m in re.finditer(r"Exchange [^\n]*", plan):
+            assert "text" not in m.group(0), m.group(0)
