@@ -1199,6 +1199,7 @@ def exact_jaccard_pairs(
     threshold: float = 0.5,
     text_col: str = "text",
     id_col: str = "doc_id",
+    prefilter_singletons: bool = False,
 ) -> DataFrame:
     """EXACT all-pairs word-``k``-shingle Jaccard >= ``threshold`` over any
     document DataFrame via the shingle-inverted-index join (p34's engine,
@@ -1212,6 +1213,16 @@ def exact_jaccard_pairs(
     pair co-occurrence partial-aggregated, per-doc set sizes broadcast
     back. The hot-shingle candidate blowup is why the LSH families exist;
     run THIS for verification slices, minhash/LSH for the full corpus.
+
+    ``prefilter_singletons``: drop shingles occurring in only ONE document
+    before the self-join (they cannot produce a pair, so the output is
+    IDENTICAL — pair intersection counts only involve shared shingles).
+    On natural-language corpora most shingles are singletons and this cuts
+    the join input by an order of magnitude — the right default at real
+    scale. It is OFF by default because the filter's per-shingle window
+    count adds a sort, which only pays for itself when singletons dominate
+    (the synthetic bench corpus has a tiny vocabulary — measured 99.9% of
+    shingle instances shared, filter cost ≈ savings).
     """
     shins = (
         ensure_parallelism(df)
@@ -1221,6 +1232,16 @@ def exact_jaccard_pairs(
     )
     sizes = shins.select(id_col, F.size("sh").alias("n_sh"))
     inv = shins.select(id_col, F.explode("sh").alias("shingle"))
+    if prefilter_singletons:
+        from pyspark.sql.window import Window as _W
+
+        inv = (
+            inv.withColumn(
+                "__sc", F.count(F.lit(1)).over(_W.partitionBy("shingle"))
+            )
+            .filter(F.col("__sc") >= 2)
+            .drop("__sc")
+        )
     a = inv.select(F.col(id_col).alias("id_a"), "shingle")
     b = inv.select(F.col(id_col).alias("id_b"), "shingle").hint("shuffle_hash")
     inter = (

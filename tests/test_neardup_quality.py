@@ -283,3 +283,23 @@ def test_dup_span_stats_invariants_random_corpus(spark):
         assert r["dup_tokens"] >= 5  # every span spans at least k tokens
         assert r["dup_tokens"] <= n_toks[r["doc_id"]]
         assert r["n_spans"] <= r["dup_tokens"] // 5 + 1
+
+
+def test_exact_jaccard_singleton_prefilter_identical(spark):
+    # Shingles in one doc can't form a pair: the prefiltered join must
+    # return the IDENTICAL pair set (the 100 TB knob is output-invariant).
+    from duckdb_cloudflare_spark.operators.dedup import exact_jaccard_pairs
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over a sleepy dog"),
+            (3, "completely unrelated singleton shingle content here today"),
+        ],
+        "doc_id long, text string",
+    )
+    base = sorted(map(tuple, exact_jaccard_pairs(docs, threshold=0.1).collect()))
+    pre = sorted(map(tuple, exact_jaccard_pairs(
+        docs, threshold=0.1, prefilter_singletons=True
+    ).collect()))
+    assert base == pre and len(base) >= 1
