@@ -820,8 +820,39 @@ def rewrite_named_args(sql: str) -> str:
     return "".join(out)
 
 
+_UNSUPPORTED_JOINS = re.compile(
+    r"\b(ASOF|POSITIONAL)\s+(?:LEFT\s+|RIGHT\s+|FULL\s+|INNER\s+)?JOIN\b",
+    re.IGNORECASE,
+)
+
+
+def _reject_unsupported_joins(sql: str) -> None:
+    """DuckDB's ASOF JOIN / POSITIONAL JOIN have no Spark SQL spelling and
+    no safe TEXTUAL rewrite (an asof rewrite needs a per-left-row identity
+    to rank on, which arbitrary SQL doesn't expose). Raise a clear
+    bind-time error with the supported path instead of letting Spark's
+    parser produce a cryptic failure."""
+    real = {i for i, _, _ in _scan_top_level(sql)}
+    for m in _UNSUPPORTED_JOINS.finditer(sql):
+        if m.start() not in real:
+            continue
+        kind = m.group(1).upper()
+        hint = (
+            "compose it as a union + last-carry-forward window (the q49 "
+            "pattern in queries/windows.py — exact ASOF semantics, one "
+            "shuffle)"
+            if kind == "ASOF"
+            else "zip by row_number() over an explicit ordering on each side"
+        )
+        raise ValueError(
+            f"{kind} JOIN is DuckDB-specific syntax with no Spark SQL "
+            f"equivalent; {hint}"
+        )
+
+
 def duck_sql(spark: SparkSession, sql: str) -> DataFrame:
     """``spark.sql`` accepting the DuckDB dialect idioms above."""
+    _reject_unsupported_joins(sql)
     sql = rewrite_named_args(sql)
     sql = rewrite_file_tables(sql)
     sql = rewrite_list_exprs(sql)

@@ -894,3 +894,20 @@ class TestStatementSurface:
         ).fetchone()[0] == 2
         con.close()
         assert eng.spark.read.parquet(out).count() == 2
+
+
+class TestUnsupportedJoinSyntax:
+    def test_asof_join_raises_with_guidance(self, t):
+        with pytest.raises(ValueError, match="ASOF JOIN.*q49"):
+            duck_sql(t, "SELECT * FROM a ASOF JOIN b ON a.k = b.k AND a.ts >= b.ts")
+
+    def test_asof_left_join_raises(self, t):
+        with pytest.raises(ValueError, match="ASOF"):
+            duck_sql(t, "SELECT * FROM a ASOF LEFT JOIN b ON a.ts >= b.ts")
+
+    def test_positional_join_raises(self, t):
+        with pytest.raises(ValueError, match="POSITIONAL"):
+            duck_sql(t, "SELECT * FROM a POSITIONAL JOIN b")
+
+    def test_asof_in_string_literal_untouched(self, t):
+        assert duck_sql(t, "SELECT 'ASOF JOIN docs' AS s").first()["s"] == "ASOF JOIN docs"
