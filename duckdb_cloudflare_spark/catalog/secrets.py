@@ -117,18 +117,23 @@ def _read_checked(path: str) -> dict:
         st = os.fstat(fd)
         if not _stat.S_ISREG(st.st_mode):
             return {}
-        if hasattr(os, "getuid") and st.st_uid != os.getuid():
-            warnings.warn(
-                f"ignoring secret spill file not owned by this uid: {path}",
-                stacklevel=3,
-            )
-            return {}
-        if st.st_mode & 0o077:
-            warnings.warn(
-                f"ignoring group/other-readable secret spill file: {path}",
-                stacklevel=3,
-            )
-            return {}
+        if hasattr(os, "getuid"):
+            # POSIX only: Windows' emulated st_mode reports 0o666 for every
+            # file (no POSIX permission model), so the bit check would
+            # reject ALL spill files there; getuid's absence marks the
+            # platforms where these checks are meaningless.
+            if st.st_uid != os.getuid():
+                warnings.warn(
+                    f"ignoring secret spill file not owned by this uid: {path}",
+                    stacklevel=3,
+                )
+                return {}
+            if st.st_mode & 0o077:
+                warnings.warn(
+                    f"ignoring group/other-readable secret spill file: {path}",
+                    stacklevel=3,
+                )
+                return {}
         with os.fdopen(fd, "r") as f:
             fd = -1
             data = json.load(f)
@@ -155,26 +160,60 @@ def _atomic_write(path: str, data: dict) -> None:
         raise
 
 
-# (spill_path, name) pairs created by THIS process — removed at exit so a
-# session's secrets don't outlive it in the shared file.
-_OWNED: set[tuple[str, str]] = set()
+import contextlib
+
+
+@contextlib.contextmanager
+def _spill_lock(path: str):
+    """Exclusive advisory lock on a sibling .lock file for the read+replace
+    mutation window. POSIX flock; degrades to a no-op where fcntl is
+    unavailable (Windows) — the atomic replace still prevents torn files
+    there, only simultaneous-merge loss remains possible."""
+    try:
+        import fcntl
+    except ImportError:
+        yield
+        return
+    try:
+        d = _ensure_private_dir(path)
+        fd = os.open(os.path.join(d, ".secrets.lock"), os.O_WRONLY | os.O_CREAT, 0o600)
+    except OSError:
+        yield
+        return
+    try:
+        fcntl.flock(fd, fcntl.LOCK_EX)
+        yield
+    finally:
+        os.close(fd)  # releases the flock
+
+
+# (spill_path, name) -> the exact entry THIS process wrote — removed at exit
+# so a session's secrets don't outlive it in the shared file. The stored
+# entry is compared before deletion: if another live process re-created the
+# name since (different values), its CURRENT credential is left alone.
+_OWNED: dict[tuple[str, str], dict] = {}
 
 
 def _cleanup_owned() -> None:
-    by_path: dict[str, set[str]] = {}
-    for path, name in _OWNED:
-        by_path.setdefault(path, set()).add(name)
-    for path, names in by_path.items():
-        data = _read_checked(path)
-        remaining = {k: v for k, v in data.items() if k not in names}
-        if len(remaining) != len(data):
-            try:
-                if remaining:
-                    _atomic_write(path, remaining)
-                else:
-                    os.unlink(path)
-            except OSError:
-                pass
+    by_path: dict[str, dict[str, dict]] = {}
+    for (path, name), ent in _OWNED.items():
+        by_path.setdefault(path, {})[name] = ent
+    for path, owned in by_path.items():
+        with _spill_lock(path):
+            data = _read_checked(path)
+            remaining = {
+                k: v
+                for k, v in data.items()
+                if not (k in owned and v == owned[k])
+            }
+            if len(remaining) != len(data):
+                try:
+                    if remaining:
+                        _atomic_write(path, remaining)
+                    else:
+                        os.unlink(path)
+                except OSError:
+                    pass
 
 
 atexit.register(_cleanup_owned)
@@ -190,8 +229,9 @@ class SecretRegistry:
         secret = Secret(name=name, type=type, values={k.lower(): v for k, v in values.items()})
         self._secrets[name] = secret
         try:
-            self._spill_mutate(name, {"type": secret.type, "values": secret.values})
-            _OWNED.add((_spill_path(), name))
+            entry = {"type": secret.type, "values": secret.values}
+            self._spill_mutate(name, entry)
+            _OWNED[(_spill_path(), name)] = entry
         except OSError:
             # Unwritable location: registry degrades to in-memory (driver-side
             # helpers still work; DataSource scans need env-var credentials).
@@ -200,7 +240,7 @@ class SecretRegistry:
 
     def drop_secret(self, name: str) -> None:
         self._secrets.pop(name, None)
-        _OWNED.discard((_spill_path(), name))
+        _OWNED.pop((_spill_path(), name), None)
         try:
             self._spill_mutate(name, None)
         except OSError:
@@ -223,16 +263,20 @@ class SecretRegistry:
         """Read-merge-write a single entry so concurrent drivers sharing the
         default per-uid path only touch their own names. DROP rewrites the
         file, so revocation takes effect at the next scan of any attached
-        view."""
+        view. The read+replace pair holds an exclusive flock on a sibling
+        lock file (POSIX; a no-op where fcntl is unavailable) so two
+        simultaneous mutations serialize instead of the second replace
+        discarding the first's entry."""
         path = _spill_path()
-        data = _read_checked(path)
-        if entry is None:
-            if name not in data:
-                return
-            del data[name]
-        else:
-            data[name] = entry
-        _atomic_write(path, data)
+        with _spill_lock(path):
+            data = _read_checked(path)
+            if entry is None:
+                if name not in data:
+                    return
+                del data[name]
+            else:
+                data[name] = entry
+            _atomic_write(path, data)
 
     def _load_spilled(self, name: str = "", type: str = "d1") -> Secret | None:
         data = _read_checked(_spill_path())

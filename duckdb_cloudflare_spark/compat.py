@@ -563,6 +563,7 @@ def rewrite_list_exprs(sql: str) -> str:
             return sql
         open_idx = m.end() - 1  # the regex requires the "(" at match end
         close, args = _call_args(sql, open_idx)
+        end = close + 1  # branches may extend this (consumed FILTER/OVER)
         fn = m.group(1).lower()
         if fn == "list_unique":
             if len(args) != 1:
@@ -661,7 +662,29 @@ def rewrite_list_exprs(sql: str) -> str:
                     "Spark equivalent (collect_set drops NULLs); rewrite the "
                     "query explicitly"
                 )
-            repl = f"transform(collect_list(struct(({arg}) AS v)), s -> s.v)"
+            # Trailing FILTER (WHERE ...) and OVER (...) / OVER name clauses
+            # belong to the AGGREGATE, so they must ride INSIDE the
+            # transform() wrapper (outside, Spark rejects transform as a
+            # window function — the clause would attach to the wrong call).
+            tail = ""
+            mf = re.match(r"\s*FILTER\s*\(", sql[end:], re.IGNORECASE)
+            if mf:
+                fclose, _ = _call_args(sql, end + mf.end() - 1)
+                tail += " " + sql[end + mf.start() : fclose + 1].strip()
+                end = fclose + 1
+            mo = re.match(r"\s*OVER\s*", sql[end:], re.IGNORECASE)
+            if mo:
+                after = end + mo.end()
+                if after < len(sql) and sql[after] == "(":
+                    oclose, _ = _call_args(sql, after)
+                    tail += " " + sql[end + mo.start() : oclose + 1].strip()
+                    end = oclose + 1
+                else:
+                    mw = re.match(r"[A-Za-z_]\w*", sql[after:])
+                    if mw:
+                        tail += " OVER " + mw.group(0)
+                        end = after + mw.end()
+            repl = f"transform(collect_list(struct(({arg}) AS v)){tail}, s -> s.v)"
         elif fn in ("date_diff", "datediff"):
             # DuckDB 3-arity date_diff(part, start, end) counts PART
             # boundary crossings. Spark's 2-arity datediff(end, start)
@@ -692,8 +715,8 @@ def rewrite_list_exprs(sql: str) -> str:
         # offset-adjust entries past the edit point instead of clearing,
         # so skipped sites are never re-scanned and the fixpoint bound
         # stays linear in the number of rewritable call sites.
-        delta = len(repl) - (close + 1 - m.start(1))
-        sql = sql[: m.start(1)] + repl + sql[close + 1 :]
+        delta = len(repl) - (end - m.start(1))
+        sql = sql[: m.start(1)] + repl + sql[end:]
         skip = {i + delta if i > m.start(1) else i for i in skip}
     raise ValueError("rewrite_list_exprs did not converge (too many call sites)")
 
@@ -835,6 +858,14 @@ def _reject_unsupported_joins(sql: str) -> None:
     real = {i for i, _, _ in _scan_top_level(sql)}
     for m in _UNSUPPORTED_JOINS.finditer(sql):
         if m.start() not in real:
+            continue
+        # In DuckDB's syntax the keyword FOLLOWS a table reference
+        # (FROM t1 ASOF JOIN t2). If the immediately preceding token is
+        # FROM/JOIN/ON/',', then "asof"/"positional" is itself a table
+        # name or alias in table position (FROM asof JOIN x) — legal SQL
+        # on both engines, not the join operator.
+        prev = re.search(r"([A-Za-z_]\w*|,)\s*$", sql[: m.start()])
+        if prev and prev.group(1).upper() in ("FROM", "JOIN", ","):
             continue
         kind = m.group(1).upper()
         hint = (

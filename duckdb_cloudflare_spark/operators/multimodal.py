@@ -162,12 +162,32 @@ def decode_asset_meta(data: Optional[bytes]) -> dict:
                 meta["error"] = f"[Error: {e}]"
         elif bytes(data[:2]) == jpeg.SOI:
             # REAL codec path: baseline JPEG via util/jpeg.py — SOF0
-            # header-only probe (no entropy decode).
+            # header-only probe (no entropy decode). Outside our baseline-
+            # grayscale scope (color/progressive), fall THROUGH to the
+            # Pillow probe when installed, so this branch never regresses
+            # what a Pillow deployment handled before.
             try:
                 w, h, c = jpeg.jpeg_meta(bytes(data))
                 meta.update(mime="image/jpeg", width=w, height=h, channels=c)
             except jpeg.JpegFormatError as e:
-                meta["error"] = f"[Error: {e}]"
+                handled = False
+                img_mod = real_codec()
+                if img_mod is not None:
+                    try:
+                        import io
+
+                        with img_mod.open(io.BytesIO(bytes(data))) as im:
+                            meta.update(
+                                mime="image/jpeg",
+                                width=im.width,
+                                height=im.height,
+                                channels=len(im.getbands()),
+                            )
+                            handled = True
+                    except Exception:
+                        pass
+                if not handled:
+                    meta["error"] = f"[Error: {e}]"
         else:
             img_mod = real_codec()
             decoded = False
@@ -213,7 +233,9 @@ def _resize_bytes(data: Optional[bytes], width: int, height: int) -> Optional[by
         except png.PngFormatError:
             return None
     if data[:2] == jpeg.SOI:
-        # REAL codec: entropy decode → nearest-neighbor resample → re-encode
+        # REAL codec: entropy decode → nearest-neighbor resample → re-encode.
+        # Outside baseline-grayscale scope, fall through to the Pillow path
+        # below (the pre-r7 behavior for such files) instead of dropping.
         try:
             w0, h0, pixels = jpeg.decode_jpeg(data)
             return jpeg.encode_jpeg(
@@ -221,7 +243,8 @@ def _resize_bytes(data: Optional[bytes], width: int, height: int) -> Optional[by
                 width, height,
             )
         except jpeg.JpegFormatError:
-            return None
+            if real_codec() is None:
+                return None
     if data[:4] != IMG_MAGIC or len(data) < _IMG_HDR.size:
         img_mod = real_codec()
         if img_mod is not None:
@@ -276,8 +299,14 @@ def decode_with_real_codec(data: bytes):
     if data[:8] == png.PNG_SIGNATURE:
         return png.decode_png(data)
     if data[:2] == jpeg.SOI:
-        w, h, pixels = jpeg.decode_jpeg(data)
-        return w, h, 1, pixels
+        try:
+            w, h, pixels = jpeg.decode_jpeg(data)
+            return w, h, 1, pixels
+        except jpeg.JpegFormatError:
+            # outside baseline-grayscale scope: Pillow handles it when
+            # installed (below); otherwise surface the codec error
+            if real_codec() is None:
+                raise
     img_mod = real_codec()
     if img_mod is None:
         raise NotImplementedError(

@@ -49,6 +49,8 @@ def fit_logistic(
     broadcast), mirrored exactly by an unrolled-CTE SQL oracle."""
     if not feature_cols:
         raise ValueError("fit_logistic needs at least one feature column")
+    if steps < 1:
+        raise ValueError("fit_logistic needs steps >= 1 (got {})".format(steps))
     wcols = [f"w_{c}" for c in feature_cols]
     weights: DataFrame | None = None  # None = all-zero w (first step)
     for _ in range(steps):

@@ -283,8 +283,12 @@ class _BitReader:
             nxt = self.data[self.pos]
             if nxt == 0x00:  # stuffed byte
                 self.pos += 1
-            elif nxt == 0xD9:  # EOI reached mid-read: treat as padding
-                b = 0xFF
+            elif nxt == 0xD9:
+                # EOI reached mid-read: spec B.1.1.5 requires even padding
+                # 0xFF bytes to be stuffed, so a bare FF D9 here means the
+                # decoder over-ran the entropy data — raise loudly rather
+                # than silently decoding past the marker.
+                raise JpegFormatError("truncated entropy-coded segment")
             else:
                 raise JpegFormatError(f"unexpected marker 0xFF{nxt:02X} in scan")
         self.acc = ((self.acc << 8) | b) & 0xFFFFFFFF  # bounded accumulator

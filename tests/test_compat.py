@@ -372,6 +372,32 @@ class TestListExprRewrites:
         assert sorted(srow[1], key=key) == sorted(drow[1], key=key)
         assert None in srow[0] and None in srow[1]
 
+    def test_list_window_and_filter_clause_cross_engine(self, t, duck):
+        # OVER / FILTER clauses belong to the aggregate, so the rewrite must
+        # put them INSIDE the transform wrapper — and the window form must
+        # keep NULL elements too (the old rename dropped them there as well).
+        body = (
+            "SELECT g, t, list(x) OVER (PARTITION BY g ORDER BY t "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS l "
+            "FROM (VALUES (1, 1, 10), (1, 2, CAST(NULL AS INT)), (1, 3, 30)) "
+            "AS s(g, t, x) ORDER BY t"
+        )
+        assert [r["l"] for r in duck_sql(t, body).collect()] == [
+            list(r[2]) for r in duck.sql(body).fetchall()
+        ]
+        body2 = (
+            "SELECT list(x) FILTER (WHERE x > 1) AS l "
+            "FROM (VALUES (1), (2), (3)) AS s(x)"
+        )
+        assert duck_sql(t, body2).first()["l"] == list(duck.sql(body2).fetchone()[0])
+        body3 = (
+            "SELECT t, list(x) OVER w AS l FROM (VALUES (1, 10), (2, 20)) "
+            "AS s(t, x) WINDOW w AS (ORDER BY t) ORDER BY t"
+        )
+        assert [r["l"] for r in duck_sql(t, body3).collect()] == [
+            list(r[1]) for r in duck.sql(body3).fetchall()
+        ]
+
     def test_list_agg_modifiers_raise(self, t):
         import pytest as _pytest
 
@@ -911,3 +937,15 @@ class TestUnsupportedJoinSyntax:
 
     def test_asof_in_string_literal_untouched(self, t):
         assert duck_sql(t, "SELECT 'ASOF JOIN docs' AS s").first()["s"] == "ASOF JOIN docs"
+
+    def test_table_named_asof_not_flagged(self, t):
+        # 'asof' in TABLE position (after FROM/JOIN/',') is an identifier,
+        # not the join operator — legal on both engines.
+        t.range(2).selectExpr("id").createOrReplaceTempView("asof")
+        t.range(2).selectExpr("id").createOrReplaceTempView("other")
+        assert (
+            duck_sql(
+                t, "SELECT * FROM asof JOIN other ON asof.id = other.id"
+            ).count()
+            == 2
+        )

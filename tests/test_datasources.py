@@ -622,7 +622,30 @@ class TestSecrets:
         S._cleanup_owned()
         left = _json.loads(other.read_text())
         assert "mine" not in left and "theirs" in left
-        S._OWNED.discard((str(other), "mine"))  # don't leak into real atexit
+        S._OWNED.pop((str(other), "mine"), None)  # don't leak into real atexit
+
+    def test_atexit_cleanup_spares_recreated_name(self, tmp_path):
+        # Another process re-created the SAME name with new credentials
+        # after ours registered it: exit cleanup must leave the CURRENT
+        # entry alone (delete-by-name would revoke a live secret).
+        import json as _json
+
+        from duckdb_cloudflare_spark.catalog import secrets as S
+
+        spill = tmp_path / "sec.json"
+        reg = S.SecretRegistry()
+        reg.create_secret("prod", "d1", account_id="old", api_token="t")
+        # "another process" re-creates the name (write the file directly —
+        # _OWNED is process-global, so a second in-process registry would
+        # update our ownership record and defeat the simulation)
+        S._atomic_write(
+            str(spill),
+            {"prod": {"type": "d1", "values": {"account_id": "NEW", "api_token": "t2"}}},
+        )
+        S._cleanup_owned()
+        left = _json.loads(spill.read_text())
+        assert left["prod"]["values"]["account_id"] == "NEW"
+        S._OWNED.pop((str(spill), "prod"), None)
 
     def test_default_spill_path_is_under_private_cache_dir(self, monkeypatch):
         import os as _os
