@@ -125,6 +125,49 @@ def decontaminate_stream(stream: DataFrame, benchmark: DataFrame) -> DataFrame:
     return marked.join(F.broadcast(fps), "fp", "left_anti").drop("fp")
 
 
+def diff_stream(
+    stream: DataFrame,
+    old: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Streaming corpus-version diff: label each ARRIVING document of the
+    new snapshot ``added`` / ``changed`` / ``unchanged`` against a STATIC
+    prior snapshot — the arrival-time form of the batch ``corpus_diff``
+    operator (p66), sharing its md5-fingerprint semantics.
+
+    ``removed`` is deliberately absent: it is a statement about documents
+    that never arrive, which no per-record stream operator can emit —
+    compute it batch-side as ``corpus_diff(old, new_materialized)`` after
+    the stream lands (documented contract, same reasoning as the batch
+    operator's totality).
+
+    Scale shape: the static side reduces to (id, 16-byte fingerprint) and
+    joins per micro-batch; stream text never shuffles (the join key is the
+    id, the fingerprint comparison is a projected column)."""
+    def _fp(c):
+        # the batch corpus_diff fingerprint verbatim (raw md5, no text
+        # normalization) so stream and batch labels agree byte-for-byte
+        return F.md5(F.coalesce(c, F.lit("")))
+
+    old_fp = old.select(
+        F.col(id_col).alias("__id"), _fp(F.col(text_col)).alias("__old_fp")
+    )
+    marked = stream.withColumn("__id", F.col(id_col)).withColumn(
+        "__new_fp", _fp(F.col(text_col))
+    )
+    return (
+        marked.join(old_fp, "__id", "left")
+        .withColumn(
+            "status",
+            F.when(F.col("__old_fp").isNull(), F.lit("added"))
+            .when(F.col("__old_fp") != F.col("__new_fp"), F.lit("changed"))
+            .otherwise(F.lit("unchanged")),
+        )
+        .drop("__id", "__old_fp", "__new_fp")
+    )
+
+
 CHUNK_OUT_SCHEMA = StructType(
     [
         StructField("doc_id", LongType()),

@@ -211,3 +211,35 @@ def test_ivf_cell_assignment_composes_on_streams(spark, tmp_path_factory):
         .collect()
     }
     assert stream_cells == batch_cells and len(stream_cells) > 0
+
+
+def test_diff_stream_matches_batch_corpus_diff(spark, split_docs_dir):
+    # Stream the "new" snapshot against a static "old" snapshot: per-doc
+    # labels must equal batch corpus_diff minus 'removed' (a statement
+    # about docs that never arrive — the documented streaming contract).
+    from duckdb_cloudflare_spark.operators.curation import corpus_diff
+    from duckdb_cloudflare_spark.streaming.documents import (
+        diff_stream,
+        read_document_stream,
+    )
+    from duckdb_cloudflare_spark.streaming.events import run_to_memory
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    old = docs.filter(F.col("doc_id") % 7 != 0).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 5 == 0, F.concat(F.coalesce("text", F.lit("")), F.lit(" v1"))
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    stream = read_document_stream(spark, split_docs_dir)
+    got = run_to_memory(
+        diff_stream(stream, old).select("doc_id", "status"), "diff_stream_out"
+    )
+    stream_rows = {(r["doc_id"], r["status"]) for r in got.collect()}
+    batch_rows = {
+        (r["doc_id"], r["status"])
+        for r in corpus_diff(old, docs).collect()
+        if r["status"] != "removed"
+    }
+    assert stream_rows == batch_rows and len(stream_rows) > 0
+    assert {s for _, s in stream_rows} == {"added", "changed", "unchanged"}
