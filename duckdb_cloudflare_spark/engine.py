@@ -101,6 +101,32 @@ class Engine:
 
         return curate(docs, **kwargs)
 
+    def corpus_diff(self, old: DataFrame, new: DataFrame, **kwargs) -> DataFrame:
+        """Dataset-version diff: per-id added/removed/changed/unchanged by
+        content fingerprint (hash-verified as p66); streaming twin in
+        ``streaming.documents.diff_stream``."""
+        from duckdb_cloudflare_spark.operators.curation import corpus_diff
+
+        return corpus_diff(old, new, **kwargs)
+
+    def canonicalize_urls(self, df: DataFrame, url_col: str = "url") -> DataFrame:
+        """Add ``canonical_url`` (the crawl dedup key, hash-verified as p63)
+        next to ``url_col``."""
+        from pyspark.sql import functions as F
+
+        from duckdb_cloudflare_spark.operators.web import canonicalize_url
+
+        return df.withColumn("canonical_url", canonicalize_url(F.col(url_col)))
+
+    def fit_quality_model(
+        self, df: DataFrame, feature_cols: list, label_col: str, **kwargs
+    ) -> DataFrame:
+        """Batch-GD logistic-regression fit over corpus features (the
+        quality-classifier training stage, hash-verified as p65)."""
+        from duckdb_cloudflare_spark.operators.quality_model import fit_logistic
+
+        return fit_logistic(df, feature_cols, label_col, **kwargs)
+
     # -- federated sources ----------------------------------------------
     def read_common_crawl(self, url: str, **kwargs) -> DataFrame:
         from duckdb_cloudflare_spark.sources.api import read_common_crawl

@@ -65,3 +65,27 @@ def test_secret_and_d1_transaction_batch(engine, tmp_path):
     # committed on exit as one batched POST
     with engine.d1_transaction(secret="eng_test", d1_sqlite_stub=db) as tx:
         assert len(tx.query("SELECT a FROM t WHERE a = 2")) == 1
+
+
+def test_engine_r7_operator_facades(spark):
+    from pyspark.sql import functions as F
+
+    from duckdb_cloudflare_spark.engine import Engine
+
+    eng = Engine(spark)
+    old = spark.createDataFrame([(1, "a"), (2, "b")], "doc_id long, text string")
+    new = spark.createDataFrame([(2, "B"), (3, "c")], "doc_id long, text string")
+    got = {r["doc_id"]: r["status"] for r in eng.corpus_diff(old, new).collect()}
+    assert got == {1: "removed", 2: "changed", 3: "added"}
+
+    urls = spark.createDataFrame([("HTTPS://Ex.com:443/p/?b=1&utm_s=x",)], "url string")
+    assert (
+        eng.canonicalize_urls(urls).first()["canonical_url"]
+        == "https://ex.com/p?b=1"
+    )
+
+    feats = spark.createDataFrame(
+        [(1.0, 1.0, 2.0), (0.0, 1.0, -2.0)], "y double, b double, x double"
+    )
+    w = eng.fit_quality_model(feats, ["b", "x"], "y", steps=1).first()
+    assert abs(w["w_x"] - 1.0) < 1e-9
