@@ -1662,3 +1662,104 @@ def p66_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("text"),
     )
     return corpus_diff(old, new)
+
+
+@register(
+    "p67_token_drift",
+    oracle=r"""
+    WITH o AS (
+        SELECT source,
+               unnest(string_split_regex(trim(text), '\s+')) AS tok
+        FROM documents
+        WHERE doc_id % 7 != 0 AND length(trim(coalesce(text, ''))) > 0
+    ), nw AS (
+        SELECT source,
+               unnest(string_split_regex(trim(
+                   CASE WHEN doc_id % 5 = 0
+                        THEN coalesce(text, '') || ' v2'
+                        ELSE coalesce(text, '') END), '\s+')) AS tok
+        FROM documents
+        WHERE doc_id % 11 != 0
+          AND length(trim(CASE WHEN doc_id % 5 = 0
+                               THEN coalesce(text, '') || ' v2'
+                               ELSE coalesce(text, '') END)) > 0
+    ), co AS (SELECT source, tok, count(*) AS c1 FROM o GROUP BY 1, 2),
+    cn AS (SELECT source, tok, count(*) AS c2 FROM nw GROUP BY 1, 2),
+    cnt AS (
+        SELECT coalesce(co.source, cn.source) AS source,
+               coalesce(c1, 0) AS c1, coalesce(c2, 0) AS c2
+        FROM co FULL JOIN cn
+          ON co.source = cn.source AND co.tok = cn.tok
+    ), tot AS (
+        SELECT source, sum(c1) AS n1, sum(c2) AS n2, count(*) AS v
+        FROM cnt GROUP BY source
+    )
+    SELECT cnt.source,
+           CAST(tot.n1 AS BIGINT) AS n_old_tokens,
+           CAST(tot.n2 AS BIGINT) AS n_new_tokens,
+           CAST(tot.v AS BIGINT) AS vocab,
+           round(sum(
+               ((c1 + 1.0) / (tot.n1 + tot.v))
+               * ln(((c1 + 1.0) / (tot.n1 + tot.v))
+                    / ((c2 + 1.0) / (tot.n2 + tot.v)))
+           ), 6) AS kl
+    FROM cnt JOIN tot ON cnt.source = tot.source
+    GROUP BY cnt.source, tot.n1, tot.n2, tot.v
+    """,
+    description="Per-source token-distribution DRIFT between two corpus "
+    "versions (p66's old/new snapshots): add-one-smoothed unigram KL "
+    "divergence KL(old||new) over each source's union vocabulary — the "
+    "dataset-versioning monitor that tells you WHERE a refresh moved the "
+    "distribution, complementing p66's per-doc membership diff. One "
+    "token-level partial-agg shuffle (conditional counts fold both "
+    "versions in a single groupBy — no full outer join on the Spark "
+    "side), a per-source totals rollup, and a broadcast of the tiny "
+    "totals back. KL is an order-dependent transcendental sum → rounded "
+    "to 6 dp on both sides per repo convention.",
+)
+def p67_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duckdb_cloudflare_spark.operators.text_analysis import tokens
+
+    docs = load(spark, sf_dir, "documents")
+    new_text = F.when(
+        F.col("doc_id") % 5 == 0,
+        F.concat(F.coalesce("text", F.lit("")), F.lit(" v2")),
+    ).otherwise(F.coalesce("text", F.lit("")))
+    old = (
+        docs.filter(
+            (F.col("doc_id") % 7 != 0)
+            & (F.length(F.trim(F.coalesce("text", F.lit("")))) > 0)
+        )
+        .select("source", F.explode(tokens(F.col("text"))).alias("tok"))
+        .withColumn("ver", F.lit(1))
+    )
+    new = (
+        docs.filter(
+            (F.col("doc_id") % 11 != 0) & (F.length(F.trim(new_text)) > 0)
+        )
+        .select("source", F.explode(tokens(new_text)).alias("tok"))
+        .withColumn("ver", F.lit(2))
+    )
+    cnt = (
+        old.unionByName(new)
+        .groupBy("source", "tok")
+        .agg(
+            F.sum(F.when(F.col("ver") == 1, 1).otherwise(0)).alias("c1"),
+            F.sum(F.when(F.col("ver") == 2, 1).otherwise(0)).alias("c2"),
+        )
+    )
+    tot = cnt.groupBy("source").agg(
+        F.sum("c1").alias("n1"), F.sum("c2").alias("n2"), F.count(F.lit(1)).alias("v")
+    )
+    p = (F.col("c1") + 1.0) / (F.col("n1") + F.col("v"))
+    q = (F.col("c2") + 1.0) / (F.col("n2") + F.col("v"))
+    return (
+        cnt.join(F.broadcast(tot), "source")
+        .groupBy("source")
+        .agg(
+            F.first("n1").cast("bigint").alias("n_old_tokens"),
+            F.first("n2").cast("bigint").alias("n_new_tokens"),
+            F.first("v").cast("bigint").alias("vocab"),
+            F.round(F.sum(p * F.log(p / q)), 6).alias("kl"),
+        )
+    )
