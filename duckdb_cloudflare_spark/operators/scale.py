@@ -105,3 +105,26 @@ def bucketed_join(
     matching hash-distribution from the bucket spec and plans a sort-merge
     join with NO exchange on either side (verify with plans.shuffle_count)."""
     return spark.table(left_table).join(spark.table(right_table), on=key, how=how)
+
+
+def _spread_bits16(x: Column) -> Column:
+    """Spread a 16-bit value's bits into the even positions of a 32-bit
+    word (magic-number interleave — the standard Morton-code construction,
+    public-domain bit-twiddling). Pure bitwise/shift expressions, so both
+    Spark codegen and any SQL engine compute it identically."""
+    x = x.bitwiseAND(F.lit(0xFFFF))
+    x = (x.bitwiseOR(F.shiftleft(x, 8))).bitwiseAND(F.lit(0x00FF00FF))
+    x = (x.bitwiseOR(F.shiftleft(x, 4))).bitwiseAND(F.lit(0x0F0F0F0F))
+    x = (x.bitwiseOR(F.shiftleft(x, 2))).bitwiseAND(F.lit(0x33333333))
+    x = (x.bitwiseOR(F.shiftleft(x, 1))).bitwiseAND(F.lit(0x55555555))
+    return x
+
+
+def morton_key(a: Column, b: Column) -> Column:
+    """Z-order (Morton) key interleaving two 16-bit dimension values —
+    the multi-dimensional DATA LAYOUT primitive: sorting/range-partitioning
+    by this key co-locates rows that are close in BOTH dimensions, so
+    min/max file statistics prune scans for predicates on either column
+    (the technique behind Delta/Iceberg Z-ORDER clustering). Inputs are
+    masked to 16 bits; callers bucket real values into [0, 65535] first."""
+    return _spread_bits16(a).bitwiseOR(F.shiftleft(_spread_bits16(b), 1))

@@ -1763,3 +1763,55 @@ def p67_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(p * F.log(p / q)), 6).alias("kl"),
         )
     )
+
+
+@register(
+    "p68_zorder_key",
+    oracle="""
+    WITH base AS (
+        SELECT doc_id,
+               CAST(('0x' || substr(md5(coalesce(source, '')), 1, 4)) AS BIGINT)
+                   AS a0,
+               least(coalesce(n_chars, 0) // 16, 65535) AS b0
+        FROM documents
+    ), s1 AS (
+        SELECT doc_id,
+               ((a0 & 65535) | ((a0 & 65535) << 8)) & 16711935 AS a1,
+               ((b0 & 65535) | ((b0 & 65535) << 8)) & 16711935 AS b1
+        FROM base
+    ), s2 AS (
+        SELECT doc_id, (a1 | (a1 << 4)) & 252645135 AS a2,
+               (b1 | (b1 << 4)) & 252645135 AS b2 FROM s1
+    ), s3 AS (
+        SELECT doc_id, (a2 | (a2 << 2)) & 858993459 AS a3,
+               (b2 | (b2 << 2)) & 858993459 AS b3 FROM s2
+    ), s4 AS (
+        SELECT doc_id, (a3 | (a3 << 1)) & 1431655765 AS a4,
+               (b3 | (b3 << 1)) & 1431655765 AS b4 FROM s3
+    )
+    SELECT doc_id, CAST(a4 | (b4 << 1) AS BIGINT) AS zkey
+    FROM s4
+    """,
+    description="Z-ORDER (Morton) layout keys — the multi-dimensional "
+    "clustering primitive behind Delta/Iceberg Z-ORDER: interleaving the "
+    "bits of two bucketed dimensions (here a 16-bit md5-derived source "
+    "hash and a 16-bit length bucket) so that range-partitioning by the "
+    "key co-locates rows close in BOTH dimensions and min/max file stats "
+    "prune scans for predicates on either column. "
+    "operators/scale.py::morton_key — pure bitwise/shift expressions "
+    "inside whole-stage codegen, map-only; the oracle states the same "
+    "magic-number bit-spread closed-form, so the entire key construction "
+    "is hash-checked bit for bit.",
+)
+def p68_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duckdb_cloudflare_spark.operators.scale import morton_key
+
+    d = load(spark, sf_dir, "documents")
+    a = F.conv(
+        F.substring(F.md5(F.coalesce("source", F.lit(""))), 1, 4), 16, 10
+    ).cast("long")
+    b = F.least(
+        F.floor(F.coalesce(F.col("n_chars"), F.lit(0)) / 16).cast("long"),
+        F.lit(65535),
+    )
+    return d.select("doc_id", morton_key(a, b).cast("bigint").alias("zkey"))

@@ -190,3 +190,34 @@ def test_partitioning_invariance_of_deterministic_stages(spark):
         finally:
             spark.conf.set("spark.sql.shuffle.partitions", prev)
         assert base == alt, name
+
+
+def test_morton_key_bit_interleave_exact(spark):
+    from pyspark.sql import functions as F
+
+    from duckdb_cloudflare_spark.operators.scale import morton_key
+
+    df = spark.createDataFrame(
+        [(0xFFFF, 0), (0, 0xFFFF), (0xFFFF, 0xFFFF), (0, 0), (0b1010, 0b0101), (3, 1)],
+        "a long, b long",
+    )
+    got = [r["z"] for r in df.select(morton_key(F.col("a"), F.col("b")).alias("z")).collect()]
+    # a occupies even bits, b odd bits
+    assert got == [
+        0x55555555,
+        0xAAAAAAAA,
+        0xFFFFFFFF,
+        0,
+        0b1100110,  # a=1010 -> even bits 2,6 (68); b=0101 -> odd bits 1,5 (34)
+        0b111,      # a=11 -> 0b101 (5); b=1 -> 0b10 (2)
+    ]
+
+
+def test_morton_key_masks_to_16_bits(spark):
+    from pyspark.sql import functions as F
+
+    from duckdb_cloudflare_spark.operators.scale import morton_key
+
+    df = spark.createDataFrame([(0x1FFFF, 0x10000)], "a long, b long")
+    z = df.select(morton_key(F.col("a"), F.col("b")).alias("z")).first()["z"]
+    assert z == 0x55555555  # high bits beyond 16 ignored on both inputs
