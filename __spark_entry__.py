@@ -10,12 +10,12 @@ pinned by pytest instead).
 NOTE on registry order: the driver grades a bounded prefix (observed: the
 first 50 entries) of ``queries()``. The registry implements the rotation
 policy explicitly (queries/__init__._WINDOW_PRIORITY): least-recently-
-driver-graded entries first. The r7 window leads with the seven NEW r7
+driver-graded entries first. The r7 window leads with the eight NEW r7
 operators (p62 JPEG round trip, p63 URL canonicalization, p64 repetition
-rules, p65 logistic-GD fit, p66 corpus-version diff, p67 token drift, p68 Z-order keys — zero driver history), then q44 (graded r3,
+rules, p65 logistic-GD fit, p66 corpus-version diff, p67 token drift, p68 Z-order keys, p69 BMP round trip — zero driver history), then q44 (graded r3,
 missed by the r5/r6 rotations — ADVICE r6), the rest of the r4-graded
 set (p49–p54, q54, q55), and the stalest r5 greens to fill 50 — all
-oracle-bearing. p23–p29, p31–p33, q40–q43 and the whole r6-graded set
+oracle-bearing. p22–p29, p31–p33, q40–q43 and the whole r6-graded set
 rotate in r8.
 POLICY: the rows-only approximates (q31, p06–p10, p14, p20, p30) are
 never windowed — the driver records `err: no_oracle` for them, which

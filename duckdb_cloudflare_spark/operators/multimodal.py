@@ -42,7 +42,7 @@ from typing import Optional
 
 import pandas as pd
 
-from duckdb_cloudflare_spark.util import jpeg, png
+from duckdb_cloudflare_spark.util import bmp, jpeg, png
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -160,6 +160,14 @@ def decode_asset_meta(data: Optional[bytes]) -> dict:
                 meta.update(mime="image/png", width=w, height=h, channels=c)
             except png.PngFormatError as e:
                 meta["error"] = f"[Error: {e}]"
+        elif bytes(data[:2]) == bmp.BMP_MAGIC:
+            # REAL codec path: uncompressed 24-bit BMP via util/bmp.py —
+            # header-only probe.
+            try:
+                w, h, c = bmp.bmp_meta(bytes(data))
+                meta.update(mime="image/bmp", width=w, height=h, channels=c)
+            except bmp.BmpFormatError as e:
+                meta["error"] = f"[Error: {e}]"
         elif bytes(data[:2]) == jpeg.SOI:
             # REAL codec path: baseline JPEG via util/jpeg.py — SOF0
             # header-only probe (no entropy decode). Outside our baseline-
@@ -232,6 +240,16 @@ def _resize_bytes(data: Optional[bytes], width: int, height: int) -> Optional[by
             )
         except png.PngFormatError:
             return None
+    if data[:2] == bmp.BMP_MAGIC:
+        # REAL codec: lossless decode → nearest-neighbor resample → re-encode
+        try:
+            w0, h0, pixels = bmp.decode_bmp(data)
+            return bmp.encode_bmp(
+                png.resize_nearest(pixels, w0, h0, 3, width, height),
+                width, height,
+            )
+        except bmp.BmpFormatError:
+            return None
     if data[:2] == jpeg.SOI:
         # REAL codec: entropy decode → nearest-neighbor resample → re-encode.
         # Outside baseline-grayscale scope, fall through to the Pillow path
@@ -298,6 +316,9 @@ def decode_with_real_codec(data: bytes):
     data = bytes(data)
     if data[:8] == png.PNG_SIGNATURE:
         return png.decode_png(data)
+    if data[:2] == bmp.BMP_MAGIC:
+        w, h, pixels = bmp.decode_bmp(data)
+        return w, h, 3, pixels
     if data[:2] == jpeg.SOI:
         try:
             w, h, pixels = jpeg.decode_jpeg(data)

@@ -148,19 +148,19 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 # so ordering IS the rotation policy: least-recently-driver-graded first.
 #
 # r7 window (this list):
-#   - the seven NEW r7 operators lead (zero driver history, like every
+#   - the eight NEW r7 operators lead (zero driver history, like every
 #     round's additions): p62 (JPEG real-codec round trip), p63 (URL
 #     canonicalization), p64 (Gopher repetition rules), p65 (logistic-GD
 #     quality-classifier fit), p66 (corpus-version diff), p67 (token
-#     drift), p68 (Z-order layout keys).
+#     drift), p68 (Z-order layout keys), p69 (BMP real-codec round trip).
 #   - q44 next: it was graded r3 with q40–q50, but q40–q43 rotated r5 and
 #     q45–q50 rotated r6, leaving q44 the single stalest green entry (it
 #     had silently fallen through the r6 rotation bookkeeping — ADVICE r6).
 #   - then the rest of the r4-graded set per the documented plan:
 #     p49–p54, q54, q55.
 #   - then the stalest r5-graded greens to fill 50: q36/q39/q52, p55–p61,
-#     q29/q30/q32–q35/q37/q51, q01, p01–p05, p11–p13, p15–p19, p21–p22.
-#   Remaining r5 greens (p23–p29, p31–p33, q40–q43) and the whole
+#     q29/q30/q32–q35/q37/q51, q01, p01–p05, p11–p13, p15–p19, p21.
+#   Remaining r5 greens (p22–p29, p31–p33, q40–q43) and the whole
 #   r6-graded set rotate in r8.
 # Every windowed entry is oracle-bearing. Deliberately NEVER windowed:
 # the rows-only approximates (q31, p06–p10, p14, p20, p30) — the driver
@@ -172,7 +172,7 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 # sweep (tests/test_scale_parity.py).
 _WINDOW_PRIORITY = [
     # new this round — zero driver history
-    "p62_", "p63_", "p64_", "p65_", "p66_", "p67_", "p68_",
+    "p62_", "p63_", "p64_", "p65_", "p66_", "p67_", "p68_", "p69_",
     # single stalest green (graded r3; missed by the r5/r6 rotations)
     "q44_",
     # rest of the r4-graded set (documented r7 plan)
@@ -186,7 +186,7 @@ _WINDOW_PRIORITY = [
     *[f"p{n:02d}_" for n in range(1, 6)],
     "p11_", "p12_", "p13_",
     *[f"p{n}_" for n in range(15, 20)],
-    *[f"p{n}_" for n in range(21, 23)],
+    "p21_",
 ]
 
 

@@ -1815,3 +1815,66 @@ def p68_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(65535),
     )
     return d.select("doc_id", morton_key(a, b).cast("bigint").alias("zkey"))
+
+
+@register(
+    "p69_bmp_roundtrip",
+    oracle="""
+    WITH dims AS (
+        SELECT doc_id,
+               4 + doc_id % 9 AS width,
+               3 + doc_id % 5 AS height,
+               md5(coalesce(text, '')) AS src
+        FROM documents
+    )
+    SELECT doc_id, width, height, CAST(3 AS BIGINT) AS channels,
+           md5(substring(repeat(src, CAST((width*height*3 + 31) // 32 AS INT)),
+                         1, CAST(width*height*3 AS INT))) AS pixel_md5
+    FROM dims
+    """,
+    description="THIRD real codec under the hash check: per document, "
+    "deterministic RGB pixels (the md5-hex of the text repeated to "
+    "w*h*3 bytes) are encoded to an actual 24-bit uncompressed Windows "
+    "BMP (util/bmp.py: BITMAPFILEHEADER + BITMAPINFOHEADER, bottom-up "
+    "BGR rows with 4-byte padding — widths 4..12 include odd strides, "
+    "so the padding path is exercised) and decoded back; the output "
+    "carries the header-decoded dimensions and the md5 of the RECOVERED "
+    "pixels. BMP is lossless, so the DuckDB oracle computes the same "
+    "dims and pixel hash closed-form — any defect in the row flip / "
+    "BGR swap / padding arithmetic flips the hash. Map-only mapInPandas.",
+)
+def p69_bmp_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from duckdb_cloudflare_spark.util import bmp as _bmp
+
+    out_schema = (
+        "doc_id long, width long, height long, channels long, pixel_md5 string"
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"doc_id": [], "width": [], "height": [],
+                    "channels": [], "pixel_md5": []}
+            for i, t in zip(pdf["doc_id"], pdf["text"]):
+                i = int(i)
+                w, h = 4 + i % 9, 3 + i % 5
+                n = w * h * 3
+                src = hashlib.md5((t or "").encode("utf-8")).hexdigest()
+                pixels = (src * ((n + 31) // 32))[:n].encode("ascii")
+                w2, h2, recovered = _bmp.decode_bmp(_bmp.encode_bmp(pixels, w, h))
+                rows["doc_id"].append(i)
+                rows["width"].append(w2)
+                rows["height"].append(h2)
+                rows["channels"].append(3)
+                rows["pixel_md5"].append(hashlib.md5(recovered).hexdigest())
+            yield pd.DataFrame(rows)
+
+    return (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .mapInPandas(gen, schema=out_schema)
+    )

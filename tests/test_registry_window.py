@@ -13,7 +13,7 @@ def test_graded_window_is_exactly_the_r7_rotation():
     window = names[:50]
     expected = (
         # new r7 operators (zero driver history) lead
-        ["p62_", "p63_", "p64_", "p65_", "p66_", "p67_", "p68_"]
+        ["p62_", "p63_", "p64_", "p65_", "p66_", "p67_", "p68_", "p69_"]
         # stalest green (r3; missed by the r5/r6 rotations — ADVICE r6)
         + ["q44_"]
         # rest of the r4-graded set per the documented plan
@@ -27,7 +27,7 @@ def test_graded_window_is_exactly_the_r7_rotation():
         + [f"p{n:02d}_" for n in range(1, 6)]
         + ["p11_", "p12_", "p13_"]
         + [f"p{n}_" for n in range(15, 20)]
-        + [f"p{n}_" for n in range(21, 23)]
+        + ["p21_"]
     )
     assert len(window) == len(expected) == 50
     for name, prefix in zip(window, expected):
