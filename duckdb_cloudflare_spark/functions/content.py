@@ -153,18 +153,48 @@ def _to_cdx_timestamp_udf(s: pd.Series) -> pd.Series:
 # ---------------------------------------------------------------------------
 
 
+_IMAGE_META_TYPE = StructType(
+    [
+        StructField("mime", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("channels", IntegerType()),
+        StructField("error", StringType()),
+    ]
+)
+
+
+@pandas_udf(_IMAGE_META_TYPE)
+def image_meta_col(data: pd.Series) -> pd.DataFrame:
+    """Header-only image metadata over a binary column — dispatches across
+    the three REAL built-in codecs (PNG, baseline JPEG, 24-bit BMP; see
+    util/) plus the synthetic containers, error-as-row for anything else.
+    Arrow-batched; only the header bytes are inspected, never the pixel
+    payload."""
+    from duckdb_cloudflare_spark.operators.multimodal import decode_asset_meta
+
+    cols = {k: [] for k in ("mime", "width", "height", "channels", "error")}
+    for blob in data:
+        m = decode_asset_meta(None if blob is None else bytes(blob))
+        for k in cols:
+            cols[k].append(m[k])
+    return pd.DataFrame(cols)
+
+
 def register_all(spark: SparkSession) -> None:
     """Register the function surface for ``spark.sql`` use:
 
     ``sanitize_utf8, decompress_gzip, parse_http_headers, parse_warc,
     cdx_to_timestamp, to_cdx_timestamp`` — mirroring the utility operators
     the reference applies inside its scans, exposed as first-class SQL
-    functions here. The SQL entry points wrap the same pure-Python ports
-    the DataSource readers use; the DataFrame-API variants above
-    (cdx_timestamp_to_ts / ts_to_cdx_timestamp) are pure JVM expressions."""
+    functions here — plus ``image_meta`` over the built-in real codecs.
+    The SQL entry points wrap the same pure-Python ports the DataSource
+    readers use; the DataFrame-API variants above (cdx_timestamp_to_ts /
+    ts_to_cdx_timestamp) are pure JVM expressions."""
     spark.udf.register("sanitize_utf8", sanitize_utf8_col)
     spark.udf.register("decompress_gzip", decompress_gzip_col)
     spark.udf.register("parse_http_headers", parse_headers_col)
     spark.udf.register("parse_warc", parse_warc_col)
     spark.udf.register("cdx_to_timestamp", _cdx_to_timestamp_udf)
     spark.udf.register("to_cdx_timestamp", _to_cdx_timestamp_udf)
+    spark.udf.register("image_meta", image_meta_col)

@@ -119,3 +119,29 @@ def test_sql_registered_cdx_functions(sqlspark):
     ).first()
     assert str(row["ts"]) == "2024-06-01 12:30:00"
     assert row["cdx"] == "20240601"
+
+
+def test_image_meta_sql_dispatches_all_codecs(spark):
+    from duckdb_cloudflare_spark.functions.content import register_all
+    from duckdb_cloudflare_spark.util import bmp, jpeg, png
+
+    register_all(spark)
+    rows = [
+        (1, png.encode_png(bytes(27), 3, 3, 3)),
+        (2, jpeg.encode_jpeg(bytes([9]) * 64, 8, 8)),
+        (3, bmp.encode_bmp(bytes(36), 4, 3)),
+        (4, b"\x00garbage"),
+        (5, None),
+    ]
+    spark.createDataFrame(rows, "id long, asset binary").createOrReplaceTempView(
+        "assets_t"
+    )
+    got = {
+        r["id"]: (r["m"]["mime"], r["m"]["width"], r["m"]["height"], r["m"]["error"] is not None)
+        for r in spark.sql("SELECT id, image_meta(asset) AS m FROM assets_t").collect()
+    }
+    assert got[1] == ("image/png", 3, 3, False)
+    assert got[2] == ("image/jpeg", 8, 8, False)
+    assert got[3] == ("image/bmp", 4, 3, False)
+    assert got[4][0] is None and got[4][3] is True
+    assert got[5][0] is None and got[5][3] is True
