@@ -124,3 +124,27 @@ def test_repetition_stats_fracs_nonneg_and_ordered(spark):
         | (F.col("total_chars") < 0)
     )
     assert bad.count() == 0, bad.limit(5).collect()
+
+
+@given(
+    w=st.integers(1, 33),
+    h=st.integers(1, 17),
+    seed=st.integers(0, 2**31 - 1),
+)
+@settings(max_examples=60, deadline=None)
+def test_bmp_roundtrip_always_bit_exact(w, h, seed):
+    from duckdb_cloudflare_spark.util import bmp as B
+
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, w * h * 3, dtype=np.int64).astype(np.uint8).tobytes()
+    assert B.decode_bmp(B.encode_bmp(px, w, h)) == (w, h, px)
+
+
+@given(cut=st.integers(1, 80))
+@settings(max_examples=40, deadline=None)
+def test_bmp_truncation_raises(cut):
+    from duckdb_cloudflare_spark.util import bmp as B
+
+    blob = B.encode_bmp(bytes(4 * 4 * 3), 4, 4)
+    with pytest.raises(B.BmpFormatError):
+        B.decode_bmp(blob[: len(blob) - cut])
