@@ -7,12 +7,14 @@ The reference establishes the pattern with WARC content: an opaque
 (/root/reference/src/common_crawl_index.cpp:391-397). This module
 generalizes it to media assets for training-data pipelines.
 
-Codecs: **PNG and baseline grayscale JPEG are decoded/encoded/resized by
-REAL codecs** — the pure-Python stdlib-zlib PNG implementation in
-``util/png.py`` (full filter reconstruction, CRC verification) and the
-pure-Python ITU-T T.81 baseline JPEG implementation in ``util/jpeg.py``
-(DCT, Annex-K quant/Huffman tables, JFIF container), both active with no
-optional dependency; other image formats route through Pillow when
+Codecs: **PNG, baseline grayscale JPEG, and 24-bit BMP are decoded/
+encoded/resized by REAL codecs** — the pure-Python stdlib-zlib PNG
+implementation in ``util/png.py`` (full filter reconstruction, CRC
+verification), the pure-Python ITU-T T.81 baseline JPEG implementation
+in ``util/jpeg.py`` (DCT, Annex-K quant/Huffman tables, JFIF container),
+and the pure-Python uncompressed 24-bit BMP implementation in
+``util/bmp.py`` (lossless; bottom-up/top-down rows, BGR, 4-byte
+padding), all active with no optional dependency; other image formats route through Pillow when
 installed (``real_codec()`` probe). Audio/video remain represented by the
 deterministic synthetic container format (``FIMG``/``FAUD``/``FVID``
 headers, below) because no audio/video library exists in this
@@ -308,11 +310,12 @@ def _extract_frames(data: Optional[bytes], every_n: int) -> list[tuple[int, byte
 def decode_with_real_codec(data: bytes):
     """Decode non-container bytes with a REAL codec.
 
-    PNG decodes through the built-in pure-Python codec (util/png.py —
-    stdlib zlib, full filter reconstruction, CRC checks); returns
-    ``(width, height, channels, pixels: bytes)``. Other formats go
-    through Pillow when installed (``real_codec()`` probe, returns the
-    PIL image object); otherwise ``NotImplementedError``."""
+    PNG, baseline grayscale JPEG, and 24-bit BMP decode through the
+    built-in pure-Python codecs (util/png.py, util/jpeg.py, util/bmp.py);
+    returns ``(width, height, channels, pixels: bytes)``. Other formats
+    (and JPEGs outside the baseline-grayscale scope) go through Pillow
+    when installed (``real_codec()`` probe, returns the PIL image
+    object); otherwise ``NotImplementedError``."""
     data = bytes(data)
     if data[:8] == png.PNG_SIGNATURE:
         return png.decode_png(data)
