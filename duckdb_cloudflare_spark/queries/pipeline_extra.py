@@ -1445,6 +1445,128 @@ def p62_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "p70_train_eval",
+    oracle="""
+    WITH f AS (
+        SELECT CAST(('0x' || substr(md5('cv' || doc_id), 1, 8)) AS BIGINT) % 5
+                   AS fold,
+               CAST(CASE WHEN n_chars > 250 THEN 1 ELSE 0 END AS DOUBLE) AS y,
+               CAST(1.0 AS DOUBLE) AS x0,
+               CAST(length(text) - length(replace(text, 'e', '')) AS DOUBLE)
+                   / length(text) AS x1,
+               CAST(n_chars AS DOUBLE) / 500.0 AS x2
+        FROM documents
+        WHERE length(coalesce(text, '')) > 0
+    ), tr AS (SELECT * FROM f WHERE fold != 0),
+    s1 AS (
+        SELECT avg((y - 0.5) * x0) AS w0, avg((y - 0.5) * x1) AS w1,
+               avg((y - 0.5) * x2) AS w2
+        FROM tr
+    ), s2 AS (
+        SELECT round(w0 + avg((y - 1.0/(1.0 + exp(-(w0*x0 + w1*x1 + w2*x2)))) * x0), 6) AS v0,
+               round(w1 + avg((y - 1.0/(1.0 + exp(-(w0*x0 + w1*x1 + w2*x2)))) * x1), 6) AS v1,
+               round(w2 + avg((y - 1.0/(1.0 + exp(-(w0*x0 + w1*x1 + w2*x2)))) * x2), 6) AS v2
+        FROM tr, s1
+        GROUP BY w0, w1, w2
+    ), scored AS (
+        SELECT f.y, (s2.v0*f.x0 + s2.v1*f.x1 + s2.v2*f.x2) >= 0 AS pred
+        FROM f, s2 WHERE f.fold = 0
+    )
+    SELECT * FROM (
+        SELECT CAST((SELECT count(*) FROM tr) AS BIGINT) AS n_train,
+               CAST(count(*) AS BIGINT) AS n_test,
+               CAST(sum(CASE WHEN pred AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+               CAST(sum(CASE WHEN pred AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+               CAST(sum(CASE WHEN NOT pred AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+               CAST(sum(CASE WHEN NOT pred AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+               CAST(sum(CASE WHEN pred = (y = 1) THEN 1 ELSE 0 END) AS DOUBLE)
+                   / count(*) AS accuracy
+        FROM scored
+    ) WHERE n_test > 0  -- empty corpus: 0 rows on BOTH engines
+    """,
+    description="The TRAIN -> EVAL loop as one query: deterministic md5 "
+    "fold assignment (p57's protocol), a two-step logistic-GD fit "
+    "(p65's operator) on the train folds, and held-out-fold scoring "
+    "with confusion counts — the quality-classifier evaluation stage "
+    "that closes the ML family (p42/p45 k-means, p65 fit, p19/p57 "
+    "splits). Weights are rounded to 6 dp on BOTH sides before scoring, "
+    "so the decision margins are computed from identical inputs with "
+    "the same left-associated expression and the >= 0 boundary is "
+    "bit-deterministic across engines; counts are then exact integers "
+    "and accuracy a single int/int division (unrounded). Spark shape: "
+    "two partial-agg passes over the train folds + a 1-row broadcast "
+    "onto the map-only test scan.",
+)
+def p70_train_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import broadcast
+
+    from duckdb_cloudflare_spark.operators.quality_model import fit_logistic
+
+    d = load(spark, sf_dir, "documents").filter(
+        F.length(F.coalesce(F.col("text"), F.lit(""))) > 0
+    )
+    f = d.select(
+        (
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit("cv"), F.col("doc_id").cast("string"))), 1, 8),
+                16, 10,
+            ).cast("long")
+            % 5
+        ).alias("fold"),
+        (F.col("n_chars") > 250).cast("double").alias("y"),
+        F.lit(1.0).alias("x0"),
+        (
+            (F.length("text") - F.length(F.replace(F.col("text"), F.lit("e")))).cast("double")
+            / F.length("text")
+        ).alias("x1"),
+        (F.col("n_chars").cast("double") / 500.0).alias("x2"),
+    )
+    train = f.filter(F.col("fold") != 0)
+    w = fit_logistic(train, ["x0", "x1", "x2"], "y", steps=2).select(
+        F.round("w_x0", 6).alias("v0"),
+        F.round("w_x1", 6).alias("v1"),
+        F.round("w_x2", 6).alias("v2"),
+    )
+    n_train = train.agg(F.count(F.lit(1)).alias("n_train"))
+    scored = (
+        f.filter(F.col("fold") == 0)
+        .crossJoin(broadcast(w))
+        .select(
+            "y",
+            (
+                F.col("v0") * F.col("x0")
+                + F.col("v1") * F.col("x1")
+                + F.col("v2") * F.col("x2")
+                >= 0
+            ).alias("pred"),
+        )
+    )
+    agg = scored.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_test"),
+        F.sum(F.when(F.col("pred") & (F.col("y") == 1), 1).otherwise(0))
+        .cast("bigint").alias("tp"),
+        F.sum(F.when(F.col("pred") & (F.col("y") == 0), 1).otherwise(0))
+        .cast("bigint").alias("fp"),
+        F.sum(F.when(~F.col("pred") & (F.col("y") == 0), 1).otherwise(0))
+        .cast("bigint").alias("tn"),
+        F.sum(F.when(~F.col("pred") & (F.col("y") == 1), 1).otherwise(0))
+        .cast("bigint").alias("fn"),
+        (
+            F.sum(F.when(F.col("pred") == (F.col("y") == 1), 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1))
+        ).alias("accuracy"),
+    )
+    return (
+        n_train.crossJoin(broadcast(agg))
+        .filter(F.col("n_test") > 0)
+        .select(
+            F.col("n_train").cast("bigint").alias("n_train"),
+            "n_test", "tp", "fp", "tn", "fn", "accuracy",
+        )
+    )
+
+
+@register(
     "p63_url_canonicalize",
     oracle="""
     SELECT doc_id,
