@@ -861,9 +861,10 @@ def _reject_unsupported_joins(sql: str) -> None:
             continue
         # In DuckDB's syntax the keyword FOLLOWS a table reference
         # (FROM t1 ASOF JOIN t2). If the immediately preceding token is
-        # FROM/JOIN/ON/',', then "asof"/"positional" is itself a table
+        # FROM/JOIN/',', then "asof"/"positional" is itself a table
         # name or alias in table position (FROM asof JOIN x) — legal SQL
-        # on both engines, not the join operator.
+        # on both engines, not the join operator. (A table reference
+        # cannot directly follow ON, so ON needs no entry here.)
         prev = re.search(r"([A-Za-z_]\w*|,)\s*$", sql[: m.start()])
         if prev and prev.group(1).upper() in ("FROM", "JOIN", ","):
             continue

@@ -164,12 +164,32 @@ def decode_asset_meta(data: Optional[bytes]) -> dict:
                 meta["error"] = f"[Error: {e}]"
         elif bytes(data[:2]) == bmp.BMP_MAGIC:
             # REAL codec path: uncompressed 24-bit BMP via util/bmp.py —
-            # header-only probe.
+            # header-only probe. Outside our 24-bit-uncompressed scope
+            # (8/16/32-bit, RLE, V4/V5), fall THROUGH to the Pillow probe
+            # when installed — same never-regress contract as the JPEG
+            # branch above.
             try:
                 w, h, c = bmp.bmp_meta(bytes(data))
                 meta.update(mime="image/bmp", width=w, height=h, channels=c)
             except bmp.BmpFormatError as e:
-                meta["error"] = f"[Error: {e}]"
+                handled = False
+                img_mod = real_codec()
+                if img_mod is not None:
+                    try:
+                        import io
+
+                        with img_mod.open(io.BytesIO(bytes(data))) as im:
+                            meta.update(
+                                mime="image/bmp",
+                                width=im.width,
+                                height=im.height,
+                                channels=len(im.getbands()),
+                            )
+                            handled = True
+                    except Exception:
+                        pass
+                if not handled:
+                    meta["error"] = f"[Error: {e}]"
         elif bytes(data[:2]) == jpeg.SOI:
             # REAL codec path: baseline JPEG via util/jpeg.py — SOF0
             # header-only probe (no entropy decode). Outside our baseline-
@@ -243,7 +263,9 @@ def _resize_bytes(data: Optional[bytes], width: int, height: int) -> Optional[by
         except png.PngFormatError:
             return None
     if data[:2] == bmp.BMP_MAGIC:
-        # REAL codec: lossless decode → nearest-neighbor resample → re-encode
+        # REAL codec: lossless decode → nearest-neighbor resample → re-encode.
+        # Outside 24-bit-uncompressed scope, fall through to the Pillow path
+        # below (the pre-r7 behavior for such files) instead of dropping.
         try:
             w0, h0, pixels = bmp.decode_bmp(data)
             return bmp.encode_bmp(
@@ -251,7 +273,8 @@ def _resize_bytes(data: Optional[bytes], width: int, height: int) -> Optional[by
                 width, height,
             )
         except bmp.BmpFormatError:
-            return None
+            if real_codec() is None:
+                return None
     if data[:2] == jpeg.SOI:
         # REAL codec: entropy decode → nearest-neighbor resample → re-encode.
         # Outside baseline-grayscale scope, fall through to the Pillow path
@@ -320,8 +343,14 @@ def decode_with_real_codec(data: bytes):
     if data[:8] == png.PNG_SIGNATURE:
         return png.decode_png(data)
     if data[:2] == bmp.BMP_MAGIC:
-        w, h, pixels = bmp.decode_bmp(data)
-        return w, h, 3, pixels
+        try:
+            w, h, pixels = bmp.decode_bmp(data)
+            return w, h, 3, pixels
+        except bmp.BmpFormatError:
+            # outside 24-bit-uncompressed scope: Pillow handles it when
+            # installed (below); otherwise surface the codec error
+            if real_codec() is None:
+                raise
     if data[:2] == jpeg.SOI:
         try:
             w, h, pixels = jpeg.decode_jpeg(data)
@@ -334,9 +363,9 @@ def decode_with_real_codec(data: bytes):
     img_mod = real_codec()
     if img_mod is None:
         raise NotImplementedError(
-            "no codec for this format in this environment: PNG and baseline "
-            "grayscale JPEG decode built-in; other formats need Pillow (or "
-            "use the synthetic FIMG/FAUD/FVID containers)"
+            "no codec for this format in this environment: PNG, baseline "
+            "grayscale JPEG, and 24-bit BMP decode built-in; other formats "
+            "need Pillow (or use the synthetic FIMG/FAUD/FVID containers)"
         )
     import io
 

@@ -16,8 +16,13 @@ multi-step fits).
 Determinism: with fixed features, label, lr, and step count the result
 is exact up to float summation order (aggregation order is engine- and
 partitioning-dependent), so consumers comparing across engines must
-round — the p65 oracle rounds to 6 dp on both sides, the repo's standard
-for order-dependent float aggregates.
+round. Crucially, the weights feeding each NEXT step's sigmoid must be
+canonicalized too, not just the final output — an unrounded step-1 ulp
+difference amplifies through exp() and can flip a final 6-dp rounding
+(or a >=0 decision) boundary. ``round_dp`` rounds the weight vector
+after EVERY step; p65/p70 set it to 6 and their SQL oracles round the
+identical intermediate CTEs, the repo's standard for order-dependent
+float aggregates at every cross-engine comparison point (ADVICE r7).
 """
 
 from __future__ import annotations
@@ -36,6 +41,7 @@ def fit_logistic(
     label_col: str,
     steps: int = 2,
     lr: float = 1.0,
+    round_dp: int | None = None,
 ) -> DataFrame:
     """``steps`` unrolled batch-GD updates of logistic regression, starting
     from w = 0. Returns a ONE-ROW DataFrame with columns ``w_<feature>``.
@@ -46,7 +52,12 @@ def fit_logistic(
     ``label_col`` must be 0/1 (numeric). Features should be pre-scaled to
     O(1) magnitudes — batch GD, not a production optimizer; the operator
     exists for its Spark shape (per-step single-aggregate pass + 1-row
-    broadcast), mirrored exactly by an unrolled-CTE SQL oracle."""
+    broadcast), mirrored exactly by an unrolled-CTE SQL oracle.
+
+    ``round_dp``: when set, every step's weight vector is rounded to that
+    many decimal places BEFORE feeding the next step (and in the returned
+    row) — cross-engine consumers must round identically in their oracle's
+    intermediate CTEs so step n+1 computes from bit-identical weights."""
     if not feature_cols:
         raise ValueError("fit_logistic needs at least one feature column")
     if steps < 1:
@@ -64,12 +75,13 @@ def fit_logistic(
                 F.col(wcols[0]) * F.col(feature_cols[0]),
             )
         resid = F.col(label_col).cast("double") - _sigmoid(margin)
-        aggs = [
-            (
-                (F.lit(0.0) if weights is None else F.first(w))
-                + F.lit(lr) * F.avg(resid * F.col(c))
-            ).alias(w)
-            for w, c in zip(wcols, feature_cols)
-        ]
+        aggs = []
+        for w, c in zip(wcols, feature_cols):
+            expr = (
+                F.lit(0.0) if weights is None else F.first(w)
+            ) + F.lit(lr) * F.avg(resid * F.col(c))
+            if round_dp is not None:
+                expr = F.round(expr, round_dp)
+            aggs.append(expr.alias(w))
         weights = base.agg(*aggs)
     return weights

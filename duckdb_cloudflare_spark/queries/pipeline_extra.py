@@ -1459,8 +1459,11 @@ def p62_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE length(coalesce(text, '')) > 0
     ), tr AS (SELECT * FROM f WHERE fold != 0),
     s1 AS (
-        SELECT avg((y - 0.5) * x0) AS w0, avg((y - 0.5) * x1) AS w1,
-               avg((y - 0.5) * x2) AS w2
+        -- step-1 weights rounded to 6 dp BEFORE step 2's sigmoid, in
+        -- lockstep with fit_logistic(round_dp=6) — see p65 (ADVICE r7)
+        SELECT round(avg((y - 0.5) * x0), 6) AS w0,
+               round(avg((y - 0.5) * x1), 6) AS w1,
+               round(avg((y - 0.5) * x2), 6) AS w2
         FROM tr
     ), s2 AS (
         SELECT round(w0 + avg((y - 1.0/(1.0 + exp(-(w0*x0 + w1*x1 + w2*x2)))) * x0), 6) AS v0,
@@ -1489,7 +1492,8 @@ def p62_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(p65's operator) on the train folds, and held-out-fold scoring "
     "with confusion counts — the quality-classifier evaluation stage "
     "that closes the ML family (p42/p45 k-means, p65 fit, p19/p57 "
-    "splits). Weights are rounded to 6 dp on BOTH sides before scoring, "
+    "splits). Weights are rounded to 6 dp on BOTH sides after EVERY GD "
+    "step (round_dp=6) and before scoring, "
     "so the decision margins are computed from identical inputs with "
     "the same left-associated expression and the >= 0 boundary is "
     "bit-deterministic across engines; counts are then exact integers "
@@ -1522,10 +1526,10 @@ def p70_train_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_chars").cast("double") / 500.0).alias("x2"),
     )
     train = f.filter(F.col("fold") != 0)
-    w = fit_logistic(train, ["x0", "x1", "x2"], "y", steps=2).select(
-        F.round("w_x0", 6).alias("v0"),
-        F.round("w_x1", 6).alias("v1"),
-        F.round("w_x2", 6).alias("v2"),
+    w = fit_logistic(train, ["x0", "x1", "x2"], "y", steps=2, round_dp=6).select(
+        F.col("w_x0").alias("v0"),
+        F.col("w_x1").alias("v1"),
+        F.col("w_x2").alias("v2"),
     )
     n_train = train.agg(F.count(F.lit(1)).alias("n_train"))
     scored = (
@@ -1686,23 +1690,27 @@ def p64_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM documents
         WHERE length(coalesce(text, '')) > 0
     ), s1 AS (
-        SELECT avg((y - 0.5) * x0) AS w0,
-               avg((y - 0.5) * x1) AS w1,
-               avg((y - 0.5) * x2) AS w2,
+        -- intermediate weights rounded to 6 dp BEFORE feeding step 2's
+        -- sigmoid, in lockstep with fit_logistic(round_dp=6): an
+        -- unrounded ulp difference here amplifies through exp() and can
+        -- flip the final 6-dp boundary (ADVICE r7)
+        SELECT round(avg((y - 0.5) * x0), 6) AS w0,
+               round(avg((y - 0.5) * x1), 6) AS w1,
+               round(avg((y - 0.5) * x2), 6) AS w2,
                count(*) AS n
         FROM f
     ), s2 AS (
         SELECT n,
-               w0 + avg((y - 1.0/(1.0 + exp(-(w0*x0 + w1*x1 + w2*x2)))) * x0) AS v0,
-               w1 + avg((y - 1.0/(1.0 + exp(-(w0*x0 + w1*x1 + w2*x2)))) * x1) AS v1,
-               w2 + avg((y - 1.0/(1.0 + exp(-(w0*x0 + w1*x1 + w2*x2)))) * x2) AS v2
+               round(w0 + avg((y - 1.0/(1.0 + exp(-(w0*x0 + w1*x1 + w2*x2)))) * x0), 6) AS v0,
+               round(w1 + avg((y - 1.0/(1.0 + exp(-(w0*x0 + w1*x1 + w2*x2)))) * x1), 6) AS v1,
+               round(w2 + avg((y - 1.0/(1.0 + exp(-(w0*x0 + w1*x1 + w2*x2)))) * x2), 6) AS v2
         FROM f, s1
         GROUP BY n, w0, w1, w2
     )
     SELECT CAST(n AS BIGINT) AS n_docs,
-           round(v0, 6) AS w_bias,
-           round(v1, 6) AS w_e_freq,
-           round(v2, 6) AS w_len
+           v0 AS w_bias,
+           v1 AS w_e_freq,
+           v2 AS w_len
     FROM s2
     """,
     description="Distributed quality-classifier TRAINING: two unrolled "
@@ -1715,8 +1723,11 @@ def p64_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "aggregated corpus pass; the 1-row weight vector rides a broadcast "
     "crossJoin into the next step, no driver collect. The oracle unrolls "
     "the identical two steps as CTEs; weights are order-dependent float "
-    "sums, rounded to 6 dp on both sides per repo convention. Emits 0 "
-    "rows on an empty corpus (matching the oracle's empty cross join).",
+    "sums, rounded to 6 dp on both sides AFTER EVERY STEP (round_dp=6, "
+    "not just at the end) so step 2's sigmoid sees bit-identical weights "
+    "across engines — per repo convention for order-dependent float "
+    "aggregates at every cross-engine comparison point. Emits 0 rows on "
+    "an empty corpus (matching the oracle's empty cross join).",
 )
 def p65_logistic_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.functions import broadcast
@@ -1735,17 +1746,12 @@ def p65_logistic_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("e_freq"),
         (F.col("n_chars").cast("double") / 500.0).alias("len"),
     )
-    w = fit_logistic(f, ["bias", "e_freq", "len"], "y", steps=2)
+    w = fit_logistic(f, ["bias", "e_freq", "len"], "y", steps=2, round_dp=6)
     n = f.agg(F.count(F.lit(1)).alias("n_docs"))
     return (
         n.crossJoin(broadcast(w))
         .filter(F.col("n_docs") > 0)
-        .select(
-            "n_docs",
-            F.round("w_bias", 6).alias("w_bias"),
-            F.round("w_e_freq", 6).alias("w_e_freq"),
-            F.round("w_len", 6).alias("w_len"),
-        )
+        .select("n_docs", "w_bias", "w_e_freq", "w_len")
     )
 
 
