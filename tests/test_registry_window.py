@@ -1,40 +1,88 @@
-"""The driver grades the FIRST 50 registry entries; this pins the r7 window
+"""The driver grades the FIRST 50 registry entries; this pins the r8 window
 composition exactly, so an innocent-looking registration change cannot
 silently rotate an unvetted query into (or a vetted one out of) the graded
-prefix. Update deliberately when applying the documented rotation plan."""
+prefix. Update deliberately when applying the documented rotation plan.
+
+Also enforces the structural invariant that closed the q44 (r6) / p70 (r7)
+omission class: every oracle-bearing entry must either have green driver
+history (a green row in some checked-in CORRECTNESS_r*.json) or sit inside
+the graded prefix of the CURRENT window — an oracle-bearing entry can never
+again be registered and then silently miss every driver grading window.
+"""
 
 from __future__ import annotations
 
+import glob
+import json
+import os
+
 from duckdb_cloudflare_spark import queries as Q
 
+_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-def test_graded_window_is_exactly_the_r7_rotation():
+
+def test_graded_window_is_exactly_the_r8_rotation():
     names = list(Q.all_queries())
     window = names[:50]
     expected = (
-        # new r7 operators (zero driver history) lead
-        ["p62_", "p63_", "p64_", "p65_", "p66_", "p67_", "p68_", "p69_"]
-        # stalest green (r3; missed by the r5/r6 rotations — ADVICE r6)
-        + ["q44_"]
-        # rest of the r4-graded set per the documented plan
-        + [f"p{n}_" for n in range(49, 55)]
-        + ["q54_", "q55_"]
-        # stalest r5-graded greens to fill 50
-        + ["q36_", "q39_", "q52_"]
-        + [f"p{n}_" for n in range(55, 62)]
-        + ["q29_", "q30_", "q32_", "q33_", "q34_", "q35_", "q37_", "q51_"]
-        + ["q01_"]
-        + [f"p{n:02d}_" for n in range(1, 6)]
-        + ["p11_", "p12_", "p13_"]
-        + [f"p{n}_" for n in range(15, 20)]
-        + ["p21_"]
-    )
+        # new r8 operators (zero driver history) lead; then p70, the late-r7
+        # addition that missed the r7 window (VERDICT r7 rank-1).
+        # Prepend each r8 addition here IN LOCKSTEP with _WINDOW_PRIORITY.
+        ["p70_"]
+        # stalest greens — last graded r5
+        + [f"p{n}_" for n in range(22, 30)]
+        + ["p31_", "p32_", "p33_"]
+        + ["q40_", "q41_", "q42_", "q43_"]
+        # r6-graded set in documented provenance order, truncated at 50;
+        # the overflow (q22-q28, p34-p48) rotates first in r9
+        + ["q38_", "q53_"]
+        + [f"q{n}_" for n in range(45, 51)]
+        + [f"q{n:02d}_" for n in range(2, 29)]
+    )[:50]
     assert len(window) == len(expected) == 50
     for name, prefix in zip(window, expected):
         assert name.startswith(prefix), (name, prefix)
     # every windowed entry must be oracle-bearing (window invariant since r4)
     oracles = Q.all_oracles()
     assert all(n in oracles for n in window)
+
+
+def _driver_green_history() -> set[str]:
+    """Entries with at least one fully-green row in the checked-in driver
+    correctness records (CORRECTNESS_r*.json at the repo root)."""
+    green: set[str] = set()
+    for path in glob.glob(os.path.join(_ROOT, "CORRECTNESS_r*.json")):
+        with open(path) as f:
+            for name, row in json.load(f).items():
+                if (
+                    row.get("rows_match")
+                    and row.get("schema_match")
+                    and row.get("hash_match")
+                    and not row.get("err")
+                ):
+                    green.add(name)
+    return green
+
+
+def test_no_oracle_bearing_entry_stranded_without_driver_history():
+    """The q44/p70 omission class, made structurally impossible: any
+    oracle-bearing entry with ZERO green driver history must be inside the
+    graded prefix of the current window, or this fails loudly. New
+    operators therefore cannot be registered without also being scheduled
+    to lead (prepend their prefix to _WINDOW_PRIORITY and to the pin test
+    above), and a rotation can never strand an ungraded entry."""
+    names = list(Q.all_queries())
+    oracles = Q.all_oracles()
+    green = _driver_green_history()
+    assert green, "no CORRECTNESS_r*.json found — invariant cannot run"
+    window = set(names[:50])
+    stranded = [
+        n for n in names if n in oracles and n not in green and n not in window
+    ]
+    assert stranded == [], (
+        "oracle-bearing entries with no driver history are outside the "
+        f"graded window and would never be graded: {stranded}"
+    )
 
 
 def test_rows_only_entries_sort_last():
