@@ -623,10 +623,16 @@ def p43_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     description="bigram language-model scoring with add-one smoothing: "
     "per-doc mean ln((c(w1,w2)+1)/(c(w1)+V)) — the next step up from p28's "
     "unigram proxy, sensitive to word ORDER scrambling that unigram scores "
-    "can't see. Corpus-wide bigram and unigram tables are partial-aggregated "
-    "(two bucketed shuffles); V is a 1-row broadcast; the per-doc mean is "
-    "one more shuffle on doc_id. Same ln+round(6) cross-engine discipline "
-    "as p28 (pinned at sf0.1 by the scale sweep).",
+    "can't see. r8 reshape (A/B-measured, PERF.md): bigram instances are "
+    "reduced to per-doc (w1, w2, multiplicity) rows BEFORE any join, the "
+    "two vocab-sized count tables join each other FIRST into a per-bigram "
+    "logprob table, and the corpus-scale doc-bigram table joins exactly "
+    "once (per-doc mean = m-weighted sum(m*ln)/sum(m)); the doc-bigram "
+    "subtree's two consumers share one exchange (ReusedExchange, "
+    "plan-pinned), cutting the pre-r8 plan's 4 corpus scans / 4 Generates "
+    "to 2 / 3 with no caching barrier. V is a 1-row broadcast. Same "
+    "ln+round(6) cross-engine discipline as p28 (pinned at sf0.1 by the "
+    "scale sweep).",
 )
 def p50_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.functions import broadcast
@@ -634,6 +640,7 @@ def p50_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = D.ensure_parallelism(load(spark, sf_dir, "documents"))
     ts = F.col("ts")
     n = F.size(ts)
+    toks = d.select("doc_id", D.lowered_tokens().alias("ts"))
     # Total (see dedup.hashed_word_shingles): safe under predicate pushdown.
     pairs = F.when(
         n >= 2,
@@ -645,26 +652,48 @@ def p50_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ),
     ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
-    toks = d.select("doc_id", D.lowered_tokens().alias("ts"))
-    big = (
+    # Per-doc bigram multiplicities: dedups instance rows map-side (doc_id
+    # is in the grouping key, so partial aggregation collapses each doc's
+    # repeats before the shuffle) — every downstream join and the final
+    # per-doc mean then run over distinct doc-bigrams, not instances. The
+    # two consumers below (c2 and the final join) need the SAME (w1, w2)
+    # exchange of this subtree, which the planner shares (ReusedExchange —
+    # pinned in test_plans.py), so no persist barrier is needed.
+    bd = (
         toks.filter(n >= 2)
         .select("doc_id", F.explode(pairs).alias("p"))
-        .select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .groupBy(
+            "doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
+        )
+        .agg(F.count(F.lit(1)).alias("m"))
     )
-    uni = toks.select(F.explode(ts).alias("tok"))
-    c1 = uni.groupBy("tok").agg(F.count(F.lit(1)).alias("f1"))
+    c1 = (
+        toks.select(F.explode(ts).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("f1"))
+    )
     v = c1.agg(F.count(F.lit(1)).cast("double").alias("vsize"))
-    c2 = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("f2"))
-    return (
-        big.join(c2, ["w1", "w2"])
-        .join(c1, big["w1"] == c1["tok"])
+    c2 = bd.groupBy("w1", "w2").agg(F.sum("m").alias("f2"))
+    # Score at the BIGRAM level first: c2 x c1 is a vocab-sized join, so
+    # the corpus-scale bd table joins exactly ONCE (on the precomputed
+    # per-bigram logprob) instead of twice — one fewer shuffle of the big
+    # side than the naive instances-join-c2-join-c1 shape.
+    lp = (
+        c2.join(c1, c2["w1"] == c1["tok"])
         .crossJoin(broadcast(v))
+        .select(
+            "w1",
+            "w2",
+            F.log((F.col("f2") + 1) / (F.col("f1") + F.col("vsize"))).alias("lp"),
+        )
+    )
+    m = F.col("m")
+    return (
+        bd.join(lp, ["w1", "w2"])
         .groupBy("doc_id")
         .agg(
-            F.round(
-                F.avg(F.log((F.col("f2") + 1) / (F.col("f1") + F.col("vsize")))), 6
-            ).alias("avg_logprob"),
-            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.sum(m * F.col("lp")) / F.sum(m), 6).alias("avg_logprob"),
+            F.sum(m).alias("n_bigrams"),
         )
     )
 

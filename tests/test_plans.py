@@ -336,3 +336,22 @@ def test_p63_url_canonicalize_is_map_only(spark, registry):
     # Pure column derivation: no exchange anywhere in the plan.
     df = registry["p63_url_canonicalize"](spark, SF_DIR)
     assert shuffle_count(df) == 0
+
+
+def test_p50_bigram_plan_shares_docbigram_exchange(spark, registry):
+    # r8 reshape (A/B-measured, PERF.md): vocab tables join each other
+    # first, the corpus-scale doc-bigram table joins once, and its two
+    # consumers (bigram totals + final join) SHARE one exchange. A
+    # regression to the pre-r8 shape shows up as 4 corpus scans / 4
+    # Generates and zero reuse.
+    df = registry["p50_bigram_logprob"](spark, SF_DIR)
+    qe = df._jdf.queryExecution()
+    if "isFinalPlan=false" in qe.simpleString():
+        # finalize THIS adaptive plan (same pattern as codegen_stage_count)
+        qe.toRdd().count()
+    # under AQE the string carries Final AND Initial sections — count the
+    # final one only (the initial plan legitimately lacks reuse nodes)
+    plan = qe.executedPlan().toString().split("== Initial Plan ==")[0]
+    assert plan.count("ReusedExchange") >= 1, plan
+    assert plan.count("Scan parquet") <= 2, plan
+    assert plan.count("Generate explode") <= 3, plan
