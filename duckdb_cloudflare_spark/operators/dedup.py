@@ -1309,3 +1309,83 @@ def epoch_shard_assign(
         shard.alias("shard"),
         F.row_number().over(w).cast("long").alias("pos_in_shard"),
     )
+
+
+def word_shingle_strings(k: int = 3) -> Column:
+    """Distinct ' '-joined word-``k`` shingle STRINGS over a lowered token
+    array column named ``ts`` — the unhashed sibling of
+    ``hashed_word_shingles`` for operators whose oracle needs the literal
+    shingle (p73 exact MinHash). Same total-expression guard."""
+    ts = F.col("ts")
+    return F.when(
+        F.size(ts) >= k,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size(ts) - k),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(ts, i + j + 1) for j in range(k)]
+                ),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def minhash_signatures_exact(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 8,
+    shingle_k: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """EXACT-oracle MinHash: ``k`` permutation mins per doc over word-
+    ``shingle_k`` shingles, plus ``bands`` LSH band keys — the signature
+    stage of the p06 near-dup family, formulated so a SQL engine can
+    mirror it bit-for-bit. Permutation ``i`` hashes a shingle as the first
+    15 hex digits of ``md5(i || ':' || shingle)`` read as a base-16
+    integer (60 bits — fits signed 64 exactly on both engines; xxhash64
+    would be faster but has no cross-engine twin, the same md5-for-oracle
+    trade p19/p43/p57 make). Band ``j`` key = md5 of its ``k/bands``
+    signature values joined with ','.
+
+    Scale shape: ONE shingle explode → ONE partial-aggregated groupBy
+    (doc_id) computing all ``k`` mins at once (k conditional min aggs,
+    map-side combined) → band keys derived map-side. Docs with fewer than
+    ``shingle_k`` tokens produce no shingles and are EXCLUDED (no
+    signature is defined for them) — callers union them back as
+    singletons, as p06 does.
+
+    Cites: banding/minhash per Broder '97 / MMDS ch.3, matching the
+    reference-behavior family of p06 (minhash_near_duplicates)."""
+    if k % bands != 0:
+        raise ValueError(f"bands ({bands}) must divide k ({k})")
+    rows = k // bands
+    d = df.select("doc_id", lowered_tokens(text_col).alias("ts")).filter(
+        F.size(F.col("ts")) >= shingle_k
+    )
+    ex = d.select(
+        "doc_id", F.explode(word_shingle_strings(shingle_k)).alias("sh")
+    )
+    hashes = [
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"{i}:"), F.col("sh"))), 1, 15
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias(f"h{i}")
+        for i in range(k)
+    ]
+    sigs = (
+        ex.select("doc_id", *hashes)
+        .groupBy("doc_id")
+        .agg(*[F.min(f"h{i}").alias(f"s{i}") for i in range(k)])
+    )
+    band_cols = [
+        F.md5(
+            F.concat_ws(",", *[F.col(f"s{j * rows + r}").cast("string") for r in range(rows)])
+        ).alias(f"b{j}")
+        for j in range(bands)
+    ]
+    return sigs.select("doc_id", *[f"s{i}" for i in range(k)], *band_cols)

@@ -128,3 +128,45 @@ def morton_key(a: Column, b: Column) -> Column:
     (the technique behind Delta/Iceberg Z-ORDER clustering). Inputs are
     masked to 16 bits; callers bucket real values into [0, 65535] first."""
     return _spread_bits16(a).bitwiseOR(F.shiftleft(_spread_bits16(b), 1))
+
+
+def key_skew_profile(df: DataFrame, key_col: str, top_n: int = 10) -> DataFrame:
+    """The DIAGNOSTIC that drives the two knobs above: per-key frequency
+    profile of a prospective join/aggregation key. Returns the ``top_n``
+    heaviest keys with
+
+    - ``cnt``: rows carrying the key,
+    - ``share``: cnt / total rows (rounded 6 dp),
+    - ``ratio_to_avg``: cnt / (total / n_distinct_keys) — the skew factor;
+      a key with ratio_to_avg ≫ 1 is the one that makes a hash-partitioned
+      shuffle straggle, and the threshold at which ``salted_aggregate`` /
+      ``salted_join`` (or AQE skew-join) pays for itself,
+    - ``rnk``: dense position by (cnt DESC, key) — deterministic under ties.
+
+    Scale shape: one partial-aggregated groupBy (corpus → key-cardinality
+    rows), a 1-row global-stats broadcast, then distributed top-k
+    (orderBy + limit = TakeOrdered, no single-partition window over the
+    full key set) and a window over only the ``top_n`` survivors."""
+    from pyspark.sql import Window
+    from pyspark.sql.functions import broadcast
+
+    key = F.col(key_col)
+    cnt = df.groupBy(key.alias("key")).agg(F.count(F.lit(1)).alias("cnt"))
+    tot = cnt.agg(
+        F.sum("cnt").alias("total_rows"),
+        F.count(F.lit(1)).alias("n_keys"),
+    )
+    top = cnt.orderBy(F.col("cnt").desc(), F.col("key")).limit(top_n)
+    w = Window.orderBy(F.col("cnt").desc(), F.col("key"))
+    return (
+        top.crossJoin(broadcast(tot))
+        .select(
+            F.row_number().over(w).cast("bigint").alias("rnk"),
+            "key",
+            "cnt",
+            F.round(F.col("cnt") / F.col("total_rows"), 6).alias("share"),
+            F.round(
+                F.col("cnt") * F.col("n_keys") / F.col("total_rows"), 6
+            ).alias("ratio_to_avg"),
+        )
+    )

@@ -331,3 +331,50 @@ def lsh_topk(
         .filter(F.col("nn_rank") <= k)
         .select("query_id", "neighbor_id", "cosine_sim", "nn_rank")
     )
+
+
+def centroid_cosine(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Embedding-quality audit: cosine of every vector to the CORPUS MEAN
+    vector — the outlier/drift diagnostic run before a corpus's embeddings
+    feed ANN indexing or clustering (a vector anti-correlated with the
+    centroid is a likely encoder failure or wrong-modality row).
+
+    Returns (id, cos_centroid) with cos rounded to ``round_dp``. The mean
+    vector's COMPONENTS are rounded to ``round_dp`` too, BEFORE the dot
+    product — the repo's canonicalization convention for order-dependent
+    float aggregates at cross-engine comparison points (see
+    quality_model.fit_logistic), letting a SQL oracle reproduce the exact
+    doubles.
+
+    Scale shape: one posexplode → (pos)-keyed partial aggregation (dim-
+    sized output), a 1-row array assembly broadcast onto a map-only cosine
+    pass — the corpus shuffles only (pos, val) pairs, never whole vectors,
+    and the second pass is embarrassingly parallel. Zero-norm vectors (and
+    a zero-norm mean) yield NULL cosine rather than a division error."""
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    e = df.select(F.col(id_col), v.alias("v"))
+    pos = e.select(F.posexplode("v").alias("pos", "val"))
+    mean = pos.groupBy("pos").agg(F.round(F.avg("val"), round_dp).alias("m"))
+    mu = mean.agg(
+        F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm")
+    ).select(F.transform("pm", lambda s: s["m"]).alias("mu"))
+
+    def _dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+        )
+
+    dot = _dot(F.col("v"), F.col("mu"))
+    nv = F.sqrt(_dot(F.col("v"), F.col("v")))
+    nm = F.sqrt(_dot(F.col("mu"), F.col("mu")))
+    return e.crossJoin(broadcast(mu)).select(
+        id_col,
+        F.when(
+            (nv > 0) & (nm > 0), F.round(dot / (nv * nm), round_dp)
+        ).alias("cos_centroid"),
+    )

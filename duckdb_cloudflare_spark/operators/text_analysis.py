@@ -9,6 +9,8 @@ no shuffle, scales linearly with executors.
 
 from __future__ import annotations
 
+import pandas as pd  # module-scope: pandas_udf resolves string type hints from globals
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -240,3 +242,53 @@ def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
             F.coalesce("dup5_frac", F.lit(0.0)).alias("dup5_frac"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Unicode cleanup (p72) — the normalization pass a web-scale corpus needs
+# before any hashing/dedup: NFC composition, typographic-punctuation
+# unification, zero-width/control removal, whitespace collapse.
+# --------------------------------------------------------------------------
+
+# typographic → ASCII map; the trailing FROM characters with no TO partner
+# (zero-widths, BOM) are DELETED — translate() semantics on both engines.
+UNICODE_PUNCT_FROM = "“”«»‘’–— ​‌‍﻿"
+UNICODE_PUNCT_TO = "\"\"\"\"''-- "
+# C0 controls (except \t\n\r which are whitespace, collapsed later) + DEL.
+# \x0b\x0c are stripped HERE deliberately: Java's \s includes them but
+# RE2's (DuckDB's) does not, so they must never reach the \s+ collapse.
+CONTROL_CLASS = r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]"
+
+
+def nfc_normalize(text: Column) -> Column:
+    """Unicode NFC composition via an Arrow-batched pandas UDF (Spark has
+    no built-in normalizer). The one Python step of clean_unicode — an
+    order-preserving map over string batches; everything else is JVM.
+    Cross-engine parity with DuckDB's ``nfc_normalize`` holds because both
+    implement the same Unicode normalization algorithm (UAX #15)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _nfc(s: pd.Series) -> pd.Series:
+        import unicodedata
+
+        return s.map(
+            lambda x: unicodedata.normalize("NFC", x) if x is not None else None
+        )
+
+    return _nfc(text)
+
+
+def clean_unicode(text: Column) -> Column:
+    """Full cleanup pipeline, in an order that is cross-engine stable:
+    1. NFC composition (combining sequences → precomposed);
+    2. typographic punctuation → ASCII, zero-widths/BOM deleted
+       (``translate`` — extra FROM chars with no TO partner are removed);
+    3. C0 control characters stripped (BEFORE the whitespace collapse —
+       see CONTROL_CLASS note on the Java-vs-RE2 \\s divergence);
+    4. whitespace runs collapsed to single spaces, ends trimmed.
+    NULL propagates. Map-only; one Arrow exchange for step 1."""
+    t = nfc_normalize(text)
+    t = F.translate(t, UNICODE_PUNCT_FROM, UNICODE_PUNCT_TO)
+    t = F.regexp_replace(t, CONTROL_CLASS, "")
+    return F.trim(F.regexp_replace(t, r"\s+", " "))

@@ -83,3 +83,33 @@ def url_host(url: Column) -> Column:
     """Lowercased host — the grouping key for per-domain caps (p24) and
     domain-level corpus stats."""
     return F.lower(F.try_parse_url(url, F.lit("HOST")))
+
+
+# Well-known multi-part second-level labels (public-suffix-LITE): when the
+# second-to-last host label is one of these, the registrable domain spans
+# THREE labels (bbc.co.uk, u-tokyo.ac.jp), not two. A real deployment swaps
+# in the full Mozilla Public Suffix List; the fixed set keeps the operator a
+# pure JVM expression with no sidecar data file.
+MULTI_PART_SLDS = ("co", "com", "ac", "gov", "edu", "org", "net")
+
+
+def registrable_domain(host: Column) -> Column:
+    """Registrable ("eTLD+1"-style) domain of a lowercased host: the last
+    two labels, or the last three when the second-to-last label is a known
+    multi-part second-level (``MULTI_PART_SLDS`` — co.uk, ac.jp, ...).
+    Hosts with fewer labels than that pass through whole; NULL/blank input
+    → NULL. This is the grouping key for domain-level corpus statistics
+    (p71) — subdomains (www./cdn./a.b.) collapse to one domain, which is
+    what per-domain caps and spam scoring need. Map-only JVM expressions:
+    split + slice + array_join, fused by whole-stage codegen."""
+    h = F.lower(F.trim(host))
+    labels = F.split(h, r"\.")
+    n = F.size(labels)
+    second = F.element_at(labels, -2)
+    take = F.when(
+        (n >= 3) & second.isin(*MULTI_PART_SLDS), F.lit(3)
+    ).otherwise(F.lit(2))
+    take = F.least(take, n)
+    return F.when(h.isNull() | (h == ""), F.lit(None).cast("string")).otherwise(
+        F.array_join(F.slice(labels, n - take + 1, take), ".")
+    )

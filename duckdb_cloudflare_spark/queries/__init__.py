@@ -172,6 +172,7 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 # sweep (tests/test_scale_parity.py).
 _WINDOW_PRIORITY = [
     # new this round — zero driver history (prepend each r8 addition here)
+    "p71_", "p72_", "p73_", "p74_", "p75_", "p76_",
     # only oracle-bearing zero-history carryover (late-r7 addition)
     "p70_",
     # stalest greens — last graded r5

@@ -2035,3 +2035,332 @@ def p69_bmp_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "text")
         .mapInPandas(gen, schema=out_schema)
     )
+
+
+# ---------------------------------------------------------------------------
+# r8 additions: p71–p76
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "p71_domain_stats",
+    oracle="""
+    WITH h AS (
+        SELECT CASE doc_id % 4 WHEN 0 THEN 'www.' WHEN 1 THEN 'cdn.'
+                               WHEN 2 THEN '' ELSE 'a.b.' END
+               || 'example' || (doc_id % 50) ||
+               CASE doc_id % 5 WHEN 0 THEN '.com' WHEN 1 THEN '.co.uk'
+                               WHEN 2 THEN '.org' WHEN 3 THEN '.io'
+                               ELSE '.ac.jp' END AS host,
+               n_chars
+        FROM documents
+    ), hd AS (
+        SELECT host,
+               CASE WHEN len(sp) >= 3 AND sp[len(sp) - 1] IN
+                         ('co','com','ac','gov','edu','org','net')
+                    THEN array_to_string(sp[len(sp) - 2 :], '.')
+                    ELSE array_to_string(sp[greatest(len(sp) - 1, 1) :], '.')
+               END AS domain,
+               n_chars
+        FROM (SELECT host, string_split(host, '.') AS sp, n_chars FROM h)
+    ), per_host AS (
+        SELECT domain, host, count(*) AS h_docs, sum(n_chars) AS h_chars
+        FROM hd GROUP BY domain, host
+    )
+    SELECT domain,
+           CAST(sum(h_docs) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_hosts,
+           CAST(sum(h_chars) AS BIGINT) AS total_chars,
+           round(sum(h_docs) / CAST((SELECT count(*) FROM documents) AS DOUBLE),
+                 6) AS share
+    FROM per_host GROUP BY domain
+    """,
+    description="Domain-level corpus statistics — the registrable-domain "
+    "(eTLD+1-style) rollup behind per-domain caps, spam-domain triage, and "
+    "source diversity reports: docs/hosts/chars/corpus-share per domain, "
+    "with subdomains (www./cdn./a.b.) collapsed via operators/web.py::"
+    "registrable_domain (public-suffix-LITE: last 2 labels, or 3 when the "
+    "2nd-level is co/com/ac/gov/edu/org/net — exercised by the synthesized "
+    ".co.uk/.ac.jp hosts). The corpus has no URL column, so a deterministic "
+    "host is synthesized per doc (4 subdomain shapes x 50 names x 5 "
+    "suffixes) and the oracle re-derives the same domain in SQL. Scale "
+    "shape: map-side domain derivation, (domain, host) partial-agg shuffle "
+    "then domain rollup (no Expand, no COUNT DISTINCT), 1-row total "
+    "broadcast.",
+)
+def p71_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import broadcast
+
+    from duckdb_cloudflare_spark.operators.web import registrable_domain
+
+    d = load(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    host = F.concat(
+        F.when(i % 4 == 0, F.lit("www."))
+        .when(i % 4 == 1, F.lit("cdn."))
+        .when(i % 4 == 2, F.lit(""))
+        .otherwise(F.lit("a.b.")),
+        F.lit("example"),
+        (i % 50).cast("string"),
+        F.when(i % 5 == 0, F.lit(".com"))
+        .when(i % 5 == 1, F.lit(".co.uk"))
+        .when(i % 5 == 2, F.lit(".org"))
+        .when(i % 5 == 3, F.lit(".io"))
+        .otherwise(F.lit(".ac.jp")),
+    )
+    per_host = (
+        d.select(host.alias("host"), "n_chars")
+        .select(registrable_domain(F.col("host")).alias("domain"), "host", "n_chars")
+        .groupBy("domain", "host")
+        .agg(F.count(F.lit(1)).alias("h_docs"), F.sum("n_chars").alias("h_chars"))
+    )
+    tot = d.agg(F.count(F.lit(1)).alias("total"))
+    return (
+        per_host.groupBy("domain")
+        .agg(
+            F.sum("h_docs").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_hosts"),
+            F.sum("h_chars").alias("total_chars"),
+        )
+        .crossJoin(broadcast(tot))
+        .select(
+            "domain",
+            "n_docs",
+            "n_hosts",
+            "total_chars",
+            F.round(F.col("n_docs") / F.col("total"), 6).alias("share"),
+        )
+    )
+
+
+@register(
+    "p72_text_normalize",
+    oracle="""
+    WITH dirty AS (
+        SELECT doc_id,
+               chr(9) || chr(8220)
+               || substr(coalesce(text, ''), 1, 40 + CAST(doc_id % 20 AS INTEGER))
+               || chr(8221) || ' ' || chr(8212) || ' e' || chr(769)
+               || chr(160) || 'q' || chr(7) || chr(8203) || '  tail   ' AS t
+        FROM documents
+    )
+    SELECT doc_id,
+           trim(regexp_replace(regexp_replace(translate(nfc_normalize(t),
+               chr(8220) || chr(8221) || chr(171) || chr(187) || chr(8216)
+                   || chr(8217) || chr(8211) || chr(8212) || chr(160)
+                   || chr(8203) || chr(8204) || chr(8205) || chr(65279),
+               repeat(chr(34), 4) || chr(39) || chr(39) || '--' || chr(32)),
+               '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]', '', 'g'),
+               '\\s+', ' ', 'g')) AS clean,
+           length(trim(regexp_replace(regexp_replace(translate(nfc_normalize(t),
+               chr(8220) || chr(8221) || chr(171) || chr(187) || chr(8216)
+                   || chr(8217) || chr(8211) || chr(8212) || chr(160)
+                   || chr(8203) || chr(8204) || chr(8205) || chr(65279),
+               repeat(chr(34), 4) || chr(39) || chr(39) || '--' || chr(32)),
+               '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]', '', 'g'),
+               '\\s+', ' ', 'g'))) AS n_chars_clean
+    FROM dirty
+    """,
+    description="Unicode text cleanup — the normalization pass before any "
+    "hashing/dedup on web text: NFC composition (the one Python step — an "
+    "Arrow-batched pandas UDF; Spark has no built-in normalizer), "
+    "typographic punctuation -> ASCII, zero-width/BOM deletion, C0-control "
+    "strip, whitespace collapse (operators/text_analysis.py::clean_unicode; "
+    "the control strip deliberately precedes the \\\\s+ collapse because "
+    "Java's \\\\s includes \\\\x0b\\\\x0c and RE2's does not). The corpus "
+    "text is ASCII, so a deterministic DIRTY string is synthesized per doc "
+    "(curly quotes, em-dash, combining accent, NBSP, BEL, zero-width "
+    "space, ragged whitespace) and DuckDB's nfc_normalize mirrors the UDF "
+    "— both implement UAX #15. Map-only; one Arrow exchange.",
+)
+def p72_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    # explicit escapes, byte-identical to the oracle's chr() sequence:
+    # RIGHT DQUOTE (8221), sp, EM DASH (8212), sp, 'e' + COMBINING ACUTE
+    # (769 - exercises real NFC composition), NBSP (160), 'q', BEL (7),
+    # ZWSP (8203), ragged tail
+    dirty = F.concat(
+        F.lit("\t\u201c"),
+        F.coalesce(F.col("text"), F.lit("")).substr(
+            F.lit(1), (F.lit(40) + (i % 20)).cast("int")
+        ),
+        F.lit("\u201d \u2014 e\u0301\u00a0q\x07\u200b  tail   "),
+    )
+    clean = T.clean_unicode(dirty)
+    return d.select(
+        "doc_id",
+        clean.alias("clean"),
+        F.length(clean).cast("bigint").alias("n_chars_clean"),
+    )
+
+
+@register(
+    "p73_minhash_signatures",
+    oracle=rf"""
+    WITH {_TOKS_CTE},
+    sh AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(range(1, len(ts) - 1),
+                   i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]))) AS s
+        FROM toks WHERE len(ts) >= 3
+    ), sig AS (
+        SELECT doc_id,
+               min(('0x' || substr(md5('0:' || s), 1, 15))::BIGINT) AS s0,
+               min(('0x' || substr(md5('1:' || s), 1, 15))::BIGINT) AS s1,
+               min(('0x' || substr(md5('2:' || s), 1, 15))::BIGINT) AS s2,
+               min(('0x' || substr(md5('3:' || s), 1, 15))::BIGINT) AS s3,
+               min(('0x' || substr(md5('4:' || s), 1, 15))::BIGINT) AS s4,
+               min(('0x' || substr(md5('5:' || s), 1, 15))::BIGINT) AS s5,
+               min(('0x' || substr(md5('6:' || s), 1, 15))::BIGINT) AS s6,
+               min(('0x' || substr(md5('7:' || s), 1, 15))::BIGINT) AS s7
+        FROM sh GROUP BY doc_id
+    )
+    SELECT doc_id, s0, s1, s2, s3, s4, s5, s6, s7,
+           md5(s0 || ',' || s1) AS b0,
+           md5(s2 || ',' || s3) AS b1,
+           md5(s4 || ',' || s5) AS b2,
+           md5(s6 || ',' || s7) AS b3
+    FROM sig
+    """,
+    description="EXACT-oracle MinHash signatures + LSH band keys — the "
+    "signature stage of the p06 near-dup family finally under the hash "
+    "gate: 8 permutation mins per doc over word-3-shingles (permutation i "
+    "= first 15 hex of md5(i ':' shingle) as a 60-bit int — fits signed 64 "
+    "on both engines; the md5-for-oracle trade p19/p43/p57 make), banded "
+    "2 rows x 4 bands into md5 bucket keys. operators/dedup.py::"
+    "minhash_signatures_exact. Scale shape: ONE shingle explode -> ONE "
+    "partial-aggregated groupBy(doc_id) computing all 8 mins at once -> "
+    "map-side band keys; docs with <3 tokens have no signature and are "
+    "excluded on both sides.",
+)
+def p73_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return D.minhash_signatures_exact(d, k=8, shingle_k=3, bands=4)
+
+
+@register(
+    "p74_key_skew_profile",
+    oracle="""
+    WITH c AS (
+        SELECT l_suppkey AS key, count(*) AS cnt FROM lineitem GROUP BY 1
+    ), t AS (
+        SELECT CAST(sum(cnt) AS DOUBLE) AS total, count(*) AS nk FROM c
+    ), top AS (
+        SELECT key, cnt FROM c ORDER BY cnt DESC, key LIMIT 10
+    )
+    SELECT CAST(row_number() OVER (ORDER BY cnt DESC, key) AS BIGINT) AS rnk,
+           key, CAST(cnt AS BIGINT) AS cnt,
+           round(cnt / (SELECT total FROM t), 6) AS share,
+           round(cnt * (SELECT nk FROM t) / (SELECT total FROM t), 6)
+               AS ratio_to_avg
+    FROM top
+    """,
+    description="Join-key skew diagnostic — the measurement that decides "
+    "when operators/scale.py's salting/bucketing (or AQE skew-join) pays "
+    "for itself: top-10 heaviest values of a prospective shuffle key "
+    "(lineitem.l_suppkey) with count, corpus share, and ratio_to_avg (the "
+    "skew factor: cnt over total/n_keys). operators/scale.py::"
+    "key_skew_profile. Scale shape: one partial-agg groupBy (corpus -> "
+    "key-cardinality rows), 1-row stats broadcast, distributed top-k "
+    "(TakeOrdered, no full-key-set window), window over only the 10 "
+    "survivors. Deterministic ties: (cnt DESC, key).",
+)
+def p74_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duckdb_cloudflare_spark.operators.scale import key_skew_profile
+
+    li = load(spark, sf_dir, "lineitem").select("l_suppkey")
+    return key_skew_profile(li, "l_suppkey", top_n=10)
+
+
+@register(
+    "p75_centroid_cosine",
+    oracle="""
+    WITH v AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM embeddings
+    ), u AS (
+        SELECT generate_subscripts(e, 1) AS pos, unnest(e) AS val FROM v
+    ), mpos AS (
+        SELECT pos, round(avg(val), 6) AS m FROM u GROUP BY pos
+    ), mean AS (
+        SELECT list(m ORDER BY pos) AS mu FROM mpos
+    )
+    SELECT vec_id,
+           CASE WHEN sqrt(list_dot_product(e, e)) > 0
+                 AND sqrt(list_dot_product(mu, mu)) > 0
+                THEN round(list_dot_product(e, mu)
+                           / (sqrt(list_dot_product(e, e))
+                              * sqrt(list_dot_product(mu, mu))), 6)
+           END AS cos_centroid
+    FROM v, mean
+    """,
+    description="Embedding-quality audit: cosine of every vector to the "
+    "corpus MEAN vector — the outlier/drift screen run before embeddings "
+    "feed ANN indexing or clustering (operators/similarity.py::"
+    "centroid_cosine). Mean components are rounded to 6 dp BEFORE the dot "
+    "product on BOTH sides (the fit_logistic round_dp convention for "
+    "order-dependent float aggregates at cross-engine comparison points), "
+    "so the per-vector cosine is computed from identical doubles by the "
+    "same left-to-right fold. Scale shape: posexplode -> dim-sized "
+    "(pos)-keyed partial agg -> 1-row mean-array broadcast -> map-only "
+    "cosine; vectors never shuffle whole. Zero norms -> NULL.",
+)
+def p75_centroid_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duckdb_cloudflare_spark.operators.similarity import centroid_cosine
+
+    e = load(spark, sf_dir, "embeddings")
+    return centroid_cosine(e, vec_col="embedding", id_col="vec_id")
+
+
+@register(
+    "p76_zipf_fit",
+    oracle=rf"""
+    WITH {_TOKS_CTE},
+    c AS (
+        SELECT tok, count(*) AS f
+        FROM (SELECT unnest(ts) AS tok FROM toks) GROUP BY tok
+    ), vs AS (SELECT count(*) AS vocab FROM c),
+    top AS (SELECT tok, f FROM c ORDER BY f DESC, tok LIMIT 1000),
+    r AS (
+        SELECT tok, f, row_number() OVER (ORDER BY f DESC, tok) AS rnk
+        FROM top
+    )
+    SELECT CAST((SELECT vocab FROM vs) AS BIGINT) AS vocab_size,
+           CAST(count(*) AS BIGINT) AS n_fit,
+           round(regr_slope(ln(f), ln(rnk)), 6) AS zipf_slope,
+           min(CASE WHEN rnk = 1 THEN tok END) AS top_token
+    FROM r
+    """,
+    description="Zipf-law fit — the corpus-health scalar a data card "
+    "reports: regression slope of ln(frequency) on ln(rank) over the top "
+    "1000 vocabulary terms (healthy natural text sits near -1; synthetic "
+    "or template-heavy corpora flatten). Both engines compute regr_slope "
+    "as covar_pop/var_pop (SQL standard); ranks use the deterministic "
+    "(freq DESC, token) order and the slope is rounded to 6 dp. Scale "
+    "shape: one token-explode partial-agg shuffle to vocab size, "
+    "distributed top-k (TakeOrdered), then a window + regression over "
+    "only 1000 rows; vocab_size rides a 1-row crossJoin.",
+)
+def p76_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+    from pyspark.sql.functions import broadcast
+
+    d = load(spark, sf_dir, "documents")
+    c = (
+        d.select(F.explode(D.lowered_tokens()).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    vs = c.agg(F.count(F.lit(1)).alias("vocab_size"))
+    top = c.orderBy(F.col("f").desc(), F.col("tok")).limit(1000)
+    w = Window.orderBy(F.col("f").desc(), F.col("tok"))
+    r = top.select("tok", "f", F.row_number().over(w).alias("rnk"))
+    fit = r.agg(
+        F.count(F.lit(1)).alias("n_fit"),
+        F.round(F.regr_slope(F.log("f"), F.log("rnk")), 6).alias("zipf_slope"),
+        F.min(F.when(F.col("rnk") == 1, F.col("tok"))).alias("top_token"),
+    )
+    return vs.crossJoin(broadcast(fit)).select(
+        "vocab_size", "n_fit", "zipf_slope", "top_token"
+    )

@@ -1,0 +1,182 @@
+"""Unit pins for the r8 operators (p71–p76): registrable-domain extraction,
+unicode cleanup, exact-oracle MinHash signatures, key-skew profiling,
+centroid cosine, Zipf fit. Cross-engine value parity is covered by the
+driver-replica gate (test_oracle_parity.py); these pin the operator-level
+semantics and edge cases directly."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# registrable_domain (p71)
+# ---------------------------------------------------------------------------
+
+
+def test_registrable_domain_cases(spark):
+    from duckdb_cloudflare_spark.operators.web import registrable_domain
+
+    cases = [
+        ("www.example.com", "example.com"),
+        ("a.b.example.co.uk", "example.co.uk"),
+        ("CDN.Example.AC.JP", "example.ac.jp"),
+        ("example.io", "example.io"),
+        ("deep.a.b.c.example.org", "example.org"),
+        # bare multi-part suffix is NOT extended past the host's labels
+        ("co.uk", "co.uk"),
+        ("localhost", "localhost"),
+        (None, None),
+        ("", None),
+        ("  ", None),
+    ]
+    df = spark.createDataFrame([(h,) for h, _ in cases], ["h"])
+    got = {
+        r["h"]: r["d"]
+        for r in df.select("h", registrable_domain(F.col("h")).alias("d")).collect()
+    }
+    for h, want in cases:
+        assert got[h] == want, (h, got[h], want)
+
+
+# ---------------------------------------------------------------------------
+# clean_unicode (p72)
+# ---------------------------------------------------------------------------
+
+
+def test_clean_unicode_rules(spark):
+    from duckdb_cloudflare_spark.operators.text_analysis import clean_unicode
+
+    dirty = "\t“Quoted” — é x\x07y​z  end "
+    df = spark.createDataFrame([(dirty,), (None,)], ["t"])
+    rows = df.select(clean_unicode(F.col("t")).alias("c")).collect()
+    # NFC composed the accent; quotes/dash ASCII-fied; NBSP → space;
+    # BEL stripped; ZWSP deleted; whitespace collapsed + trimmed
+    assert rows[0]["c"] == '"Quoted" - é xyz end'
+    assert rows[1]["c"] is None
+
+
+def test_clean_unicode_strips_vt_ff_before_collapse(spark):
+    # \x0b/\x0c are in Java's \s but not RE2's — CONTROL_CLASS must remove
+    # them BEFORE the \s+ collapse so both engines converge (module note).
+    from duckdb_cloudflare_spark.operators.text_analysis import clean_unicode
+
+    df = spark.createDataFrame([("a\x0bb\x0cc",)], ["t"])
+    assert df.select(clean_unicode(F.col("t")).alias("c")).first()["c"] == "abc"
+
+
+# ---------------------------------------------------------------------------
+# minhash_signatures_exact (p73)
+# ---------------------------------------------------------------------------
+
+
+def test_minhash_identical_docs_share_all_bands(spark):
+    from duckdb_cloudflare_spark.operators.dedup import minhash_signatures_exact
+
+    text = "the quick brown fox jumps over the lazy dog again and again"
+    df = spark.createDataFrame(
+        [(1, text), (2, text), (3, "entirely different words everywhere here")],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in minhash_signatures_exact(df).collect()}
+    for j in range(4):
+        assert rows[1][f"b{j}"] == rows[2][f"b{j}"]
+    assert any(rows[1][f"b{j}"] != rows[3][f"b{j}"] for j in range(4))
+    # signatures are 60-bit non-negative ints
+    for i in range(8):
+        assert 0 <= rows[1][f"s{i}"] < 1 << 60
+
+
+def test_minhash_short_docs_excluded_and_bad_bands_raise(spark):
+    from duckdb_cloudflare_spark.operators.dedup import minhash_signatures_exact
+
+    df = spark.createDataFrame(
+        [(1, "only two"), (2, None), (3, "three tokens here")], ["doc_id", "text"]
+    )
+    got = [r["doc_id"] for r in minhash_signatures_exact(df).collect()]
+    assert got == [3]
+    with pytest.raises(ValueError, match="must divide"):
+        minhash_signatures_exact(df, bands=3)
+
+
+# ---------------------------------------------------------------------------
+# key_skew_profile (p74)
+# ---------------------------------------------------------------------------
+
+
+def test_key_skew_profile_values(spark):
+    from duckdb_cloudflare_spark.operators.scale import key_skew_profile
+
+    # key 'hot' 6 rows, 'b' 2, 'a' 2 → total 10, n_keys 3, avg 10/3
+    data = [("hot",)] * 6 + [("b",)] * 2 + [("a",)] * 2
+    df = spark.createDataFrame(data, ["k"])
+    rows = key_skew_profile(df, "k", top_n=2).collect()
+    assert [(r["rnk"], r["key"], r["cnt"]) for r in rows] == [
+        (1, "hot", 6),
+        (2, "a", 2),  # tie with 'b' broken by key ASC
+    ]
+    assert rows[0]["share"] == pytest.approx(0.6)
+    assert rows[0]["ratio_to_avg"] == pytest.approx(1.8)  # 6 / (10/3)
+
+
+# ---------------------------------------------------------------------------
+# centroid_cosine (p75)
+# ---------------------------------------------------------------------------
+
+
+def test_centroid_cosine_known_geometry(spark):
+    from duckdb_cloudflare_spark.operators.similarity import centroid_cosine
+
+    # mean of (2,0) and (0,2) is (1,1); both score cos 45° ≈ 0.707107;
+    # an anti-correlated vector scores -0.707107; a zero vector → NULL
+    df = spark.createDataFrame(
+        [
+            (1, [2.0, 0.0]),
+            (2, [0.0, 2.0]),
+            (3, [-1.0, -1.0]),
+            (4, [0.0, 0.0]),
+        ],
+        ["vec_id", "embedding"],
+    )
+    got = {r["vec_id"]: r["cos_centroid"] for r in centroid_cosine(df).collect()}
+    # mean components: avg over 4 vecs = (0.25, 0.25)
+    assert got[1] == pytest.approx(0.707107, abs=1e-6)
+    assert got[2] == pytest.approx(0.707107, abs=1e-6)
+    assert got[3] == pytest.approx(-1.0, abs=1e-6)
+    assert got[4] is None
+
+
+# ---------------------------------------------------------------------------
+# Zipf fit (p76)
+# ---------------------------------------------------------------------------
+
+
+def test_zipf_fit_exact_power_law(spark, registry_mod):
+    # frequencies f(r) = C * r^-1 → slope of ln f on ln r is exactly -1
+    words = []
+    for rank, tok in enumerate(["aa", "bb", "cc", "dd"], start=1):
+        words += [tok] * (24 // rank)  # 24, 12, 8, 6
+    df = spark.createDataFrame([(1, " ".join(words))], ["doc_id", "text"])
+    import duckdb_cloudflare_spark.queries.pipeline_extra as PX
+
+    # drive the same shape the query uses, on a local frame
+    from duckdb_cloudflare_spark.operators import dedup as D
+    from pyspark.sql import Window
+
+    c = (
+        df.select(F.explode(D.lowered_tokens()).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    w = Window.orderBy(F.col("f").desc(), F.col("tok"))
+    r = c.select("f", F.row_number().over(w).alias("rnk"))
+    slope = r.agg(F.regr_slope(F.log("f"), F.log("rnk"))).first()[0]
+    assert slope == pytest.approx(-1.0, abs=1e-9)
+
+
+@pytest.fixture
+def registry_mod():
+    from duckdb_cloudflare_spark import queries as Q
+
+    return Q

@@ -28,7 +28,8 @@ def test_graded_window_is_exactly_the_r8_rotation():
         # new r8 operators (zero driver history) lead; then p70, the late-r7
         # addition that missed the r7 window (VERDICT r7 rank-1).
         # Prepend each r8 addition here IN LOCKSTEP with _WINDOW_PRIORITY.
-        ["p70_"]
+        ["p71_", "p72_", "p73_", "p74_", "p75_", "p76_"]
+        + ["p70_"]
         # stalest greens — last graded r5
         + [f"p{n}_" for n in range(22, 30)]
         + ["p31_", "p32_", "p33_"]
