@@ -22,19 +22,56 @@ from pyspark.sql import functions as F
 TRACKING_PARAMS = ("utm_", "fbclid", "gclid", "msclkid", "mc_eid", "igshid")
 
 
+def _upper_pct_escapes(c: Column) -> Column:
+    """Uppercase the hex digits of every %-escape (RFC 3986 §6.2.2.1:
+    ``%2f`` ≡ ``%2F``; the canonical form is uppercase). Non-hex material
+    after a ``%`` (malformed escapes) passes through untouched. Pure array
+    expressions: split on '%', fix the first two chars of every tail."""
+    parts = F.split(c, "%", -1)
+    head = F.element_at(parts, 1)
+    tails = F.slice(parts, 2, F.greatest(F.size(parts) - 1, F.lit(0)))
+    fixed = F.transform(
+        tails,
+        lambda x: F.when(
+            x.rlike("^[0-9a-fA-F]{2}"),
+            F.concat(F.upper(F.substring(x, 1, 2)), F.substring(x, 3, 1 << 30)),
+        ).otherwise(x),
+    )
+    return F.concat(
+        head,
+        F.aggregate(fixed, F.lit(""), lambda acc, x: F.concat(acc, F.lit("%"), x)),
+    )
+
+
 def canonicalize_url(url: Column) -> Column:
     """Normalize a URL column to a canonical dedup key:
 
     - scheme and host lowercased (path case is PRESERVED — it is
       significant per RFC 3986);
+    - userinfo (``user:pass@``) dropped — the host alone identifies the
+      origin for dedup purposes (same as CDX urlkey/SURT);
     - default ports dropped (``:443`` for https, ``:80`` for http),
       non-default ports kept;
     - fragment dropped;
+    - %-escape hex uppercased in path and query (``%2f`` → ``%2F``,
+      RFC 3986 §6.2.2.1); a MALFORMED escape (``%`` not followed by two
+      hex digits) makes try_parse_url reject the whole URL → NULL, so
+      the defensive pass-through in ``_upper_pct_escapes`` never sees one
+      from this entry point;
+    - in the QUERY only, ``+`` rewritten to ``%20`` (the
+      x-www-form-urlencoded space, so ``?q=a+b`` ≡ ``?q=a%20b``);
     - tracking parameters removed (``TRACKING_PARAMS`` prefixes);
-    - remaining query parameters sorted byte-lexicographically, and the
-      ``?`` dropped entirely when none survive;
+    - remaining query parameters sorted byte-lexicographically (duplicate
+      keys PRESERVED as a sorted multiset), and the ``?`` dropped
+      entirely when none survive;
     - empty path becomes ``/``; a trailing slash is stripped from
       non-root paths.
+
+    NOT attempted: IDN→punycode conversion (needs the IDNA mapping
+    tables — a deployment that ingests internationalized hosts should
+    pre-encode them; ``xn--`` hosts pass through lowercased), and
+    %-DEcoding of unreserved characters (``%41`` vs ``A`` stay distinct —
+    decoding safely requires charset knowledge the URL doesn't carry).
 
     Returns NULL for NULL input; a string without a parseable host
     canonicalizes to NULL (parse_url semantics), which callers should
@@ -52,6 +89,7 @@ def canonicalize_url(url: Column) -> Column:
     )
 
     path = F.coalesce(F.try_parse_url(url, F.lit("PATH")), F.lit(""))
+    path = _upper_pct_escapes(path)
     path = F.when(path == "", F.lit("/")).otherwise(path)
     path = F.when(path == "/", path).otherwise(F.regexp_replace(path, "/$", ""))
 
@@ -61,8 +99,19 @@ def canonicalize_url(url: Column) -> Column:
             drop = drop | p.startswith(t + "=") | (p == t)
         return ~drop
 
+    def _fix_param(p: Column) -> Column:
+        # '+' is the form-encoded space in queries; rewrite BEFORE sorting
+        # so equivalent params sort identically, then uppercase %-escapes
+        return _upper_pct_escapes(F.replace(p, F.lit("+"), F.lit("%20")))
+
     params = F.array_sort(
-        F.filter(F.split(F.coalesce(F.try_parse_url(url, F.lit("QUERY")), F.lit("")), "&"), _kept)
+        F.transform(
+            F.filter(
+                F.split(F.coalesce(F.try_parse_url(url, F.lit("QUERY")), F.lit("")), "&"),
+                _kept,
+            ),
+            _fix_param,
+        )
     )
     query = F.array_join(params, "&")
 
