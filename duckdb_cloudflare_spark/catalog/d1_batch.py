@@ -75,6 +75,14 @@ def _sql_literal(v: Any) -> str:
     return "'" + str(v).replace("'", "''") + "'"
 
 
+# Cloudflare caps a D1 statement at ~100 KB of SQL (reference
+# D1-ATTACH-SOLUTION.md:20-23). Statements are sized against this budget
+# and flushed early; a SINGLE row whose statement would exceed it raises
+# rather than letting the remote batch fail mid-write (earlier batches are
+# already committed — no rollback).
+D1_MAX_STATEMENT_BYTES = 100_000
+
+
 def d1_insert_df(
     df,
     table: str,
@@ -82,6 +90,7 @@ def d1_insert_df(
     statements_per_batch: int = 50,
     rows_per_statement: int = 50,
     insert_verb: str = "INSERT",
+    max_statement_bytes: int = D1_MAX_STATEMENT_BYTES,
 ) -> int:
     """Write a DataFrame to a D1 table through the reference's ONLY
     supported write path — generated INSERT statements over the batch
@@ -99,19 +108,23 @@ def d1_insert_df(
     return _insert_rows(
         df.toLocalIterator(), df.columns, table, client,
         statements_per_batch, rows_per_statement, insert_verb,
+        max_statement_bytes,
     )
 
 
 _INSERT_VERBS = ("INSERT", "INSERT OR REPLACE", "INSERT OR IGNORE")
 
-
 def _insert_rows(
     rows, columns, table: str, client: D1Client,
     statements_per_batch: int, rows_per_statement: int,
     insert_verb: str = "INSERT",
+    max_statement_bytes: int = D1_MAX_STATEMENT_BYTES,
 ) -> int:
     """Shared funnel: rows → multi-row VALUES statements → batched POSTs.
-    Module-level (not a closure) so it pickles cleanly into executors."""
+    Statements respect BOTH ``rows_per_statement`` and the
+    ``max_statement_bytes`` budget (UTF-8 SQL bytes — the unit Cloudflare
+    meters). Module-level (not a closure) so it pickles cleanly into
+    executors."""
     if insert_verb not in _INSERT_VERBS:
         raise ValueError(f"insert_verb must be one of {_INSERT_VERBS}")
     cols = ", ".join(quote_ident(c) for c in columns)
@@ -119,14 +132,16 @@ def _insert_rows(
     buffer: list[str] = []
     values: list[str] = []
     qtable = quote_ident(table)
+    prefix = f"{insert_verb} INTO {qtable} ({cols}) VALUES "
+    prefix_bytes = len(prefix.encode("utf-8"))
+    stmt_bytes = prefix_bytes  # running size of the statement being built
 
     def flush_statement():
-        nonlocal values
+        nonlocal values, stmt_bytes
         if values:
-            buffer.append(
-                f"{insert_verb} INTO {qtable} ({cols}) VALUES " + ", ".join(values)
-            )
+            buffer.append(prefix + ", ".join(values))
             values = []
+        stmt_bytes = prefix_bytes
 
     def flush_batch():
         nonlocal buffer
@@ -135,7 +150,24 @@ def _insert_rows(
             buffer = []
 
     for row in rows:
-        values.append("(" + ", ".join(_sql_literal(v) for v in row) + ")")
+        tup = "(" + ", ".join(_sql_literal(v) for v in row) + ")"
+        tup_bytes = len(tup.encode("utf-8"))
+        if prefix_bytes + tup_bytes > max_statement_bytes:
+            raise ValueError(
+                f"single row renders to {prefix_bytes + tup_bytes} bytes of "
+                f"SQL, over the D1 per-statement limit of "
+                f"{max_statement_bytes} bytes ({D1_MAX_STATEMENT_BYTES} = "
+                "Cloudflare's ~100 KB cap); split oversized values (e.g. "
+                "large blobs/text) before writing"
+            )
+        sep = 2 if values else 0  # ', ' between value tuples
+        if values and stmt_bytes + sep + tup_bytes > max_statement_bytes:
+            flush_statement()
+            if len(buffer) >= statements_per_batch:
+                flush_batch()
+            sep = 0
+        values.append(tup)
+        stmt_bytes += sep + tup_bytes
         written += 1
         if len(values) >= rows_per_statement:
             flush_statement()
@@ -153,6 +185,7 @@ def d1_insert_df_distributed(
     statements_per_batch: int = 50,
     rows_per_statement: int = 50,
     insert_verb: str = "INSERT",
+    max_statement_bytes: int = D1_MAX_STATEMENT_BYTES,
 ) -> int:
     """``d1_insert_df`` without the driver funnel: each partition builds and
     POSTs its own batches via ``foreachPartition``, so a big write is bounded
@@ -177,7 +210,7 @@ def d1_insert_df_distributed(
     def write_partition(rows) -> None:
         n = _insert_rows(
             rows, columns, table, client, statements_per_batch,
-            rows_per_statement, insert_verb,
+            rows_per_statement, insert_verb, max_statement_bytes,
         )
         acc.add(n)
 
