@@ -110,6 +110,12 @@ def main() -> None:
         # shuffles + a per-doc top-1 window).
         "p63_url_canonicalize",
         "p64_repetition_stats",
+        # r8 headline expansion: exact-oracle MinHash signatures (one
+        # shingle explode + 8-way min agg — a genuine same-work pair, both
+        # engines hash every shingle 8×) and the registrable-domain rollup
+        # (two partial-agg shuffles + broadcast total).
+        "p73_minhash_signatures",
+        "p71_domain_stats",
     ]
     registry = Q.all_queries()
 

@@ -1,0 +1,239 @@
+"""Deterministic sketch operators with EXACT cross-engine oracles: Bloom
+membership, Count-Min frequency, HyperLogLog distinct counting, and
+weighted priority sampling.
+
+Why this family exists: the engine-native approximates (q31's
+approx_count_distinct, the LSH families) can never be hash-compared
+against another engine — their sketches hash differently by construction
+(recorded evidence at relational.py:878-885). These operators make the
+SKETCH ITSELF deterministic (md5-derived hashes, integer-exact
+accumulators), so a SQL oracle reproduces every bit: the approximation
+error is still real and bounded by the usual guarantees, but the VALUE is
+engine-independent. That turns "trust the sketch" into "hash-check the
+sketch" — the same md5-for-oracle trade p19/p43/p48/p57/p73 make.
+
+Scale shapes (all pinned): Bloom — the filter is a distinct-position set
+built with one partial-agg pass and BROADCAST to the probe side (that
+compactness is the point of a Bloom filter at 100 TB); Count-Min — one
+token explode → one (row, col)-keyed partial-agg shuffle into d×w
+cells; HLL — one explode → bucket-keyed max-rho partial agg (m rows)
+→ 1-row estimate; priority sample — distributed top-k (TakeOrdered),
+no full sort.
+
+References (public): Bloom '70; Cormode & Muthukrishnan '05 (CM sketch);
+Flajolet et al. '07 (HyperLogLog); Efraimidis & Spirakis '06 (weighted
+reservoir via priority keys).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+
+def _md5_int60(c: Column, seed: str = "") -> Column:
+    """First 15 hex digits of md5(seed || value) as a 60-bit non-negative
+    int — both-engine-exact (the p73 construction)."""
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(seed), c.cast("string"))), 1, 15), 16, 10
+    ).cast("long")
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter (p77)
+# ---------------------------------------------------------------------------
+
+
+def bloom_positions(c: Column, num_hashes: int = 3, num_bits: int = 1 << 18) -> Column:
+    """The ``num_hashes`` bit positions of a value — an array<bigint>."""
+    return F.array(
+        *[_md5_int60(c, f"bloom{i}:") % num_bits for i in range(num_hashes)]
+    )
+
+
+def bloom_probe(
+    items: DataFrame,
+    members: DataFrame,
+    item_col: str,
+    member_col: str,
+    id_col: str,
+    num_hashes: int = 3,
+    num_bits: int = 1 << 18,
+) -> DataFrame:
+    """Membership probe of ``items[item_col]`` against a Bloom filter built
+    from ``members[member_col]``: returns (id_col, flagged) where flagged
+    means ALL ``num_hashes`` positions are set — possibly-member semantics
+    with deterministic false positives (same md5 positions on any engine).
+
+    The filter is the DISTINCT set of set-bit positions (≤ num_bits rows,
+    usually far fewer) — built with one partial-agg pass over the member
+    set and BROADCAST to the probe side, so the corpus-scale probe is a
+    map-side join + per-item match count: the classic use (drop
+    benchmark-contaminated docs at ingest) never shuffles the corpus."""
+    pos = (
+        members.select(
+            F.explode(bloom_positions(F.col(member_col), num_hashes, num_bits)).alias(
+                "p"
+            )
+        )
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    probe = items.select(
+        F.col(id_col),
+        F.explode(bloom_positions(F.col(item_col), num_hashes, num_bits)).alias("p"),
+    )
+    return (
+        probe.join(broadcast(pos), "p", "left")
+        .groupBy(id_col)
+        .agg((F.sum(F.coalesce(F.col("_hit"), F.lit(0))) == num_hashes).alias("flagged"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch (p78)
+# ---------------------------------------------------------------------------
+
+
+def countmin_estimates(
+    tokens: DataFrame,
+    token_col: str = "tok",
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """Count-Min frequency estimates for every distinct token of a token-
+    instance frame: returns (tok, est) with
+    ``est = min_j cells[j][hash_j(tok) % width]``. Estimates are exact
+    integers (cell sums are longs), so they hash-compare across engines;
+    overestimation from collisions is the usual CM guarantee
+    (ε = e/width with probability 1 − e^-depth), and is itself
+    deterministic here.
+
+    Shape: ONE explode of each instance into ``depth`` (j, col) cells →
+    one partial-agg shuffle into ≤ depth×width cell rows → the distinct
+    tokens (vocab-sized) join the BROADCAST cell table per row."""
+    cells_of = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("j"),
+                (_md5_int60(F.col(token_col), f"cm{j}:") % width).alias("col"),
+            )
+            for j in range(depth)
+        ]
+    )
+    inst = tokens.select(F.col(token_col), F.explode(cells_of).alias("c"))
+    cells = (
+        inst.select(F.col("c.j").alias("j"), F.col("c.col").alias("col"))
+        .groupBy("j", "col")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    vocab_cells = (
+        tokens.select(token_col)
+        .distinct()
+        .select(F.col(token_col), F.explode(cells_of).alias("c"))
+        .select(token_col, F.col("c.j").alias("j"), F.col("c.col").alias("col"))
+    )
+    return (
+        vocab_cells.join(broadcast(cells), ["j", "col"])
+        .groupBy(token_col)
+        .agg(F.min("n").alias("est"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog (p79)
+# ---------------------------------------------------------------------------
+
+# HLL bias-correction constant for m ≥ 128 (Flajolet et al. '07, Fig. 3).
+def _hll_alpha(m: int) -> float:
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+def hll_estimate(
+    values: DataFrame,
+    value_col: str,
+    group_cols: list[str] | None = None,
+    log2m: int = 10,
+) -> DataFrame:
+    """Deterministic HyperLogLog distinct-count estimate (per group):
+    md5-derived 60-bit hash → top ``log2m`` bits pick the bucket, the
+    remaining 50 bits give ρ (leading-zero rank). The register sum
+    Σ 2^−M_j is accumulated as an EXACT 64-bit integer
+    (Σ 2^(51−M_j), M_j ≤ 51, then ONE float division) so the estimate is
+    bit-identical on any engine — no order-dependent float summation
+    anywhere. Small-range (linear counting) correction applied as in the
+    paper; the large-range correction is unreachable at 60-bit hashes.
+
+    Returns group_cols + (hll_estimate double, n_buckets_used int).
+    Shape: one partial-agg shuffle to m rows per group, then a 1-row
+    (per-group) fold — the 100 TB distinct-count shape."""
+    m = 1 << log2m
+    rest_bits = 60 - log2m  # 50 for log2m=10
+    h = _md5_int60(F.col(value_col), "hll:")
+    bucket = F.shiftright(h, rest_bits)
+    rest = h.bitwiseAND(F.lit((1 << rest_bits) - 1))
+    # ρ = leading zeros of `rest` within rest_bits, + 1;  rest == 0 → max
+    rho = F.when(rest == 0, F.lit(rest_bits + 1)).otherwise(
+        F.lit(rest_bits) - F.length(F.bin(rest)) + 1
+    )
+    gcols = list(group_cols or [])
+    regs = (
+        values.select(*gcols, bucket.alias("b"), rho.alias("rho"))
+        .groupBy(*gcols, "b")
+        .agg(F.max("rho").alias("M"))
+    )
+    # exact integer register fold: S* = Σ 2^(rest_bits+1-M) ≤ m·2^rest_bits
+    # (SQL expr: the Python F.shiftleft only takes a literal shift amount)
+    s_star = F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {rest_bits + 1} - M)"))
+    agg = regs.groupBy(*gcols).agg(
+        s_star.alias("s_star"),
+        F.count(F.lit(1)).alias("used"),
+    )
+    # Σ 2^-M over ALL m registers = s_star/2^(rest_bits+1) + (m - used)·1
+    denom = (
+        F.col("s_star").cast("double") / F.lit(float(1 << (rest_bits + 1)))
+        + (F.lit(m) - F.col("used")).cast("double")
+    )
+    raw = F.lit(_hll_alpha(m) * m * m) / denom
+    zeros = F.lit(m) - F.col("used")
+    # linear-counting small-range correction (E ≤ 2.5m and empty buckets)
+    lc = F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double"))
+    est = F.when((raw <= 2.5 * m) & (zeros > 0), lc).otherwise(raw)
+    return agg.select(
+        *gcols,
+        F.round(est, 4).alias("hll_estimate"),
+        F.col("used").cast("int").alias("n_buckets_used"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Weighted priority sample (p80)
+# ---------------------------------------------------------------------------
+
+
+def priority_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    k: int,
+    seed: str = "ps:",
+) -> DataFrame:
+    """Efraimidis–Spirakis weighted sample-without-replacement: every row
+    gets priority key ln(u)/w with u = deterministic md5-uniform in (0, 1]
+    and w its weight; the k LARGEST keys are the sample. Inclusion
+    probability ∝ weight, deterministic given the seed — the reproducible
+    "sample 10k docs weighted by length" primitive. Zero/negative weights
+    are excluded (undefined priority).
+
+    Shape: map-side key derivation + distributed top-k (TakeOrdered) —
+    no global sort, no shuffle of the corpus."""
+    u = (_md5_int60(F.col(id_col), seed) + 1).cast("double") / float(1 << 60)
+    key = F.log(u) / F.col(weight_col).cast("double")
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .select(F.col(id_col), F.col(weight_col), key.alias("_key"))
+        .orderBy(F.col("_key").desc(), F.col(id_col))  # order on the UNROUNDED key
+        .limit(k)
+        .select(id_col, weight_col, F.round("_key", 6).alias("priority"))
+    )

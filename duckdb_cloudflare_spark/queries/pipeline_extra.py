@@ -2369,3 +2369,198 @@ def p76_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vs.crossJoin(broadcast(fit)).select(
         "vocab_size", "n_fit", "zipf_slope", "top_token"
     )
+
+
+# ---------------------------------------------------------------------------
+# r8 additions: p77-p80 — deterministic sketches with EXACT oracles
+# ---------------------------------------------------------------------------
+
+_BLOOM_POS = (
+    "[('0x' || substr(md5('bloom0:' || {v}), 1, 15))::BIGINT % 262144, "
+    "('0x' || substr(md5('bloom1:' || {v}), 1, 15))::BIGINT % 262144, "
+    "('0x' || substr(md5('bloom2:' || {v}), 1, 15))::BIGINT % 262144]"
+)
+
+
+@register(
+    "p77_bloom_decontaminate",
+    oracle=f"""
+    WITH fp AS (
+        SELECT doc_id, md5(coalesce(text, '')) AS f FROM documents
+    ), mem AS (
+        SELECT DISTINCT unnest({_BLOOM_POS.format(v='f')}) AS p
+        FROM fp WHERE doc_id % 10 = 0
+    ), probe AS (
+        SELECT doc_id, unnest({_BLOOM_POS.format(v='f')}) AS p FROM fp
+    )
+    SELECT probe.doc_id, (count(mem.p) = 3) AS flagged
+    FROM probe LEFT JOIN mem USING (p)
+    GROUP BY probe.doc_id
+    """,
+    description="Bloom-filter decontamination probe — the ingest-time "
+    "membership screen against a benchmark set, with the SKETCH ITSELF "
+    "deterministic (md5-derived bit positions, k=3, m=2^18) so a SQL "
+    "oracle reproduces every bit INCLUDING the false positives — the "
+    "family q31 can never have (engine-native sketches hash "
+    "differently; recorded evidence relational.py:878-885). Members = "
+    "docs with doc_id%10==0 by content fingerprint; every true member "
+    "must flag, non-members flag only on (deterministic) collisions. "
+    "operators/sketches.py::bloom_probe. Scale shape: the filter is a "
+    "distinct-position set built in one partial-agg pass and BROADCAST "
+    "to the map-side probe — the corpus never shuffles (that "
+    "compactness is the point of a Bloom filter at 100 TB).",
+)
+def p77_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duckdb_cloudflare_spark.operators.sketches import bloom_probe
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.md5(F.coalesce(F.col("text"), F.lit(""))).alias("f")
+    )
+    members = d.filter(F.col("doc_id") % 10 == 0)
+    return bloom_probe(d, members, "f", "f", "doc_id")
+
+
+# alpha * m * m for the p79 HLL estimator (m = 1024) — embedded as ONE
+# Python double so the Spark literal and the SQL literal are the same bits
+_HLL_ALPHA_MM = 0.7213 / (1.0 + 1.079 / 1024) * 1024 * 1024
+
+_CM_COLS = (
+    "[('0x' || substr(md5('cm0:' || tok), 1, 15))::BIGINT % 1024, "
+    "('0x' || substr(md5('cm1:' || tok), 1, 15))::BIGINT % 1024, "
+    "('0x' || substr(md5('cm2:' || tok), 1, 15))::BIGINT % 1024, "
+    "('0x' || substr(md5('cm3:' || tok), 1, 15))::BIGINT % 1024]"
+)
+
+
+@register(
+    "p78_countmin_tokens",
+    oracle=rf"""
+    WITH {_TOKS_CTE},
+    inst AS (SELECT unnest(ts) AS tok FROM toks),
+    cells AS (
+        SELECT j, col, count(*) AS n FROM (
+            SELECT unnest([0, 1, 2, 3]) AS j, unnest({_CM_COLS}) AS col
+            FROM inst
+        ) GROUP BY j, col
+    ), vocab AS (SELECT DISTINCT tok FROM inst),
+    vc AS (
+        SELECT tok, unnest([0, 1, 2, 3]) AS j, unnest({_CM_COLS}) AS col
+        FROM vocab
+    )
+    SELECT tok, CAST(min(n) AS BIGINT) AS est
+    FROM vc JOIN cells USING (j, col)
+    GROUP BY tok
+    """,
+    description="Count-Min frequency sketch over the token stream — "
+    "deterministic (md5 row hashes, d=4, w=1024) so the cell array AND "
+    "the per-token min-estimates hash-compare exactly across engines; "
+    "collisions overestimate per the usual CM guarantee and that "
+    "overestimate is itself reproducible. operators/sketches.py::"
+    "countmin_estimates. Scale shape: one instance explode -> one "
+    "(j, col)-keyed partial-agg shuffle into <= d*w cells (bounded "
+    "regardless of corpus size) -> vocab joins the BROADCAST cell "
+    "table. The heavy-hitter complement to p74's exact top-k.",
+)
+def p78_countmin_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duckdb_cloudflare_spark.operators.sketches import countmin_estimates
+
+    d = load(spark, sf_dir, "documents")
+    inst = d.select(F.explode(D.lowered_tokens()).alias("tok"))
+    return countmin_estimates(inst, "tok")
+
+
+@register(
+    "p79_hll_source_distinct",
+    oracle=rf"""
+    WITH {_TOKS_CTE},
+    h AS (
+        SELECT d.source,
+               ('0x' || substr(md5('hll:' || t.tok), 1, 15))::BIGINT AS hv,
+               t.tok
+        FROM (SELECT doc_id, unnest(ts) AS tok FROM toks) t
+        JOIN documents d USING (doc_id)
+    ), regs AS (
+        SELECT source, hv >> 50 AS b,
+               max(CASE WHEN (hv & ((1::BIGINT << 50) - 1)) = 0 THEN 51
+                   ELSE 50 - length(bin(hv & ((1::BIGINT << 50) - 1))) + 1
+                   END) AS M
+        FROM h GROUP BY source, b
+    ), agg AS (
+        SELECT source, sum((1::BIGINT) << (51 - M)) AS s_star,
+               count(*) AS used
+        FROM regs GROUP BY source
+    ), ex AS (SELECT source, count(DISTINCT tok) AS exact_distinct FROM h GROUP BY source),
+    est AS (
+        SELECT source, used,
+               {_HLL_ALPHA_MM!r} /
+               (s_star::DOUBLE / 4503599627370496.0 / 512.0 + (1024 - used))
+                   AS raw
+        FROM agg
+    )
+    SELECT est.source,
+           round(CASE WHEN raw <= 2560.0 AND used < 1024
+                      THEN 1024.0 * ln(1024.0 / (1024 - used))
+                      ELSE raw END, 4) AS hll_estimate,
+           CAST(used AS INTEGER) AS n_buckets_used,
+           CAST(ex.exact_distinct AS BIGINT) AS exact_distinct
+    FROM est JOIN ex USING (source)
+    """,
+    description="Deterministic HyperLogLog distinct-token estimate per "
+    "source, WITH the exact distinct count alongside — the oracle-able "
+    "twin of q31 (whose engine-native sketch can never cross-engine "
+    "hash-match): md5-derived 60-bit hashes, 2^10 buckets, and the "
+    "register fold Sum 2^-M accumulated as an EXACT 64-bit integer "
+    "(Sum 2^(51-M), then ONE float division) so there is no order-"
+    "dependent float summation anywhere — bit-identical estimates, "
+    "linear-counting small-range correction included (Flajolet et al. "
+    "'07). operators/sketches.py::hll_estimate. Scale shape: one "
+    "bucket-keyed partial-agg shuffle to m rows per group.",
+)
+def p79_hll_source_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import broadcast
+
+    from duckdb_cloudflare_spark.operators.sketches import hll_estimate
+
+    d = load(spark, sf_dir, "documents")
+    inst = d.select("source", F.explode(D.lowered_tokens()).alias("tok"))
+    est = hll_estimate(inst, "tok", group_cols=["source"])
+    exact = (
+        inst.select("source", "tok").distinct()
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("exact_distinct"))
+    )
+    return est.join(broadcast(exact), "source").select(
+        "source", "hll_estimate", "n_buckets_used", "exact_distinct"
+    )
+
+
+@register(
+    "p80_priority_sample",
+    oracle="""
+    WITH pr AS (
+        SELECT doc_id, n_chars,
+               ln((('0x' || substr(md5('ps:' || doc_id), 1, 15))::BIGINT + 1)
+                  / 1152921504606846976.0) / n_chars AS key
+        FROM documents WHERE n_chars > 0
+    )
+    SELECT doc_id, n_chars, round(key, 6) AS priority
+    FROM pr ORDER BY key DESC, doc_id LIMIT 25
+    """,
+    description="Weighted priority sampling (Efraimidis-Spirakis '06): "
+    "every doc gets priority ln(u)/w with u a deterministic md5-uniform "
+    "and w = n_chars; the 25 largest keys are the sample — inclusion "
+    "probability proportional to length, reproducible from the seed "
+    "alone, and (unlike rand()-based sampling) hash-checkable across "
+    "engines. Selection orders on the UNROUNDED key on both sides; the "
+    "emitted priority is rounded 6 dp. operators/sketches.py::"
+    "priority_sample. Scale shape: map-side key derivation + "
+    "distributed top-k (TakeOrdered) — no global sort, no corpus "
+    "shuffle. Completes the sampling family (p18 stratified, p43 epoch "
+    "shuffle, p49 temperature resample) with the weighted-without-"
+    "replacement member.",
+)
+def p80_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duckdb_cloudflare_spark.operators.sketches import priority_sample
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return priority_sample(d, "doc_id", "n_chars", k=25)

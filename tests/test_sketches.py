@@ -1,0 +1,92 @@
+"""Unit pins for the deterministic-sketch operators (p77–p80): Bloom
+membership semantics, Count-Min guarantees, HyperLogLog accuracy, and
+weighted priority sampling. Cross-engine value parity is covered by the
+driver-replica gate; these pin the sketch GUARANTEES (no false negatives,
+overestimate-only, bounded relative error, weight-proportional inclusion)
+on data built to exercise them."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_bloom_no_false_negatives_and_deterministic_fps(spark):
+    from duckdb_cloudflare_spark.operators.sketches import bloom_probe
+
+    items = spark.createDataFrame(
+        [(i, f"value-{i}") for i in range(2000)], "id long, v string"
+    )
+    members = items.filter(F.col("id") % 7 == 0)
+    out = {r["id"]: r["flagged"] for r in
+           bloom_probe(items, members, "v", "v", "id").collect()}
+    assert len(out) == 2000
+    # NO false negatives: every member flags
+    assert all(out[i] for i in range(0, 2000, 7))
+    # false positives exist in principle but must be rare at k=3, m=2^18,
+    # |members|=286 (expected FP rate ~ (3*286/262144)^3 ≈ 3.5e-8)
+    fps = [i for i in range(2000) if i % 7 != 0 and out[i]]
+    assert len(fps) == 0
+    # determinism: a second run flags the identical set
+    out2 = {r["id"]: r["flagged"] for r in
+            bloom_probe(items, members, "v", "v", "id").collect()}
+    assert out == out2
+
+
+def test_countmin_never_underestimates_and_is_tight_when_sparse(spark):
+    from duckdb_cloudflare_spark.operators.sketches import countmin_estimates
+
+    # 3000 instances over 60 distinct tokens, zipf-ish
+    rows = []
+    for t in range(60):
+        rows += [(f"tok{t}",)] * (60 - t)
+    inst = spark.createDataFrame(rows, "tok string")
+    exact = {r["tok"]: r["n"] for r in
+             inst.groupBy("tok").agg(F.count(F.lit(1)).alias("n")).collect()}
+    est = {r["tok"]: r["est"] for r in countmin_estimates(inst, "tok").collect()}
+    assert set(est) == set(exact)
+    for tok, n in exact.items():
+        assert est[tok] >= n  # CM never underestimates
+    # 60 tokens into 4×1024 cells: collisions are unlikely → exact
+    assert est == exact
+
+
+def test_hll_relative_error_within_bound(spark):
+    from duckdb_cloudflare_spark.operators.sketches import hll_estimate
+
+    # 20k distinct values, each appearing 1–3 times: true distinct = 20000;
+    # HLL with m=1024 has σ ≈ 1.04/√1024 ≈ 3.25% — assert within 4σ
+    rows = [(f"v{i}",) for i in range(20000)] + [(f"v{i}",) for i in range(0, 20000, 2)]
+    df = spark.createDataFrame(rows, "v string")
+    est = hll_estimate(df, "v").first()["hll_estimate"]
+    assert abs(est - 20000) / 20000 < 0.13, est
+
+
+def test_hll_small_range_uses_linear_counting(spark):
+    from duckdb_cloudflare_spark.operators.sketches import hll_estimate
+
+    df = spark.createDataFrame([(f"x{i}",) for i in range(50)], "v string")
+    row = hll_estimate(df, "v").first()
+    # 50 distinct into 1024 buckets: well inside the linear-counting regime,
+    # where the estimate is typically exact-ish
+    assert abs(row["hll_estimate"] - 50) < 5
+    assert row["n_buckets_used"] <= 50
+
+
+def test_priority_sample_prefers_heavy_weights(spark):
+    from duckdb_cloudflare_spark.operators.sketches import priority_sample
+
+    # 100 heavy rows (w=1000) vs 900 light rows (w=1): a k=50 sample must be
+    # dominated by heavy rows (each heavy item's inclusion odds are ~1000×)
+    rows = [(i, 1000) for i in range(100)] + [(i, 1) for i in range(100, 1000)]
+    df = spark.createDataFrame(rows, "id long, w long")
+    got = priority_sample(df, "id", "w", k=50).collect()
+    assert len(got) == 50
+    heavy = sum(1 for r in got if r["id"] < 100)
+    assert heavy >= 45, heavy
+    # deterministic: identical second run
+    again = priority_sample(df, "id", "w", k=50).collect()
+    assert [r["id"] for r in got] == [r["id"] for r in again]
+    # zero/negative weights excluded
+    df2 = spark.createDataFrame([(1, 0), (2, -3), (3, 10)], "id long, w long")
+    assert [r["id"] for r in priority_sample(df2, "id", "w", k=5).collect()] == [3]
