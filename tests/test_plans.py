@@ -355,3 +355,55 @@ def test_p50_bigram_plan_shares_docbigram_exchange(spark, registry):
     assert plan.count("ReusedExchange") >= 1, plan
     assert plan.count("Scan parquet") <= 2, plan
     assert plan.count("Generate explode") <= 3, plan
+
+
+def test_r8_new_operator_plan_shapes(spark, registry):
+    # One consolidated pin per r8 operator class (session reuse keeps this
+    # cheap): the properties that make each shape 100 TB-viable.
+    from duckdb_cloudflare_spark.plans.introspect import (
+        _operator_ids,
+        formatted_plan,
+    )
+
+    # p71: two-level (domain, host)→domain aggregation — never an Expand
+    # (COUNT DISTINCT) — plus the 1-row total broadcast
+    df = registry["p71_domain_stats"](spark, SF_DIR)
+    assert "Expand" not in formatted_plan(df)
+    assert broadcast_join_count(df) >= 1
+    assert shuffle_count(df) <= 6
+
+    # p73: ONE shingle explode feeding ONE partial-agg shuffle (all 8 mins
+    # in a single groupBy), band keys map-side
+    df = registry["p73_minhash_signatures"](spark, SF_DIR)
+    assert len(_operator_ids(df, "Generate")) == 1, formatted_plan(df)
+    assert shuffle_count(df) <= 2
+
+    # p75: vectors never shuffle whole — the only exchanges carry (pos,val)
+    # pairs / the 1-row mean; the cosine pass is a broadcast crossJoin
+    df = registry["p75_centroid_cosine"](spark, SF_DIR)
+    assert broadcast_join_count(df) >= 1
+    assert shuffle_count(df) <= 4
+
+    # p77: the Bloom filter BROADCASTS to the probe side (its whole point);
+    # the probe is never a sort-merge join
+    df = registry["p77_bloom_decontaminate"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert broadcast_join_count(df) >= 1
+    assert "SortMergeJoin" not in plan
+
+    # p78: the ≤ d·w cell table broadcasts; bounded shuffles
+    df = registry["p78_countmin_tokens"](spark, SF_DIR)
+    assert broadcast_join_count(df) >= 1
+    assert shuffle_count(df) <= 4
+
+    # p79: bucket-keyed partial aggs, no Expand (exact-distinct twin is a
+    # two-level distinct+count, not COUNT DISTINCT)
+    df = registry["p79_hll_source_distinct"](spark, SF_DIR)
+    assert "Expand" not in formatted_plan(df)
+    assert shuffle_count(df) <= 8
+
+    # p80: distributed top-k — TakeOrdered, ZERO shuffles, no global Sort
+    df = registry["p80_priority_sample"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert shuffle_count(df) == 0
+    assert "TakeOrdered" in plan
