@@ -150,6 +150,44 @@ def _hll_alpha(m: int) -> float:
     return 0.7213 / (1.0 + 1.079 / m)
 
 
+def hll_bucket_rho(c: Column, log2m: int = 10) -> tuple[Column, Column]:
+    """(bucket, ρ) columns of a value under the deterministic 60-bit md5
+    hash — shared by the batch estimator below and the streaming
+    accumulator (streaming/documents.py::hll_stream), so both fold the
+    IDENTICAL registers."""
+    rest_bits = 60 - log2m
+    h = _md5_int60(c, "hll:")
+    bucket = F.shiftright(h, rest_bits)
+    rest = h.bitwiseAND(F.lit((1 << rest_bits) - 1))
+    rho = F.when(rest == 0, F.lit(rest_bits + 1)).otherwise(
+        F.lit(rest_bits) - F.length(F.bin(rest)) + 1
+    )
+    return bucket, rho
+
+
+def hll_finalize(registers, log2m: int = 10) -> float:
+    """Python-side estimate from a full register array (len m, entries
+    0 = empty or M_j) — the stream-side twin of the batch expression
+    column-for-column: exact integer S* fold, ONE float division, the
+    same linear-counting branch. Keeping the arithmetic shape identical
+    is what makes stream estimates equal batch estimates bit-for-bit
+    (pinned in test_streaming_pack.py)."""
+    import math
+
+    m = 1 << log2m
+    rest_bits = 60 - log2m
+    used = sum(1 for r in registers if r > 0)
+    s_star = sum(1 << (rest_bits + 1 - r) for r in registers if r > 0)
+    denom = s_star / float(1 << (rest_bits + 1)) + (m - used)
+    raw = _hll_alpha(m) * m * m / denom
+    zeros = m - used
+    if raw <= 2.5 * m and zeros > 0:
+        est = float(m) * math.log(float(m) / zeros)
+    else:
+        est = raw
+    return round(est, 4)
+
+
 def hll_estimate(
     values: DataFrame,
     value_col: str,
@@ -170,13 +208,7 @@ def hll_estimate(
     (per-group) fold — the 100 TB distinct-count shape."""
     m = 1 << log2m
     rest_bits = 60 - log2m  # 50 for log2m=10
-    h = _md5_int60(F.col(value_col), "hll:")
-    bucket = F.shiftright(h, rest_bits)
-    rest = h.bitwiseAND(F.lit((1 << rest_bits) - 1))
-    # ρ = leading zeros of `rest` within rest_bits, + 1;  rest == 0 → max
-    rho = F.when(rest == 0, F.lit(rest_bits + 1)).otherwise(
-        F.lit(rest_bits) - F.length(F.bin(rest)) + 1
-    )
+    bucket, rho = hll_bucket_rho(F.col(value_col), log2m)
     gcols = list(group_cols or [])
     regs = (
         values.select(*gcols, bucket.alias("b"), rho.alias("rho"))

@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     BooleanType,
+    DoubleType,
     LongType,
     StringType,
     StructField,
@@ -216,6 +217,76 @@ def chunk_dedup_stream(stream: DataFrame, chunk_tokens: int = 20) -> DataFrame:
         _chunk_dedup_fn,
         outputStructType=CHUNK_OUT_SCHEMA,
         stateStructType=CHUNK_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+HLL_OUT_SCHEMA = StructType(
+    [
+        StructField("source", StringType()),
+        StructField("hll_estimate", DoubleType()),
+        StructField("n_buckets_used", LongType()),
+    ]
+)
+
+HLL_STATE_SCHEMA = StructType([StructField("regs", StringType())])
+
+
+def _hll_fold_fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+    # state: the m HLL registers, serialized as a hex string (2 chars per
+    # register — M_j ≤ 51 fits a byte). String state keeps the schema
+    # trivially Arrow-safe across Spark versions.
+    from duckdb_cloudflare_spark.operators.sketches import hll_finalize
+
+    m = 1 << 10
+    regs = bytearray(bytes.fromhex(state.get[0]) if state.exists else bytes(m))
+    for pdf in pdfs:
+        for b, r in zip(pdf["b"], pdf["rho"]):
+            b, r = int(b), int(r)
+            if r > regs[b]:
+                regs[b] = r
+    state.update((bytes(regs).hex(),))
+    used = sum(1 for r in regs if r > 0)
+    yield pd.DataFrame(
+        {
+            "source": [key[0]],
+            "hll_estimate": [hll_finalize(list(regs))],
+            "n_buckets_used": [used],
+        }
+    )
+
+
+def hll_stream(stream: DataFrame, value_col: str = "text") -> DataFrame:
+    """Streaming per-source distinct-token monitor: the HyperLogLog
+    registers (operators/sketches.py — deterministic md5 hashes, m=1024)
+    live in keyed state per source and fold every arriving micro-batch,
+    APPENDING the current estimate after each batch — the ingest-health
+    dashboard number ("how much vocabulary is this source still adding?")
+    that an exact distinct could only produce by reshuffling all history.
+
+    The (bucket, ρ) derivation is the batch operator's own expressions
+    (hll_bucket_rho) evaluated map-side BEFORE the stateful fold, so the
+    state update is a pure per-bucket max and the final estimates equal
+    the batch hll_estimate values exactly (pinned in
+    test_streaming_pack.py). State per source is m bytes (hex-encoded) —
+    constant, never grows with the stream."""
+    from duckdb_cloudflare_spark.operators.dedup import lowered_tokens
+    from duckdb_cloudflare_spark.operators.sketches import hll_bucket_rho
+
+    # the batch p79 tokenization VERBATIM (lowered_tokens), so stream and
+    # batch estimates fold identical (bucket, ρ) pairs
+    bucket, rho = hll_bucket_rho(F.col("tok"))
+    exploded = (
+        stream.select("source", F.explode(lowered_tokens(value_col)).alias("tok"))
+        .select("source", bucket.alias("b"), rho.alias("rho"))
+    )
+    return exploded.groupBy("source").applyInPandasWithState(
+        _hll_fold_fn,
+        outputStructType=HLL_OUT_SCHEMA,
+        stateStructType=HLL_STATE_SCHEMA,
+        # append: each batch APPENDS one fresh estimate row per source (a
+        # monitoring time series; the latest row per source is "current")
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

@@ -243,3 +243,39 @@ def test_diff_stream_matches_batch_corpus_diff(spark, split_docs_dir):
     }
     assert stream_rows == batch_rows and len(stream_rows) > 0
     assert {s for _, s in stream_rows} == {"added", "changed", "unchanged"}
+
+
+def test_hll_stream_final_estimates_match_batch_p79(spark, split_docs_dir):
+    # The register state must carry ACROSS micro-batch boundaries: the
+    # LAST emitted estimate per source (update mode, 2 batches) must equal
+    # the batch hll_estimate over the whole corpus bit-for-bit — the
+    # stream folds the identical (bucket, ρ) pairs into the identical
+    # integer S* and applies the identical finalize arithmetic.
+    from duckdb_cloudflare_spark.operators import dedup as D
+    from duckdb_cloudflare_spark.operators.sketches import hll_estimate
+    from duckdb_cloudflare_spark.streaming.documents import (
+        hll_stream,
+        read_document_stream,
+    )
+    from duckdb_cloudflare_spark.streaming.events import run_to_memory
+
+    stream = read_document_stream(spark, split_docs_dir)
+    got = run_to_memory(hll_stream(stream), "hll_stream_out")
+    # update mode emits one row per (source, batch); keep the LAST (the
+    # memory sink appends, so max n_buckets_used per source is the final
+    # fold — registers only grow)
+    import pandas as pd
+
+    gpdf = got.toPandas()
+    final = gpdf.loc[gpdf.groupby("source")["n_buckets_used"].idxmax()]
+    stream_est = dict(zip(final["source"], final["hll_estimate"]))
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    inst = docs.select("source", F.explode(D.lowered_tokens()).alias("tok"))
+    batch = {
+        r["source"]: r["hll_estimate"]
+        for r in hll_estimate(inst, "tok", group_cols=["source"]).collect()
+    }
+    assert set(stream_est) == set(batch)
+    for s in batch:
+        assert stream_est[s] == batch[s], (s, stream_est[s], batch[s])
