@@ -263,7 +263,11 @@ def priority_sample(
     u = (_md5_int60(F.col(id_col), seed) + 1).cast("double") / float(1 << 60)
     key = F.log(u) / F.col(weight_col).cast("double")
     return (
+        # NULL ids hash to a NULL key: exclude them up front — engines
+        # disagree on NULL placement under DESC (Spark last, DuckDB first),
+        # so a NULL key must never reach the top-k ordering
         df.filter(F.col(weight_col) > 0)
+        .filter(F.col(id_col).isNotNull())
         .select(F.col(id_col), F.col(weight_col), key.alias("_key"))
         .orderBy(F.col("_key").desc(), F.col(id_col))  # order on the UNROUNDED key
         .limit(k)

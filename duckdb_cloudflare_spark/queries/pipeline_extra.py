@@ -2541,7 +2541,7 @@ def p79_hll_source_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id, n_chars,
                ln((('0x' || substr(md5('ps:' || doc_id), 1, 15))::BIGINT + 1)
                   / 1152921504606846976.0) / n_chars AS key
-        FROM documents WHERE n_chars > 0
+        FROM documents WHERE n_chars > 0 AND doc_id IS NOT NULL
     )
     SELECT doc_id, n_chars, round(key, 6) AS priority
     FROM pr ORDER BY key DESC, doc_id LIMIT 25
