@@ -173,7 +173,7 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 _WINDOW_PRIORITY = [
     # new this round — zero driver history (prepend each r8 addition here)
     "p71_", "p72_", "p73_", "p74_", "p75_", "p76_",
-    "p77_", "p78_", "p79_", "p80_",
+    "p77_", "p78_", "p79_", "p80_", "p81_",
     # only oracle-bearing zero-history carryover (late-r7 addition)
     "p70_",
     # stalest greens — last graded r5

@@ -882,6 +882,10 @@ def q30_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Spark 2013 vs DuckDB 1991, exact 2000) — the sketches hash with
     # different functions, so no deterministic cross-engine oracle exists.
     # pytest pins <2% error vs exact on both engines instead.
+    # The FAMILY gap is closed by p79_hll_source_distinct (r8): a
+    # deterministic md5-hashed HyperLogLog whose register fold is an exact
+    # integer sum, giving the distinct-count sketch an exact oracle —
+    # this entry stays to cover the ENGINE-NATIVE function's surface.
     oracle=None,
     description="approx_count_distinct (HyperLogLog++) per group — the cardinality "
     "sketch that replaces COUNT(DISTINCT)'s full shuffle at 100 TB (partial sketches "

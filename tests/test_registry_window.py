@@ -29,7 +29,7 @@ def test_graded_window_is_exactly_the_r8_rotation():
         # addition that missed the r7 window (VERDICT r7 rank-1).
         # Prepend each r8 addition here IN LOCKSTEP with _WINDOW_PRIORITY.
         ["p71_", "p72_", "p73_", "p74_", "p75_", "p76_"]
-        + ["p77_", "p78_", "p79_", "p80_"]
+        + ["p77_", "p78_", "p79_", "p80_", "p81_"]
         + ["p70_"]
         # stalest greens — last graded r5
         + [f"p{n}_" for n in range(22, 30)]

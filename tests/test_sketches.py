@@ -90,3 +90,40 @@ def test_priority_sample_prefers_heavy_weights(spark):
     # zero/negative weights excluded
     df2 = spark.createDataFrame([(1, 0), (2, -3), (3, 10)], "id long, w long")
     assert [r["id"] for r in priority_sample(df2, "id", "w", k=5).collect()] == [3]
+
+
+def test_pagerank_matches_numpy_power_iteration(spark):
+    # hand-built asymmetric graph, checked against a dense numpy reference
+    import numpy as np
+
+    from duckdb_cloudflare_spark.operators.graph import pagerank
+
+    edges = [(0, 1, 1.0), (0, 2, 2.0), (1, 2, 1.0), (2, 0, 1.0), (3, 2, 1.0)]
+    df = spark.createDataFrame(edges, "src long, dst long, w double")
+    got = {r["node"]: r["rank"] for r in pagerank(df, iterations=3).collect()}
+
+    n, d = 4, 0.85
+    r = np.full(n, round(1 / n, 9))
+    frac = np.zeros((n, n))
+    outw = {0: 3.0, 1: 1.0, 2: 1.0, 3: 1.0}
+    for s, t, w in edges:
+        frac[s][t] = w / outw[s]
+    for _ in range(3):
+        r = np.round((1 - d) / n + d * (r @ frac), 9)
+    for v in range(n):
+        assert got[v] == pytest.approx(r[v], abs=1e-9), (v, got[v], r[v])
+    # node 3 has no inbound edges: pure teleport mass
+    assert got[3] == pytest.approx((1 - d) / n, abs=1e-9)
+
+
+def test_pagerank_dangling_and_empty(spark):
+    from duckdb_cloudflare_spark.operators.graph import pagerank
+
+    # dangling node 9 (appears only as dst): still ranked, mass leaks to
+    # teleport as documented
+    df = spark.createDataFrame([(1, 9, 1.0)], "src long, dst long, w double")
+    got = {r["node"]: r["rank"] for r in pagerank(df, iterations=2).collect()}
+    assert set(got) == {1, 9}
+    assert got[9] > got[1]  # 9 receives 1's full mass each round
+    empty = spark.createDataFrame([], "src long, dst long, w double")
+    assert pagerank(empty).count() == 0
