@@ -2,8 +2,9 @@
 ~6M lineitem rows — for the operators whose PLAN choices are
 data-dependent (VERDICT r7 item 4): the dedup/inverted-index family
 (p01/p34/p44/p54), the repetition explode (p64), the reshaped bigram LM
-(p50), the exact-MinHash signatures (p73), and the lineitem aggregate
-(q01). Same driver-faithful parity protocol as test_scale_parity.py, over
+(p50), the exact-MinHash signatures (p73), the Bloom probe (p77), the
+HLL estimator (p79), the PageRank loop (p81), and the lineitem
+aggregate (q01). Same driver-faithful parity protocol as test_scale_parity.py, over
 GENERATED data (the driver ships nothing above sf0.1).
 
 Generation (DuckDB, module fixture, ~seconds): each source row is
@@ -55,6 +56,9 @@ SWEEP = [
     "p54_curation_pipeline",
     "p64_repetition_stats",
     "p73_minhash_signatures",
+    "p77_bloom_decontaminate",
+    "p79_hll_source_distinct",
+    "p81_domain_pagerank",
     "q01_pricing_summary",
 ]
 
