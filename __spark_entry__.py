@@ -10,11 +10,12 @@ pinned by pytest instead).
 NOTE on registry order: the driver grades a bounded prefix (observed: the
 first 50 entries) of ``queries()``. The registry implements the rotation
 policy explicitly (queries/__init__._WINDOW_PRIORITY): least-recently-
-driver-graded entries first. The r8 window leads with the ELEVEN new r8
-operators (p71 domain stats, p72 unicode normalize, p73 exact-MinHash
+driver-graded entries first. The r8 window leads with the FOURTEEN new
+r8 operators (p71 domain stats, p72 unicode normalize, p73 exact-MinHash
 signatures, p74 key-skew profile, p75 centroid cosine, p76 Zipf fit,
 p77 Bloom probe, p78 Count-Min, p79 deterministic HLL, p80 priority
-sample, p81 domain PageRank — zero driver history), then p70 (added
+sample, p81 domain PageRank, p82 SemDeDup, p83 DSIR weights, p84
+calibration bins — zero driver history), then p70 (added
 late in r7 AFTER that window was pinned — the only previously-stranded
 oracle-bearing entry; a registry invariant test now makes that class
 impossible), then the stalest greens (r5: p22–p29, p31–p33, q40–q43)

@@ -85,3 +85,57 @@ def fit_logistic(
             aggs.append(expr.alias(w))
         weights = base.agg(*aggs)
     return weights
+
+
+def calibration_bins(
+    df: DataFrame,
+    feature_cols: list[str],
+    label_col: str,
+    steps: int = 2,
+    lr: float = 1.0,
+    round_dp: int = 6,
+    bins_per_unit: int = 50,
+) -> DataFrame:
+    """Calibration audit of a fitted logistic quality classifier: fit with
+    :func:`fit_logistic` (``round_dp``-canonicalized weights), score every
+    row, and bucket the decision MARGIN into fixed-width bins of
+    ``1 / bins_per_unit``; per bin report the observed positive rate and
+    the mean predicted probability — the reliability-diagram table a
+    quality-filter deployment reviews before trusting its threshold.
+
+    Returns (bin, n_docs, observed_rate, mean_pred), one row per
+    non-empty bin.
+
+    Determinism across engines: the bin key comes from the ROUNDED margin
+    (weights are rounded after every GD step, features are exact, and the
+    dot product is the same left-associated 3-term expression on both
+    sides — bit-identical doubles, the p70 decision-boundary argument),
+    so floor(round(margin, dp) * bins_per_unit) is reproducible
+    bit-for-bit; only the two per-bin float MEANS are order-dependent,
+    and both are rounded to ``round_dp`` per repo convention. Scale
+    shape: ``steps`` partial-agg passes for the fit, then the 1-row
+    weight vector broadcast onto a map-only scoring pass and ONE
+    bin-keyed aggregation (bin cardinality is tiny by construction)."""
+    w = fit_logistic(df, feature_cols, label_col, steps=steps, lr=lr, round_dp=round_dp)
+    wcols = [f"w_{c}" for c in feature_cols]
+    margin = sum(
+        (F.col(w_) * F.col(c) for w_, c in zip(wcols[1:], feature_cols[1:])),
+        F.col(wcols[0]) * F.col(feature_cols[0]),
+    )
+    scored = df.crossJoin(F.broadcast(w)).select(
+        F.col(label_col).cast("double").alias("__y"),
+        F.round(margin, round_dp).alias("__m"),
+    )
+    return (
+        scored.select(
+            F.floor(F.col("__m") * bins_per_unit).cast("integer").alias("bin"),
+            "__y",
+            _sigmoid(F.col("__m")).alias("__p"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("__y"), round_dp).alias("observed_rate"),
+            F.round(F.avg("__p"), round_dp).alias("mean_pred"),
+        )
+    )

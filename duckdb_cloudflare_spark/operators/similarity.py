@@ -378,3 +378,72 @@ def centroid_cosine(
             (nv > 0) & (nm > 0), F.round(dot / (nv * nm), round_dp)
         ).alias("cos_centroid"),
     )
+
+
+def semdedup_stats(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    cluster_col: str = "label",
+    threshold: float = 0.3,
+    round_dp: int = 6,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023): within
+    each CLUSTER, score all pairs by exact cosine and mark every vector
+    that has a higher-similarity-than-``threshold`` twin with a LOWER id
+    as prunable (keep-lowest-id, the deterministic keeper rule the dedup
+    family uses everywhere). Emits one row per cluster:
+    (cluster, n_vectors, n_dup_pairs, n_pruned, prune_rate).
+
+    The clustering stage itself is upstream (p42/p45's k-means loop);
+    this operator is the WITHIN-cluster dedup pass that makes semantic
+    dedup tractable: pairwise work is confined to one cluster, so with k
+    chosen to bound cluster size (SemDeDup's protocol: k grows with the
+    corpus so |cluster| stays ~constant) the total cost is linear in the
+    corpus, never all-pairs. The join is an equi-join on the cluster id;
+    exact cosine runs on the Arrow-batched einsum UDF
+    (operators/dedup.cosine_similarity — float64 widening so a SQL
+    oracle reproduces the doubles), and the final per-cluster rollup is
+    one tiny aggregation. A skewed (oversized) cluster shows up as one
+    hot join key — exactly the signal p74's skew profiler reports —
+    and the fix at 100 TB is re-clustering with larger k, not salting,
+    because pair semantics must stay within-cluster."""
+    e = df.select(
+        F.col(cluster_col).alias("__c"),
+        F.col(id_col).alias("__i"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__v"),
+    )
+    a, b = e.alias("a"), e.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.__c") == F.col("b.__c")) & (F.col("a.__i") < F.col("b.__i")),
+    ).select(
+        F.col("a.__c").alias("__c"),
+        F.col("b.__i").alias("dup_id"),
+        cosine_similarity(F.col("a.__v"), F.col("b.__v")).alias("cos"),
+    )
+    dups = (
+        # threshold the ROUNDED cosine (p35 thresholds raw; rounding first
+        # shrinks the cross-engine ulp-at-the-boundary window to
+        # |cos - threshold| < 5e-7 AND a summation-order divergence)
+        pairs.filter(F.round(F.col("cos"), round_dp) >= F.lit(float(threshold)))
+        .groupBy("__c")
+        .agg(
+            F.count(F.lit(1)).alias("n_dup_pairs"),
+            F.countDistinct("dup_id").alias("n_pruned"),
+        )
+    )
+    counts = e.groupBy("__c").agg(F.count(F.lit(1)).alias("n_vectors"))
+    return (
+        counts.join(dups, "__c", "left")
+        .select(
+            F.col("__c").alias("cluster"),
+            "n_vectors",
+            F.coalesce("n_dup_pairs", F.lit(0)).cast("long").alias("n_dup_pairs"),
+            F.coalesce("n_pruned", F.lit(0)).cast("long").alias("n_pruned"),
+            F.round(
+                F.coalesce("n_pruned", F.lit(0)).cast("double") / F.col("n_vectors"),
+                round_dp,
+            ).alias("prune_rate"),
+        )
+    )

@@ -292,3 +292,77 @@ def clean_unicode(text: Column) -> Column:
     t = F.translate(t, UNICODE_PUNCT_FROM, UNICODE_PUNCT_TO)
     t = F.regexp_replace(t, CONTROL_CLASS, "")
     return F.trim(F.regexp_replace(t, r"\s+", " "))
+
+
+def dsir_weights(
+    df: DataFrame,
+    target: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 1024,
+    round_dp: int = 6,
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): hashed-unigram bag
+    features, a smoothed bucket distribution for the TARGET slice
+    (rows where ``target`` is true) and for the RAW corpus (all rows),
+    and a per-document importance weight = mean over its tokens of
+    ln(p_target[bucket] / p_raw[bucket]) — documents that look like the
+    target domain score high and survive the downstream importance
+    resample. Returns (id, n_tokens, dsir_weight).
+
+    Hashing: bucket = first-8-hex-digits of md5(token) mod ``n_buckets``
+    — the repo's cross-engine hash idiom (p57/p70), so a SQL oracle
+    reproduces buckets exactly. Smoothing is add-one over the bucket
+    vocabulary: p[b] = (count[b] + 1) / (total + n_buckets).
+
+    Scale shape: one token explode feeding TWO partial-aggregated
+    bucket counts (each at most ``n_buckets`` rows — broadcast-sized by
+    construction, independent of corpus size), a 1-row total for each,
+    then the per-bucket log-ratio table broadcast onto the token stream
+    and ONE per-doc aggregation. The corpus-scale side shuffles once
+    (by id for the mean); hot buckets are bounded by map-side partial
+    aggregation. Per repo convention for order-dependent float sums at
+    cross-engine comparison points, the per-bucket log-ratio is rounded
+    to ``round_dp`` BEFORE the per-doc mean, and the mean again on
+    output."""
+    from pyspark.sql.functions import broadcast
+
+    toks = df.select(
+        F.col(id_col),
+        target.cast("boolean").alias("__t"),
+        F.explode(tokens(F.col(text_col))).alias("tok"),
+    ).select(
+        id_col,
+        "__t",
+        (
+            F.conv(F.substring(F.md5(F.lower("tok")), 1, 8), 16, 10).cast("long")
+            % n_buckets
+        ).alias("bucket"),
+    )
+    bcounts = toks.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("raw_n"),
+        F.count(F.when(F.col("__t"), 1)).alias("tgt_n"),
+    )
+    totals = bcounts.agg(
+        F.sum("raw_n").cast("double").alias("raw_total"),
+        F.sum("tgt_n").cast("double").alias("tgt_total"),
+    )
+    lr = bcounts.crossJoin(broadcast(totals)).select(
+        "bucket",
+        F.round(
+            F.log(
+                ((F.col("tgt_n") + 1).cast("double") / (F.col("tgt_total") + n_buckets))
+                / ((F.col("raw_n") + 1).cast("double") / (F.col("raw_total") + n_buckets))
+            ),
+            round_dp,
+        ).alias("logratio"),
+    )
+    return (
+        toks.join(broadcast(lr), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg("logratio"), round_dp).alias("dsir_weight"),
+        )
+    )

@@ -174,6 +174,7 @@ _WINDOW_PRIORITY = [
     # new this round — zero driver history (prepend each r8 addition here)
     "p71_", "p72_", "p73_", "p74_", "p75_", "p76_",
     "p77_", "p78_", "p79_", "p80_", "p81_",
+    "p82_", "p83_", "p84_",
     # only oracle-bearing zero-history carryover (late-r7 addition)
     "p70_",
     # stalest greens — last graded r5

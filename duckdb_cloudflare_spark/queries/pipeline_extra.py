@@ -2627,3 +2627,159 @@ def p81_domain_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select(
         F.col("node").cast("bigint").alias("node"), F.round("rank", 6).alias("rank")
     )
+
+
+@register(
+    "p82_semdedup",
+    oracle="""
+    WITH v AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ), p AS (
+        SELECT a.label AS lbl, b.vec_id AS dup_id
+        FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE round(list_dot_product(a.e, b.e)
+                    / (sqrt(list_dot_product(a.e, a.e))
+                       * sqrt(list_dot_product(b.e, b.e))), 6) >= 0.3
+    ), d AS (
+        SELECT lbl, count(*) AS n_dup_pairs, count(DISTINCT dup_id) AS n_pruned
+        FROM p GROUP BY lbl
+    ), c AS (SELECT label AS cluster, count(*) AS n_vectors FROM v GROUP BY label)
+    SELECT cluster, n_vectors,
+           CAST(coalesce(n_dup_pairs, 0) AS BIGINT) AS n_dup_pairs,
+           CAST(coalesce(n_pruned, 0) AS BIGINT) AS n_pruned,
+           round(CAST(coalesce(n_pruned, 0) AS DOUBLE) / n_vectors, 6) AS prune_rate
+    FROM c LEFT JOIN d ON c.cluster = d.lbl
+    """,
+    description="SemDeDup (Abbas et al. 2023) — WITHIN-cluster semantic "
+    "dedup: exact pairwise cosine confined to each cluster (the upstream "
+    "k-means assignment, p42/p45), vectors with a >= 0.3-cosine twin of "
+    "lower id marked prunable (keep-lowest-id), per-cluster prune stats. "
+    "operators/similarity.py::semdedup_stats — the method's point IS the "
+    "scale shape: with cluster count grown so |cluster| stays bounded, "
+    "pairwise cost is linear in the corpus (never all-pairs, unlike the "
+    "p35 anchor); one cluster-keyed equi-join + Arrow einsum cosine + a "
+    "tiny rollup. Thresholds compare the 6-dp-ROUNDED cosine on both "
+    "engines; the emitted counts are then exact integers and prune_rate "
+    "one rounded division.",
+)
+def p82_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duckdb_cloudflare_spark.operators.similarity import semdedup_stats
+
+    e = load(spark, sf_dir, "embeddings")
+    return semdedup_stats(
+        e, vec_col="embedding", id_col="vec_id", cluster_col="label", threshold=0.3
+    )
+
+
+@register(
+    "p83_dsir_weights",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id, lang = 'en' AS t,
+               CAST(('0x' || substr(md5(lower(unnest(
+                   string_split_regex(trim(text), '\s+')))), 1, 8))
+                   AS BIGINT) % 1024 AS bucket
+        FROM documents
+    ), b AS (
+        SELECT bucket, count(*) AS raw_n,
+               count(CASE WHEN t THEN 1 END) AS tgt_n
+        FROM toks GROUP BY bucket
+    ), tt AS (
+        SELECT CAST(sum(raw_n) AS DOUBLE) AS raw_total,
+               CAST(sum(tgt_n) AS DOUBLE) AS tgt_total
+        FROM b
+    ), lr AS (
+        SELECT bucket,
+               round(ln(((tgt_n + 1) / (tgt_total + 1024))
+                        / ((raw_n + 1) / (raw_total + 1024))), 6) AS logratio
+        FROM b, tt
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+           round(avg(logratio), 6) AS dsir_weight
+    FROM toks JOIN lr USING (bucket)
+    GROUP BY doc_id
+    """,
+    description="DSIR importance weights (Xie et al. 2023): hashed-unigram "
+    "bucket features (md5-hex mod 1024 — the p57/p70 cross-engine hash "
+    "idiom), add-one-smoothed bucket distributions for the target slice "
+    "(lang = 'en') vs the raw corpus, per-doc weight = mean token "
+    "ln(p_target/p_raw) — the data-selection score importance resampling "
+    "draws against. operators/text_analysis.py::dsir_weights — one token "
+    "explode feeding two partial-agg bucket counts (<= 1024 rows each, "
+    "broadcast-sized regardless of corpus), the log-ratio table broadcast "
+    "back onto the token stream, ONE doc-keyed aggregation; per-bucket "
+    "log-ratios rounded to 6 dp BEFORE the per-doc mean (p28's "
+    "order-dependent-float convention), mean rounded again on output.",
+)
+def p83_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return T.dsir_weights(
+        d, target=F.col("lang") == F.lit("en"), text_col="text", id_col="doc_id"
+    )
+
+
+@register(
+    "p84_calibration_bins",
+    oracle="""
+    WITH f AS (
+        SELECT CAST(CASE WHEN n_chars > 250 THEN 1 ELSE 0 END AS DOUBLE) AS y,
+               CAST(1.0 AS DOUBLE) AS x0,
+               CAST(length(text) - length(replace(text, 'e', '')) AS DOUBLE)
+                   / length(text) AS x1,
+               CAST(n_chars AS DOUBLE) / 500.0 AS x2
+        FROM documents
+        WHERE length(coalesce(text, '')) > 0
+    ), s1 AS (
+        -- step-1 weights rounded to 6 dp BEFORE step 2's sigmoid, in
+        -- lockstep with fit_logistic(round_dp=6) — see p65 (ADVICE r7)
+        SELECT round(avg((y - 0.5) * x0), 6) AS w0,
+               round(avg((y - 0.5) * x1), 6) AS w1,
+               round(avg((y - 0.5) * x2), 6) AS w2
+        FROM f
+    ), s2 AS (
+        SELECT round(w0 + avg((y - 1.0/(1.0 + exp(-(w0*x0 + w1*x1 + w2*x2)))) * x0), 6) AS v0,
+               round(w1 + avg((y - 1.0/(1.0 + exp(-(w0*x0 + w1*x1 + w2*x2)))) * x1), 6) AS v1,
+               round(w2 + avg((y - 1.0/(1.0 + exp(-(w0*x0 + w1*x1 + w2*x2)))) * x2), 6) AS v2
+        FROM f, s1
+        GROUP BY w0, w1, w2
+    ), scored AS (
+        SELECT y, round(v0*x0 + v1*x1 + v2*x2, 6) AS m FROM f, s2
+    )
+    SELECT CAST(floor(m * 50) AS INTEGER) AS bin,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(avg(y), 6) AS observed_rate,
+           round(avg(1.0/(1.0 + exp(-m))), 6) AS mean_pred
+    FROM scored
+    GROUP BY bin
+    """,
+    description="Reliability-diagram table for the fitted quality "
+    "classifier: p65's two-step logistic-GD fit, every doc scored, the "
+    "6-dp-rounded decision margin bucketed into width-0.02 bins, per bin "
+    "the observed positive rate vs the mean predicted sigmoid — the "
+    "calibration audit a quality-filter deployment runs before trusting "
+    "its threshold (completing the ML family: p65 fit, p70 train/eval, "
+    "this = calibration). operators/quality_model.py::calibration_bins — "
+    "bin keys are bit-deterministic across engines (rounded weights, "
+    "exact features, identical left-associated dot product — the p70 "
+    "boundary argument — then floor of an IEEE product of identical "
+    "doubles); only the two per-bin means are order-dependent floats, "
+    "both rounded to 6 dp. Spark shape: two partial-agg fit passes, "
+    "1-row weight broadcast onto a map-only scoring scan, one tiny "
+    "bin-keyed aggregation.",
+)
+def p84_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duckdb_cloudflare_spark.operators.quality_model import calibration_bins
+
+    d = load(spark, sf_dir, "documents").filter(
+        F.length(F.coalesce(F.col("text"), F.lit(""))) > 0
+    )
+    f = d.select(
+        (F.col("n_chars") > 250).cast("double").alias("y"),
+        F.lit(1.0).alias("x0"),
+        (
+            (F.length("text") - F.length(F.replace(F.col("text"), F.lit("e")))).cast("double")
+            / F.length("text")
+        ).alias("x1"),
+        (F.col("n_chars").cast("double") / 500.0).alias("x2"),
+    )
+    return calibration_bins(f, ["x0", "x1", "x2"], "y", steps=2, round_dp=6, bins_per_unit=50)

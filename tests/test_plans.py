@@ -407,3 +407,31 @@ def test_r8_new_operator_plan_shapes(spark, registry):
     plan = formatted_plan(df)
     assert shuffle_count(df) == 0
     assert "TakeOrdered" in plan
+
+
+def test_r8_late_operator_plan_shapes(spark, registry):
+    # p82–p84 (late-r8 additions), same consolidated-pin style as above.
+    from duckdb_cloudflare_spark.plans.introspect import formatted_plan
+
+    # p82: pairwise work rides ONE cluster-keyed equi-join (never a
+    # cartesian/BNLJ over the corpus); the per-cluster rollups are bounded
+    df = registry["p82_semdedup"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert shuffle_count(df) <= 6
+
+    # p83: both bucket-count tables are ≤1024 rows by construction — the
+    # log-ratio table BROADCASTS back onto the token stream; corpus-scale
+    # rows shuffle once (per-doc mean)
+    df = registry["p83_dsir_weights"](spark, SF_DIR)
+    assert broadcast_join_count(df) >= 1
+    assert "SortMergeJoin" not in formatted_plan(df)
+
+    # p84: the fit is partial-agg passes + a 1-row weight broadcast onto a
+    # map-only scoring scan; no Expand, no corpus-side join
+    df = registry["p84_calibration_bins"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert "Expand" not in plan
+    assert "SortMergeJoin" not in plan
+    assert broadcast_join_count(df) >= 1

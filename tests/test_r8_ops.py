@@ -180,3 +180,108 @@ def registry_mod():
     from duckdb_cloudflare_spark import queries as Q
 
     return Q
+
+
+# ---------------------------------------------------------------------------
+# semdedup_stats (p82)
+# ---------------------------------------------------------------------------
+
+
+def test_semdedup_known_geometry(spark):
+    from duckdb_cloudflare_spark.operators.similarity import semdedup_stats
+
+    # cluster 0: v1 == v2 (cos 1), v3 orthogonal -> one dup pair, one pruned
+    # cluster 1: both orthogonal -> nothing pruned
+    rows = [
+        (1, 0, [1.0, 0.0, 0.0]),
+        (2, 0, [1.0, 0.0, 0.0]),
+        (3, 0, [0.0, 1.0, 0.0]),
+        (4, 1, [0.0, 0.0, 1.0]),
+        (5, 1, [0.0, 1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "label", "embedding"])
+    got = {
+        r["cluster"]: r
+        for r in semdedup_stats(df, threshold=0.9).collect()
+    }
+    assert got[0]["n_vectors"] == 3
+    assert got[0]["n_dup_pairs"] == 1
+    assert got[0]["n_pruned"] == 1  # vec 2 (higher id of the identical pair)
+    assert abs(got[0]["prune_rate"] - 1 / 3) < 1e-6
+    assert got[1]["n_dup_pairs"] == 0 and got[1]["n_pruned"] == 0
+    assert got[1]["prune_rate"] == 0.0
+
+
+def test_semdedup_pairs_stay_within_cluster(spark):
+    from duckdb_cloudflare_spark.operators.similarity import semdedup_stats
+
+    # identical vectors but DIFFERENT clusters: never compared
+    rows = [(1, 0, [1.0, 0.0]), (2, 1, [1.0, 0.0])]
+    df = spark.createDataFrame(rows, ["vec_id", "label", "embedding"])
+    for r in semdedup_stats(df, threshold=0.5).collect():
+        assert r["n_dup_pairs"] == 0 and r["n_pruned"] == 0
+
+
+# ---------------------------------------------------------------------------
+# dsir_weights (p83)
+# ---------------------------------------------------------------------------
+
+
+def test_dsir_target_lookalike_scores_higher(spark):
+    from duckdb_cloudflare_spark.operators.text_analysis import dsir_weights
+
+    # target slice speaks "alpha beta"; raw background speaks "gamma delta".
+    # A held-out doc written in target language must outscore one written
+    # in background language.
+    rows = (
+        [(i, "alpha beta alpha beta", 1) for i in range(10)]
+        + [(100 + i, "gamma delta gamma delta", 0) for i in range(10)]
+        + [(900, "alpha beta", 0), (901, "gamma delta", 0)]
+    )
+    df = spark.createDataFrame(rows, ["doc_id", "text", "is_t"])
+    got = {
+        r["doc_id"]: r["dsir_weight"]
+        for r in dsir_weights(df, target=F.col("is_t") == 1).collect()
+    }
+    assert got[900] > got[901]
+    # target-language docs outscore background docs (absolute sign is a
+    # smoothing artifact at toy counts: add-one over 1024 buckets flattens
+    # the smaller target total more than the raw total)
+    assert got[0] > got[100]
+
+
+def test_dsir_weight_is_mean_of_bucket_logratios(spark):
+    from duckdb_cloudflare_spark.operators.text_analysis import dsir_weights
+
+    # single doc, single token, empty target slice: every bucket count is
+    # raw_n=1/tgt_n=0, so weight = ln((0+1)/(0+1024) / ((1+1)/(1+1024)))
+    import math
+
+    df = spark.createDataFrame([(1, "tok", 0)], ["doc_id", "text", "is_t"])
+    [r] = dsir_weights(df, target=F.col("is_t") == 1).collect()
+    want = round(math.log((1 / 1024) / (2 / 1025)), 6)
+    assert r["n_tokens"] == 1
+    assert abs(r["dsir_weight"] - want) < 1e-6
+
+
+# ---------------------------------------------------------------------------
+# calibration_bins (p84)
+# ---------------------------------------------------------------------------
+
+
+def test_calibration_bins_partition_and_rates(spark):
+    from duckdb_cloudflare_spark.operators.quality_model import calibration_bins
+
+    # y perfectly separable on x1 -> high-margin bins must show
+    # observed_rate 1.0, low-margin bins 0.0, and bin counts sum to n
+    rows = [(float(i % 2), 1.0, float(i % 2)) for i in range(40)]
+    df = spark.createDataFrame(rows, ["y", "x0", "x1"])
+    out = calibration_bins(df, ["x0", "x1"], "y", steps=2).collect()
+    assert sum(r["n_docs"] for r in out) == 40
+    for r in out:
+        assert 0.0 <= r["mean_pred"] <= 1.0
+        assert r["observed_rate"] in (0.0, 1.0)  # separable by construction
+    # the positive class lands in strictly higher bins than the negative
+    pos_bins = {r["bin"] for r in out if r["observed_rate"] == 1.0}
+    neg_bins = {r["bin"] for r in out if r["observed_rate"] == 0.0}
+    assert min(pos_bins) > max(neg_bins)

@@ -30,6 +30,7 @@ def test_graded_window_is_exactly_the_r8_rotation():
         # Prepend each r8 addition here IN LOCKSTEP with _WINDOW_PRIORITY.
         ["p71_", "p72_", "p73_", "p74_", "p75_", "p76_"]
         + ["p77_", "p78_", "p79_", "p80_", "p81_"]
+        + ["p82_", "p83_", "p84_"]
         + ["p70_"]
         # stalest greens — last graded r5
         + [f"p{n}_" for n in range(22, 30)]
