@@ -322,10 +322,17 @@ def dsir_weights(
     then the per-bucket log-ratio table broadcast onto the token stream
     and ONE per-doc aggregation. The corpus-scale side shuffles once
     (by id for the mean); hot buckets are bounded by map-side partial
-    aggregation. Per repo convention for order-dependent float sums at
-    cross-engine comparison points, the per-bucket log-ratio is rounded
-    to ``round_dp`` BEFORE the per-doc mean, and the mean again on
-    output."""
+    aggregation.
+
+    Determinism (VERDICT r8: the 6-dp-rounded-then-averaged form still
+    drifted at sf0.1 — a rounded float mean is STILL an order-dependent
+    float sum): the per-bucket log-ratio is canonicalized as an exact
+    integer in micro-units, ``lr_micro = round(ln(ratio) * 10^round_dp)``
+    as BIGINT (p79's integer-exact-fold convention). The per-doc sum of
+    bigints is exact regardless of summation order; ``dsir_weight`` is
+    then ONE float division ``sum(lr_micro) / (n_tokens * 10^round_dp)``
+    of exact-integer-valued doubles — bit-identical across engines, so
+    it is deliberately left UNROUNDED (the q48 exact-division rule)."""
     from pyspark.sql.functions import broadcast
 
     toks = df.select(
@@ -348,21 +355,28 @@ def dsir_weights(
         F.sum("raw_n").cast("double").alias("raw_total"),
         F.sum("tgt_n").cast("double").alias("tgt_total"),
     )
+    micro = float(10**round_dp)
     lr = bcounts.crossJoin(broadcast(totals)).select(
         "bucket",
         F.round(
             F.log(
                 ((F.col("tgt_n") + 1).cast("double") / (F.col("tgt_total") + n_buckets))
                 / ((F.col("raw_n") + 1).cast("double") / (F.col("raw_total") + n_buckets))
-            ),
-            round_dp,
-        ).alias("logratio"),
+            )
+            * micro,
+            0,
+        )
+        .cast("long")
+        .alias("lr_micro"),
     )
     return (
         toks.join(broadcast(lr), "bucket")
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
-            F.round(F.avg("logratio"), round_dp).alias("dsir_weight"),
+            (
+                F.sum("lr_micro").cast("double")
+                / (F.count(F.lit(1)).cast("double") * F.lit(micro))
+            ).alias("dsir_weight"),
         )
     )

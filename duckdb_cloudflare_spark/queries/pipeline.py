@@ -878,11 +878,17 @@ def p27_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT tok, count(*) AS freq FROM toks GROUP BY tok
     ), tot AS (
         SELECT CAST(sum(freq) AS DOUBLE) AS total FROM vocab
+    ), lp AS (
+        SELECT tok,
+               CAST(round(ln(CAST(freq AS DOUBLE) / total) * 1000000.0)
+                    AS BIGINT) AS lp_micro
+        FROM vocab CROSS JOIN tot
     )
     SELECT doc_id,
-           round(avg(ln(CAST(freq AS DOUBLE) / total)), 6) AS avg_logprob,
+           CAST(sum(lp_micro) AS DOUBLE)
+               / (CAST(count(*) AS DOUBLE) * 1000000.0) AS avg_logprob,
            count(*) AS n_tokens
-    FROM toks JOIN vocab USING (tok) CROSS JOIN tot
+    FROM toks JOIN lp USING (tok)
     GROUP BY doc_id
     """,
     description="unigram language-model scoring: corpus token frequencies -> "
@@ -891,7 +897,12 @@ def p27_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     "shuffles (vocab build, per-doc mean); the corpus-total is a 1-row "
     "broadcast. The token->freq join is explode-heavy but hash-bucketed, the "
     "100 TB shape; a skewed token (e.g. 'the') is bounded by partial "
-    "aggregation on the vocab side and never widens the doc-side rows.",
+    "aggregation on the vocab side and never widens the doc-side rows. "
+    "Determinism (r9 audit after p83's sf0.1 drift): the per-token "
+    "logprob is canonicalized as an exact micro-unit bigint in the "
+    "VOCAB-sized table (ln computed once per distinct token, not per "
+    "instance), summed exactly per doc, emitted as ONE unrounded float "
+    "division of exact-integer doubles (q48 rule).",
 )
 def p28_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.functions import broadcast
@@ -902,13 +913,19 @@ def p28_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("freq"))
     tot = vocab.agg(F.sum("freq").cast("double").alias("total"))
+    lp = vocab.crossJoin(broadcast(tot)).select(
+        "tok",
+        F.round(F.log(F.col("freq").cast("double") / F.col("total")) * 1e6, 0)
+        .cast("long")
+        .alias("lp_micro"),
+    )
     return (
-        toks.join(vocab, "tok")
-        .crossJoin(broadcast(tot))
+        toks.join(lp, "tok")
         .groupBy("doc_id")
         .agg(
-            F.round(
-                F.avg(F.log(F.col("freq").cast("double") / F.col("total"))), 6
+            (
+                F.sum("lp_micro").cast("double")
+                / (F.count(F.lit(1)).cast("double") * F.lit(1e6))
             ).alias("avg_logprob"),
             F.count(F.lit(1)).alias("n_tokens"),
         )

@@ -610,14 +610,19 @@ def p43_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
                unnest(ts[1 : len(ts) - 1]) AS w1,
                unnest(ts[2 : len(ts)])     AS w2
         FROM toks WHERE len(ts) >= 2
-    ), c2 AS (SELECT w1, w2, count(*) AS f2 FROM big GROUP BY w1, w2)
+    ), c2 AS (SELECT w1, w2, count(*) AS f2 FROM big GROUP BY w1, w2),
+    lp AS (
+        SELECT w1, w2,
+               CAST(round(ln((f2 + 1) / (f1 + vsize)) * 1000000.0)
+                    AS BIGINT) AS lpm
+        FROM c2 JOIN c1 ON c1.tok = c2.w1 CROSS JOIN v
+    )
     SELECT doc_id,
-           round(avg(ln((f2 + 1) / (f1 + vsize))), 6) AS avg_logprob,
+           CAST(sum(lpm) AS DOUBLE)
+               / (CAST(count(*) AS DOUBLE) * 1000000.0) AS avg_logprob,
            count(*) AS n_bigrams
     FROM big
-    JOIN c2 USING (w1, w2)
-    JOIN c1 ON c1.tok = big.w1
-    CROSS JOIN v
+    JOIN lp USING (w1, w2)
     GROUP BY doc_id
     """,
     description="bigram language-model scoring with add-one smoothing: "
@@ -627,12 +632,14 @@ def p43_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     "reduced to per-doc (w1, w2, multiplicity) rows BEFORE any join, the "
     "two vocab-sized count tables join each other FIRST into a per-bigram "
     "logprob table, and the corpus-scale doc-bigram table joins exactly "
-    "once (per-doc mean = m-weighted sum(m*ln)/sum(m)); the doc-bigram "
+    "once (per-doc mean = m-weighted sum(m*lpm)/sum(m)); the doc-bigram "
     "subtree's two consumers share one exchange (ReusedExchange, "
     "plan-pinned), cutting the pre-r8 plan's 4 corpus scans / 4 Generates "
-    "to 2 / 3 with no caching barrier. V is a 1-row broadcast. Same "
-    "ln+round(6) cross-engine discipline as p28 (pinned at sf0.1 by the "
-    "scale sweep).",
+    "to 2 / 3 with no caching barrier. V is a 1-row broadcast. "
+    "Determinism (r9 audit after p83's sf0.1 drift): per-bigram logprob "
+    "canonicalized as an exact micro-unit bigint in the vocab-sized "
+    "table, m-weighted bigint sums per doc (exact, order-free), ONE "
+    "unrounded float division of exact-integer doubles (q48 rule).",
 )
 def p50_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.functions import broadcast
@@ -684,7 +691,11 @@ def p50_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "w1",
             "w2",
-            F.log((F.col("f2") + 1) / (F.col("f1") + F.col("vsize"))).alias("lp"),
+            F.round(
+                F.log((F.col("f2") + 1) / (F.col("f1") + F.col("vsize"))) * 1e6, 0
+            )
+            .cast("long")
+            .alias("lpm"),
         )
     )
     m = F.col("m")
@@ -692,7 +703,10 @@ def p50_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         bd.join(lp, ["w1", "w2"])
         .groupBy("doc_id")
         .agg(
-            F.round(F.sum(m * F.col("lp")) / F.sum(m), 6).alias("avg_logprob"),
+            (
+                F.sum(m * F.col("lpm")).cast("double")
+                / (F.sum(m).cast("double") * F.lit(1e6))
+            ).alias("avg_logprob"),
             F.sum(m).alias("n_bigrams"),
         )
     )
@@ -2690,12 +2704,14 @@ def p82_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM b
     ), lr AS (
         SELECT bucket,
-               round(ln(((tgt_n + 1) / (tgt_total + 1024))
-                        / ((raw_n + 1) / (raw_total + 1024))), 6) AS logratio
+               CAST(round(ln(((tgt_n + 1) / (tgt_total + 1024))
+                             / ((raw_n + 1) / (raw_total + 1024)))
+                          * 1000000.0) AS BIGINT) AS lr_micro
         FROM b, tt
     )
     SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
-           round(avg(logratio), 6) AS dsir_weight
+           CAST(sum(lr_micro) AS DOUBLE)
+               / (CAST(count(*) AS DOUBLE) * 1000000.0) AS dsir_weight
     FROM toks JOIN lr USING (bucket)
     GROUP BY doc_id
     """,
@@ -2707,9 +2723,12 @@ def p82_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "draws against. operators/text_analysis.py::dsir_weights — one token "
     "explode feeding two partial-agg bucket counts (<= 1024 rows each, "
     "broadcast-sized regardless of corpus), the log-ratio table broadcast "
-    "back onto the token stream, ONE doc-keyed aggregation; per-bucket "
-    "log-ratios rounded to 6 dp BEFORE the per-doc mean (p28's "
-    "order-dependent-float convention), mean rounded again on output.",
+    "back onto the token stream, ONE doc-keyed aggregation. Determinism "
+    "(VERDICT r8): per-bucket log-ratios are canonicalized as EXACT "
+    "micro-unit bigints (round(ln*1e6) — p79's integer-exact-fold "
+    "convention), summed exactly per doc, then ONE unrounded float "
+    "division sum/(n*1e6) of exact-integer doubles (q48 rule) — no "
+    "order-dependent float summation anywhere.",
 )
 def p83_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
