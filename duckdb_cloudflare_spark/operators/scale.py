@@ -165,8 +165,12 @@ def key_skew_profile(df: DataFrame, key_col: str, top_n: int = 10) -> DataFrame:
             "key",
             "cnt",
             F.round(F.col("cnt") / F.col("total_rows"), 6).alias("share"),
+            # cast FIRST: cnt * n_keys as long*long silently overflows
+            # int64 at the corpus scale this profiler targets (cnt ~1e10,
+            # n_keys ~1e9) — ADVICE r8
             F.round(
-                F.col("cnt") * F.col("n_keys") / F.col("total_rows"), 6
+                F.col("cnt").cast("double") * F.col("n_keys") / F.col("total_rows"),
+                6,
             ).alias("ratio_to_avg"),
         )
     )

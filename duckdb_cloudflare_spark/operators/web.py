@@ -150,8 +150,13 @@ def registrable_domain(host: Column) -> Column:
     → NULL. This is the grouping key for domain-level corpus statistics
     (p71) — subdomains (www./cdn./a.b.) collapse to one domain, which is
     what per-domain caps and spam scoring need. Map-only JVM expressions:
-    split + slice + array_join, fused by whole-stage codegen."""
-    h = F.lower(F.trim(host))
+    split + slice + array_join, fused by whole-stage codegen.
+
+    Trailing dots are stripped before splitting (ADVICE r8: a FQDN
+    spelling 'example.com.' would otherwise split to ['example','com','']
+    — 'com' matches MULTI_PART_SLDS and the kept empty label yields
+    'example.com.', a distinct domain key from 'example.com')."""
+    h = F.regexp_replace(F.lower(F.trim(host)), r"\.+$", "")
     labels = F.split(h, r"\.")
     n = F.size(labels)
     second = F.element_at(labels, -2)

@@ -2271,7 +2271,8 @@ def p73_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(row_number() OVER (ORDER BY cnt DESC, key) AS BIGINT) AS rnk,
            key, CAST(cnt AS BIGINT) AS cnt,
            round(cnt / (SELECT total FROM t), 6) AS share,
-           round(cnt * (SELECT nk FROM t) / (SELECT total FROM t), 6)
+           round(CAST(cnt AS DOUBLE) * (SELECT nk FROM t)
+                 / (SELECT total FROM t), 6)
                AS ratio_to_avg
     FROM top
     """,
@@ -2507,7 +2508,7 @@ def p78_countmin_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     est AS (
         SELECT source, used,
                {_HLL_ALPHA_MM!r} /
-               (s_star::DOUBLE / 4503599627370496.0 / 512.0 + (1024 - used))
+               (s_star::DOUBLE / 2251799813685248.0 + (1024 - used))
                    AS raw
         FROM agg
     )

@@ -30,6 +30,13 @@ def test_registrable_domain_cases(spark):
         (None, None),
         ("", None),
         ("  ", None),
+        # FQDN trailing-dot spellings collapse to the dotless key
+        # (ADVICE r8: 'example.com.' used to keep the empty label and
+        # mis-match MULTI_PART_SLDS on 'com')
+        ("example.com.", "example.com"),
+        ("www.example.co.uk.", "example.co.uk"),
+        ("example.org..", "example.org"),
+        (".", None),
     ]
     df = spark.createDataFrame([(h,) for h, _ in cases], ["h"])
     got = {

@@ -127,3 +127,73 @@ def test_pagerank_dangling_and_empty(spark):
     assert got[9] > got[1]  # 9 receives 1's full mass each round
     empty = spark.createDataFrame([], "src long, dst long, w double")
     assert pagerank(empty).count() == 0
+
+
+def test_hll_high_cardinality_cross_engine_parity(spark):
+    """ADVICE r8 (high): the p79 oracle's register-fold divisor was wrong
+    (2^61 instead of 2^51) but masked because every tested group sat in the
+    linear-counting regime (<= ~155 distinct tokens). This pins the RAW
+    HLL branch (>2560 distinct per group, past the 2.5m small-range
+    threshold) bit-for-bit against a DuckDB twin of the p79 oracle
+    skeleton — the branch the driver data never reaches."""
+    import duckdb
+    import pandas as pd
+
+    from duckdb_cloudflare_spark.operators.sketches import hll_estimate
+
+    pdf = pd.DataFrame(
+        {
+            "g": [f"g{i % 2}" for i in range(12000)],
+            "v": [f"val-{i}" for i in range(12000)],  # 6000 distinct/group
+        }
+    )
+    sdf = spark.createDataFrame(pdf)
+    got = {
+        r["g"]: (r["hll_estimate"], r["n_buckets_used"])
+        for r in hll_estimate(sdf, "v", group_cols=["g"]).collect()
+    }
+
+    con = duckdb.connect()
+    con.register("t", pdf)
+    alpha_mm = 0.7213 / (1.0 + 1.079 / 1024) * 1024 * 1024
+    want = {
+        r[0]: (r[1], r[2])
+        for r in con.execute(
+            f"""
+            WITH h AS (
+                SELECT g, ('0x' || substr(md5('hll:' || v), 1, 15))::BIGINT AS hv
+                FROM t
+            ), regs AS (
+                SELECT g, hv >> 50 AS b,
+                       max(CASE WHEN (hv & ((1::BIGINT << 50) - 1)) = 0 THEN 51
+                           ELSE 50 - length(bin(hv & ((1::BIGINT << 50) - 1))) + 1
+                           END) AS M
+                FROM h GROUP BY g, b
+            ), agg AS (
+                SELECT g, sum((1::BIGINT) << (51 - M)) AS s_star,
+                       count(*) AS used
+                FROM regs GROUP BY g
+            ), est AS (
+                SELECT g, used,
+                       {alpha_mm!r} /
+                       (s_star::DOUBLE / 2251799813685248.0 + (1024 - used))
+                           AS raw
+                FROM agg
+            )
+            SELECT g,
+                   round(CASE WHEN raw <= 2560.0 AND used < 1024
+                              THEN 1024.0 * ln(1024.0 / (1024 - used))
+                              ELSE raw END, 4) AS hll_estimate,
+                   CAST(used AS INTEGER) AS used
+            FROM est
+            """
+        ).fetchall()
+    }
+    con.close()
+    assert set(got) == {"g0", "g1"}
+    # every group must be PAST linear counting (the raw branch fires)
+    for g, (est, used) in got.items():
+        assert est > 2560.0, (g, est)
+        assert got[g] == want[g], (g, got[g], want[g])
+        # and the estimate is sane: 6000 +/- 4 sigma (sigma ~ 3.25%)
+        assert abs(est - 6000) / 6000 < 0.13, (g, est)
