@@ -8,11 +8,18 @@ the LOOP is the operator: each power iteration is ONE partial-aggregated
 pass over the edge table with the rank vector riding a broadcast.
 
 Scale shape: the EDGE table is the corpus-scale side and is traversed
-once per iteration, map-side joined against the BROADCAST rank/out-weight
-tables (node-cardinality — domains, not pages; millions of rows
-broadcast fine). The per-iteration shuffle is the groupBy(dst) partial
-aggregate of contributions — node-cardinality output. Nothing
-node-squared, no driver collect; ``iterations`` chained lazily.
+once per iteration, equi-joined on ``src`` against the rank/out-weight
+tables (node-cardinality). Those joins are NOT broadcast-hinted by
+default (VERDICT r8: at web scale the eTLD+1 node set is 10^8+ rows —
+past Spark's broadcast limits and the driver's memory; forcing the hint
+ships the FULL rank vector every iteration). With no hint, AQE
+broadcasts at runtime when the rank table measures small and falls back
+to a hash-partitioned join when it doesn't — the right call at both
+ends of the scale. A caller that KNOWS its node set is bounded (e.g. a
+fixed domain whitelist) can pass ``nodes_hint`` to force the map-side
+plan. The per-iteration shuffle is the groupBy(dst) partial aggregate
+of contributions — node-cardinality output. Nothing node-squared, no
+driver collect; ``iterations`` chained lazily.
 
 Determinism: contribution sums are order-dependent floats, so each
 iteration's rank vector is rounded to ``round_dp`` BEFORE feeding the
@@ -38,10 +45,18 @@ def pagerank(
     iterations: int = 3,
     damping: float = 0.85,
     round_dp: int = 9,
+    nodes_hint: int | None = None,
 ) -> DataFrame:
     """``iterations`` unrolled weighted-PageRank power steps over an edge
     list (src, dst, weight). Returns (node, rank) for every node that
     appears as a source or destination.
+
+    ``nodes_hint``: caller-asserted node count. When given and small
+    enough to broadcast safely (< 4M nodes ~ tens of MB), the
+    node-cardinality rank/out-weight tables ride a broadcast hint onto
+    the edge traversal; otherwise they join plainly (hash-partitioned,
+    AQE still broadcasts at runtime when the measured size is small).
+    The 1-row node-count aggregate is always broadcast.
 
     Update rule (weighted, dangling-free graphs):
         r'(v) = (1 − d)/N + d · Σ_{(u,v)} r(u) · w(u,v) / outw(u)
@@ -53,6 +68,10 @@ def pagerank(
     Each iteration's ranks are rounded to ``round_dp`` (cross-engine
     canonicalization — oracles must round their intermediate CTEs
     identically)."""
+    node_side = (
+        broadcast if (nodes_hint is not None and nodes_hint < 4_000_000)
+        else (lambda df: df)
+    )
     e = edges.select(
         F.col(src).alias("src"), F.col(dst).alias("dst"),
         F.col(weight).cast("double").alias("w"),
@@ -63,7 +82,7 @@ def pagerank(
     n = nodes.agg(F.count(F.lit(1)).cast("double").alias("n_nodes"))
     outw = e.groupBy("src").agg(F.sum("w").alias("outw"))
     # normalized edge fractions, computed ONCE (w/outw is iteration-free)
-    frac = e.join(broadcast(outw), "src").select(
+    frac = e.join(node_side(outw), "src").select(
         "src", "dst", (F.col("w") / F.col("outw")).alias("frac")
     )
     teleport = (F.lit(1.0) - F.lit(damping)) / F.col("n_nodes")
@@ -73,7 +92,7 @@ def pagerank(
     for _ in range(iterations):
         contrib = (
             frac.join(
-                broadcast(ranks.select(F.col("node").alias("src"), "rank")), "src"
+                node_side(ranks.select(F.col("node").alias("src"), "rank")), "src"
             )
             .groupBy("dst")
             .agg(F.sum(F.col("frac") * F.col("rank")).alias("inbound"))

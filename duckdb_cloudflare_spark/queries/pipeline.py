@@ -1286,30 +1286,48 @@ def p36_dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT tok, count(*) AS freq FROM toks GROUP BY tok
     ), tot AS (
         SELECT CAST(sum(freq) AS DOUBLE) AS total FROM vocab
+    ), lp AS (
+        SELECT tok,
+               CAST(round(ln(CAST(freq AS DOUBLE) / total) * 1000000.0)
+                    AS BIGINT) AS lp_micro
+        FROM vocab CROSS JOIN tot
     ), scored AS (
         SELECT doc_id,
-               round(avg(ln(CAST(freq AS DOUBLE) / total)), 6) AS avg_logprob
-        FROM toks JOIN vocab USING (tok) CROSS JOIN tot
+               CAST(sum(lp_micro) AS DOUBLE)
+                   / (CAST(count(*) AS DOUBLE) * 1000000.0) AS avg_logprob,
+               CAST(floor(CAST(sum(lp_micro) AS DOUBLE)
+                          / CAST(count(*) AS DOUBLE)) AS BIGINT) AS sk
+        FROM toks JOIN lp USING (tok)
         GROUP BY doc_id
+    ), cuts AS (
+        SELECT quantile_cont(sk, 1.0/3.0) AS c_lo,
+               quantile_cont(sk, 2.0/3.0) AS c_hi
+        FROM scored
     )
     SELECT doc_id, avg_logprob,
-           CASE ntile(3) OVER (ORDER BY avg_logprob DESC, doc_id)
-                WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END
-               AS ppl_bucket
-    FROM scored
+           CASE WHEN sk >= c_hi THEN 'head'
+                WHEN sk >= c_lo THEN 'middle'
+                ELSE 'tail' END AS ppl_bucket
+    FROM scored CROSS JOIN cuts
     """,
     description="CCNet-style perplexity bucketing: unigram-LM per-doc mean "
-    "log-probability (p28's scoring) split into head/middle/tail terciles — "
-    "the standard quality partition ahead of mixture weighting. Ordering is "
-    "(rounded score DESC, doc_id) so the tercile boundary is deterministic "
-    "in both engines. The ntile runs on the per-DOC aggregate (3 scalar "
-    "columns), not the corpus; at 100 TB swap the exact global ntile for "
-    "sampled quantile cutoffs broadcast back (same CASE labeling, no global "
-    "sort) — exact terciles here keep the query under the hash oracle.",
+    "log-probability (p28's integer-exact scoring) split into head/middle/"
+    "tail terciles — the standard quality partition ahead of mixture "
+    "weighting. r9 reshape (VERDICT r8 item 5: the old global no-partition "
+    "ntile is a corpus-wide single-partition sort at 100x, and ntile can't "
+    "be group-limited at all): VALUE-based terciles — the two cutoffs come "
+    "from exact percentile aggregates over the per-doc score (one pass, "
+    "bounded agg state), broadcast as a 1-row table, labels applied "
+    "map-side. Tie rule (documented, mirrored in the oracle): the bucket "
+    "key sk = floor(mean micro-logprob) is an exact bigint (bit-identical "
+    "cross-engine: floor of ONE IEEE division of exact-integer doubles — "
+    "no round-half policy in play); docs with sk equal to a cutoff all go "
+    "to the UPPER bucket. Integer keys make the >= comparison safe "
+    "against ulp noise in the interpolated cutoffs: engines can differ "
+    "only by ~1e-8 there, and sk values are >= 1 apart.",
 )
 def p37_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.functions import broadcast
-    from pyspark.sql.window import Window
 
     d = D.ensure_parallelism(load(spark, sf_dir, "documents"))
     toks = d.select("doc_id", F.explode(T.tokens(F.col("text"))).alias("tok")).select(
@@ -1317,24 +1335,31 @@ def p37_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("freq"))
     tot = vocab.agg(F.sum("freq").cast("double").alias("total"))
+    lp = vocab.crossJoin(broadcast(tot)).select(
+        "tok",
+        F.round(F.log(F.col("freq").cast("double") / F.col("total")) * 1e6, 0)
+        .cast("long")
+        .alias("lp_micro"),
+    )
+    sm = F.sum("lp_micro").cast("double")
+    nt = F.count(F.lit(1)).cast("double")
     scored = (
-        toks.join(vocab, "tok")
-        .crossJoin(broadcast(tot))
+        toks.join(lp, "tok")
         .groupBy("doc_id")
         .agg(
-            F.round(
-                F.avg(F.log(F.col("freq").cast("double") / F.col("total"))), 6
-            ).alias("avg_logprob")
+            (sm / (nt * F.lit(1e6))).alias("avg_logprob"),
+            F.floor(sm / nt).alias("sk"),
         )
     )
-    tercile = F.ntile(3).over(
-        Window.orderBy(F.desc("avg_logprob"), F.asc("doc_id"))
+    cuts = scored.agg(
+        F.percentile("sk", F.lit(1.0 / 3.0)).alias("c_lo"),
+        F.percentile("sk", F.lit(2.0 / 3.0)).alias("c_hi"),
     )
-    return scored.select(
+    return scored.crossJoin(broadcast(cuts)).select(
         "doc_id",
         "avg_logprob",
-        F.when(tercile == 1, "head")
-        .when(tercile == 2, "middle")
+        F.when(F.col("sk") >= F.col("c_hi"), "head")
+        .when(F.col("sk") >= F.col("c_lo"), "middle")
         .otherwise("tail")
         .alias("ppl_bucket"),
     )

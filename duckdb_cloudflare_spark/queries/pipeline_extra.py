@@ -784,11 +784,14 @@ def p51_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     "occurrences covered by the top-k vocabulary (k = 10/100/1000, "
     "deterministic count-desc/token tie-break) — the vocab-sizing input "
     "for tokenizer design (where does the Zipf tail stop paying for "
-    "itself?). The global-order window runs over the VOCAB aggregate, not "
-    "the corpus — at 100 TB that table is millions of rows (one per "
-    "distinct token), and only ranks <= 1000 survive the filter, so the "
-    "sort is bounded and cheap. coverage is a single exact division "
-    "(unrounded, q48 rule: sum and total are exact integers as doubles).",
+    "itself?). Scale shape (r9, VERDICT r8 item 4 — a running-sum window "
+    "is not rank-like, so InferWindowGroupLimit canNOT cap it and the "
+    "whole vocab would funnel through ONE partition): distributed top-k "
+    "FIRST (orderBy().limit(1000) = TakeOrdered, the p74/p76 shape), then "
+    "the row_number + running-sum window over only the <= 1000 survivors "
+    "— identical results, since cum-at-k for k <= 1000 depends only on "
+    "rows ranked above k. coverage is a single exact division (unrounded, "
+    "q48 rule: sum and total are exact integers as doubles).",
 )
 def p52_token_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.functions import broadcast
@@ -801,8 +804,9 @@ def p52_token_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
     tot = vocab.agg(F.sum("cnt").cast("double").alias("total"))
+    top = vocab.orderBy(F.col("cnt").desc(), F.col("tok")).limit(1000)
     w = Window.orderBy(F.col("cnt").desc(), F.col("tok"))
-    ranked = vocab.select(
+    ranked = top.select(
         "cnt",
         F.row_number().over(w).alias("k"),
         F.sum("cnt").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),

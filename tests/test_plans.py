@@ -435,3 +435,73 @@ def test_r8_late_operator_plan_shapes(spark, registry):
     assert "Expand" not in plan
     assert "SortMergeJoin" not in plan
     assert broadcast_join_count(df) >= 1
+
+
+def test_p81_pagerank_rank_joins_not_force_broadcast(spark, registry):
+    """VERDICT r8: forcing broadcast() on the node-cardinality rank/outw
+    tables ships the FULL rank vector every iteration — past broadcast
+    limits at web scale (10^8+ eTLD+1 nodes). The default pagerank() must
+    leave those joins un-hinted: with autoBroadcastJoinThreshold=-1 an
+    un-hinted join can never be a BroadcastHashJoin, while a forced hint
+    SURVIVES the threshold — so zero BroadcastHashJoin here proves no
+    hint. (The 1-row node-count aggregates stay hinted by design; they
+    surface as BroadcastNestedLoopJoin crossJoins, not BHJ.) AQE still
+    broadcasts at runtime when the measured rank table is small."""
+    from duckdb_cloudflare_spark.plans.introspect import formatted_plan
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        df = registry["p81_domain_pagerank"](spark, SF_DIR)
+        assert "BroadcastHashJoin" not in formatted_plan(df)
+
+        # and the caller-asserted small-graph path still forces the hint
+        from pyspark.sql import functions as F
+
+        from duckdb_cloudflare_spark.operators.graph import pagerank
+
+        edges = spark.createDataFrame(
+            [(1, 2, 1.0), (2, 1, 2.0)], "src long, dst long, w double"
+        )
+        hinted = pagerank(edges, iterations=1, nodes_hint=2)
+        assert "BroadcastHashJoin" in formatted_plan(hinted)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_p52_window_rides_takeordered_not_global_vocab(spark, registry):
+    """VERDICT r8 item 4: p52's running-sum window is not rank-like, so
+    InferWindowGroupLimit cannot cap it — over the full vocab it funnels
+    every distinct token through ONE partition. The r9 shape pins the
+    p74/p76 pattern: distributed top-k FIRST (TakeOrderedAndProject),
+    window over only the <= 1000 survivors. The Window's child must be
+    the TakeOrdered, never an Exchange over the vocab aggregate."""
+    import re
+
+    from duckdb_cloudflare_spark.plans.introspect import formatted_plan
+
+    df = registry["p52_token_coverage"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    tree = plan.split("(1) Scan")[0]
+    assert "TakeOrderedAndProject" in tree
+    m = re.search(r"Window \(\d+\)\n[\s:]*\+- (\w+)", tree)
+    assert m and m.group(1) == "TakeOrderedAndProject", tree
+
+
+def test_p37_no_global_ntile_cutoffs_broadcast(spark, registry):
+    """VERDICT r8 item 5: the old p37 ran ntile(3) over EVERY document in
+    one partition (ntile cannot be group-limited). The r9 shape must have
+    NO Window at all — tercile cutoffs are exact-percentile aggregates
+    broadcast onto a map-side CASE."""
+    from duckdb_cloudflare_spark.plans.introspect import (
+        broadcast_join_count,
+        formatted_plan,
+    )
+
+    df = registry["p37_perplexity_buckets"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    # no Window operator = no ntile (ntile can only live inside a Window);
+    # the cutoffs' "percentile(" agg contains the substring "ntile(", so
+    # the operator check is the only unambiguous pin
+    assert "Window" not in plan, "p37 must not window/ntile over the corpus"
+    assert broadcast_join_count(df) >= 2  # corpus total + tercile cutoffs

@@ -222,3 +222,35 @@ def test_planted_skew_p34_join_shape_holds(spark):
     # hot docs share 18 of their ~20 shingles (J ≈ 0.8): ALL hot pairs out
     got = pairs.filter("id_a < 50 AND id_b < 50").count()
     assert got == 50 * 49 // 2
+
+
+def test_pagerank_million_node_graph_completes(spark):
+    """VERDICT r8 item 3: the de-broadcast PageRank must complete on a
+    node set far past any sane broadcast (10^6 nodes, ~4M edges) with the
+    DEFAULT un-hinted joins. Synthetic power-law-ish graph: every id
+    links to id/2 (hub structure) and to a hash-scattered target."""
+    from pyspark.sql import functions as F
+
+    from duckdb_cloudflare_spark.operators.graph import pagerank
+
+    n = 1_000_000
+    base = spark.range(0, 2 * n)
+    edges = base.select(
+        (F.col("id") % n).alias("src"),
+        F.when(F.col("id") < n, (F.col("id") / 2).cast("long"))
+        .otherwise(F.pmod(F.xxhash64(F.col("id")), F.lit(n)))
+        .alias("dst"),
+        F.lit(1.0).alias("w"),
+    ).filter(F.col("src") != F.col("dst"))
+    ranks = pagerank(edges, iterations=3)
+    stats = ranks.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("rank").alias("mass"),
+        F.max("rank").alias("mx"),
+    ).first()
+    assert stats["n"] == n
+    # dangling/teleport leakage keeps total mass in (0.5, ~1.0]; the
+    # per-node round_dp=9 canonicalization adds up to ±1e-9 PER NODE,
+    # so the upper bound carries a 1e-3 rounding allowance at 10^6 nodes
+    assert 0.5 < stats["mass"] <= 1.001, stats["mass"]
+    assert stats["mx"] > (1 - 0.85) / n * 5
