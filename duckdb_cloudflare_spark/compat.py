@@ -268,6 +268,95 @@ def rewrite_qualify(sql: str) -> str:
     )
 
 
+_DISTINCT_ON = re.compile(r"\bDISTINCT\s+ON\s*(\()", re.IGNORECASE)
+
+
+def rewrite_distinct_on(sql: str) -> str:
+    """``SELECT DISTINCT ON (k, ...) <list> FROM ... [ORDER BY ...]`` →
+    the row_number-window form (the q21 shape) Spark can run:
+
+        SELECT <list> FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY k, ... ORDER BY <order-by, or the ON exprs>
+            ) AS __din_rn
+            FROM ...            -- original FROM/WHERE body, minus the tail
+        ) AS __din WHERE __din_rn = 1  [ORDER BY ...] [LIMIT/OFFSET ...]
+
+    DuckDB keeps the FIRST row per distinct ON-value under the query's
+    ORDER BY (src/internet_archive.cpp:1484-1893 pushes the same plan into
+    CDX ``collapse=``; ``read_wayback(distinct_on=...)`` is that path —
+    this rewrite is the engine-side fallback for plain tables). Without an
+    ORDER BY the kept row is arbitrary in DuckDB; here the window orders
+    by the ON expressions, which is equally arbitrary within a group —
+    callers wanting determinism must supply ORDER BY (q21's contract).
+
+    Loud-over-wrong contract (the shim's standing rule): GROUP BY /
+    HAVING / set-ops combined with DISTINCT ON, multiple top-level
+    DISTINCT ONs, or ON expressions naming select-list ALIASES (the
+    window runs over base columns) raise — in analysis or here — rather
+    than mis-running."""
+    m = None
+    real = {i for i, _, _ in _scan_top_level(sql)}
+    for cand in _DISTINCT_ON.finditer(sql):
+        if cand.start() in real:
+            if m is not None:
+                raise ValueError(
+                    "duck_sql: multiple top-level DISTINCT ON clauses in one "
+                    "statement"
+                )
+            m = cand
+    if m is None:
+        return sql
+    open_idx = m.start(1)
+    close = _match_paren(sql, open_idx)
+    on_exprs = sql[open_idx + 1 : close].strip()
+    if not on_exprs:
+        raise ValueError("duck_sql: DISTINCT ON with empty expression list")
+    # the SELECT this DISTINCT belongs to is the nearest preceding SELECT
+    sel = sql.upper().rfind("SELECT", 0, m.start())
+    if sel == -1:
+        raise ValueError("duck_sql: DISTINCT ON outside a SELECT")
+    prefix = sql[:sel]  # WITH clause, if any
+    from_at = _find_keyword(sql, "FROM", start=close + 1)
+    if from_at == -1:
+        raise ValueError("duck_sql: DISTINCT ON without a FROM clause")
+    select_list = sql[close + 1 : from_at].strip()
+    for kw in ("GROUP", "HAVING", "UNION", "INTERSECT", "EXCEPT", "QUALIFY"):
+        if _find_keyword(sql, kw, start=from_at) != -1:
+            raise ValueError(
+                f"duck_sql: DISTINCT ON combined with {kw} is not supported "
+                "by this rewrite — dedup with a window over an explicit "
+                "subquery instead"
+            )
+    # split the tail: body = FROM..WHERE.., tail starts at ORDER/LIMIT/OFFSET
+    tail_at = len(sql)
+    for kw in ("ORDER", "LIMIT", "OFFSET"):
+        k = _find_keyword(sql, kw, start=from_at)
+        if k != -1:
+            tail_at = min(tail_at, k)
+    body = sql[from_at:tail_at].strip().rstrip(";")
+    tail = sql[tail_at:].strip().rstrip(";")
+    inner_order = on_exprs
+    om = re.match(r"ORDER\s+BY\s+(.*)$", tail, re.IGNORECASE | re.DOTALL)
+    if om:
+        rest = om.group(1)
+        cut = len(rest)
+        for kw in ("LIMIT", "OFFSET"):
+            k = _find_keyword(rest, kw)
+            if k != -1:
+                cut = min(cut, k)
+        inner_order = rest[:cut].strip()
+    outer_list = (
+        "* EXCEPT (__din_rn)" if select_list == "*" else select_list
+    )
+    return (
+        f"{prefix}SELECT {outer_list} FROM "
+        f"(SELECT *, row_number() OVER (PARTITION BY {on_exprs} "
+        f"ORDER BY {inner_order}) AS __din_rn {body}) AS __din "
+        f"WHERE __din_rn = 1" + (f" {tail}" if tail else "")
+    )
+
+
 # DuckDB function spellings whose Spark builtin is a drop-in (same argument
 # order and semantics for the common arities). Deliberately NOT mapped:
 # string_split (DuckDB splits on a LITERAL separator, Spark split() treats it
@@ -886,6 +975,7 @@ def duck_sql(spark: SparkSession, sql: str) -> DataFrame:
     """``spark.sql`` accepting the DuckDB dialect idioms above."""
     _reject_unsupported_joins(sql)
     sql = rewrite_named_args(sql)
+    sql = rewrite_distinct_on(sql)
     sql = rewrite_file_tables(sql)
     sql = rewrite_list_exprs(sql)
     sql = rewrite_strftime(sql)

@@ -338,6 +338,23 @@ class TestReadWrappers:
         assert len(urls) == 2
         assert all("limit=6" in u for u in urls)
 
+    def test_cc_limit_10_over_3_crawls_is_4_per_crawl(self, spark):
+        # VERDICT r8 item 7's acceptance case: ceil(10 / 3) = 4 per crawl
+        # (reference PERFORMANCE.md:36 documents the same manual sizing)
+        from duckdb_cloudflare_spark.sources.api import read_common_crawl
+
+        df = read_common_crawl(
+            spark,
+            "*.example.com/*",
+            limit=10,
+            crawl_id="CC-MAIN-2025-43,CC-MAIN-2025-38,CC-MAIN-2025-33",
+            debug="true",
+            dry_run="true",
+        )
+        urls = [r["cdx_url"] for r in df.select("cdx_url").collect()]
+        assert len(urls) == 3
+        assert all("limit=4" in u for u in urls)
+
     def test_cc_limit_smaller_than_crawl_count(self, spark):
         from duckdb_cloudflare_spark.sources.api import read_common_crawl
 
