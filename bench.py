@@ -116,6 +116,12 @@ def main() -> None:
         # (two partial-agg shuffles + broadcast total).
         "p73_minhash_signatures",
         "p71_domain_stats",
+        # r9 headline expansion: character-level entropy (the heaviest new
+        # map shape — a per-CHARACTER explode into a (doc,char)-keyed
+        # partial agg) and the DSIR importance resample (p83's two bucket
+        # passes + broadcast log-ratio join + distributed top-k).
+        "p89_char_entropy",
+        "p86_dsir_resample",
     ]
     registry = Q.all_queries()
 

@@ -179,3 +179,40 @@ def corpus_diff(
             .alias("status"),
         )
     )
+
+
+def source_mix_entropy(df: DataFrame, group_col: str = "source") -> DataFrame:
+    """Corpus-composition diversity report — the single-row mixture audit a
+    data-mixing run publishes (Xie et al. DoReMi / the Pile's composition
+    tables): Shannon entropy of the source-share distribution (nats), the
+    "effective source count" exp(H) (how many EQUALLY-sized sources this
+    mix is worth), and the heaviest source's share. A corpus 95% dominated
+    by one crawl has effective_sources ≈ 1 no matter how many names appear.
+
+    Determinism: shares p_i = cnt_i / total are single exact-integer
+    divisions (bit-identical); each p·ln p term is canonicalized as an
+    exact nano-unit bigint (1e9 — terms are ≤ 1/e so nano keeps 9
+    significant digits; the p79/p83 integer-exact-fold convention), so the
+    entropy sum is order-free and H itself is ONE unrounded division.
+    exp(H) is rounded 6 dp (transcendental endpoint). Scale shape: one
+    partial-agg shuffle (source) to a source-cardinality table, then a
+    1-row fold — the 100 TB group-count shape, no joins."""
+    cnts = (
+        df.filter(F.col(group_col).isNotNull())
+        .groupBy(group_col)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    tot = cnts.agg(F.sum("cnt").alias("total"))
+    p = F.col("cnt").cast("double") / F.col("total").cast("double")
+    term_nano = F.round(p * F.log(p) * 1e9, 0).cast("long")
+    per = cnts.crossJoin(broadcast(tot)).select(
+        "cnt", F.col("total"), term_nano.alias("t_nano"), p.alias("share")
+    )
+    h = (-F.sum("t_nano")).cast("double") / F.lit(1e9)
+    return per.agg(
+        F.count(F.lit(1)).alias("n_sources"),
+        F.first("total").alias("n_docs"),
+        h.alias("entropy"),
+        F.round(F.exp(h), 6).alias("effective_sources"),
+        F.max("share").alias("max_share"),
+    )

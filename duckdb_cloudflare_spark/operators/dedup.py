@@ -1389,3 +1389,90 @@ def minhash_signatures_exact(
         for j in range(bands)
     ]
     return sigs.select("doc_id", *[f"s{i}" for i in range(k)], *band_cols)
+
+
+def containment_pairs(
+    df: DataFrame,
+    k: int = 3,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """EXACT all-pairs word-``k``-shingle CONTAINMENT — the asymmetric
+    near-dup metric Jaccard misses: a short doc quoted whole inside a long
+    one has |A∩B|/|A| ≈ 1 but Jaccard ≈ |A|/|B| ≈ 0 (Broder '97 separates
+    "resemblance" from "containment" for exactly this). Pairs where
+    max(containment_a, containment_b) >= ``threshold`` — quote/subset/
+    template duplication that survives p34's Jaccard gate.
+
+    Same inverted-index engine as ``exact_jaccard_pairs`` (shared scale
+    notes there: xxhash64 8-byte keys, shuffle_hash, sizes carried on the
+    exploded rows, one partial-agg pair shuffle); only the final metric
+    differs. Both containments are single exact integer divisions —
+    UNROUNDED by the q48 rule (bit-identical across engines)."""
+    shins = (
+        ensure_parallelism(df)
+        .select(id_col, lowered_tokens(text_col).alias("ts"))
+        .filter(F.size("ts") >= k)
+        .select(id_col, hashed_word_shingles(k).alias("sh"))
+    )
+    inv = shins.select(
+        id_col, F.explode("sh").alias("shingle"), F.size("sh").alias("n_sh")
+    )
+    a = inv.select(F.col(id_col).alias("id_a"), "shingle", F.col("n_sh").alias("n_a"))
+    b = inv.select(
+        F.col(id_col).alias("id_b"), "shingle", F.col("n_sh").alias("n_b")
+    ).hint("shuffle_hash")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.count(F.lit(1)).alias("inter"),
+            F.first("n_a").alias("n_a"),
+            F.first("n_b").alias("n_b"),
+        )
+    )
+    ca = F.col("inter") / F.col("n_a")
+    cb = F.col("inter") / F.col("n_b")
+    return inter.filter(F.greatest(ca, cb) >= threshold).select(
+        "id_a",
+        "id_b",
+        ca.alias("containment_a"),
+        cb.alias("containment_b"),
+    )
+
+
+def dup_cluster_histogram(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Duplicate-cluster size distribution — the dedup REPORT a curation
+    run publishes before deleting anything: for each exact-duplicate
+    cluster size m (md5 of normalized text, the p01 fingerprint), how many
+    clusters have that size, how many documents they hold, and how many
+    are EXCESS copies an exact dedup would remove. Lee et al. 2022 report
+    precisely this table to size the dedup win.
+
+    Scale shape: one shuffle on the 16-byte fingerprint (uniform,
+    partial-aggregated) to cluster sizes, then one tiny shuffle on the
+    size value (cardinality = distinct cluster sizes, O(log corpus) in
+    practice). All-integer output — exact on any engine."""
+    fp = F.md5(normalize_text(F.col(text_col))).alias("fp")
+    sizes = (
+        df.filter(F.col(id_col).isNotNull())
+        .select(fp)
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("m"))
+    )
+    return (
+        sizes.groupBy(F.col("m").alias("cluster_size"))
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+        .select(
+            "cluster_size",
+            "n_clusters",
+            (F.col("cluster_size") * F.col("n_clusters")).alias("n_docs"),
+            ((F.col("cluster_size") - 1) * F.col("n_clusters")).alias(
+                "excess_docs"
+            ),
+        )
+    )

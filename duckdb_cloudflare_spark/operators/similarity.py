@@ -447,3 +447,78 @@ def semdedup_stats(
             ).alias("prune_rate"),
         )
     )
+
+
+def embedding_norm_qa(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    cluster_col: str | None = None,
+    sigma: float = 2.0,
+) -> DataFrame:
+    """Embedding-health report: per-group L2-norm² statistics plus the
+    count of norm outliers past mean ± ``sigma``·std — the QA gate an
+    embedding pipeline runs before vectors feed ANN/clustering (zero
+    vectors = encoder failures; exploding norms = wrong-modality or
+    un-normalized rows; both poison cosine math downstream). Complements
+    centroid_cosine's DIRECTION audit with the MAGNITUDE audit.
+
+    Determinism: per-row norm² is canonicalized as an exact micro-unit
+    bigint (round(dot(v,v)·1e6) — the left-to-right array fold both
+    engines share, p35/p82's idiom), so group sums Σnm and Σnm² are exact
+    integers; mean/variance/std derive from them through a fixed explicit
+    op sequence (never engine-native stddev, whose summation order is
+    free) — bit-identical doubles. The outlier comparison pits exact
+    integers against those thresholds (the p37 integer-vs-ulp argument).
+    Scale shape: map-side fold + ONE group-keyed partial-agg shuffle —
+    vectors never shuffle, no joins."""
+
+    def _dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+        )
+
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    nm = F.round(_dot(v, v) * 1e6, 0).cast("long")
+    gcols = [cluster_col] if cluster_col else []
+    rows = df.filter(F.col(id_col).isNotNull()).select(
+        *gcols, nm.alias("nm")
+    )
+    # outliers need mean/std FIRST: exact integer sums per group, then a
+    # second pass over the same rows against the broadcast thresholds
+    agg = rows.groupBy(*gcols).agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.sum("nm").alias("s"),
+        F.sum(F.col("nm") * F.col("nm")).alias("ss"),
+    )
+    mean = F.col("s").cast("double") / F.col("n_vectors").cast("double")
+    var = F.greatest(
+        F.col("ss").cast("double") / F.col("n_vectors").cast("double")
+        - mean * mean,
+        F.lit(0.0),
+    )
+    stats = agg.select(
+        *gcols,
+        "n_vectors",
+        mean.alias("mean_nm"),
+        F.sqrt(var).alias("std_nm"),
+    )
+    joined = (
+        rows.join(F.broadcast(stats), gcols) if gcols
+        else rows.crossJoin(F.broadcast(stats))
+    )
+    lo = F.col("mean_nm") - F.lit(sigma) * F.col("std_nm")
+    hi = F.col("mean_nm") + F.lit(sigma) * F.col("std_nm")
+    out = joined.groupBy(*gcols).agg(
+        F.first("n_vectors").alias("n_vectors"),
+        (F.first("mean_nm") / F.lit(1e6)).alias("mean_norm2"),
+        (F.first("std_nm") / F.lit(1e6)).alias("std_norm2"),
+        (F.min("nm").cast("double") / F.lit(1e6)).alias("min_norm2"),
+        (F.max("nm").cast("double") / F.lit(1e6)).alias("max_norm2"),
+        F.count(F.when((F.col("nm") < lo) | (F.col("nm") > hi), 1)).alias(
+            "n_outliers"
+        ),
+    )
+    if cluster_col:
+        out = out.withColumnRenamed(cluster_col, "cluster")
+    return out

@@ -380,3 +380,82 @@ def dsir_weights(
             ).alias("dsir_weight"),
         )
     )
+
+
+def char_entropy(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document character-level Shannon entropy (nats) — the gibberish
+    / binary-spill / repeated-filler detector quality filters run alongside
+    the word-level Gopher rules (C4 and Gopher both gate on "too uniform"
+    text; near-zero char entropy = one repeated character, ~ln(95) =
+    uniform noise). Returns (id, n_chars_counted, char_entropy).
+
+    Determinism: H = ln(n) − (Σ c·ln c)/n over per-(doc, char) counts c.
+    Each c·ln c term is canonicalized as an exact micro-unit bigint
+    (p79/p83's integer-exact-fold convention) so the per-doc sum is
+    order-free; the only engine-sensitive steps are ln() of identical
+    doubles and the final 6-dp round. Scale shape: one character explode
+    feeding a (doc, char) partial-agg shuffle (≤ alphabet-size rows per
+    doc survive the map side), then one doc-keyed fold — linear, no joins."""
+    chars = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(id_col, F.explode(F.split(F.col(text_col), "")).alias("ch"))
+        .filter(F.length("ch") > 0)
+    )
+    cnt = chars.groupBy(id_col, "ch").agg(F.count(F.lit(1)).alias("c"))
+    term = F.round(
+        F.col("c").cast("double") * F.log(F.col("c").cast("double")) * 1e6, 0
+    ).cast("long")
+    return (
+        cnt.select(id_col, F.col("c"), term.alias("t_micro"))
+        .groupBy(id_col)
+        .agg(F.sum("c").alias("n"), F.sum("t_micro").alias("s_micro"))
+        .select(
+            F.col(id_col),
+            F.col("n").alias("n_chars_counted"),
+            F.round(
+                F.log(F.col("n").cast("double"))
+                - F.col("s_micro").cast("double")
+                / (F.col("n").cast("double") * F.lit(1e6)),
+                6,
+            ).alias("char_entropy"),
+        )
+    )
+
+
+def dsir_resample(
+    df: DataFrame,
+    target: Column,
+    k: int,
+    temperature: float = 1.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: str = "dsir:",
+) -> DataFrame:
+    """The second half of DSIR (Xie et al. 2023): given the per-document
+    importance weights from ``dsir_weights``, draw a deterministic
+    weighted sample-WITHOUT-replacement of ``k`` documents with inclusion
+    probability ∝ exp(weight / temperature) — the actual importance
+    resample that materializes the target-domain-shaped training subset.
+    Composes the p83 scoring with the p80 Efraimidis–Spirakis machinery:
+    priority ln(u)/w with u a deterministic md5-uniform of the id, the k
+    largest keys win. Returns (id, dsir_weight, priority) with selection
+    ordered on the UNROUNDED key (the p80 convention), priority emitted
+    6-dp rounded.
+
+    Scale shape: dsir_weights' passes (see its docstring) + a map-side
+    key derivation + distributed top-k (TakeOrdered) — the resample adds
+    ZERO corpus shuffles on top of the scoring."""
+    from duckdb_cloudflare_spark.operators.sketches import _md5_int60
+
+    w = dsir_weights(df, target, text_col=text_col, id_col=id_col)
+    u = (_md5_int60(F.col(id_col), seed) + 1).cast("double") / float(1 << 60)
+    key = F.log(u) / F.exp(F.col("dsir_weight") / F.lit(float(temperature)))
+    return (
+        w.filter(F.col(id_col).isNotNull())
+        .select(id_col, "dsir_weight", key.alias("_key"))
+        .orderBy(F.col("_key").desc(), F.col(id_col))
+        .limit(k)
+        .select(id_col, "dsir_weight", F.round("_key", 6).alias("priority"))
+    )

@@ -147,18 +147,20 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 # The external driver grades a bounded prefix (first 50) of the registry,
 # so ordering IS the rotation policy: least-recently-driver-graded first.
 #
-# r8 window (the first 50 entries this list selects):
-#   - NEW r8 operators lead (zero driver history, like every round's
-#     additions).
-#   - p70 next: added late in r7 AFTER that window was pinned, so it is
-#     the only oracle-bearing entry with zero driver history (VERDICT r7
-#     rank-1 item — the q44 omission class recurring; an invariant test in
-#     test_registry_window.py now fails whenever any zero-history
-#     oracle-bearing entry is outside the graded prefix).
-#   - then the stalest greens, last graded r5: p22–p29, p31–p33, q40–q43.
-#   - then the r6-graded set in the documented provenance order
-#     (q38/q53, q45–q50, q02–q28, p34–p48) until the 50 slots fill;
-#     whatever overflows rotates first in r9.
+# r9 window (the first 50 entries this list selects):
+#   - NEW r9 operators lead (zero driver history, like every round's
+#     additions): p85–p90.
+#   - then the entries whose VALUES or plans changed this round (their
+#     driver-green history predates the change): p83/p79/p81/p52/p74/
+#     p28/p50 — see the list's inline notes.
+#   - then the r8 overflow in the documented provenance order: q14–q28,
+#     p34–p48 (the r8 window cut the q02–q28 run at q13; VERDICT r8
+#     item 2 prescribed exactly this rotation). p37 re-grades here with
+#     its changed oracle.
+#   - then the r7-graded set stalest-first (CORRECTNESS_r07 order:
+#     p62–p68) to fill 50; the remainder (p69, q44, p49, p51, p53, p54,
+#     q54/q55, q36/q39/q52, p55–p61, r7-late set, r8 window) stays in
+#     registration order after the listed prefixes and rotates next.
 # This list may name MORE than 50 prefixes — only the first 50 of the
 # reordered registry are graded; listing the full rotation keeps the
 # bookkeeping monotone as new operators are prepended.
@@ -171,21 +173,21 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 # driver-replica gate (tests/test_oracle_parity.py) and the sf0.1 scale
 # sweep (tests/test_scale_parity.py).
 _WINDOW_PRIORITY = [
-    # new this round — zero driver history (prepend each r8 addition here)
-    "p71_", "p72_", "p73_", "p74_", "p75_", "p76_",
-    "p77_", "p78_", "p79_", "p80_", "p81_",
-    "p82_", "p83_", "p84_",
-    # only oracle-bearing zero-history carryover (late-r7 addition)
-    "p70_",
-    # stalest greens — last graded r5
-    *[f"p{n}_" for n in range(22, 30)],
-    "p31_", "p32_", "p33_",
-    "q40_", "q41_", "q42_", "q43_",
-    # r6-graded set, documented provenance order; overflow rotates in r9
-    "q38_", "q53_",
-    *[f"q{n}_" for n in range(45, 51)],
-    *[f"q{n:02d}_" for n in range(2, 29)],
+    # new this round — zero driver history (prepend each r9 addition here)
+    "p85_", "p86_", "p87_", "p88_", "p89_", "p90_",
+    # changed-this-round re-grades: operators/oracles whose VALUES or
+    # plans changed in r9, so their green history predates the change —
+    # p83 (integer-exact DSIR mean, VERDICT r8 #1), p79 (oracle divisor,
+    # ADVICE r8 high), p81 (de-broadcast PageRank), p52 (top-k reshape),
+    # p74 (overflow-safe ratio cast), p28/p50 (integer-exact log means).
+    # p37's oracle changed too — it re-grades inside the overflow below.
+    "p83_", "p79_", "p81_", "p52_", "p74_", "p28_", "p50_",
+    # r8 overflow, documented provenance order (the r8 window cut the
+    # q02–q28 run at q13 and never reached p34–p48)
+    *[f"q{n}_" for n in range(14, 29)],
     *[f"p{n}_" for n in range(34, 49)],
+    # r7-graded set, stalest-first per CORRECTNESS_r07 order, to fill 50
+    "p62_", "p63_", "p64_", "p65_", "p66_", "p67_", "p68_",
 ]
 
 
@@ -217,6 +219,7 @@ def _import_all() -> None:
     from duckdb_cloudflare_spark.queries import windows  # noqa: F401
     from duckdb_cloudflare_spark.queries import relational  # noqa: F401
     from duckdb_cloudflare_spark.queries import pipeline_extra  # noqa: F401
+    from duckdb_cloudflare_spark.queries import pipeline_r9  # noqa: F401
 
     _reorder_registry()
 

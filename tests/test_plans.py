@@ -505,3 +505,59 @@ def test_p37_no_global_ntile_cutoffs_broadcast(spark, registry):
     # the operator check is the only unambiguous pin
     assert "Window" not in plan, "p37 must not window/ntile over the corpus"
     assert broadcast_join_count(df) >= 2  # corpus total + tercile cutoffs
+
+
+def test_r9_operator_plan_shapes(spark, registry):
+    # p85–p90 (r9 additions), consolidated pins in the r8 style.
+    from duckdb_cloudflare_spark.plans.introspect import (
+        _operator_ids,
+        formatted_plan,
+    )
+
+    # p85: source-keyed partial aggs + a 1-row total broadcast + 1-row
+    # fold — no Expand; only the FIRST exchange carries corpus-derived
+    # rows (source cardinality), the rest are source-count/1-row (the
+    # static plan shows the cnt subtree twice; AQE's stage cache dedupes
+    # it at runtime)
+    df = registry["p85_source_mix_entropy"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert "Expand" not in plan
+    assert broadcast_join_count(df) >= 1
+    assert shuffle_count(df) <= 4
+
+    # p86: the resample is a distributed top-k on top of p83's passes —
+    # TakeOrdered, log-ratio table broadcast, never a corpus sort-merge
+    df = registry["p86_dsir_resample"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert "TakeOrdered" in plan
+    assert broadcast_join_count(df) >= 1
+    assert "SortMergeJoin" not in plan
+
+    # p87: p34's inverted-index engine — bounded equi-join, never
+    # sort-merge/cartesian (the self-join's two sides each show the
+    # explode statically; AQE's stage cache shares the exchange at runtime,
+    # same as p34)
+    df = registry["p87_shingle_containment"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert len(_operator_ids(df, "Generate")) <= 2
+
+    # p88: fingerprint partial-agg + tiny size-keyed agg — no joins at all
+    df = registry["p88_dup_cluster_histogram"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert "Join" not in plan
+    assert shuffle_count(df) <= 2
+
+    # p89: one char explode into a (doc,ch)-keyed partial agg + doc fold
+    df = registry["p89_char_entropy"](spark, SF_DIR)
+    assert len(_operator_ids(df, "Generate")) == 1
+    assert shuffle_count(df) <= 3
+
+    # p90: vectors never shuffle — map-side fold, group agg, stats
+    # broadcast back for the outlier pass
+    df = registry["p90_embedding_norm_qa"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert "SortMergeJoin" not in plan
+    assert broadcast_join_count(df) >= 1
+    assert shuffle_count(df) <= 4

@@ -1,4 +1,4 @@
-"""The driver grades the FIRST 50 registry entries; this pins the r8 window
+"""The driver grades the FIRST 50 registry entries; this pins the r9 window
 composition exactly, so an innocent-looking registration change cannot
 silently rotate an unvetted query into (or a vetted one out of) the graded
 prefix. Update deliberately when applying the documented rotation plan.
@@ -21,26 +21,24 @@ from duckdb_cloudflare_spark import queries as Q
 _ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def test_graded_window_is_exactly_the_r8_rotation():
+def test_graded_window_is_exactly_the_r9_rotation():
     names = list(Q.all_queries())
     window = names[:50]
     expected = (
-        # new r8 operators (zero driver history) lead; then p70, the late-r7
-        # addition that missed the r7 window (VERDICT r7 rank-1).
-        # Prepend each r8 addition here IN LOCKSTEP with _WINDOW_PRIORITY.
-        ["p71_", "p72_", "p73_", "p74_", "p75_", "p76_"]
-        + ["p77_", "p78_", "p79_", "p80_", "p81_"]
-        + ["p82_", "p83_", "p84_"]
-        + ["p70_"]
-        # stalest greens — last graded r5
-        + [f"p{n}_" for n in range(22, 30)]
-        + ["p31_", "p32_", "p33_"]
-        + ["q40_", "q41_", "q42_", "q43_"]
-        # r6-graded set in documented provenance order, truncated at 50;
-        # the overflow (q22-q28, p34-p48) rotates first in r9
-        + ["q38_", "q53_"]
-        + [f"q{n}_" for n in range(45, 51)]
-        + [f"q{n:02d}_" for n in range(2, 29)]
+        # new r9 operators (zero driver history) lead.
+        # Prepend each r9 addition here IN LOCKSTEP with _WINDOW_PRIORITY.
+        ["p85_", "p86_", "p87_", "p88_", "p89_", "p90_"]
+        # changed-this-round re-grades (values/plans changed in r9, so
+        # the green history predates the change): p83 integer-exact DSIR
+        # mean, p79 oracle divisor, p81 de-broadcast PageRank, p52 top-k
+        # reshape, p74 ratio cast, p28/p50 integer-exact log means
+        + ["p83_", "p79_", "p81_", "p52_", "p74_", "p28_", "p50_"]
+        # r8 overflow in documented provenance order (p37 re-grades here
+        # with its changed quantile-cutoff oracle)
+        + [f"q{n}_" for n in range(14, 29)]
+        + [f"p{n}_" for n in range(34, 49)]
+        # r7-graded set stalest-first (CORRECTNESS_r07 order) fills 50
+        + ["p62_", "p63_", "p64_", "p65_", "p66_", "p67_", "p68_"]
     )[:50]
     assert len(window) == len(expected) == 50
     for name, prefix in zip(window, expected):
