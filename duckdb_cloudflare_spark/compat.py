@@ -296,15 +296,27 @@ def rewrite_distinct_on(sql: str) -> str:
     window runs over base columns) raise — in analysis or here — rather
     than mis-running."""
     m = None
-    real = {i for i, _, _ in _scan_top_level(sql)}
+    depth_at = {i: d for i, _, d in _scan_top_level(sql)}
     for cand in _DISTINCT_ON.finditer(sql):
-        if cand.start() in real:
-            if m is not None:
-                raise ValueError(
-                    "duck_sql: multiple top-level DISTINCT ON clauses in one "
-                    "statement"
-                )
-            m = cand
+        d = depth_at.get(cand.start())
+        if d is None:  # inside a string literal or comment — not SQL
+            continue
+        if d != 0:
+            # A DISTINCT ON inside a CTE / subquery: rewriting it as if
+            # top-level would move the dedup relative to outer WHERE /
+            # ORDER BY and silently change results vs DuckDB. Loud over
+            # wrong (ADVICE r9 medium).
+            raise ValueError(
+                "duck_sql: DISTINCT ON inside a subquery/CTE is not "
+                "supported by this rewrite — lift the dedup to the top "
+                "level or express it as an explicit row_number() window"
+            )
+        if m is not None:
+            raise ValueError(
+                "duck_sql: multiple top-level DISTINCT ON clauses in one "
+                "statement"
+            )
+        m = cand
     if m is None:
         return sql
     open_idx = m.start(1)

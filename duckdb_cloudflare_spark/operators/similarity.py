@@ -486,10 +486,16 @@ def embedding_norm_qa(
     )
     # outliers need mean/std FIRST: exact integer sums per group, then a
     # second pass over the same rows against the broadcast thresholds
+    # ss must not wrap: nm ~1e6 for unit-norm vectors, so nm² ~1e12 and a
+    # LONG sum silently overflows past ~9M vectors (Spark non-ANSI wrap)
+    # while the DuckDB oracle promotes sum to HUGEINT. decimal(18,0)²
+    # → decimal(37,0) products, decimal(38,0) sum — exact on both engines
+    # (ADVICE r9 medium).
+    nm_dec = F.col("nm").cast("decimal(18,0)")
     agg = rows.groupBy(*gcols).agg(
         F.count(F.lit(1)).alias("n_vectors"),
-        F.sum("nm").alias("s"),
-        F.sum(F.col("nm") * F.col("nm")).alias("ss"),
+        F.sum(nm_dec).alias("s"),
+        F.sum(nm_dec * nm_dec).alias("ss"),
     )
     mean = F.col("s").cast("double") / F.col("n_vectors").cast("double")
     var = F.greatest(

@@ -398,9 +398,19 @@ def char_entropy(
     doubles and the final 6-dp round. Scale shape: one character explode
     feeding a (doc, char) partial-agg shuffle (≤ alphabet-size rows per
     doc survive the map side), then one doc-keyed fold — linear, no joins."""
+    # Tokenize on CODEPOINTS, not UTF-16 code units: F.split(text, "")
+    # yields code units, so a surrogate-pair char (emoji) becomes two
+    # tokens while DuckDB's string_split(text, '') yields codepoints —
+    # counts/entropy would diverge on any non-BMP text (ADVICE r9 low).
+    # Java regex "." is supplementary-aware (one match = one codepoint).
     chars = (
         df.filter(F.col(text_col).isNotNull())
-        .select(id_col, F.explode(F.split(F.col(text_col), "")).alias("ch"))
+        .select(
+            id_col,
+            F.explode(
+                F.regexp_extract_all(F.col(text_col), F.lit("(?s)."), 0)
+            ).alias("ch"),
+        )
         .filter(F.length("ch") > 0)
     )
     cnt = chars.groupBy(id_col, "ch").agg(F.count(F.lit(1)).alias("c"))

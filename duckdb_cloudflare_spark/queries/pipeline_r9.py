@@ -243,7 +243,8 @@ def p89_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
                           * 1000000.0) AS BIGINT) AS nm
         FROM embeddings WHERE vec_id IS NOT NULL
     ), a AS (
-        SELECT label, count(*) AS n, sum(nm) AS s, sum(nm * nm) AS ss
+        SELECT label, count(*) AS n, sum(nm) AS s,
+               sum(CAST(nm AS HUGEINT) * nm) AS ss
         FROM v GROUP BY label
     ), st AS (
         SELECT label, n,

@@ -987,6 +987,31 @@ class TestDistinctOnRewrite:
         with pytest.raises(ValueError, match="empty"):
             rw("SELECT DISTINCT ON () g FROM t")
 
+    def test_rewrite_rejects_nested_distinct_on(self):
+        # ADVICE r9: a DISTINCT ON inside a CTE/subquery must NOT be
+        # rewritten as if top-level (that would move the dedup after the
+        # outer WHERE and silently change results vs DuckDB) — loud over
+        # wrong.
+        from duckdb_cloudflare_spark.compat import rewrite_distinct_on as rw
+
+        with pytest.raises(ValueError, match="subquery/CTE"):
+            rw(
+                "WITH s AS (SELECT DISTINCT ON (g) g, v FROM t) "
+                "SELECT * FROM s WHERE v > 5"
+            )
+        with pytest.raises(ValueError, match="subquery/CTE"):
+            rw(
+                "SELECT * FROM (SELECT DISTINCT ON (g) g, v FROM t) AS s "
+                "WHERE v > 5"
+            )
+        # top-level DISTINCT ON over a subquery SOURCE is still fine —
+        # only the DISTINCT ON keyword's own depth matters
+        out = rw(
+            "SELECT DISTINCT ON (g) g, v FROM (SELECT g, v FROM t) AS s "
+            "ORDER BY g, v"
+        )
+        assert "row_number() OVER (PARTITION BY g" in out
+
     def test_execute_cross_engine(self, t, duck):
         # deterministic keep-first-per-group under the query's ORDER BY:
         # identical rows on both engines, identical output order

@@ -172,6 +172,56 @@ def test_char_entropy_extremes(spark):
     assert got[1]["char_entropy"] < got[3]["char_entropy"] < got[2]["char_entropy"]
 
 
+def test_char_entropy_counts_codepoints_not_code_units(spark):
+    """ADVICE r9: a non-BMP char (surrogate pair in UTF-16) must count as
+    ONE character, matching DuckDB's codepoint split — F.split(text, "")
+    would count it as two."""
+    from duckdb_cloudflare_spark.operators.text_analysis import char_entropy
+
+    df = spark.createDataFrame(
+        [
+            (1, "\U0001F600\U0001F600\U0001F600\U0001F600"),  # 4× one emoji
+            (2, "\U0001F600a\U0001F601b"),                    # 4 distinct cps
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in char_entropy(df).collect()}
+    assert got[1]["n_chars_counted"] == 4
+    assert got[1]["char_entropy"] == 0.0  # one symbol repeated
+    assert got[2]["n_chars_counted"] == 4
+    assert got[2]["char_entropy"] == pytest.approx(math.log(4), abs=1e-5)
+
+
+def test_char_entropy_non_bmp_matches_duckdb(spark):
+    """Cross-engine pin for the codepoint contract: same counts/entropy
+    as the p89 oracle's string_split(text, '') on emoji-bearing text."""
+    import duckdb
+
+    from duckdb_cloudflare_spark.operators.text_analysis import char_entropy
+
+    rows = [(1, "hello \U0001F600 world \U0001F600"), (2, "abc\U00010348de")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in char_entropy(df).collect()}
+    con = duckdb.connect()
+    for doc_id, text in rows:
+        n, h = con.execute(
+            """
+            WITH c AS (
+                SELECT ch, count(*) AS c FROM (
+                    SELECT unnest(string_split(?, '')) AS ch
+                ) GROUP BY ch
+            )
+            SELECT CAST(sum(c) AS BIGINT),
+                   round(ln(sum(c)) - sum(CAST(round(c*ln(c)*1e6) AS BIGINT))
+                         / (CAST(sum(c) AS DOUBLE) * 1e6), 6)
+            FROM c
+            """,
+            [text],
+        ).fetchone()
+        assert got[doc_id]["n_chars_counted"] == n
+        assert got[doc_id]["char_entropy"] == pytest.approx(h, abs=1e-6)
+
+
 # ---------------------------------------------------------------------------
 # embedding_norm_qa (p90)
 # ---------------------------------------------------------------------------
@@ -198,3 +248,23 @@ def test_embedding_norm_qa_flags_planted_outliers(spark):
     b = got["b"]
     assert b["n_outliers"] == 0 and b["std_norm2"] == 0.0
     assert b["mean_norm2"] == pytest.approx(4.0, abs=1e-6)
+
+
+def test_embedding_norm_qa_large_norms_no_overflow(spark):
+    """ADVICE r9: Σnm² must not wrap int64. norm²=3600 → nm=3.6e9 →
+    nm²=1.296e19 > LONG_MAX already at ONE row; the decimal path keeps
+    the sums exact (mirroring the oracle's HUGEINT promotion)."""
+    from duckdb_cloudflare_spark.operators.similarity import embedding_norm_qa
+
+    rows = [(i, "g", [60.0, 0.0, 0.0]) for i in range(5)]
+    rows += [(10 + i, "g", [80.0, 0.0, 0.0]) for i in range(5)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, label string, embedding array<float>"
+    )
+    got = embedding_norm_qa(df, cluster_col="label").collect()[0]
+    # exact closed form: nm ∈ {3.6e9, 6.4e9} 5 each → mean 5e9, var 1.96e18
+    assert got["mean_norm2"] == pytest.approx(5000.0, rel=1e-9)
+    assert got["std_norm2"] == pytest.approx(1400.0, rel=1e-9)
+    assert got["min_norm2"] == pytest.approx(3600.0, rel=1e-9)
+    assert got["max_norm2"] == pytest.approx(6400.0, rel=1e-9)
+    assert got["n_outliers"] == 0
