@@ -15,6 +15,106 @@ import os
 import sys
 import time
 
+# sf1 lane (VERDICT r9 item 3): at sf0.1 many headline queries sit on
+# Spark's ~0.2-0.5 s fixed per-query overhead, so the 2× gate measures JVM
+# constants rather than plans. A 10×-replicated lane makes the ratio
+# measure the actual scan/shuffle work. Deterministic generation mirrors
+# tests/test_scale_sf1.py::sf1_dir (word-level md5 shuffle keeps shingle
+# vocabulary realistic: replicas share structure but not exact shingles).
+_SF1_TABLES = ("documents", "embeddings", "lineitem")
+# headline queries whose ONLY inputs are the three replicated tables
+_SF1_HEADLINE = [
+    "q01_pricing_summary",
+    "q06_forecast_revenue",
+    "p01_dedup_exact",
+    "p02_text_stats",
+    "p03_fingerprint",
+    "p04_lang_id",
+    "p05_knn_bruteforce",
+    "p17_tfidf_top_terms",
+    "p34_exact_jaccard_pairs",
+    "p36_dup_ngram_fraction",
+    "p44_chunk_dedup",
+    "p50_bigram_logprob",
+    "p63_url_canonicalize",
+    "p64_repetition_stats",
+    "p71_domain_stats",
+    "p73_minhash_signatures",
+    "p86_dsir_resample",
+    "p89_char_entropy",
+]
+
+
+def _gen_sf1(src: str) -> str | None:
+    """Generate (once, cached) the 10× replicated sf1 bench tables from
+    ``src`` via DuckDB; returns the directory, or None on failure.
+
+    documents replicas get per-replica md5-shuffled words (the proven
+    tests/test_scale_sf1.py recipe) so dedup/shingle operators see 10×
+    distinct work, not 10 identical copies; lineitem/embeddings replicate
+    with shifted keys."""
+    import duckdb
+
+    d = f"/tmp/spark_graft_bench_sf1_{os.path.basename(src.rstrip('/'))}"
+    marker = os.path.join(d, "_GEN_OK")
+    if os.path.exists(marker):
+        return d
+    os.makedirs(d, exist_ok=True)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW src_docs AS SELECT * FROM '{src}/documents.parquet'"
+    )
+    con.execute(f"CREATE VIEW src_li AS SELECT * FROM '{src}/lineitem.parquet'")
+    con.execute(
+        f"CREATE VIEW src_emb AS SELECT * FROM '{src}/embeddings.parquet'"
+    )
+    n_docs = con.execute("SELECT count(*) FROM src_docs").fetchone()[0]
+    con.execute(
+        f"""
+        COPY (
+            SELECT doc_id + {n_docs} * r AS doc_id,
+                   array_to_string(
+                       list_transform(
+                           list_sort(list_transform(
+                               string_split(coalesce(text, ''), ' '),
+                               w -> md5(r || ':' || doc_id || ':' || w) || ':' || w)),
+                           kw -> substr(kw, 34) || '~' || (doc_id % 100)),
+                       ' ') AS text,
+                   lang, source,
+                   CAST(length(array_to_string(
+                       list_transform(
+                           list_sort(list_transform(
+                               string_split(coalesce(text, ''), ' '),
+                               w -> md5(r || ':' || doc_id || ':' || w) || ':' || w)),
+                           kw -> substr(kw, 34) || '~' || (doc_id % 100)),
+                       ' ')) AS BIGINT) AS n_chars
+            FROM src_docs, range(10) t(r)
+        ) TO '{d}/documents.parquet' (FORMAT parquet)
+        """
+    )
+    max_ok = con.execute("SELECT max(l_orderkey) FROM src_li").fetchone()[0]
+    con.execute(
+        f"""
+        COPY (
+            SELECT * REPLACE (l_orderkey + {max_ok + 1} * r AS l_orderkey)
+            FROM src_li, range(10) t(r)
+        ) TO '{d}/lineitem.parquet' (FORMAT parquet)
+        """
+    )
+    n_vec = con.execute("SELECT count(*) FROM src_emb").fetchone()[0]
+    con.execute(
+        f"""
+        COPY (
+            SELECT vec_id + {n_vec} * r AS vec_id, embedding, label
+            FROM src_emb, range(10) t(r)
+        ) TO '{d}/embeddings.parquet' (FORMAT parquet)
+        """
+    )
+    con.close()
+    with open(marker, "w") as f:
+        f.write("ok\n")
+    return d
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -236,6 +336,69 @@ def main() -> None:
     spark_oracle_subset = round(
         sum(v for k, v in timings.items() if k in duckdb_timings), 4
     )
+
+    # --- sf1 lane (on by default; SPARK_GRAFT_BENCH_SF1=0 disables) ---
+    # Single-pass min-of-2 protocol: the lane exists to measure plan work
+    # at 10× data, where per-query fixed overhead is already amortized;
+    # min-of-5×2-pass would double bench wall time for noise reduction the
+    # 10× signal no longer needs.
+    sf1: dict[str, object] = {}
+    if os.environ.get("SPARK_GRAFT_BENCH_SF1", "1") == "1":
+        try:
+            sf1_dir = _gen_sf1(sf_dir)
+        except Exception as e:  # generation failure must not kill the line
+            print(f"bench: sf1 lane skipped ({e})", file=sys.stderr)
+            sf1_dir = None
+        if sf1_dir:
+            Q.cache_tables(spark, sf1_dir, tables=("lineitem", "documents"))
+            sf1_t: dict[str, float] = {}
+            ran = [n for n in _SF1_HEADLINE if n in registry]
+            for name in ran:
+                spark._jvm.System.gc()
+                best = float("inf")
+                for _ in range(2):
+                    t0 = time.perf_counter()
+                    registry[name](spark, sf1_dir).write.format("noop").mode(
+                        "overwrite"
+                    ).save()
+                    best = min(best, time.perf_counter() - t0)
+                sf1_t[name] = round(best, 4)
+            sf1_d: dict[str, float] = {}
+            try:
+                import duckdb
+
+                con1 = duckdb.connect()
+                for t in _SF1_TABLES:
+                    con1.execute(
+                        f"CREATE VIEW {t} AS SELECT * FROM "
+                        f"read_parquet('{sf1_dir}/{t}.parquet')"
+                    )
+                for name in ran:
+                    sql = oracles.get(name)
+                    if not sql:
+                        continue
+                    best = float("inf")
+                    for _ in range(2):
+                        t0 = time.perf_counter()
+                        con1.execute(sql).fetchall()
+                        best = min(best, time.perf_counter() - t0)
+                    sf1_d[name] = round(best, 4)
+                con1.close()
+            except Exception:
+                pass
+            dropped = [n for n in _SF1_HEADLINE if n not in registry]
+            if dropped:
+                print(f"bench: sf1 lane dropped {dropped}", file=sys.stderr)
+            sf1 = {
+                "sf1_value": round(sum(sf1_t.values()), 4),
+                "sf1_queries": sf1_t,
+                "sf1_oracle_subset_value": round(
+                    sum(v for k, v in sf1_t.items() if k in sf1_d), 4
+                ),
+                "sf1_duckdb_oracle_subset_value": round(sum(sf1_d.values()), 4),
+                "sf1_duckdb_queries": sf1_d,
+            }
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
         json.dumps(
@@ -250,6 +413,7 @@ def main() -> None:
                 "duckdb_queries": duckdb_timings,
                 "iterations": iterations,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                **sf1,
             }
         )
     )

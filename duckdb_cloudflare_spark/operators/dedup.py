@@ -1193,6 +1193,29 @@ def lowered_tokens(text_col: str = "text") -> Column:
     )
 
 
+def _doc_freq_filter(
+    inv: DataFrame, prefilter_singletons: bool, max_doc_freq: int | None
+) -> DataFrame:
+    """Shared doc-frequency gate for the inverted-index pair engines: one
+    window count per shingle (shingles are distinct within a doc, so the
+    row count IS the doc frequency), then the singleton floor (output-
+    identical: a one-doc shingle can't make a pair) and/or the
+    ``max_doc_freq`` stop-shingle ceiling (bounds each shingle's pair
+    fan-out at max_doc_freq² — documented underestimate)."""
+    if not prefilter_singletons and max_doc_freq is None:
+        return inv
+    from pyspark.sql.window import Window as _W
+
+    inv = inv.withColumn(
+        "__sc", F.count(F.lit(1)).over(_W.partitionBy("shingle"))
+    )
+    if prefilter_singletons:
+        inv = inv.filter(F.col("__sc") >= 2)
+    if max_doc_freq is not None:
+        inv = inv.filter(F.col("__sc") <= max_doc_freq)
+    return inv.drop("__sc")
+
+
 def exact_jaccard_pairs(
     df: DataFrame,
     k: int = 3,
@@ -1200,6 +1223,7 @@ def exact_jaccard_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     prefilter_singletons: bool = False,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """EXACT all-pairs word-``k``-shingle Jaccard >= ``threshold`` over any
     document DataFrame via the shingle-inverted-index join (p34's engine,
@@ -1223,6 +1247,18 @@ def exact_jaccard_pairs(
     count adds a sort, which only pays for itself when singletons dominate
     (the synthetic bench corpus has a tiny vocabulary — measured 99.9% of
     shingle instances shared, filter cost ≈ savings).
+
+    ``max_doc_freq`` (VERDICT r9 item 6): drop shingles occurring in MORE
+    than this many documents before the self-join — the standard
+    stop-shingle rule. A shingle shared by D documents emits D² pair rows,
+    so one boilerplate sentence across a template-heavy slice turns the
+    "verification slice" contract quadratic; the cap bounds every
+    shingle's pair fan-out at max_doc_freq². With the cap on the metric
+    is a documented UNDERESTIMATE (dropped shingles shrink the
+    intersection while n_a/n_b keep the full set sizes — Jaccard can only
+    go down, never up, so the >= threshold gate loses pairs and invents
+    none). OFF (None) by default: the exact contract and driver-oracle
+    parity are unchanged unless a caller opts in.
     """
     shins = (
         ensure_parallelism(df)
@@ -1238,16 +1274,7 @@ def exact_jaccard_pairs(
     inv = shins.select(
         id_col, F.explode("sh").alias("shingle"), F.size("sh").alias("n_sh")
     )
-    if prefilter_singletons:
-        from pyspark.sql.window import Window as _W
-
-        inv = (
-            inv.withColumn(
-                "__sc", F.count(F.lit(1)).over(_W.partitionBy("shingle"))
-            )
-            .filter(F.col("__sc") >= 2)
-            .drop("__sc")
-        )
+    inv = _doc_freq_filter(inv, prefilter_singletons, max_doc_freq)
     a = inv.select(F.col(id_col).alias("id_a"), "shingle", F.col("n_sh").alias("n_a"))
     b = inv.select(
         F.col(id_col).alias("id_b"), "shingle", F.col("n_sh").alias("n_b")
@@ -1397,6 +1424,8 @@ def containment_pairs(
     threshold: float = 0.8,
     text_col: str = "text",
     id_col: str = "doc_id",
+    prefilter_singletons: bool = False,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """EXACT all-pairs word-``k``-shingle CONTAINMENT — the asymmetric
     near-dup metric Jaccard misses: a short doc quoted whole inside a long
@@ -1407,7 +1436,9 @@ def containment_pairs(
 
     Same inverted-index engine as ``exact_jaccard_pairs`` (shared scale
     notes there: xxhash64 8-byte keys, shuffle_hash, sizes carried on the
-    exploded rows, one partial-agg pair shuffle); only the final metric
+    exploded rows, one partial-agg pair shuffle — and the same
+    ``prefilter_singletons`` / ``max_doc_freq`` doc-frequency gates, with
+    the same exact-vs-underestimate contracts); only the final metric
     differs. Both containments are single exact integer divisions —
     UNROUNDED by the q48 rule (bit-identical across engines)."""
     shins = (
@@ -1419,6 +1450,7 @@ def containment_pairs(
     inv = shins.select(
         id_col, F.explode("sh").alias("shingle"), F.size("sh").alias("n_sh")
     )
+    inv = _doc_freq_filter(inv, prefilter_singletons, max_doc_freq)
     a = inv.select(F.col(id_col).alias("id_a"), "shingle", F.col("n_sh").alias("n_a"))
     b = inv.select(
         F.col(id_col).alias("id_b"), "shingle", F.col("n_sh").alias("n_b")

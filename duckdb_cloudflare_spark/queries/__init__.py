@@ -147,20 +147,21 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 # The external driver grades a bounded prefix (first 50) of the registry,
 # so ordering IS the rotation policy: least-recently-driver-graded first.
 #
-# r9 window (the first 50 entries this list selects):
-#   - NEW r9 operators lead (zero driver history, like every round's
-#     additions): p85–p90.
-#   - then the entries whose VALUES or plans changed this round (their
-#     driver-green history predates the change): p83/p79/p81/p52/p74/
-#     p28/p50 — see the list's inline notes.
-#   - then the r8 overflow in the documented provenance order: q14–q28,
-#     p34–p48 (the r8 window cut the q02–q28 run at q13; VERDICT r8
-#     item 2 prescribed exactly this rotation). p37 re-grades here with
-#     its changed oracle.
-#   - then the r7-graded set stalest-first (CORRECTNESS_r07 order:
-#     p62–p68) to fill 50; the remainder (p69, q44, p49, p51, p53, p54,
-#     q54/q55, q36/q39/q52, p55–p61, r7-late set, r8 window) stays in
-#     registration order after the listed prefixes and rotates next.
+# r10 window (the first 50 entries this list selects) — VERDICT r9 item 1:
+# with the surface complete and 136/136 oracle-bearing entries driver-green,
+# freshness of driver evidence IS the product, so the window rotates to the
+# STALEST driver history.
+#   - NEW r10 operators lead (zero driver history, like every round's
+#     additions).
+#   - then the entries whose VALUES changed this round, so their green
+#     history predates the change: p89 (codepoint split, ADVICE r9 low),
+#     p90 (decimal/HUGEINT exact sums, ADVICE r9 medium).
+#   - then the 41 entries last driver-graded in r7 — i.e. green in
+#     CORRECTNESS_r07 and in neither r08 nor r09 — in CORRECTNESS_r07
+#     record order (stalest-first within the round is unknowable, so the
+#     driver's own emission order is the documented tie-break).
+#   - then the r8-graded set in CORRECTNESS_r08 record order to fill 50;
+#     the remainder rotates next round.
 # This list may name MORE than 50 prefixes — only the first 50 of the
 # reordered registry are graded; listing the full rotation keeps the
 # bookkeeping monotone as new operators are prepended.
@@ -173,21 +174,20 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 # driver-replica gate (tests/test_oracle_parity.py) and the sf0.1 scale
 # sweep (tests/test_scale_parity.py).
 _WINDOW_PRIORITY = [
-    # new this round — zero driver history (prepend each r9 addition here)
-    "p85_", "p86_", "p87_", "p88_", "p89_", "p90_",
-    # changed-this-round re-grades: operators/oracles whose VALUES or
-    # plans changed in r9, so their green history predates the change —
-    # p83 (integer-exact DSIR mean, VERDICT r8 #1), p79 (oracle divisor,
-    # ADVICE r8 high), p81 (de-broadcast PageRank), p52 (top-k reshape),
-    # p74 (overflow-safe ratio cast), p28/p50 (integer-exact log means).
-    # p37's oracle changed too — it re-grades inside the overflow below.
-    "p83_", "p79_", "p81_", "p52_", "p74_", "p28_", "p50_",
-    # r8 overflow, documented provenance order (the r8 window cut the
-    # q02–q28 run at q13 and never reached p34–p48)
-    *[f"q{n}_" for n in range(14, 29)],
-    *[f"p{n}_" for n in range(34, 49)],
-    # r7-graded set, stalest-first per CORRECTNESS_r07 order, to fill 50
-    "p62_", "p63_", "p64_", "p65_", "p66_", "p67_", "p68_",
+    # new this round — zero driver history (prepend each r10 addition here)
+    # changed-this-round re-grades (values changed in r10)
+    "p89_", "p90_",
+    # last driver-graded in r7 (green in CORRECTNESS_r07, absent from
+    # r08/r09), in CORRECTNESS_r07 record order
+    "p69_", "q44_", "p49_", "p51_", "p53_", "p54_", "q54_", "q55_",
+    "q36_", "q39_", "q52_", "p55_", "p56_", "p57_", "p58_", "p59_",
+    "p60_", "p61_", "q29_", "q30_", "q32_", "q33_", "q34_", "q35_",
+    "q37_", "q51_", "q01_", "p01_", "p02_", "p03_", "p04_", "p05_",
+    "p11_", "p12_", "p13_", "p15_", "p16_", "p17_", "p18_", "p19_",
+    "p21_",
+    # r8-graded set, CORRECTNESS_r08 record order, to fill 50
+    "p71_", "p72_", "p73_", "p75_", "p76_", "p77_", "p78_", "p80_",
+    "p82_", "p84_",
 ]
 
 

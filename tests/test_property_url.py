@@ -148,3 +148,87 @@ def test_duplicate_keys_preserved_as_sorted_multiset(spark, dups):
     (c,) = _canon_batch(spark, [url])
     got = c.split("?", 1)[1].split("&")
     assert got == sorted(dups)
+
+
+class TestIdnHosts:
+    """Opt-in IDN→punycode (VERDICT r9 item 4): canonicalize_url(...,
+    idn_hosts=True) routes the host through the stdlib `idna` codec
+    (RFC 3490 ToASCII), unifying unicode and punycode spellings."""
+
+    def _canon_idn(self, spark, urls):
+        df = spark.createDataFrame([(u,) for u in urls], ["url"])
+        return [
+            r["c"]
+            for r in df.select(
+                canonicalize_url(F.col("url"), idn_hosts=True).alias("c")
+            ).collect()
+        ]
+
+    def test_rfc3490_examples_unify_with_punycode(self, spark):
+        # bücher.de → xn--bcher-kva.de (the canonical IDNA example);
+        # mixed-case unicode hosts nameprep-lowercase first
+        got = self._canon_idn(
+            spark,
+            [
+                "http://bücher.de/x",
+                "http://xn--bcher-kva.de/x",
+                "http://BÜCHER.de/x",
+                "https://例え.テスト/p",
+                "https://xn--r8jz45g.xn--zckzah/p",
+            ],
+        )
+        assert got[0] == got[1] == got[2] == "http://xn--bcher-kva.de/x"
+        assert got[3] == got[4] == "https://xn--r8jz45g.xn--zckzah/p"
+
+    def test_ascii_hosts_unchanged_vs_default_path(self, spark):
+        urls = [
+            "http://EX.com:80/a?b=1&a=2",
+            "https://a.b.ex.org/p/",
+            "http://ex.com/a%2f?q=a+b",
+        ]
+        df = spark.createDataFrame([(u,) for u in urls], ["url"])
+        both = df.select(
+            canonicalize_url(F.col("url")).alias("off"),
+            canonicalize_url(F.col("url"), idn_hosts=True).alias("on"),
+        ).collect()
+        for r in both:
+            assert r["off"] == r["on"]
+
+    def test_unencodable_host_canonicalizes_to_null(self, spark):
+        # a label the idna codec rejects (>63 chars after nameprep) leaves
+        # the raw URL unchanged; Spark's parser then rejects the IRI → the
+        # canonical key is NULL ("not a URL"), identical to the default
+        # path's treatment of the same input
+        long_label = "ü" + "a" * 80
+        url = f"http://{long_label}.de/x"
+        df = spark.createDataFrame([(url,)], ["url"])
+        row = df.select(
+            canonicalize_url(F.col("url")).alias("off"),
+            canonicalize_url(F.col("url"), idn_hosts=True).alias("on"),
+        ).collect()[0]
+        assert row["on"] is None and row["off"] is None
+
+    @given(
+        hosts=st.lists(
+            st.sampled_from(
+                ["ex.com", "EX.org", "bücher.de", "xn--bcher-kva.de",
+                 "müller.example", "a.b.c.de"]
+            ),
+            min_size=1,
+            max_size=12,
+        )
+    )
+    @settings(max_examples=8, deadline=None)
+    def test_idn_output_always_ascii_and_idempotent(self, spark, hosts):
+        from duckdb_cloudflare_spark.operators.web import idn_host_to_ascii
+
+        df = spark.createDataFrame([(h,) for h in hosts], ["h"])
+        once = [
+            r["a"] for r in df.select(idn_host_to_ascii(F.col("h")).alias("a")).collect()
+        ]
+        assert all(a.isascii() for a in once)
+        df2 = spark.createDataFrame([(a,) for a in once], ["h"])
+        twice = [
+            r["a"] for r in df2.select(idn_host_to_ascii(F.col("h")).alias("a")).collect()
+        ]
+        assert twice == once

@@ -21,24 +21,29 @@ from duckdb_cloudflare_spark import queries as Q
 _ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def test_graded_window_is_exactly_the_r9_rotation():
+def test_graded_window_is_exactly_the_r10_rotation():
     names = list(Q.all_queries())
     window = names[:50]
     expected = (
-        # new r9 operators (zero driver history) lead.
-        # Prepend each r9 addition here IN LOCKSTEP with _WINDOW_PRIORITY.
-        ["p85_", "p86_", "p87_", "p88_", "p89_", "p90_"]
-        # changed-this-round re-grades (values/plans changed in r9, so
-        # the green history predates the change): p83 integer-exact DSIR
-        # mean, p79 oracle divisor, p81 de-broadcast PageRank, p52 top-k
-        # reshape, p74 ratio cast, p28/p50 integer-exact log means
-        + ["p83_", "p79_", "p81_", "p52_", "p74_", "p28_", "p50_"]
-        # r8 overflow in documented provenance order (p37 re-grades here
-        # with its changed quantile-cutoff oracle)
-        + [f"q{n}_" for n in range(14, 29)]
-        + [f"p{n}_" for n in range(34, 49)]
-        # r7-graded set stalest-first (CORRECTNESS_r07 order) fills 50
-        + ["p62_", "p63_", "p64_", "p65_", "p66_", "p67_", "p68_"]
+        # new r10 operators (zero driver history) lead.
+        # Prepend each r10 addition here IN LOCKSTEP with _WINDOW_PRIORITY.
+        []
+        # changed-this-round re-grades (values changed in r10): p89
+        # codepoint split, p90 overflow-exact sums (ADVICE r9)
+        + ["p89_", "p90_"]
+        # the 41 entries last driver-graded in r7 (green in
+        # CORRECTNESS_r07, absent from r08/r09), CORRECTNESS_r07 order
+        + [
+            "p69_", "q44_", "p49_", "p51_", "p53_", "p54_", "q54_",
+            "q55_", "q36_", "q39_", "q52_", "p55_", "p56_", "p57_",
+            "p58_", "p59_", "p60_", "p61_", "q29_", "q30_", "q32_",
+            "q33_", "q34_", "q35_", "q37_", "q51_", "q01_", "p01_",
+            "p02_", "p03_", "p04_", "p05_", "p11_", "p12_", "p13_",
+            "p15_", "p16_", "p17_", "p18_", "p19_", "p21_",
+        ]
+        # r8-graded set, CORRECTNESS_r08 record order, fills 50
+        + ["p71_", "p72_", "p73_", "p75_", "p76_", "p77_", "p78_",
+           "p80_", "p82_", "p84_"]
     )[:50]
     assert len(window) == len(expected) == 50
     for name, prefix in zip(window, expected):

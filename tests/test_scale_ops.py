@@ -221,3 +221,88 @@ def test_morton_key_masks_to_16_bits(spark):
     df = spark.createDataFrame([(0x1FFFF, 0x10000)], "a long, b long")
     z = df.select(morton_key(F.col("a"), F.col("b")).alias("z")).first()["z"]
     assert z == 0x55555555  # high bits beyond 16 ignored on both inputs
+
+
+class TestMaxDocFreqStopShingles:
+    """VERDICT r9 item 6: the hot-shingle skew guard on the inverted-index
+    pair engines. A shingle in D docs emits D² pair rows — a planted
+    template burst must stay bounded with the cap on, and the cap-off
+    default must stay byte-identical to the legacy exact output."""
+
+    @pytest.fixture(scope="class")
+    def template_burst(self, spark):
+        # 40 docs sharing one boilerplate sentence (every boilerplate
+        # shingle has doc-freq 40) + 2 true near-dups sharing RARE
+        # shingles + filler docs with unique vocabulary.
+        boiler = "all rights reserved contact us terms of service apply"
+        rows = [
+            (i, f"{boiler} unique{i}a unique{i}b unique{i}c unique{i}d")
+            for i in range(40)
+        ]
+        rows.append((100, "rare alpha beta gamma delta epsilon zeta eta"))
+        rows.append((101, "rare alpha beta gamma delta epsilon zeta theta"))
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_cap_bounds_template_pairs(self, spark, template_burst):
+        from duckdb_cloudflare_spark.operators.dedup import exact_jaccard_pairs
+
+        # low threshold so boilerplate-only overlap would surface pairs
+        uncapped = exact_jaccard_pairs(template_burst, k=3, threshold=0.2)
+        capped = exact_jaccard_pairs(
+            template_burst, k=3, threshold=0.2, max_doc_freq=10
+        )
+        un = {(r["id_a"], r["id_b"]) for r in uncapped.collect()}
+        cp = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+        # uncapped: the 40-doc template slice goes quadratic (hundreds of
+        # boilerplate-only pairs); capped: every doc-freq-40 shingle is
+        # dropped, so template-only pairs vanish entirely
+        assert len(un) >= 40 * 39 // 2
+        assert all(a >= 100 or b >= 100 for a, b in cp), cp
+        # the true near-dup pair (rare shingles, doc-freq 2) survives
+        assert (100, 101) in cp
+        # cap result is a subset — an underestimate, never an invention
+        assert cp <= un
+
+    def test_cap_off_is_byte_identical(self, spark, template_burst):
+        from duckdb_cloudflare_spark.operators.dedup import (
+            containment_pairs,
+            exact_jaccard_pairs,
+        )
+
+        legacy = sorted(
+            map(tuple, exact_jaccard_pairs(template_burst, k=3, threshold=0.2).collect())
+        )
+        none_cap = sorted(
+            map(
+                tuple,
+                exact_jaccard_pairs(
+                    template_burst, k=3, threshold=0.2, max_doc_freq=None
+                ).collect(),
+            )
+        )
+        assert legacy == none_cap
+        c_legacy = sorted(
+            map(tuple, containment_pairs(template_burst, k=3, threshold=0.8).collect())
+        )
+        c_none = sorted(
+            map(
+                tuple,
+                containment_pairs(
+                    template_burst, k=3, threshold=0.8, max_doc_freq=None
+                ).collect(),
+            )
+        )
+        assert c_legacy == c_none
+
+    def test_containment_cap_bounds_quote_fanout(self, spark, template_burst):
+        from duckdb_cloudflare_spark.operators.dedup import containment_pairs
+
+        capped = containment_pairs(
+            template_burst, k=3, threshold=0.5, max_doc_freq=10
+        )
+        got = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+        # boilerplate containment pairs are gone; rare-shingle docs keep
+        # their high mutual containment (6 of 8 shingles shared... k=3 on
+        # 8 tokens -> 6 shingles, 5 shared -> 5/6 > 0.5)
+        assert all(a >= 100 or b >= 100 for a, b in got), got
+        assert (100, 101) in got
