@@ -42,6 +42,8 @@ _SF1_HEADLINE = [
     "p73_minhash_signatures",
     "p86_dsir_resample",
     "p89_char_entropy",
+    "p91_minhash_est_jaccard",
+    "p92_length_report",
 ]
 
 
@@ -222,6 +224,12 @@ def main() -> None:
         # passes + broadcast log-ratio join + distributed top-k).
         "p89_char_entropy",
         "p86_dsir_resample",
+        # r10 headline expansion: the LSH-candidate estimate join (the one
+        # bucketed self-shuffle between p73's signatures and p34's exact
+        # verifier) and the sliding distinct-user recast (day explode +
+        # one distinct agg — the COUNT(DISTINCT) window Spark can't frame).
+        "p91_minhash_est_jaccard",
+        "q56_sliding_distinct_users",
     ]
     registry = Q.all_queries()
 

@@ -1418,6 +1418,79 @@ def minhash_signatures_exact(
     return sigs.select("doc_id", *[f"s{i}" for i in range(k)], *band_cols)
 
 
+def minhash_est_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 8,
+    shingle_k: int = 3,
+    bands: int = 4,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """MinHash ESTIMATED Jaccard for every LSH-candidate pair — the stage
+    between p73 (signatures) and p34 (exact verification): pairs sharing
+    at least one band bucket get the classic signature-agreement estimate
+    E[agree/k] = J (Broder '97 / MMDS ch.3). This is the triage step a
+    corpus-scale dedup runs BEFORE exact Jaccard: candidates come from
+    banding (cheap), the estimate ranks them, and only the survivors hit
+    the quadratic inverted-index verifier. Deterministic end-to-end: the
+    p73 md5 permutation scheme, an integer agreement count, and one exact
+    division by the literal ``k`` (a power of two — exact in binary).
+
+    Returns ``(id_a, id_b, n_agree, est_jaccard)``.
+
+    Scale shape: signatures via ONE shingle explode + ONE partial-agg
+    groupBy (p73's plan); candidates via ``bands`` map-side band-key rows
+    per doc and ONE equi-shuffle self-join on (band_idx, band_key) —
+    bucket-bounded like p06's engine, never all-pairs; the per-band
+    duplicate pairs collapse in a final pair-keyed partial agg. The
+    signature array rides along the join rows (k·8 bytes), so no
+    re-join against the signature table is needed."""
+    sigs = minhash_signatures_exact(
+        df, text_col=text_col, k=k, shingle_k=shingle_k, bands=bands
+    )
+    sig_arr = F.array(*[F.col(f"s{i}") for i in range(k)]).alias("sig")
+    banded = sigs.select(
+        F.col("doc_id").alias(id_col),
+        sig_arr,
+        F.posexplode(F.array(*[F.col(f"b{j}") for j in range(bands)])).alias(
+            "band_idx", "band_key"
+        ),
+    )
+    a = banded.select(
+        F.col(id_col).alias("id_a"),
+        F.col("sig").alias("sig_a"),
+        "band_idx",
+        "band_key",
+    )
+    b = banded.select(
+        F.col(id_col).alias("id_b"),
+        F.col("sig").alias("sig_b"),
+        "band_idx",
+        "band_key",
+    ).hint("shuffle_hash")
+    n_agree = F.size(
+        F.filter(
+            F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
+            lambda eq: eq,
+        )
+    )
+    return (
+        a.join(b, ["band_idx", "band_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", n_agree.alias("n_agree"))
+        .groupBy("id_a", "id_b")
+        .agg(F.first("n_agree").alias("n_agree"))
+        .select(
+            "id_a",
+            "id_b",
+            "n_agree",
+            (F.col("n_agree").cast("double") / F.lit(float(k))).alias(
+                "est_jaccard"
+            ),
+        )
+    )
+
+
 def containment_pairs(
     df: DataFrame,
     k: int = 3,

@@ -13,6 +13,7 @@ import pandas as pd  # module-scope: pandas_udf resolves string type hints from 
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 # Tiny per-language stopword lists for the n-gram/stopword language heuristic.
 # Public knowledge (most-frequent function words per language).
@@ -379,6 +380,56 @@ def dsir_weights(
                 / (F.count(F.lit(1)).cast("double") * F.lit(micro))
             ).alias("dsir_weight"),
         )
+    )
+
+
+def length_report(
+    df: DataFrame,
+    len_col: str = "n_chars",
+    group_col: str = "source",
+) -> DataFrame:
+    """Per-group EXACT document-length distribution report — the length
+    profile a curation run publishes before setting min/max-length gates
+    (C4 drops <3-sentence docs, Gopher gates on 50–100k words; picking
+    those thresholds needs this table first): n_docs, min, exact discrete
+    p50/p90/p99, max, and the unrounded mean.
+
+    Determinism: the discrete quantile is "the value at 1-based rank
+    ⌈q·n⌉ under ascending length order" — the rank is computed in pure
+    INTEGER arithmetic ((n·P + 99) div 100 for P ∈ {50,90,99}), never
+    floating ⌈0.9·n⌉, because 0.9 is inexact binary and engines disagree
+    at exact multiples (DuckDB's decimal literal vs Spark's double would
+    diverge at n=500). Ties in length are harmless: row_number among
+    equal values is arbitrary but the VALUE at any rank is not. Mean is
+    one exact integer-sum division, unrounded (q48 rule).
+
+    Scale shape: one partition-keyed sort-window shuffle (the standard
+    exact-quantile shape — per-GROUP sorts, not a global sort) + one
+    partial-agg fold. At corpus scale with few groups, swap in
+    approx_percentile; this operator is the exact-report variant."""
+    wo = Window.partitionBy(group_col).orderBy(F.col(len_col).asc())
+    wp = Window.partitionBy(group_col)
+    r = (
+        df.filter(F.col(len_col).isNotNull() & F.col(group_col).isNotNull())
+        .select(group_col, len_col)
+        .withColumn("rn", F.row_number().over(wo))
+        .withColumn("n", F.count(F.lit(1)).over(wp))
+    )
+
+    def at_pct(p: int) -> Column:
+        rank = F.expr(f"(n * {p} + 99) div 100")
+        return F.min(F.when(F.col("rn") == rank, F.col(len_col)))
+
+    return r.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min(len_col).alias("min_chars"),
+        at_pct(50).alias("p50_chars"),
+        at_pct(90).alias("p90_chars"),
+        at_pct(99).alias("p99_chars"),
+        F.max(len_col).alias("max_chars"),
+        (
+            F.sum(len_col).cast("double") / F.count(F.lit(1)).cast("double")
+        ).alias("mean_chars"),
     )
 
 

@@ -175,6 +175,7 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 # sweep (tests/test_scale_parity.py).
 _WINDOW_PRIORITY = [
     # new this round — zero driver history (prepend each r10 addition here)
+    "p91_", "p92_", "q56_",
     # changed-this-round re-grades (values changed in r10)
     "p89_", "p90_",
     # last driver-graded in r7 (green in CORRECTNESS_r07, absent from
@@ -220,6 +221,7 @@ def _import_all() -> None:
     from duckdb_cloudflare_spark.queries import relational  # noqa: F401
     from duckdb_cloudflare_spark.queries import pipeline_extra  # noqa: F401
     from duckdb_cloudflare_spark.queries import pipeline_r9  # noqa: F401
+    from duckdb_cloudflare_spark.queries import pipeline_r10  # noqa: F401
 
     _reorder_registry()
 

@@ -561,3 +561,53 @@ def test_r9_operator_plan_shapes(spark, registry):
     assert "SortMergeJoin" not in plan
     assert broadcast_join_count(df) >= 1
     assert shuffle_count(df) <= 4
+
+
+def test_p91_band_join_is_bucketed_shuffle_hash_no_cartesian(spark, registry):
+    """p91's candidate generation must be the bucket-bounded LSH shape: one
+    (band_idx, band_key) equi self-join — hash, not sort-merge, never a
+    cartesian/NLJ — and no re-join against the signature table (the
+    signature arrays ride the join rows, so exactly ONE join in the plan)."""
+    from duckdb_cloudflare_spark.plans.introspect import formatted_plan
+
+    df = registry["p91_minhash_est_jaccard"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" in plan
+    # exactly ONE join node in the whole plan (each node's detail section
+    # prints one "Join type:" line)
+    assert plan.count("Join type:") == 1
+
+
+def test_q56_day_explode_joins_broadcast_and_single_distinct_agg(
+    spark, registry
+):
+    """q56's sliding COUNT(DISTINCT) shape: the observed-days join is a
+    broadcast (day cardinality is tiny — shuffling the exploded pairs on
+    day for it would be a wasted exchange), and there is no window over
+    per-day user sets (no Window node at all — the explode+agg recast)."""
+    from duckdb_cloudflare_spark.plans.introspect import (
+        broadcast_join_count,
+        formatted_plan,
+    )
+
+    df = registry["q56_sliding_distinct_users"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert broadcast_join_count(df) >= 1
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_p92_single_partition_keyed_sort_window(spark, registry):
+    """p92's exact quantiles sort per-GROUP (hashpartitioning on source),
+    never globally: the Window's exchange must be a hash partitioning,
+    not a rangepartitioning/single-partition funnel."""
+    from duckdb_cloudflare_spark.plans.introspect import formatted_plan
+
+    df = registry["p92_length_report"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert "Window" in plan
+    assert "SinglePartition" not in plan
+    assert "rangepartitioning" not in plan.lower()

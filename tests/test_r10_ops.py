@@ -1,0 +1,150 @@
+"""Hand-computed unit tests for the r10 operators (p91/p92/q56) — the
+oracle-parity gate covers engine agreement; these pin the SEMANTICS on
+planted fixtures where the right answer is known by construction."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# minhash_est_jaccard_pairs (p91)
+# ---------------------------------------------------------------------------
+
+
+def test_minhash_est_jaccard_identical_docs_agree_fully(spark):
+    from duckdb_cloudflare_spark.operators.dedup import minhash_est_jaccard_pairs
+
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy dog"),
+            (3, "completely different content about spark engines here"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r
+        for r in minhash_est_jaccard_pairs(df).collect()
+    }
+    # identical shingle sets → identical signatures → all bands collide,
+    # all 8 slots agree, estimate exactly 1.0
+    assert (1, 2) in got
+    assert got[(1, 2)]["n_agree"] == 8
+    assert got[(1, 2)]["est_jaccard"] == 1.0
+    # doc 3 shares no shingles: its signature can only collide with 1/2 by
+    # md5 accident (none on this fixture)
+    assert all(a != 3 and b != 3 for a, b in got)
+
+
+def test_minhash_est_jaccard_pairs_deduped_across_bands(spark):
+    from duckdb_cloudflare_spark.operators.dedup import minhash_est_jaccard_pairs
+
+    # identical docs collide in ALL 4 bands — the pair must appear ONCE
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g"), (2, "a b c d e f g")],
+        "doc_id long, text string",
+    )
+    rows = minhash_est_jaccard_pairs(df).collect()
+    assert len(rows) == 1
+    assert rows[0]["id_a"] == 1 and rows[0]["id_b"] == 2
+
+
+def test_minhash_est_jaccard_estimate_tracks_true_jaccard(spark):
+    from duckdb_cloudflare_spark.operators.dedup import minhash_est_jaccard_pairs
+
+    # two docs sharing most (but not all) shingles: estimate must land
+    # strictly between 0 and 1 whenever the pair surfaces, and equal
+    # n_agree/8 exactly
+    base = "w0 w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11"
+    df = spark.createDataFrame(
+        [(1, base), (2, base + " extra trailing words here")],
+        "doc_id long, text string",
+    )
+    rows = minhash_est_jaccard_pairs(df).collect()
+    if rows:  # banding may or may not propose the pair — if it does:
+        (r,) = rows
+        assert r["est_jaccard"] == r["n_agree"] / 8.0
+        assert 0.0 < r["est_jaccard"] <= 1.0
+
+
+# ---------------------------------------------------------------------------
+# length_report (p92)
+# ---------------------------------------------------------------------------
+
+
+def test_length_report_hand_computed(spark):
+    from duckdb_cloudflare_spark.operators.text_analysis import length_report
+
+    # group "a": lengths 10..100 step 10 (n=10) →
+    #   p50 rank = (10*50+99)//100 = 5 → 50
+    #   p90 rank = (10*90+99)//100 = 9 → 90
+    #   p99 rank = (10*99+99)//100 = 10 → 100
+    rows = [(i, "a", (i + 1) * 10) for i in range(10)]
+    rows += [(100, "b", 7)]  # singleton group: every quantile = 7
+    rows += [(101, None, 5), (102, "c", None)]  # dropped
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+    got = {r["source"]: r for r in length_report(df).collect()}
+    a = got["a"]
+    assert a["n_docs"] == 10
+    assert (a["min_chars"], a["p50_chars"], a["p90_chars"], a["p99_chars"], a["max_chars"]) == (
+        10, 50, 90, 100, 100
+    )
+    assert a["mean_chars"] == pytest.approx(55.0)
+    b = got["b"]
+    assert (b["p50_chars"], b["p90_chars"], b["p99_chars"]) == (7, 7, 7)
+    assert set(got) == {"a", "b"}
+
+
+def test_length_report_integer_rank_at_the_decimal_trap(spark):
+    """n=500, q=0.9: decimal-exact ceil(450) = 450 while double 0.9*500 =
+    450.0000000000001 would ceil to 451 — the integer-rank formula must
+    give rank 450 (value 450 on a 1..500 ladder)."""
+    from duckdb_cloudflare_spark.operators.text_analysis import length_report
+
+    df = spark.createDataFrame(
+        [(i, "g", i) for i in range(1, 501)], "doc_id long, source string, n_chars long"
+    )
+    (r,) = length_report(df).collect()
+    assert r["p90_chars"] == 450
+    assert r["p50_chars"] == 250
+    assert r["p99_chars"] == 495
+
+
+# ---------------------------------------------------------------------------
+# q56 sliding distinct users
+# ---------------------------------------------------------------------------
+
+
+def test_sliding_distinct_users_hand_computed(spark):
+    from duckdb_cloudflare_spark.queries import all_queries
+    import os
+    import tempfile
+
+    # 3 observed days spanning a week boundary: day1 {u1,u2}, day5 {u2,u3},
+    # day9 {u4}. Trailing-7d: day1 → {u1,u2}=2; day5 → day1..5 {u1,u2,u3}=3;
+    # day9 → day3..9 {u2,u3,u4}=3.
+    d = tempfile.mkdtemp()
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 5), 1, "c", 0.0, "{}"),
+        (2, dt.datetime(2024, 1, 1, 6), 2, "c", 0.0, "{}"),
+        (3, dt.datetime(2024, 1, 5, 5), 2, "c", 0.0, "{}"),
+        (4, dt.datetime(2024, 1, 5, 9), 3, "c", 0.0, "{}"),
+        (5, dt.datetime(2024, 1, 9, 1), 4, "c", 0.0, "{}"),
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+    got = {
+        str(r["day"]): r
+        for r in all_queries()["q56_sliding_distinct_users"](spark, d).collect()
+    }
+    assert set(got) == {"2024-01-01", "2024-01-05", "2024-01-09"}
+    assert got["2024-01-01"]["users_7d"] == 2 and got["2024-01-01"]["users_1d"] == 2
+    assert got["2024-01-05"]["users_7d"] == 3 and got["2024-01-05"]["users_1d"] == 2
+    assert got["2024-01-09"]["users_7d"] == 3 and got["2024-01-09"]["users_1d"] == 1
