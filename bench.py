@@ -44,6 +44,7 @@ _SF1_HEADLINE = [
     "p89_char_entropy",
     "p91_minhash_est_jaccard",
     "p92_length_report",
+    "p93_shingle_df_histogram",
 ]
 
 

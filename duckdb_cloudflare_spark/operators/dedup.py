@@ -1418,6 +1418,56 @@ def minhash_signatures_exact(
     return sigs.select("doc_id", *[f"s{i}" for i in range(k)], *band_cols)
 
 
+def shingle_df_histogram(
+    df: DataFrame,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Doc-frequency histogram of word-``k`` shingles in log2 buckets —
+    the profiling report that SIZES the ``max_doc_freq`` stop-shingle cap
+    (and predicts the pair fan-out of the exact engines): for each bucket
+    ⌊log2(df)⌋, how many distinct shingles land there, how many exploded
+    instances they account for, and the pair pressure Σdf·(df−1)/2 they
+    would emit into a self-join. A corpus whose top bucket carries most of
+    the pair pressure is template-heavy and needs the cap; one whose mass
+    sits at df=1..2 doesn't.
+
+    Determinism: all-integer (counts, int2(log2) via bit length — no
+    floating log). Scale shape: one shingle explode → one shingle-keyed
+    partial-agg shuffle (doc frequency) → one TINY bucket-keyed agg
+    (≤ ~40 buckets) — linear, no joins, no pairs materialized."""
+    shins = (
+        ensure_parallelism(df)
+        .select(id_col, lowered_tokens(text_col).alias("ts"))
+        .filter(F.size("ts") >= k)
+        .select(id_col, hashed_word_shingles(k).alias("sh"))
+    )
+    freq = (
+        shins.select(F.explode("sh").alias("shingle"))
+        .groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    # ⌊log2(df)⌋ via integer arithmetic both engines share: the bit length
+    # of df, minus one — floor(ln/ln2) drifts at exact powers of two.
+    bucket = (F.length(F.conv(F.col("df"), 10, 2)) - 1).alias("log2_df")
+    # per-shingle pair count df·(df−1)/2 computed in long (exact for
+    # df < 4.3e9 — a shingle can't exceed the doc count), summed in
+    # decimal(38,0) so the BUCKET total can't wrap (p90's overflow rule)
+    pairs = F.expr("df * (df - 1) div 2")
+    return (
+        freq.select(bucket, "df", pairs.alias("pp"))
+        .groupBy("log2_df")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum("df").alias("n_instances"),
+            F.sum(F.col("pp").cast("decimal(38,0)"))
+            .cast("long")
+            .alias("pair_pressure"),
+        )
+    )
+
+
 def minhash_est_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",

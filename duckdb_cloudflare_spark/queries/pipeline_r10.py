@@ -97,6 +97,44 @@ def p91_minhash_est_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "p93_shingle_df_histogram",
+    oracle=rf"""
+    WITH {_TOKS_CTE},
+    sh AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(range(1, len(ts) - 1),
+                   i -> hash(ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])))) AS s
+        FROM toks WHERE len(ts) >= 3
+    ), freq AS (
+        SELECT s, count(*) AS df FROM sh GROUP BY s
+    )
+    SELECT CAST(length(bin(df)) - 1 AS INT) AS log2_df,
+           CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(sum(df) AS BIGINT) AS n_instances,
+           CAST(sum(df * (df - 1) // 2) AS BIGINT) AS pair_pressure
+    FROM freq GROUP BY 1
+    """,
+    description="Doc-frequency histogram of word-3-shingles in log2 "
+    "buckets — the profiling report that SIZES the r10 max_doc_freq "
+    "stop-shingle cap and predicts the exact pair engines' fan-out: "
+    "distinct shingles, exploded instances, and pair pressure "
+    "df*(df-1)/2 per bucket. operators/dedup.py::shingle_df_histogram. "
+    "NOTE the oracle buckets by doc frequency, which is HASH-FREE math "
+    "(DuckDB's hash() differs from xxhash64, but df counts per DISTINCT "
+    "shingle are hash-independent absent collisions — the same parity "
+    "argument p34 makes). Determinism: all-integer; floor(log2) via bit "
+    "length (length(bin(df))-1 / conv base-2), never floating log, "
+    "which drifts at exact powers of two. Scale shape: one shingle "
+    "explode -> one shingle-keyed partial agg -> one <=40-row bucket "
+    "agg; linear, no joins, no pairs materialized; bucket sums "
+    "decimal-accumulated (p90 overflow rule).",
+)
+def p93_shingle_df_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return D.shingle_df_histogram(d, k=3)
+
+
+@register(
     "p92_length_report",
     oracle="""
     WITH r AS (

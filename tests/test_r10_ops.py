@@ -148,3 +148,42 @@ def test_sliding_distinct_users_hand_computed(spark):
     assert got["2024-01-01"]["users_7d"] == 2 and got["2024-01-01"]["users_1d"] == 2
     assert got["2024-01-05"]["users_7d"] == 3 and got["2024-01-05"]["users_1d"] == 2
     assert got["2024-01-09"]["users_7d"] == 3 and got["2024-01-09"]["users_1d"] == 1
+
+
+# ---------------------------------------------------------------------------
+# shingle_df_histogram (p93)
+# ---------------------------------------------------------------------------
+
+
+def test_shingle_df_histogram_hand_computed(spark):
+    from duckdb_cloudflare_spark.operators.dedup import shingle_df_histogram
+
+    # 4 docs: "a b c" (1 shingle "a b c") shared by docs 1-3; doc 4 has
+    # "x y z" (df=1) and shares nothing. df profile: {"a b c": 3,
+    # "x y z": 1} → bucket log2(3)=1: 1 shingle, 3 instances, 3 pairs;
+    # bucket log2(1)=0: 1 shingle, 1 instance, 0 pairs.
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b c"), (3, "a b c"), (4, "x y z")],
+        "doc_id long, text string",
+    )
+    got = {r["log2_df"]: r for r in shingle_df_histogram(df).collect()}
+    assert set(got) == {0, 1}
+    assert got[1]["n_shingles"] == 1
+    assert got[1]["n_instances"] == 3
+    assert got[1]["pair_pressure"] == 3  # 3*2/2
+    assert got[0]["n_shingles"] == 1
+    assert got[0]["n_instances"] == 1
+    assert got[0]["pair_pressure"] == 0
+
+
+def test_shingle_df_histogram_power_of_two_bucket_edges(spark):
+    """df=2 must land in bucket 1 and df=4 in bucket 2 — the exact
+    powers of two where floating floor(log2) implementations drift."""
+    from duckdb_cloudflare_spark.operators.dedup import shingle_df_histogram
+
+    rows = [(i, "p q r") for i in range(4)]           # df=4 shingle
+    rows += [(10 + i, "s t u") for i in range(2)]     # df=2 shingle
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["log2_df"]: r for r in shingle_df_histogram(df).collect()}
+    assert got[2]["n_instances"] == 4 and got[2]["pair_pressure"] == 6
+    assert got[1]["n_instances"] == 2 and got[1]["pair_pressure"] == 1
