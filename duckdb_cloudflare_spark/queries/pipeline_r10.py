@@ -226,3 +226,48 @@ def q56_sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("users_1d"),
         )
     )
+
+
+@register(
+    "q57_retention_cohorts",
+    oracle="""
+    WITH du AS (
+        SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+        WHERE user_id IS NOT NULL
+    ), c AS (
+        SELECT user_id, min(day) AS cohort_day FROM du GROUP BY user_id
+    )
+    SELECT c.cohort_day AS cohort_day,
+           CAST(date_diff('day', c.cohort_day, du.day) AS BIGINT)
+               AS offset_days,
+           CAST(count(DISTINCT du.user_id) AS BIGINT) AS n_users
+    FROM du JOIN c ON du.user_id = c.user_id
+    WHERE date_diff('day', c.cohort_day, du.day) BETWEEN 0 AND 13
+    GROUP BY 1, 2
+    """,
+    description="Day-0..13 retention-cohort matrix over the events "
+    "stream: users grouped by first-seen day, distinct actives per "
+    "(cohort, day-offset) cell — the standard cohort-retention table "
+    "(offset 0 = cohort size by construction). Spark-side: dedup to "
+    "(day, user) (one shuffle), min-day per user on the SAME user key "
+    "(partial agg, no extra exchange class), a user-keyed equi-join of "
+    "two co-partitioned derivatives of the same table, then one "
+    "(cohort, offset)-keyed distinct agg. All-integer output; DATE "
+    "cohort keys via queries.load()'s normalized events.ts.",
+)
+def q57_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    du = (
+        e.filter(F.col("user_id").isNotNull())
+        .select(F.to_date("ts").alias("day"), "user_id")
+        .distinct()
+    )
+    cohort = du.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    offset = F.datediff(F.col("day"), F.col("cohort_day"))
+    return (
+        du.join(cohort, "user_id")
+        .select("cohort_day", offset.alias("offset_days"), "user_id")
+        .filter((F.col("offset_days") >= 0) & (F.col("offset_days") <= 13))
+        .groupBy("cohort_day", F.col("offset_days").cast("long").alias("offset_days"))
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )

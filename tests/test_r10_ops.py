@@ -187,3 +187,40 @@ def test_shingle_df_histogram_power_of_two_bucket_edges(spark):
     got = {r["log2_df"]: r for r in shingle_df_histogram(df).collect()}
     assert got[2]["n_instances"] == 4 and got[2]["pair_pressure"] == 6
     assert got[1]["n_instances"] == 2 and got[1]["pair_pressure"] == 1
+
+
+# ---------------------------------------------------------------------------
+# q57 retention cohorts
+# ---------------------------------------------------------------------------
+
+
+def test_retention_cohorts_hand_computed(spark):
+    from duckdb_cloudflare_spark.queries import all_queries
+    import os
+    import tempfile
+
+    # u1 first seen day1, active day1+day3 → cohort day1: offsets {0, 2}.
+    # u2 first seen day1, active day1 only → strengthens offset 0.
+    # u3 first seen day3, active day3 + day20 (offset 17 > 13 → dropped).
+    d = tempfile.mkdtemp()
+    rows = [
+        (1, dt.datetime(2024, 2, 1, 4), 1, "c", 0.0, "{}"),
+        (2, dt.datetime(2024, 2, 3, 4), 1, "c", 0.0, "{}"),
+        (3, dt.datetime(2024, 2, 1, 5), 2, "c", 0.0, "{}"),
+        (4, dt.datetime(2024, 2, 3, 6), 3, "c", 0.0, "{}"),
+        (5, dt.datetime(2024, 2, 20, 6), 3, "c", 0.0, "{}"),
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+    got = {
+        (str(r["cohort_day"]), r["offset_days"]): r["n_users"]
+        for r in all_queries()["q57_retention_cohorts"](spark, d).collect()
+    }
+    assert got == {
+        ("2024-02-01", 0): 2,  # u1, u2
+        ("2024-02-01", 2): 1,  # u1 returns on day3
+        ("2024-02-03", 0): 1,  # u3's own cohort
+    }
