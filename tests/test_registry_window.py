@@ -107,3 +107,16 @@ def test_post_window_entries_all_locally_gated():
     # (all_queries) and the declared inventory agree in size.
     names = list(Q.all_queries())
     assert len(names) >= 116  # grows monotonically; never silently shrinks
+
+
+def test_registered_callables_are_named_like_their_registry_keys():
+    """Catches the stacked-decorator mis-registration class: inserting a
+    new @register block between an existing entry's decorator and its def
+    silently registers ONE function under TWO names (and orphans the
+    other def). register() returns fn unchanged, so __name__ must equal
+    the registry key for every entry."""
+    for name, fn in Q.all_queries().items():
+        assert fn.__name__ == name, (
+            f"registry key {name!r} is bound to function {fn.__name__!r} — "
+            "a decorator is stacked on the wrong def"
+        )
