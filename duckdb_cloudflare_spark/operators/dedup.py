@@ -1475,6 +1475,7 @@ def minhash_est_jaccard_pairs(
     shingle_k: int = 3,
     bands: int = 4,
     id_col: str = "doc_id",
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """MinHash ESTIMATED Jaccard for every LSH-candidate pair — the stage
     between p73 (signatures) and p34 (exact verification): pairs sharing
@@ -1494,7 +1495,15 @@ def minhash_est_jaccard_pairs(
     bucket-bounded like p06's engine, never all-pairs; the per-band
     duplicate pairs collapse in a final pair-keyed partial agg. The
     signature array rides along the join rows (k·8 bytes), so no
-    re-join against the signature table is needed."""
+    re-join against the signature table is needed.
+
+    ``max_bucket`` (p06's hot-bucket rule): a band bucket of B members
+    emits B² rows — exact duplicates share ALL bands, so one mass-
+    duplicated page turns the triage itself quadratic. The cap drops
+    buckets above it (documented recall loss on exactly those mass-dup
+    clusters, which exact dedup should have removed upstream anyway).
+    None (off) by default: the registered p91 query is the oracle-exact
+    form; corpus deployments should set it like p06 does (200)."""
     sigs = minhash_signatures_exact(
         df, text_col=text_col, k=k, shingle_k=shingle_k, bands=bands
     )
@@ -1506,6 +1515,17 @@ def minhash_est_jaccard_pairs(
             "band_idx", "band_key"
         ),
     )
+    if max_bucket is not None:
+        # groupBy+join, not a window — p06's rationale verbatim: a hot
+        # bucket is exactly what the cap handles, and a window would ship
+        # all of it into one task; the join reuses the band-key exchange.
+        ok = (
+            banded.groupBy("band_idx", "band_key")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") <= max_bucket)
+            .select("band_idx", "band_key")
+        )
+        banded = banded.join(ok, ["band_idx", "band_key"])
     a = banded.select(
         F.col(id_col).alias("id_a"),
         F.col("sig").alias("sig_a"),

@@ -224,3 +224,19 @@ def test_retention_cohorts_hand_computed(spark):
         ("2024-02-01", 2): 1,  # u1 returns on day3
         ("2024-02-03", 0): 1,  # u3's own cohort
     }
+
+
+def test_minhash_est_jaccard_max_bucket_drops_mass_dup_cluster(spark):
+    """p06's hot-bucket rule on the p91 engine: 30 identical docs share
+    every band → 435 pairs uncapped; max_bucket=10 drops those buckets
+    entirely while an unrelated small near-dup pair is untouched."""
+    from duckdb_cloudflare_spark.operators.dedup import minhash_est_jaccard_pairs
+
+    rows = [(i, "mass duplicated boilerplate page body here") for i in range(30)]
+    rows += [(100, "rare one two three four five"), (101, "rare one two three four five")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    uncapped = minhash_est_jaccard_pairs(df).collect()
+    capped = minhash_est_jaccard_pairs(df, max_bucket=10).collect()
+    assert len(uncapped) == 30 * 29 // 2 + 1
+    got = {(r["id_a"], r["id_b"]) for r in capped}
+    assert got == {(100, 101)}
