@@ -53,12 +53,24 @@ def _gen_sf1(src: str) -> str | None:
     ``src`` via DuckDB; returns the directory, or None on failure.
 
     documents replicas get per-replica md5-shuffled words (the proven
-    tests/test_scale_sf1.py recipe) so dedup/shingle operators see 10×
+    tests/test_scale_sf1.py recipe — kept in sync by hand; that fixture
+    additionally plants skew and has a different table mix, so they are
+    deliberately not one function) so dedup/shingle operators see 10×
     distinct work, not 10 identical copies; lineitem/embeddings replicate
-    with shifted keys."""
-    import duckdb
+    with shifted keys.
 
-    d = f"/tmp/spark_graft_bench_sf1_{os.path.basename(src.rstrip('/'))}"
+    The cache key fingerprints the FULL source path plus each source
+    file's (mtime, size) — a regenerated testdata dir or a different
+    corpus that happens to share a basename must miss the cache, not
+    silently bench stale replicas."""
+    import duckdb
+    import hashlib
+
+    fp = hashlib.md5(os.path.abspath(src).encode())
+    for t in _SF1_TABLES:
+        st = os.stat(os.path.join(src, f"{t}.parquet"))
+        fp.update(f"{t}:{st.st_mtime_ns}:{st.st_size};".encode())
+    d = f"/tmp/spark_graft_bench_sf1_{fp.hexdigest()[:16]}"
     marker = os.path.join(d, "_GEN_OK")
     if os.path.exists(marker):
         return d
@@ -72,26 +84,27 @@ def _gen_sf1(src: str) -> str | None:
         f"CREATE VIEW src_emb AS SELECT * FROM '{src}/embeddings.parquet'"
     )
     n_docs = con.execute("SELECT count(*) FROM src_docs").fetchone()[0]
+    # the shuffled text is computed ONCE in the inner select; n_chars
+    # derives from it in the outer (the expensive list_sort/md5 transform
+    # used to be inlined twice — r10 review find)
     con.execute(
         f"""
         COPY (
-            SELECT doc_id + {n_docs} * r AS doc_id,
-                   array_to_string(
-                       list_transform(
-                           list_sort(list_transform(
-                               string_split(coalesce(text, ''), ' '),
-                               w -> md5(r || ':' || doc_id || ':' || w) || ':' || w)),
-                           kw -> substr(kw, 34) || '~' || (doc_id % 100)),
-                       ' ') AS text,
-                   lang, source,
-                   CAST(length(array_to_string(
-                       list_transform(
-                           list_sort(list_transform(
-                               string_split(coalesce(text, ''), ' '),
-                               w -> md5(r || ':' || doc_id || ':' || w) || ':' || w)),
-                           kw -> substr(kw, 34) || '~' || (doc_id % 100)),
-                       ' ')) AS BIGINT) AS n_chars
-            FROM src_docs, range(10) t(r)
+            SELECT doc_id, text, lang, source,
+                   CAST(length(text) AS BIGINT) AS n_chars
+            FROM (
+                SELECT doc_id + {n_docs} * r AS doc_id,
+                       array_to_string(
+                           list_transform(
+                               list_sort(list_transform(
+                                   string_split(coalesce(text, ''), ' '),
+                                   w -> md5(r || ':' || doc_id || ':' || w)
+                                        || ':' || w)),
+                               kw -> substr(kw, 34) || '~' || (doc_id % 100)),
+                           ' ') AS text,
+                       lang, source
+                FROM src_docs, range(10) t(r)
+            )
         ) TO '{d}/documents.parquet' (FORMAT parquet)
         """
     )
@@ -377,24 +390,33 @@ def main() -> None:
                 import duckdb
 
                 con1 = duckdb.connect()
-                for t in _SF1_TABLES:
-                    con1.execute(
-                        f"CREATE VIEW {t} AS SELECT * FROM "
-                        f"read_parquet('{sf1_dir}/{t}.parquet')"
-                    )
-                for name in ran:
-                    sql = oracles.get(name)
-                    if not sql:
-                        continue
-                    best = float("inf")
-                    for _ in range(2):
-                        t0 = time.perf_counter()
-                        con1.execute(sql).fetchall()
-                        best = min(best, time.perf_counter() - t0)
-                    sf1_d[name] = round(best, 4)
-                con1.close()
-            except Exception:
-                pass
+                try:
+                    for t in _SF1_TABLES:
+                        con1.execute(
+                            f"CREATE VIEW {t} AS SELECT * FROM "
+                            f"read_parquet('{sf1_dir}/{t}.parquet')"
+                        )
+                    for name in ran:
+                        sql = oracles.get(name)
+                        if not sql:
+                            continue
+                        best = float("inf")
+                        for _ in range(2):
+                            t0 = time.perf_counter()
+                            con1.execute(sql).fetchall()
+                            best = min(best, time.perf_counter() - t0)
+                        sf1_d[name] = round(best, 4)
+                finally:
+                    con1.close()
+            except Exception as e:
+                # a truncated sf1_d must be VISIBLE, not read as a
+                # measured 0.0 subtotal (r10 review find)
+                print(
+                    f"bench: sf1 DuckDB lane aborted after "
+                    f"{len(sf1_d)}/{len(ran)} queries ({e})",
+                    file=sys.stderr,
+                )
+                sf1_d = {}
             dropped = [n for n in _SF1_HEADLINE if n not in registry]
             if dropped:
                 print(f"bench: sf1 lane dropped {dropped}", file=sys.stderr)

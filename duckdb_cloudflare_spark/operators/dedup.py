@@ -1436,15 +1436,19 @@ def shingle_df_histogram(
     Determinism: all-integer (counts, int2(log2) via bit length — no
     floating log). Scale shape: one shingle explode → one shingle-keyed
     partial-agg shuffle (doc frequency) → one TINY bucket-keyed agg
-    (≤ ~40 buckets) — linear, no joins, no pairs materialized."""
-    shins = (
+    (≤ ~40 buckets) — linear, no joins, no pairs materialized.
+
+    The explode takes the shingle expression INLINE (never `.alias("sh")`
+    then `explode("sh")`): exploding an aliased expensive array lets
+    InferFiltersFromGenerate + CollapseProject inline the whole
+    tokenize→hash pipeline into an inferred Filter — measured 17× slower
+    at the sf1 lane. The session default excludes that rule, but the
+    inline shape keeps this operator fast on VANILLA sessions too."""
+    freq = (
         ensure_parallelism(df)
         .select(id_col, lowered_tokens(text_col).alias("ts"))
         .filter(F.size("ts") >= k)
-        .select(id_col, hashed_word_shingles(k).alias("sh"))
-    )
-    freq = (
-        shins.select(F.explode("sh").alias("shingle"))
+        .select(F.explode(hashed_word_shingles(k)).alias("shingle"))
         .groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("df"))
     )
@@ -1504,8 +1508,17 @@ def minhash_est_jaccard_pairs(
     clusters, which exact dedup should have removed upstream anyway).
     None (off) by default: the registered p91 query is the oracle-exact
     form; corpus deployments should set it like p06 does (200)."""
+    # minhash_signatures_exact selects by the literal name "doc_id"
+    # (its registered-query contract) — normalize the caller's id column
+    # to it first so id_col is honored for real, not just as an output
+    # rename (r10 review find).
+    src = (
+        df
+        if id_col == "doc_id"
+        else df.select(F.col(id_col).alias("doc_id"), text_col)
+    )
     sigs = minhash_signatures_exact(
-        df, text_col=text_col, k=k, shingle_k=shingle_k, bands=bands
+        src, text_col=text_col, k=k, shingle_k=shingle_k, bands=bands
     )
     sig_arr = F.array(*[F.col(f"s{i}") for i in range(k)]).alias("sig")
     banded = sigs.select(

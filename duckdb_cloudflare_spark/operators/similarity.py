@@ -488,10 +488,13 @@ def embedding_norm_qa(
     # second pass over the same rows against the broadcast thresholds
     # ss must not wrap: nm ~1e6 for unit-norm vectors, so nm² ~1e12 and a
     # LONG sum silently overflows past ~9M vectors (Spark non-ANSI wrap)
-    # while the DuckDB oracle promotes sum to HUGEINT. decimal(18,0)²
-    # → decimal(37,0) products, decimal(38,0) sum — exact on both engines
-    # (ADVICE r9 medium).
-    nm_dec = F.col("nm").cast("decimal(18,0)")
+    # while the DuckDB oracle promotes sum to HUGEINT (ADVICE r9 medium).
+    # decimal(20,0) covers the FULL long range — decimal(18,0) would cap
+    # nm at 1e18-1 and crash (ANSI) or NULL-drop (non-ANSI) on exactly
+    # the exploding-norm rows this gate exists to catch (norm² >= 1e12
+    # → nm >= 1e18, r10 review find). Products cap at ~8.5e37, inside
+    # the bounded decimal(38,0) multiply result — exact on both engines.
+    nm_dec = F.col("nm").cast("decimal(20,0)")
     agg = rows.groupBy(*gcols).agg(
         F.count(F.lit(1)).alias("n_vectors"),
         F.sum(nm_dec).alias("s"),

@@ -231,7 +231,11 @@ def iceberg_rest_handshake(
     headers = {"Authorization": f"Bearer {conf[f'{p}.token']}"}
     wh = urllib.parse.quote(conf.get(f"{p}.warehouse", ""), safe="")
     config = _json.loads(t.get(f"{uri}/v1/config?warehouse={wh}", headers=headers))
-    prefix = (config.get("overrides") or {}).get("prefix", "")
+    # the REST spec merges defaults <- client <- overrides; a conformant
+    # catalog may return prefix in either block (overrides win)
+    merged = dict(config.get("defaults") or {})
+    merged.update(config.get("overrides") or {})
+    prefix = merged.get("prefix", "")
     base = f"{uri}/v1/{prefix}".rstrip("/")
     out = {
         "config": config,
@@ -250,8 +254,11 @@ def iceberg_rest_handshake(
     out["tables"] = [i["name"] for i in idents]
     if not idents:
         return out
+    # table names are path segments too: '#'/'?'/'/' in a name would
+    # truncate or reroute the GET unquoted
+    tname = urllib.parse.quote(idents[0]["name"], safe="")
     tbl = _json.loads(
-        t.get(f"{base}/namespaces/{ns}/tables/{idents[0]['name']}", headers=headers)
+        t.get(f"{base}/namespaces/{ns}/tables/{tname}", headers=headers)
     )
     out["metadata_location"] = tbl.get("metadata-location")
     return out

@@ -958,6 +958,51 @@ class TestR2IcebergConf:
         # the server prefix override rerouted everything after /v1/config
         assert all("/v1/acct_bkt/" in u for u, _ in Recording.calls[1:])
 
+    def test_rest_handshake_defaults_prefix_and_quoted_table(self, tmp_path):
+        """r10 review: a spec-conformant catalog may return `prefix` in
+        the DEFAULTS block (merged, overrides win), and a table name with
+        reserved characters must be percent-encoded into the loadTable
+        path — '#' would otherwise truncate the URL as a fragment."""
+        import json
+
+        from duckdb_cloudflare_spark.sources.r2 import (
+            iceberg_rest_handshake,
+            r2_iceberg_conf,
+        )
+        from duckdb_cloudflare_spark.util.http import FixtureTransport
+
+        conf = r2_iceberg_conf(
+            account_id="acct", api_token="tok", bucket_name="bkt", catalog_name="r2"
+        )
+        base = "https://catalog.cloudflarestorage.com/acct/bkt"
+        wh = base.replace(":", "%3A").replace("/", "%2F")
+        fixtures = {
+            f"{base}/v1/config?warehouse={wh}": {
+                "defaults": {"prefix": "dflt"},
+                "overrides": {},
+            },
+            f"{base}/v1/dflt/namespaces": {"namespaces": [["ns"]]},
+            f"{base}/v1/dflt/namespaces/ns/tables": {
+                "identifiers": [{"namespace": ["ns"], "name": "odd name#1"}]
+            },
+            f"{base}/v1/dflt/namespaces/ns/tables/odd%20name%231": {
+                "metadata-location": "r2://bkt/odd/metadata/v1.metadata.json"
+            },
+        }
+        manifest = {}
+        for i, (url, payload) in enumerate(fixtures.items()):
+            name = f"g{i}.json"
+            (tmp_path / name).write_text(json.dumps(payload))
+            manifest[url] = name
+        (tmp_path / "manifest.json").write_text(json.dumps(manifest))
+        got = iceberg_rest_handshake(
+            conf, catalog_name="r2", transport=FixtureTransport(str(tmp_path))
+        )
+        assert got["tables"] == ["odd name#1"]
+        assert got["metadata_location"] == (
+            "r2://bkt/odd/metadata/v1.metadata.json"
+        )
+
 
 class TestD1InsertDf:
     def test_roundtrip_via_stub(self, registered, tmp_path):

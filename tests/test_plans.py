@@ -611,3 +611,29 @@ def test_p92_single_partition_keyed_sort_window(spark, registry):
     assert "Window" in plan
     assert "SinglePartition" not in plan
     assert "rangepartitioning" not in plan.lower()
+
+
+def test_no_inferred_filter_reevaluates_shingle_pipeline(spark, registry):
+    """r10 profiled find: InferFiltersFromGenerate + CollapseProject
+    inlines the full tokenize→shingle→hash expression into an inferred
+    Filter below the explode (the tokenizer re-inlined into every
+    element_at — O(shingles × k) re-evaluations per row; measured 17×
+    at the sf1 lane). The session default excludes the rule; this pins
+    that NO Filter in the optimized plan of the shingle engines contains
+    the hash expression."""
+    import re
+
+    for name in (
+        "p93_shingle_df_histogram",
+        "p34_exact_jaccard_pairs",
+        "p91_minhash_est_jaccard",
+        "p87_shingle_containment",
+    ):
+        df = registry[name](spark, SF_DIR)
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        for line in plan.splitlines():
+            if re.search(r"\bFilter\b", line):
+                assert "xxhash64" not in line and "md5" not in line, (
+                    name,
+                    line[:200],
+                )

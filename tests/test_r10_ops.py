@@ -240,3 +240,18 @@ def test_minhash_est_jaccard_max_bucket_drops_mass_dup_cluster(spark):
     assert len(uncapped) == 30 * 29 // 2 + 1
     got = {(r["id_a"], r["id_b"]) for r in capped}
     assert got == {(100, 101)}
+
+
+def test_minhash_est_jaccard_honors_custom_id_col(spark):
+    """r10 review: id_col must select the input column, not just rename
+    the output — a (page_id, text) frame has no doc_id at all."""
+    from duckdb_cloudflare_spark.operators.dedup import minhash_est_jaccard_pairs
+
+    df = spark.createDataFrame(
+        [(7, "same words in both docs here"), (9, "same words in both docs here")],
+        "page_id long, text string",
+    )
+    rows = minhash_est_jaccard_pairs(df, id_col="page_id").collect()
+    assert len(rows) == 1
+    assert (rows[0]["id_a"], rows[0]["id_b"]) == (7, 9)
+    assert rows[0]["est_jaccard"] == 1.0

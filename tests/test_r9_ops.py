@@ -268,3 +268,21 @@ def test_embedding_norm_qa_large_norms_no_overflow(spark):
     assert got["min_norm2"] == pytest.approx(3600.0, rel=1e-9)
     assert got["max_norm2"] == pytest.approx(6400.0, rel=1e-9)
     assert got["n_outliers"] == 0
+
+
+def test_embedding_norm_qa_exploding_norm_at_decimal18_boundary(spark):
+    """r10 review find: nm >= 1e18 (norm² >= 1e12 — the exploding-norm
+    row this QA gate exists to catch) fits a long but NOT decimal(18,0);
+    the cast must be decimal(20,0) or the gate crashes under ANSI on the
+    very input it audits."""
+    from duckdb_cloudflare_spark.operators.similarity import embedding_norm_qa
+
+    big = 1414213.56  # norm² ≈ 2e12 → nm ≈ 2e18
+    rows = [(1, "g", [big, 0.0]), (2, "g", [1.0, 0.0]), (3, "g", [1.0, 0.0])]
+    df = spark.createDataFrame(
+        rows, "vec_id long, label string, embedding array<double>"
+    )
+    got = embedding_norm_qa(df, cluster_col="label").collect()[0]
+    assert got["n_vectors"] == 3
+    assert got["max_norm2"] == pytest.approx(big * big, rel=1e-6)
+    assert got["min_norm2"] == 1.0
