@@ -1664,3 +1664,131 @@ def dup_cluster_histogram(
             ),
         )
     )
+
+
+def decontamination_stats(
+    df: DataFrame,
+    eval_df: DataFrame,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    broadcast_eval: bool = True,
+) -> DataFrame:
+    """EXACT benchmark-decontamination report: for every training document,
+    how many of its distinct word-``k``-grams appear ANYWHERE in the
+    held-out evaluation corpus (the n-gram-overlap contamination test of
+    GPT-3 appendix C / PaLM / Llama eval cards — the exact counterpart of
+    the p77 Bloom-filter screen, which trades these exact counts for a
+    one-sided error sketch). Returns ``(id, n_ngrams, n_contaminated,
+    contamination)`` with the rate an exact integer division.
+
+    Scale shape: both sides reuse the p34 shingle derivation (one explode,
+    distinct 8-byte xxhash64 keys — string-keyed oracle parity catches any
+    count-perturbing collision). The eval side collapses to DISTINCT
+    n-grams and is BROADCAST by default (benchmark suites are tiny —
+    thousands of documents — next to a 100 TB corpus), so the corpus never
+    shuffles for the probe; the only corpus shuffle is the final per-doc
+    partial-agg. Set ``broadcast_eval=False`` for a corpus-sized eval side,
+    which falls back to an equi-shuffle join on the hash keys.
+    """
+
+    def _grams(frame: DataFrame, keep_id: bool) -> DataFrame:
+        shins = (
+            ensure_parallelism(frame)
+            .select(id_col, lowered_tokens(text_col).alias("ts"))
+            .filter(F.size("ts") >= k)
+        )
+        if keep_id:
+            return shins.select(
+                id_col, F.explode(hashed_word_shingles(k)).alias("g")
+            )
+        return shins.select(F.explode(hashed_word_shingles(k)).alias("g"))
+
+    ev = _grams(eval_df, keep_id=False).distinct().withColumn("hit", F.lit(1))
+    if broadcast_eval:
+        ev = F.broadcast(ev)
+    return (
+        _grams(df, keep_id=True)
+        .join(ev, "g", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_ngrams"),
+            F.coalesce(F.sum("hit"), F.lit(0)).cast("bigint").alias(
+                "n_contaminated"
+            ),
+        )
+        .select(
+            id_col,
+            "n_ngrams",
+            "n_contaminated",
+            (
+                F.col("n_contaminated").cast("double")
+                / F.col("n_ngrams").cast("double")
+            ).alias("contamination"),
+        )
+    )
+
+
+def token_set_fingerprint(text: Column) -> Column:
+    """Bag-of-words SET fingerprint: md5 of the sorted distinct lowercased
+    whitespace tokens — the coarser content key (word order and repetition
+    ignored) used for near-dup candidate keying when exact fingerprints are
+    too strict. Pure codegen expressions."""
+    return F.md5(
+        F.array_join(
+            F.array_distinct(F.array_sort(F.split(F.trim(F.lower(text)), r"\s+"))),
+            " ",
+        )
+    )
+
+
+def cross_source_leakage(
+    df: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+    key: str = "exact",
+    max_cluster: int | None = None,
+) -> DataFrame:
+    """Cross-source duplicate-leakage matrix: for every unordered pair of
+    sources, the number of distinct content fingerprints present in
+    BOTH — the report that decides dedup ordering in a multi-source mix
+    (which feeds overlap which, who wins ties) and flags license
+    contamination between crawls. One row per (src_a < src_b) pair with
+    ``n_shared`` distinct fingerprints. ``key`` picks the content key:
+    ``"exact"`` (p01's normalized-text md5 — verbatim duplication) or
+    ``"token_set"`` (sorted distinct-token md5 — order/repetition-blind
+    near-duplication, the coarser screen that fires on template rewrites).
+
+    Scale shape: distinct (fp, source) pairs (one partial-agg shuffle on
+    the 128-bit fingerprint), then a fingerprint-keyed self-join that is
+    bucket-bounded — a fingerprint shared by s sources emits s(s-1)/2 pair
+    rows and s is capped by the source count (tens), NEVER by corpus size,
+    so the join cannot go quadratic in documents. ``max_cluster`` (same
+    contract as the LSH hot-bucket caps) additionally drops fingerprints
+    duplicated across more than that many sources before pairing; with it
+    set the matrix is a documented underestimate.
+    """
+    from duckdb_cloudflare_spark.operators.text_analysis import fingerprint
+
+    if key == "exact":
+        fp = fingerprint(F.col(text_col))
+    elif key == "token_set":
+        fp = token_set_fingerprint(F.col(text_col))
+    else:
+        raise ValueError(f"unknown fingerprint key: {key!r}")
+    fps = df.select(fp.alias("fp"), F.col(source_col).alias("src")).distinct()
+    if max_cluster is not None:
+        w = Window.partitionBy("fp")
+        fps = (
+            fps.withColumn("_n", F.count(F.lit(1)).over(w))
+            .filter(F.col("_n") <= max_cluster)
+            .drop("_n")
+        )
+    a = fps.select("fp", F.col("src").alias("src_a"))
+    b = fps.select("fp", F.col("src").alias("src_b"))
+    return (
+        a.join(b, "fp")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )

@@ -520,3 +520,91 @@ def dsir_resample(
         .limit(k)
         .select(id_col, "dsir_weight", F.round("_key", 6).alias("priority"))
     )
+
+
+# PII detection/redaction rules: (name, pattern, replacement token), applied
+# IN ORDER, each rule matching against the text as redacted by the rules
+# before it (so an email's host can never double-count as an IPv4, and a
+# replacement token is never re-matched). Patterns are deliberately kept in
+# the common Java-regex/RE2 subset (character classes, bounded repetition,
+# \b word boundaries, non-capturing groups only) so the same strings drive
+# Spark's codegen regexp engine and any RE2-based checker identically.
+PII_RULES: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IPV4>"),
+    ("phone", r"\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b", "<PHONE>"),
+    ("ssn", r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b", "<SSN>"),
+)
+
+
+def pii_scan(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    rules: tuple[tuple[str, str, str], ...] = PII_RULES,
+) -> DataFrame:
+    """Per-document PII detection + redaction — the scrub step every
+    training-data pipeline runs before anything leaves the curation zone
+    (the reference's fetched WARC/Wayback payloads are raw web text, which
+    is exactly where this PII lives). For each rule, counts matches and
+    replaces them with the rule's token; rules apply sequentially so counts
+    are non-overlapping by construction. Returns the input's id column plus
+    ``n_<rule>`` per rule, ``n_pii`` (total), and ``redacted`` (the fully
+    scrubbed text).
+
+    Scale shape: map-only JVM regexp expressions (regexp_count +
+    regexp_replace chains) fused by whole-stage codegen — zero shuffles,
+    zero Python; linear scan, embarrassingly parallel at 100 TB.
+    """
+    cur = F.col(text_col)
+    counts: list[Column] = []
+    for name, pat, token in rules:
+        counts.append(F.regexp_count(cur, F.lit(pat)).cast("bigint").alias(f"n_{name}"))
+        cur = F.regexp_replace(cur, pat, token)
+    total = None
+    for c in counts:
+        total = c if total is None else total + c
+    return df.select(
+        id_col,
+        *counts,
+        total.cast("bigint").alias("n_pii"),
+        cur.alias("redacted"),
+    )
+
+
+def token_fertility_report(
+    df: DataFrame,
+    group_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """Tokenizer-fertility report per group (typically language): document
+    and char totals, whitespace-token and BPE-ish-subword-token totals, and
+    the two fertility ratios every multilingual data mix is tuned on —
+    chars per subword token (CJK ≈ 1, alphabetic languages ≈ 3-5) and
+    subword tokens per whitespace word. Both ratios are single exact
+    divisions of integer sums (bit-identical across engines — the q48
+    rule), never averaged per-document floats.
+
+    Scale shape: map-side expression derivation (regexp_extract_all +
+    size, all codegen) + ONE partial-aggregated groupBy on a low-cardinality
+    key — the classic partial-agg shape, no skew risk at any scale.
+    """
+    t = tokens(F.col(text_col))
+    per = df.filter(F.size(t) > 0).select(
+        group_col,
+        F.length(text_col).cast("bigint").alias("_chars"),
+        F.size(t).cast("bigint").alias("_ws"),
+        F.size(bpe_ish_tokens(F.col(text_col))).cast("bigint").alias("_bpe"),
+    )
+    return per.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("_chars").alias("n_chars"),
+        F.sum("_ws").alias("n_ws_tokens"),
+        F.sum("_bpe").alias("n_bpe_tokens"),
+        (F.sum("_chars").cast("double") / F.sum("_bpe").cast("double")).alias(
+            "chars_per_bpe_token"
+        ),
+        (F.sum("_bpe").cast("double") / F.sum("_ws").cast("double")).alias(
+            "bpe_per_ws_token"
+        ),
+    )

@@ -18,7 +18,7 @@ from __future__ import annotations
 import re
 
 import pandas as pd
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 # Query parameters that never identify content (tracking/click IDs).
@@ -262,4 +262,38 @@ def registrable_domain(host: Column) -> Column:
     take = F.least(take, n)
     return F.when(h.isNull() | (h == ""), F.lit(None).cast("string")).otherwise(
         F.array_join(F.slice(labels, n - take + 1, take), ".")
+    )
+
+
+def apply_domain_blocklist(
+    df: DataFrame,
+    blocked_domains: list[str] | tuple[str, ...],
+    url_col: str = "url",
+) -> DataFrame:
+    """URL-filtering against a domain blocklist (the UT1/Blacklists-style
+    gate every crawl-derived corpus applies before anything else touches
+    the text): derives the registrable domain of each row's URL
+    (subdomains collapse — blocking ``example.com`` blocks
+    ``cdn.a.example.com``) and marks rows whose domain is listed. Returns
+    the input plus ``domain`` and a boolean ``blocked``; callers filter or
+    report on it.
+
+    Scale shape: the blocklist (even the union of public lists is a few
+    million rows — megabytes) becomes a BROADCAST hash join build side, so
+    the 100 TB corpus is probed map-side with zero shuffle; the domain
+    derivation is pure codegen expressions (``url_host`` +
+    ``registrable_domain``). Blocklist entries are normalized the same way
+    hosts are (lowercase, trailing dots stripped) so list spellings like
+    'Example.COM.' still match.
+    """
+    spark = df.sparkSession
+    bl = spark.createDataFrame(
+        [(d,) for d in sorted(set(blocked_domains))], "domain string"
+    ).select(
+        F.regexp_replace(F.lower(F.trim("domain")), r"\.+$", "").alias("domain"),
+        F.lit(True).alias("blocked"),
+    ).distinct()
+    out = df.withColumn("domain", registrable_domain(url_host(F.col(url_col))))
+    return out.join(F.broadcast(bl), "domain", "left").withColumn(
+        "blocked", F.coalesce(F.col("blocked"), F.lit(False))
     )

@@ -271,3 +271,266 @@ def q57_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_day", F.col("offset_days").cast("long").alias("offset_days"))
         .agg(F.countDistinct("user_id").alias("n_users"))
     )
+
+
+# --- r10 second wave: PII scrub, decontamination, fertility, URL filtering,
+# --- cross-source leakage -------------------------------------------------
+
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_IPV4 = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+_PII_PHONE = r"\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b"
+_PII_SSN = r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b"
+
+_DIRTY_PII_SQL = """
+        text
+        || CASE WHEN doc_id % 3 = 0 THEN ' contact u' || doc_id || '@mail'
+                || (doc_id % 5) || '.example.com' ELSE '' END
+        || CASE WHEN doc_id % 4 = 0 THEN ' call 555-'
+                || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-'
+                || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+        || CASE WHEN doc_id % 5 = 0 THEN ' host 10.' || (doc_id % 256)
+                || '.0.' || (doc_id % 100) ELSE '' END
+        || CASE WHEN doc_id % 7 = 0 THEN ' ssn 123-45-'
+                || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+"""
+
+
+@register(
+    "p94_pii_scan",
+    oracle=f"""
+    WITH s0 AS (SELECT doc_id, {_DIRTY_PII_SQL} AS t FROM documents),
+    s1 AS (
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(t, '{_PII_EMAIL}')) AS BIGINT)
+                   AS n_email,
+               regexp_replace(t, '{_PII_EMAIL}', '<EMAIL>', 'g') AS t
+        FROM s0
+    ), s2 AS (
+        SELECT doc_id, n_email,
+               CAST(len(regexp_extract_all(t, '{_PII_IPV4}')) AS BIGINT)
+                   AS n_ipv4,
+               regexp_replace(t, '{_PII_IPV4}', '<IPV4>', 'g') AS t
+        FROM s1
+    ), s3 AS (
+        SELECT doc_id, n_email, n_ipv4,
+               CAST(len(regexp_extract_all(t, '{_PII_PHONE}')) AS BIGINT)
+                   AS n_phone,
+               regexp_replace(t, '{_PII_PHONE}', '<PHONE>', 'g') AS t
+        FROM s2
+    ), s4 AS (
+        SELECT doc_id, n_email, n_ipv4, n_phone,
+               CAST(len(regexp_extract_all(t, '{_PII_SSN}')) AS BIGINT)
+                   AS n_ssn,
+               regexp_replace(t, '{_PII_SSN}', '<SSN>', 'g') AS t
+        FROM s3
+    )
+    SELECT doc_id, n_email, n_ipv4, n_phone, n_ssn,
+           n_email + n_ipv4 + n_phone + n_ssn AS n_pii,
+           md5(t) AS redacted_fp
+    FROM s4
+    """,
+    description="PII detection + redaction — the scrub every corpus runs "
+    "before text leaves the curation zone (p23 is the minimal scrub; THIS "
+    "is the audit report): sequential email/IPv4/phone/SSN "
+    "rules, per-rule match counts, fully redacted text (hash-compared via "
+    "md5). The corpus has no PII, so a deterministic DIRTY suffix is "
+    "synthesized per doc_id (p63's fixture pattern) and the REAL operator "
+    "(operators/text_analysis.py::pii_scan) scrubs it; the oracle runs the "
+    "SAME regexes through DuckDB's RE2, so every pattern is cross-engine "
+    "checked — patterns are kept in the Java-regex/RE2 common subset by "
+    "contract. Rules apply in order against the previously-redacted text, "
+    "so counts are non-overlapping by construction (an email's host can "
+    "never re-count as an IPv4). Scale shape: map-only codegen "
+    "regexp_count/regexp_replace chain — zero shuffles, zero Python.",
+)
+def p94_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+
+    def opt(cond, *parts):
+        return F.when(cond, F.concat(*parts)).otherwise(F.lit(""))
+
+    dirty = F.concat(
+        F.col("text"),
+        opt(i % 3 == 0, F.lit(" contact u"), i.cast("string"), F.lit("@mail"),
+            (i % 5).cast("string"), F.lit(".example.com")),
+        opt(i % 4 == 0, F.lit(" call 555-"),
+            F.lpad((i % 1000).cast("string"), 3, "0"), F.lit("-"),
+            F.lpad((i % 10000).cast("string"), 4, "0")),
+        opt(i % 5 == 0, F.lit(" host 10."), (i % 256).cast("string"),
+            F.lit(".0."), (i % 100).cast("string")),
+        opt(i % 7 == 0, F.lit(" ssn 123-45-"),
+            F.lpad((i % 10000).cast("string"), 4, "0")),
+    )
+    scanned = T.pii_scan(d.select("doc_id", dirty.alias("text")))
+    return scanned.select(
+        "doc_id", "n_email", "n_ipv4", "n_phone", "n_ssn", "n_pii",
+        F.md5("redacted").alias("redacted_fp"),
+    )
+
+
+@register(
+    "p95_ngram_decontaminate",
+    oracle=rf"""
+    WITH {_TOKS_CTE},
+    g AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(range(1, len(ts) - 3),
+                   i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' '
+                        || ts[i+3] || ' ' || ts[i+4]))) AS g
+        FROM toks WHERE len(ts) >= 5
+    ),
+    ev AS (SELECT DISTINCT g FROM g WHERE doc_id % 17 = 0),
+    c AS (SELECT doc_id, g FROM g WHERE doc_id % 17 <> 0)
+    SELECT c.doc_id AS doc_id,
+           CAST(count(*) AS BIGINT) AS n_ngrams,
+           CAST(count(ev.g) AS BIGINT) AS n_contaminated,
+           CAST(count(ev.g) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+               AS contamination
+    FROM c LEFT JOIN ev ON c.g = ev.g
+    GROUP BY c.doc_id
+    """,
+    description="EXACT benchmark decontamination (GPT-3 appendix C style): "
+    "per training document, the fraction of its distinct word-5-grams that "
+    "appear anywhere in a held-out eval corpus — the full audit table "
+    "behind p31's thresholded flag (p31 emits only docs over 10%; this "
+    "reports every doc's exact counts). Docs with doc_id % 17 = 0 "
+    "play the benchmark; the rest are the training corpus. The exact "
+    "counterpart of the p77 Bloom screen — THIS is the audit table, the "
+    "Bloom filter is the at-scale pre-filter. operators/dedup.py::"
+    "decontamination_stats. Spark joins on 8-byte xxhash64 n-gram keys "
+    "while the oracle joins the literal n-gram strings — the p34 parity "
+    "argument: any count-perturbing collision fails the hash gate. Scale "
+    "shape: eval n-grams DISTINCT then BROADCAST (benchmarks are tiny next "
+    "to a 100 TB corpus), so the corpus is probed map-side and the only "
+    "corpus shuffle is the per-doc partial agg; contamination is one exact "
+    "integer division (q48 rule, unrounded).",
+)
+def p95_ngram_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    return D.decontamination_stats(
+        d.filter(i % 17 != 0), d.filter(i % 17 == 0), k=5
+    )
+
+
+@register(
+    "p96_token_fertility",
+    oracle=r"""
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(length(text)) AS BIGINT) AS n_chars,
+           CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT)
+               AS n_ws_tokens,
+           CAST(sum(len(regexp_extract_all(text,
+                '([A-Za-z]+|[0-9]+|[^A-Za-z0-9\s])'))) AS BIGINT)
+               AS n_bpe_tokens,
+           CAST(sum(length(text)) AS DOUBLE)
+               / CAST(sum(len(regexp_extract_all(text,
+                     '([A-Za-z]+|[0-9]+|[^A-Za-z0-9\s])'))) AS DOUBLE)
+               AS chars_per_bpe_token,
+           CAST(sum(len(regexp_extract_all(text,
+                '([A-Za-z]+|[0-9]+|[^A-Za-z0-9\s])'))) AS DOUBLE)
+               / CAST(sum(len(string_split_regex(trim(text), '\s+')))
+                      AS DOUBLE)
+               AS bpe_per_ws_token
+    FROM documents
+    WHERE len(string_split_regex(trim(text), '\s+')) > 0
+    GROUP BY lang
+    """,
+    description="Tokenizer-fertility report per language — chars per "
+    "BPE-ish subword token and subwords per whitespace word, the ratios a "
+    "multilingual data mix is budgeted on (CJK ~1 char/token via the "
+    "single-char fallback class, alphabetic languages ~4-5). operators/"
+    "text_analysis.py::token_fertility_report over p02's tokenizer pair "
+    "(whitespace + the BPE-ish pre-tokenizer regex, both already "
+    "cross-engine-proven by p02). Ratios are single exact divisions of "
+    "INTEGER sums — bit-identical across engines unrounded (q48 rule) — "
+    "never means of per-doc floats. Scale shape: map-side codegen "
+    "derivation + ONE partial-agg groupBy on a 5-value key; no skew, no "
+    "Python, linear at 100 TB.",
+)
+def p96_token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return T.token_fertility_report(d, group_col="lang")
+
+
+@register(
+    "p97_domain_blocklist",
+    oracle="""
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN (doc_id % 50) IN (3,7,11,19,23,31,42)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_blocked,
+           CAST(sum(CASE WHEN (doc_id % 50) IN (3,7,11,19,23,31,42)
+                         THEN 0 ELSE 1 END) AS BIGINT) AS n_kept
+    FROM documents
+    GROUP BY source
+    """,
+    description="Domain-blocklist URL filtering (the UT1-style gate a "
+    "crawl corpus passes before any text processing): registrable-domain "
+    "derivation + broadcast hash join against the blocklist, reported as "
+    "blocked/kept counts per source. The corpus has no URL column, so a "
+    "deterministic URL is synthesized per doc (p63's fixture pattern: "
+    "https://www.example<doc_id%50>.com/p/<doc_id>) and a 7-domain "
+    "blocklist covers doc_id%50 in {3,7,11,19,23,31,42}; the oracle states "
+    "the expected partition closed-form, so the whole pipeline — "
+    "try_parse_url host extraction, eTLD+1 collapse of the www. label, "
+    "normalized broadcast join, coalesce to false — is value-checked. "
+    "operators/web.py::apply_domain_blocklist. Scale shape: blocklists "
+    "are megabytes (broadcast build side); the 100 TB probe side never "
+    "shuffles — the groupBy here is the report, not the filter.",
+)
+def p97_domain_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duckdb_cloudflare_spark.operators.web import apply_domain_blocklist
+
+    d = load(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    url = F.concat(
+        F.lit("https://www.example"), (i % 50).cast("string"),
+        F.lit(".com/p/"), i.cast("string"),
+    )
+    blocklist = [f"example{k}.com" for k in (3, 7, 11, 19, 23, 31, 42)]
+    flagged = apply_domain_blocklist(
+        d.select("doc_id", "source", url.alias("url")), blocklist
+    )
+    b = F.col("blocked").cast("int")
+    return flagged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(b).cast("bigint").alias("n_blocked"),
+        F.sum(1 - b).cast("bigint").alias("n_kept"),
+    )
+
+
+@register(
+    "p98_cross_source_leakage",
+    oracle="""
+    WITH f AS (
+        SELECT DISTINCT
+               md5(list_aggr(list_sort(list_distinct(
+                   string_split_regex(trim(lower(text)), '\\s+'))),
+                   'string_agg', ' ')) AS fp,
+               source AS src
+        FROM documents
+    )
+    SELECT a.src AS src_a, b.src AS src_b,
+           CAST(count(*) AS BIGINT) AS n_shared
+    FROM f a JOIN f b ON a.fp = b.fp AND a.src < b.src
+    GROUP BY 1, 2
+    """,
+    description="Cross-source duplicate-leakage matrix: distinct content "
+    "fingerprints shared by each unordered source pair — the report that "
+    "decides dedup ordering in a multi-source mix and flags inter-crawl "
+    "contamination. operators/dedup.py::cross_source_leakage with "
+    "key='token_set' (sorted-distinct-token md5 — the order/repetition-"
+    "blind near-dup key; this corpus has NO verbatim cross-source dups, "
+    "so the exact key would make the oracle vacuous — the exact path is "
+    "pinned by test_r10_ops with planted duplicates instead). Scale "
+    "shape: one partial-agg distinct on (fp, src), then a fingerprint-"
+    "keyed self-join whose per-key fan-out is bounded by the SOURCE COUNT "
+    "(s(s-1)/2, tens), never by corpus size — structurally immune to the "
+    "all-pairs blowup; max_cluster caps even that if sources multiply.",
+)
+def p98_cross_source_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return D.cross_source_leakage(d, key="token_set")

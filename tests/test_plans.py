@@ -637,3 +637,75 @@ def test_no_inferred_filter_reevaluates_shingle_pipeline(spark, registry):
                     name,
                     line[:200],
                 )
+
+
+def test_p94_pii_scan_is_map_only_codegen(spark, registry):
+    """The PII scrub is a pure regexp expression chain: ZERO exchanges of
+    any kind and no Python evaluation node — a linear codegen scan."""
+    from duckdb_cloudflare_spark.plans.introspect import formatted_plan
+
+    df = registry["p94_pii_scan"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert "Exchange" not in plan
+    assert "Python" not in plan  # no ArrowEvalPython / BatchEvalPython
+    assert shuffle_count(df) == 0
+
+
+def test_p95_decontamination_probes_corpus_mapside(spark, registry):
+    """The eval n-gram set must be the BROADCAST build side: the corpus'
+    exploded n-grams are probed map-side, and the only hashpartitioning
+    exchanges belong to the eval-side DISTINCT and the per-doc agg — the
+    corpus must NOT shuffle for the join itself (no SMJ, no shuffled-hash,
+    no cartesian). Exchange budget 4: the two ensure_parallelism
+    round-robins (single-file parquet artifact, a no-op on real many-file
+    inputs) + the eval-side DISTINCT + the per-doc agg — none join-induced."""
+    from duckdb_cloudflare_spark.plans.introspect import formatted_plan
+
+    df = registry["p95_ngram_decontaminate"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert broadcast_join_count(df) == 1
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert shuffle_count(df) <= 4
+
+
+def test_p97_blocklist_join_is_broadcast(spark, registry):
+    """The blocklist is megabytes by contract: it must be the broadcast
+    build side so the corpus probe never shuffles; the single
+    hashpartitioning exchange in the plan is the report's groupBy."""
+    from duckdb_cloudflare_spark.plans.introspect import formatted_plan
+
+    df = registry["p97_domain_blocklist"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert broadcast_join_count(df) >= 1
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_p98_leakage_join_unforced_and_no_cartesian(spark, registry):
+    """p98's self-join fan-out is bounded by the source count, but the
+    JOIN SIDES are corpus-cardinality fingerprint sets: like p81 the plan
+    must not FORCE a broadcast (no broadcast hint in the logical plan —
+    AQE may still pick one at toy scale); and the pair generation must be
+    an equi-join, never a cartesian."""
+    from duckdb_cloudflare_spark.plans.introspect import formatted_plan
+
+    df = registry["p98_cross_source_leakage"](spark, SF_DIR)
+    logical = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "ResolvedHint" not in logical and "UnresolvedHint" not in logical
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_p96_fertility_single_partial_agg_no_explode(spark, registry):
+    """Token fertility derives counts with size(regexp_extract_all(...)) —
+    no Generate node (exploding tokens to count them would shuffle corpus-
+    cardinality rows) and exactly ONE aggregation exchange."""
+    from duckdb_cloudflare_spark.plans.introspect import formatted_plan
+
+    df = registry["p96_token_fertility"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert "Generate" not in plan
+    assert shuffle_count(df) == 1

@@ -255,3 +255,198 @@ def test_minhash_est_jaccard_honors_custom_id_col(spark):
     assert len(rows) == 1
     assert (rows[0]["id_a"], rows[0]["id_b"]) == (7, 9)
     assert rows[0]["est_jaccard"] == 1.0
+
+
+# ---------------------------------------------------------------------------
+# pii_scan (p94)
+# ---------------------------------------------------------------------------
+
+
+def test_pii_scan_hand_computed(spark):
+    from duckdb_cloudflare_spark.operators.text_analysis import pii_scan
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at bob.smith+x@sub.example.co.uk or 10.0.0.1 now"),
+            (2, "call 555-123-4567 and ssn 987-65-4320 thanks"),
+            (3, "totally clean text with no identifiers at all"),
+            (4, "two mails a@b.io c@d.org one ip 192.168.1.200"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in pii_scan(df).collect()}
+    assert (got[1]["n_email"], got[1]["n_ipv4"]) == (1, 1)
+    assert got[1]["n_pii"] == 2
+    assert "<EMAIL>" in got[1]["redacted"] and "<IPV4>" in got[1]["redacted"]
+    assert "bob.smith" not in got[1]["redacted"]
+    assert (got[2]["n_phone"], got[2]["n_ssn"]) == (1, 1)
+    assert "<PHONE>" in got[2]["redacted"] and "<SSN>" in got[2]["redacted"]
+    assert got[3]["n_pii"] == 0
+    assert got[3]["redacted"] == "totally clean text with no identifiers at all"
+    assert (got[4]["n_email"], got[4]["n_ipv4"]) == (2, 1)
+
+
+def test_pii_scan_rules_do_not_double_count(spark):
+    """An SSN-shaped group inside an already-redacted phone must not
+    re-count; an email's numeric host must not count as an IPv4."""
+    from duckdb_cloudflare_spark.operators.text_analysis import pii_scan
+
+    df = spark.createDataFrame(
+        [(1, "root@10.2.3.4 makes one email zero ips")],
+        "doc_id long, text string",
+    )
+    (r,) = pii_scan(df).collect()
+    # email pattern needs an alphabetic TLD, so root@10.2.3.4 is NOT an
+    # email — but the bare 10.2.3.4 IS an ipv4 hit after the email pass
+    assert r["n_email"] == 0 and r["n_ipv4"] == 1
+
+
+# ---------------------------------------------------------------------------
+# decontamination_stats (p95)
+# ---------------------------------------------------------------------------
+
+
+def test_decontamination_hand_computed(spark):
+    from duckdb_cloudflare_spark.operators.dedup import decontamination_stats
+
+    # k=3; eval doc: "a b c d" → grams {"a b c", "b c d"}.
+    # train 1: "a b c x" → {"a b c", "b c x"} → 1/2 contaminated.
+    # train 2: "p q r s" → {"p q r", "q r s"} → 0/2.
+    # train 3: "a b c d e" → {"a b c","b c d","c d e"} → 2/3.
+    ev = spark.createDataFrame([(100, "a b c d")], "doc_id long, text string")
+    tr = spark.createDataFrame(
+        [(1, "a b c x"), (2, "p q r s"), (3, "a b c d e")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in decontamination_stats(tr, ev, k=3).collect()}
+    assert (got[1]["n_ngrams"], got[1]["n_contaminated"]) == (2, 1)
+    assert got[1]["contamination"] == 0.5
+    assert (got[2]["n_ngrams"], got[2]["n_contaminated"]) == (2, 0)
+    assert (got[3]["n_ngrams"], got[3]["n_contaminated"]) == (3, 2)
+
+
+def test_decontamination_short_docs_dropped_and_dup_grams_counted_once(spark):
+    from duckdb_cloudflare_spark.operators.dedup import decontamination_stats
+
+    ev = spark.createDataFrame([(9, "x y z")], "doc_id long, text string")
+    tr = spark.createDataFrame(
+        [(1, "too short"), (2, "x y z x y z")],  # doc 2 repeats the gram
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in decontamination_stats(tr, ev, k=3).collect()}
+    assert 1 not in got  # < k tokens → no n-grams → dropped
+    # distinct grams of doc2: {"x y z", "y z x", "z x y"} — "x y z" once
+    assert got[2]["n_ngrams"] == 3 and got[2]["n_contaminated"] == 1
+
+
+# ---------------------------------------------------------------------------
+# apply_domain_blocklist (p97)
+# ---------------------------------------------------------------------------
+
+
+def test_domain_blocklist_collapses_subdomains_and_normalizes(spark):
+    from duckdb_cloudflare_spark.operators.web import apply_domain_blocklist
+
+    df = spark.createDataFrame(
+        [
+            (1, "https://cdn.a.bad.com/x"),        # subdomain of blocked
+            (2, "http://bad.com/"),                 # apex blocked
+            (3, "https://good.com/bad.com"),        # path mention ≠ domain
+            (4, "https://bad.co.uk/x"),             # multi-part SLD entry
+            (5, "https://notbad.com/x"),            # suffix-similar, kept
+        ],
+        "doc_id long, url string",
+    )
+    # blocklist spellings deliberately dirty: case + trailing dot
+    got = {
+        r["doc_id"]: r
+        for r in apply_domain_blocklist(df, ["Bad.COM.", "bad.co.uk"]).collect()
+    }
+    assert [got[i]["blocked"] for i in (1, 2, 3, 4, 5)] == [
+        True, True, False, True, False
+    ]
+    assert got[1]["domain"] == "bad.com"
+    assert got[4]["domain"] == "bad.co.uk"
+
+
+# ---------------------------------------------------------------------------
+# cross_source_leakage (p98)
+# ---------------------------------------------------------------------------
+
+
+def test_cross_source_leakage_exact_key_planted_dups(spark):
+    from duckdb_cloudflare_spark.operators.dedup import cross_source_leakage
+
+    df = spark.createDataFrame(
+        [
+            (1, "A", "shared doc body"),
+            (2, "B", "shared  DOC body "),  # same after normalization
+            (3, "B", "only in b"),
+            (4, "C", "shared doc body"),
+            (5, "A", "another shared"),
+            (6, "C", "another shared"),
+            (7, "A", "shared doc body"),  # in-source dup: still ONE fp
+        ],
+        "doc_id long, source string, text string",
+    )
+    got = {
+        (r["src_a"], r["src_b"]): r["n_shared"]
+        for r in cross_source_leakage(df).collect()
+    }
+    assert got == {("A", "B"): 1, ("A", "C"): 2, ("B", "C"): 1}
+
+
+def test_cross_source_leakage_token_set_key_and_max_cluster(spark):
+    from duckdb_cloudflare_spark.operators.dedup import cross_source_leakage
+
+    df = spark.createDataFrame(
+        [
+            (1, "A", "w1 w2 w2 w3"),
+            (2, "B", "w3 w2 w1"),      # same token SET, different text
+            (3, "C", "boiler plate"),
+            (4, "D", "plate boiler"),
+            (5, "E", "boiler plate"),
+        ],
+        "doc_id long, source string, text string",
+    )
+    got = {
+        (r["src_a"], r["src_b"]): r["n_shared"]
+        for r in cross_source_leakage(df, key="token_set").collect()
+    }
+    assert got[("A", "B")] == 1
+    # boiler/plate set shared by C, D, E → all 3 pairs
+    assert got[("C", "D")] == got[("C", "E")] == got[("D", "E")] == 1
+    # cap at 2 sources: the 3-source cluster drops, the pair stays
+    capped = {
+        (r["src_a"], r["src_b"]): r["n_shared"]
+        for r in cross_source_leakage(df, key="token_set", max_cluster=2).collect()
+    }
+    assert capped == {("A", "B"): 1}
+
+
+# ---------------------------------------------------------------------------
+# token_fertility_report (p96)
+# ---------------------------------------------------------------------------
+
+
+def test_token_fertility_hand_computed(spark):
+    from duckdb_cloudflare_spark.operators.text_analysis import (
+        token_fertility_report,
+    )
+
+    # "hello world42" → ws tokens 2; bpe: hello|world|42 → 3; chars 13.
+    # "a-b c" → ws 2; bpe: a|-|b|c → 4; chars 5.
+    df = spark.createDataFrame(
+        [(1, "en", "hello world42"), (2, "en", "a-b c"), (3, "zh", "的是了")],
+        "doc_id long, lang string, text string",
+    )
+    got = {r["lang"]: r for r in token_fertility_report(df).collect()}
+    en = got["en"]
+    assert (en["n_docs"], en["n_chars"], en["n_ws_tokens"], en["n_bpe_tokens"]) == (
+        2, 18, 4, 7
+    )
+    assert en["chars_per_bpe_token"] == 18 / 7
+    assert en["bpe_per_ws_token"] == 7 / 4
+    zh = got["zh"]
+    # every CJK char is a single-char bpe token; one ws token
+    assert (zh["n_chars"], zh["n_ws_tokens"], zh["n_bpe_tokens"]) == (3, 1, 3)
