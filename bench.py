@@ -45,6 +45,10 @@ _SF1_HEADLINE = [
     "p91_minhash_est_jaccard",
     "p92_length_report",
     "p93_shingle_df_histogram",
+    "p94_pii_scan",
+    "p95_ngram_decontaminate",
+    "p99_vocab_growth",
+    "p100_pmi_collocations",
 ]
 
 
@@ -244,6 +248,18 @@ def main() -> None:
         # one distinct agg — the COUNT(DISTINCT) window Spark can't frame).
         "p91_minhash_est_jaccard",
         "q56_sliding_distinct_users",
+        # r10 second wave: the PII scrub (both engines run the SAME four
+        # regexes over the same synthesized dirty text — a like-for-like
+        # regex-engine row) and exact n-gram decontamination (both engines
+        # derive 5-gram sets and join them — the broadcast-probe shape).
+        "p94_pii_scan",
+        "p95_ngram_decontaminate",
+        # r10 third wave: vocabulary-growth curve (token-keyed min-slice
+        # agg — one corpus shuffle) and PMI collocations (bigram count +
+        # marginal folds + TakeOrdered — both engines run the same
+        # derivation).
+        "p99_vocab_growth",
+        "p100_pmi_collocations",
     ]
     registry = Q.all_queries()
 

@@ -608,3 +608,123 @@ def token_fertility_report(
             "bpe_per_ws_token"
         ),
     )
+
+
+def vocab_growth_curve(
+    df: DataFrame,
+    n_buckets: int = 10,
+    ngram: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Vocabulary-growth (Heaps'-law) curve: split the corpus into
+    ``n_buckets`` equal id-range slices, count how many distinct lowercased
+    token ``ngram``s FIRST appear in each slice, and emit the running
+    vocabulary size — the report that decides whether a tokenizer's vocab
+    budget is saturated or still growing with corpus scale (``ngram >= 2``
+    tracks the merge-candidate space, which keeps growing long after the
+    unigram vocab saturates). Requires ids to be roughly uniform over
+    [0, max]; slice membership is the exact integer
+    ``id * n_buckets div (max_id + 1)``.
+
+    Scale shape: one n-gram explode → one key-keyed partial agg
+    (min slice per n-gram — the dominant shuffle, vocab-bounded) → an
+    ``n_buckets``-row fold. The running sum windows over n_buckets rows
+    (a single-partition sort of ≤ tens of rows — deliberately NOT a
+    corpus-scale global window). The max-id scalar rides a broadcast
+    cross join, never a collect.
+    """
+    nd = df.agg((F.max(id_col) + 1).alias("_nd"))
+    lt = F.transform(tokens(F.col(text_col)), lambda x: F.lower(x))
+    if ngram <= 1:
+        grams = lt
+    else:
+        # TOTAL expression (when-guard — the p34 ANSI pushdown hazard)
+        grams = F.when(
+            F.size(lt) >= ngram,
+            F.transform(
+                F.sequence(F.lit(0), F.size(lt) - ngram),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(lt, i + j + 1) for j in range(ngram)]
+                ),
+            ),
+        )
+    toks = (
+        df.crossJoin(F.broadcast(nd))
+        .select(
+            F.expr(f"({id_col} * {int(n_buckets)}) div _nd").alias("_bucket"),
+            F.explode(grams).alias("tok"),
+        )
+    )
+    first = toks.groupBy("tok").agg(F.min("_bucket").alias("decile"))
+    per = first.groupBy("decile").agg(F.count(F.lit(1)).alias("n_new_tokens"))
+    w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    return per.select(
+        F.col("decile").cast("int").alias("decile"),
+        "n_new_tokens",
+        F.sum("n_new_tokens").over(w).cast("bigint").alias("vocab_size"),
+    )
+
+
+def pmi_collocations(
+    df: DataFrame,
+    top_k: int = 50,
+    min_count: int = 5,
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-``top_k`` word collocations by pointwise mutual information over
+    consecutive-token bigrams — the association statistic behind tokenizer
+    merge candidates and multiword-expression mining. PMI uses the bigram
+    table's own marginals: ln(c_ab·N / (c_a·c_b)) with N the total bigram
+    instance count; a ``min_count`` floor drops the unstable low-frequency
+    tail (classic Church & Hanks '90 practice). Selection orders on the
+    UNROUNDED pmi with a (w1, w2) tie-break (deterministic at the k
+    boundary); pmi is emitted 6-dp rounded. All factors are cast to double
+    BEFORE multiplying (the p74 overflow rule — c_ab·N exceeds int64 long
+    before doubles lose these integers).
+
+    Scale shape: inline bigram explode → ONE (w1, w2) partial-agg shuffle
+    (the only corpus-sized exchange); both marginals and the N scalar
+    fold from that vocab²-bounded count table, not from the corpus; the
+    final selection is a distributed TakeOrdered(top_k), never a global
+    sort.
+    """
+    lt = df.select(
+        F.transform(tokens(F.col(text_col)), lambda x: F.lower(x)).alias("ts")
+    ).filter(F.size("ts") >= 2)
+    # TOTAL expression (when-guard, not just the caller's filter): Catalyst
+    # can push derived predicates below the size filter, where
+    # sequence(0, size-2) turns descending on 1-token arrays and
+    # element_at faults under ANSI — the p34 hazard class.
+    bg = lt.select(
+        F.explode(
+            F.when(
+                F.size("ts") >= 2,
+                F.transform(
+                    F.sequence(F.lit(0), F.size("ts") - 2),
+                    lambda i: F.struct(
+                        F.element_at("ts", i + 1).alias("w1"),
+                        F.element_at("ts", i + 2).alias("w2"),
+                    ),
+                ),
+            )
+        ).alias("bg")
+    ).select("bg.w1", "bg.w2")
+    cab = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_ab"))
+    ca = cab.groupBy("w1").agg(F.sum("n_ab").alias("_n_a"))
+    cb = cab.groupBy("w2").agg(F.sum("n_ab").alias("_n_b"))
+    nt = cab.agg(F.sum("n_ab").alias("_nt"))
+    pmi = F.log(
+        (F.col("n_ab").cast("double") * F.col("_nt").cast("double"))
+        / (F.col("_n_a").cast("double") * F.col("_n_b").cast("double"))
+    )
+    return (
+        cab.filter(F.col("n_ab") >= min_count)
+        .join(ca, "w1")
+        .join(cb, "w2")
+        .crossJoin(F.broadcast(nt))
+        .select("w1", "w2", "n_ab", pmi.alias("_pmi"))
+        .orderBy(F.col("_pmi").desc(), "w1", "w2")
+        .limit(top_k)
+        .select("w1", "w2", "n_ab", F.round("_pmi", 6).alias("pmi"))
+    )

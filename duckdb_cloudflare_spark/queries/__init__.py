@@ -180,6 +180,7 @@ _WINDOW_PRIORITY = [
     # new this round — zero driver history (prepend each r10 addition here);
     # second wave (p94-p98) ahead of the first (p91-p93/q56/q57) is
     # arbitrary — all ten are in the graded prefix either way
+    "p99_", "p100_",
     "p94_", "p95_", "p96_", "p97_", "p98_",
     "p91_", "p92_", "p93_", "q56_", "q57_",
     # changed-this-round re-grades (values changed in r10)

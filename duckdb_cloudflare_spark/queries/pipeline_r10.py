@@ -8,12 +8,30 @@ oracle-bearing:
 - p92: per-source exact length-distribution report (discrete p50/p90/p99
   by integer-exact rank) — the table a curation run publishes before
   setting C4/Gopher length gates.
+- p93: shingle doc-frequency histogram — sizes the max_doc_freq
+  stop-shingle cap and predicts the pair engines' fan-out.
 - q56: trailing-7-day distinct-user activity over the events stream —
   the sliding-window COUNT(DISTINCT) Spark windows can't express
   directly, recast as a map-side day explode + one distinct agg.
+- q57: day-0..13 retention-cohort matrix (first-seen cohorts × offsets).
+- p94: PII detection + redaction (sequential email/IPv4/phone/SSN rules,
+  per-category counts, map-only codegen regex chain).
+- p95: EXACT n-gram benchmark decontamination — the audit table behind
+  p31's thresholded flag; broadcast eval probe, corpus never shuffles
+  for the join.
+- p96: tokenizer-fertility report per language (integer-sum exact
+  ratios).
+- p97: domain-blocklist URL filtering (eTLD+1 collapse + broadcast
+  join).
+- p98: cross-source duplicate-leakage matrix (token-set fingerprints;
+  join fan-out bounded by the source count).
+- p99: vocabulary-growth (Heaps'-law) curve per id-range slice.
+- p100: top-50 PMI collocations (Church & Hanks '90) with marginals
+  folded from the bigram count table and TakeOrdered selection.
 
 Conventions as ever: md5-for-oracle hashing (p19/p43/p57 trade), integer
-ranks instead of floating ⌈q·n⌉, unrounded exact divisions (q48 rule).
+ranks instead of floating ⌈q·n⌉, unrounded exact divisions (q48 rule),
+doubles cast before multiplying (p74 overflow rule).
 """
 
 from __future__ import annotations
@@ -534,3 +552,97 @@ def p97_domain_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
 def p98_cross_source_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     return D.cross_source_leakage(d, key="token_set")
+
+
+@register(
+    "p99_vocab_growth",
+    oracle=r"""
+    WITH n AS (SELECT max(doc_id) + 1 AS nd FROM documents),
+    toks AS (
+        SELECT doc_id,
+               list_transform(string_split_regex(trim(text), '\s+'),
+                              x -> lower(x)) AS ts
+        FROM documents
+    ),
+    tok AS (
+        SELECT CAST((doc_id * 10) // nd AS INT) AS bucket,
+               ts[i] || ' ' || ts[i+1] AS tok
+        FROM (SELECT doc_id, ts, unnest(range(1, len(ts))) AS i
+              FROM toks WHERE len(ts) >= 2), n
+    ),
+    fb AS (SELECT tok, min(bucket) AS decile FROM tok GROUP BY tok),
+    nb AS (
+        SELECT decile, CAST(count(*) AS BIGINT) AS n_new_tokens
+        FROM fb GROUP BY decile
+    )
+    SELECT decile, n_new_tokens,
+           CAST(sum(n_new_tokens) OVER (ORDER BY decile) AS BIGINT)
+               AS vocab_size
+    FROM nb
+    """,
+    description="Vocabulary-growth (Heaps'-law) curve: distinct lowercased "
+    "token BIGRAMS first appearing in each of 10 equal id-range corpus "
+    "slices, plus the running vocabulary size — the saturation report a "
+    "tokenizer vocab/merge budget is sized against (bigrams, not unigrams: "
+    "the merge-candidate space keeps growing after the unigram vocab "
+    "saturates, and on this corpus the unigram curve collapses to one "
+    "row — a vacuous oracle). operators/text_analysis.py::"
+    "vocab_growth_curve(ngram=2). Determinism: slice membership is the exact "
+    "integer (doc_id * 10) div (max_id + 1) — never a floating fraction "
+    "of a percentile; all counts integer. Scale shape: one token explode "
+    "-> one token-keyed partial agg (min slice per token, vocab-bounded) "
+    "-> a 10-row fold; the running sum windows over TEN rows (single "
+    "partition by construction, not corpus-scale); the max-id scalar "
+    "rides a broadcast cross join, never a collect.",
+)
+def p99_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return T.vocab_growth_curve(d, n_buckets=10, ngram=2)
+
+
+@register(
+    "p100_pmi_collocations",
+    oracle=r"""
+    WITH toks AS (
+        SELECT list_transform(string_split_regex(trim(text), '\s+'),
+                              x -> lower(x)) AS ts
+        FROM documents
+    ),
+    bg AS (
+        SELECT ts[i] AS w1, ts[i+1] AS w2
+        FROM (SELECT ts, unnest(range(1, len(ts))) AS i
+              FROM toks WHERE len(ts) >= 2)
+    ),
+    cab AS (SELECT w1, w2, count(*) AS n_ab FROM bg GROUP BY 1, 2),
+    ca AS (SELECT w1, sum(n_ab) AS n_a FROM cab GROUP BY 1),
+    cb AS (SELECT w2, sum(n_ab) AS n_b FROM cab GROUP BY 1),
+    n AS (SELECT sum(n_ab) AS nt FROM cab)
+    SELECT w1, w2, CAST(n_ab AS BIGINT) AS n_ab,
+           round(ln((CAST(n_ab AS DOUBLE) * CAST(nt AS DOUBLE))
+                    / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))), 6)
+               AS pmi
+    FROM cab JOIN ca USING (w1) JOIN cb USING (w2), n
+    WHERE n_ab >= 5
+    ORDER BY ln((CAST(n_ab AS DOUBLE) * CAST(nt AS DOUBLE))
+                / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))) DESC,
+             w1, w2
+    LIMIT 50
+    """,
+    description="Top-50 consecutive-word collocations by pointwise mutual "
+    "information (Church & Hanks '90) with a count>=5 stability floor — "
+    "the association table behind tokenizer merge candidates and "
+    "multiword-expression mining. operators/text_analysis.py::"
+    "pmi_collocations. Determinism: PMI factors cast to double BEFORE "
+    "multiplying (p74 overflow rule; c_ab*N exceeds int64 long before "
+    "doubles lose these integers), one IEEE-exact ratio, ln through the "
+    "same libm on both engines (DuckDB ln(), never its log10 'log' — the "
+    "compat.py trap), selection ordered on the UNROUNDED pmi with a "
+    "(w1, w2) tie-break at the k boundary, emitted 6-dp rounded. Scale "
+    "shape: inline bigram explode -> ONE (w1,w2) partial-agg shuffle (the "
+    "only corpus-sized exchange); marginals and the N scalar fold from "
+    "the vocab^2-bounded count table; distributed TakeOrdered(50), no "
+    "global sort.",
+)
+def p100_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return T.pmi_collocations(d, top_k=50, min_count=5)

@@ -709,3 +709,36 @@ def test_p96_fertility_single_partial_agg_no_explode(spark, registry):
     plan = formatted_plan(df)
     assert "Generate" not in plan
     assert shuffle_count(df) == 1
+
+
+def test_p99_vocab_growth_token_agg_then_tiny_window(spark, registry):
+    """p99's only corpus-sized exchange is the token-keyed min-slice agg;
+    the running sum must window over the n_buckets-row fold (fine to be
+    single-partition THERE), and the max-id scalar must ride a broadcast,
+    never a sort-merge/shuffled join."""
+    from duckdb_cloudflare_spark.plans.introspect import formatted_plan
+
+    df = registry["p99_vocab_growth"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert broadcast_join_count(df) >= 1  # the max-id scalar cross join
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_p100_pmi_is_takeordered_single_corpus_shuffle(spark, registry):
+    """p100's selection must be a distributed TakeOrdered, never a global
+    Sort+Limit; the bigram count is the only corpus-sized aggregation (the
+    marginals fold from the count table); no cartesian pair generation."""
+    from duckdb_cloudflare_spark.plans.introspect import formatted_plan
+
+    df = registry["p100_pmi_collocations"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    # the ONE BroadcastNestedLoopJoin allowed is the 1-row N-scalar cross
+    # join (broadcast build side by construction); any other BNL would be
+    # a real pair-generation smell. The formatted plan prints each node in
+    # the tree AND in the detail section — count detail headers only.
+    import re
+
+    assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan)) <= 1

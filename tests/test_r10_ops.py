@@ -450,3 +450,105 @@ def test_token_fertility_hand_computed(spark):
     zh = got["zh"]
     # every CJK char is a single-char bpe token; one ws token
     assert (zh["n_chars"], zh["n_ws_tokens"], zh["n_bpe_tokens"]) == (3, 1, 3)
+
+
+# ---------------------------------------------------------------------------
+# vocab_growth_curve (p99)
+# ---------------------------------------------------------------------------
+
+
+def test_vocab_growth_hand_computed(spark):
+    from duckdb_cloudflare_spark.operators.text_analysis import vocab_growth_curve
+
+    # 4 docs, 2 buckets (ids 0,1 → bucket 0; ids 2,3 → bucket 1).
+    # bucket 0 tokens {a, b, c}; bucket 1 adds {d} (c repeats — not new).
+    df = spark.createDataFrame(
+        [(0, "a b"), (1, "b c"), (2, "c d"), (3, "A")],  # "A" lowers to a
+        "doc_id long, text string",
+    )
+    got = {r["decile"]: r for r in vocab_growth_curve(df, n_buckets=2).collect()}
+    assert got[0]["n_new_tokens"] == 3 and got[0]["vocab_size"] == 3
+    assert got[1]["n_new_tokens"] == 1 and got[1]["vocab_size"] == 4
+
+
+def test_vocab_growth_cumulative_monotone_on_corpus(spark):
+    from duckdb_cloudflare_spark.operators.text_analysis import vocab_growth_curve
+
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    rows = sorted(
+        vocab_growth_curve(df).collect(), key=lambda r: r["decile"]
+    )
+    sizes = [r["vocab_size"] for r in rows]
+    assert sizes == sorted(sizes)
+    assert sizes[-1] == sum(r["n_new_tokens"] for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# pmi_collocations (p100)
+# ---------------------------------------------------------------------------
+
+
+def test_pmi_collocations_hand_computed(spark):
+    import math
+
+    from duckdb_cloudflare_spark.operators.text_analysis import pmi_collocations
+
+    # Corpus of one doc: "x y x y x y z" → bigrams: (x,y)*3, (y,x)*2, (y,z)*1
+    # N=6. With min_count=2: (x,y): c_a(w1=x)=3, c_b(w2=y)=3 →
+    # pmi = ln(3*6/(3*3)) = ln(2); (y,x): c_a(y)=3, c_b(x)=2 →
+    # ln(2*6/(3*2)) = ln(2).
+    df = spark.createDataFrame([(1, "x y x y x y z")], "doc_id long, text string")
+    got = {
+        (r["w1"], r["w2"]): r
+        for r in pmi_collocations(df, top_k=10, min_count=2).collect()
+    }
+    assert set(got) == {("x", "y"), ("y", "x")}
+    assert got[("x", "y")]["n_ab"] == 3
+    assert got[("x", "y")]["pmi"] == round(math.log(2.0), 6)
+    assert got[("y", "x")]["pmi"] == round(math.log(2.0), 6)
+
+
+def test_pmi_collocations_min_count_and_topk_tiebreak(spark):
+    from duckdb_cloudflare_spark.operators.text_analysis import pmi_collocations
+
+    # all bigrams unique (count 1) → min_count=2 filters everything
+    df = spark.createDataFrame([(1, "a b c d e")], "doc_id long, text string")
+    assert pmi_collocations(df, top_k=5, min_count=2).count() == 0
+    # with min_count=1 the k boundary is tie-broken by (w1, w2): the 4
+    # bigrams all have pmi ln(4/1)=... identical marginals? not quite —
+    # just assert the limit is exact and deterministic across two runs
+    a = [tuple(r) for r in pmi_collocations(df, top_k=3, min_count=1).collect()]
+    b = [tuple(r) for r in pmi_collocations(df, top_k=3, min_count=1).collect()]
+    assert len(a) == 3 and a == b
+
+
+def test_pmi_single_token_docs_survive_pushdown(spark):
+    """The p34 hazard class: 1-token docs must not fault the bigram
+    transform under ANSI even if a derived predicate is pushed below the
+    size filter."""
+    from duckdb_cloudflare_spark.operators.text_analysis import pmi_collocations
+
+    df = spark.createDataFrame(
+        [(1, "solo"), (2, ""), (3, None), (4, "pair of tokens pair of")],
+        "doc_id long, text string",
+    )
+    rows = pmi_collocations(df, top_k=10, min_count=1).collect()
+    assert all(r["w1"] is not None for r in rows)
+
+
+def test_vocab_growth_bigram_mode(spark):
+    from duckdb_cloudflare_spark.operators.text_analysis import vocab_growth_curve
+
+    # 2 buckets over ids 0..3: bucket = id*2 div 4 → ids {0,1} bucket 0,
+    # ids {2,3} bucket 1. Bucket 0: "a b c" → {a b, b c} (+"x": no bigram);
+    # bucket 1: "b c d" → only "c d" is new. Single-token and empty docs
+    # must not fault the guarded transform.
+    df = spark.createDataFrame(
+        [(0, "a b c"), (1, "x"), (2, "b c d"), (3, "")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["decile"]: r for r in vocab_growth_curve(df, n_buckets=2, ngram=2).collect()
+    }
+    assert got[0]["n_new_tokens"] == 2 and got[0]["vocab_size"] == 2
+    assert got[1]["n_new_tokens"] == 1 and got[1]["vocab_size"] == 3
