@@ -649,14 +649,17 @@ def vocab_growth_curve(
                 ),
             ),
         )
-    toks = (
-        df.crossJoin(F.broadcast(nd))
-        .select(
-            F.expr(f"({id_col} * {int(n_buckets)}) div _nd").alias("_bucket"),
-            F.explode(grams).alias("tok"),
-        )
+    toks = df.select(F.col(id_col).alias("_id"), F.explode(grams).alias("tok"))
+    # min-bucket == bucket-of-min-id (slice membership is monotone in id),
+    # so aggregate the min id FIRST and bucket on the vocab-sized result:
+    # the broadcast scalar join touches |vocab| rows, not the corpus, and
+    # the corpus-side explode stays a pure scan-fused map.
+    first = (
+        toks.groupBy("tok")
+        .agg(F.min("_id").alias("_mid"))
+        .crossJoin(F.broadcast(nd))
+        .select(F.expr(f"(_mid * {int(n_buckets)}) div _nd").alias("decile"))
     )
-    first = toks.groupBy("tok").agg(F.min("_bucket").alias("decile"))
     per = first.groupBy("decile").agg(F.count(F.lit(1)).alias("n_new_tokens"))
     w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
     return per.select(

@@ -469,7 +469,8 @@ def p95_ngram_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     "Python, linear at 100 TB.",
 )
 def p96_token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents")
+    # regexp_extract_all over full texts is the dominant cost — fan it out
+    d = D.ensure_parallelism(load(spark, sf_dir, "documents"))
     return T.token_fertility_report(d, group_col="lang")
 
 
@@ -596,7 +597,9 @@ def p98_cross_source_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     "rides a broadcast cross join, never a collect.",
 )
 def p99_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents")
+    # ensure_parallelism: the bigram explode is a higher-order-function map
+    # (interpreted) — a single-file scan would serialize it on one task
+    d = D.ensure_parallelism(load(spark, sf_dir, "documents"))
     return T.vocab_growth_curve(d, n_buckets=10, ngram=2)
 
 
@@ -644,5 +647,5 @@ def p99_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     "global sort.",
 )
 def p100_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents")
+    d = D.ensure_parallelism(load(spark, sf_dir, "documents"))
     return T.pmi_collocations(d, top_k=50, min_count=5)

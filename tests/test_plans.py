@@ -708,7 +708,9 @@ def test_p96_fertility_single_partial_agg_no_explode(spark, registry):
     df = registry["p96_token_fertility"](spark, SF_DIR)
     plan = formatted_plan(df)
     assert "Generate" not in plan
-    assert shuffle_count(df) == 1
+    # one agg exchange + the ensure_parallelism round-robin (a no-op on
+    # real many-file inputs)
+    assert shuffle_count(df) <= 2
 
 
 def test_p99_vocab_growth_token_agg_then_tiny_window(spark, registry):
