@@ -649,3 +649,59 @@ def p99_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
 def p100_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = D.ensure_parallelism(load(spark, sf_dir, "documents"))
     return T.pmi_collocations(d, top_k=50, min_count=5)
+
+
+@register(
+    "q58_event_transitions",
+    oracle="""
+    WITH t AS (
+        SELECT event_type AS from_type,
+               lead(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS to_type
+        FROM events WHERE user_id IS NOT NULL
+    ),
+    c AS (
+        SELECT from_type, to_type, count(*) AS n
+        FROM t WHERE to_type IS NOT NULL GROUP BY 1, 2
+    )
+    SELECT from_type, to_type, CAST(n AS BIGINT) AS n,
+           CAST(n AS DOUBLE)
+               / CAST(sum(n) OVER (PARTITION BY from_type) AS DOUBLE)
+               AS p_transition
+    FROM c
+    """,
+    description="First-order Markov transition matrix over per-user event "
+    "sequences: for every (from_type, to_type) pair of CONSECUTIVE events "
+    "of one user (ordered by ts with an event_id tie-break — a total "
+    "order, so lead() is deterministic), the count and the row-normalized "
+    "transition probability — the behavioral-analytics table session-flow "
+    "and agent-trace analysis start from. Spark-side: ONE user-keyed "
+    "window (the same single shuffle class as q47's sessionize), a "
+    "(from,to)-keyed partial agg on the event-type-squared-bounded count "
+    "table, and the row normalization windows over that TINY table (tens "
+    "of rows), never the events. p_transition is one exact integer "
+    "division (q48 rule, unrounded — both engines divide the same int64 "
+    "pair).",
+)
+def q58_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = (
+        e.filter(F.col("user_id").isNotNull())
+        .select(
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(w).alias("to_type"),
+        )
+        .filter(F.col("to_type").isNotNull())
+    )
+    c = t.groupBy("from_type", "to_type").agg(F.count(F.lit(1)).alias("n"))
+    tot = Window.partitionBy("from_type")
+    return c.select(
+        "from_type", "to_type", "n",
+        (F.col("n").cast("double") / F.sum("n").over(tot).cast("double")).alias(
+            "p_transition"
+        ),
+    )

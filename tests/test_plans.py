@@ -744,3 +744,18 @@ def test_p100_pmi_is_takeordered_single_corpus_shuffle(spark, registry):
     import re
 
     assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan)) <= 1
+
+
+def test_q58_transitions_single_user_window_tiny_normalization(spark, registry):
+    """q58's corpus-sized work is ONE user-keyed sort window (hash
+    partitioning on user_id, never a global sort); the probability
+    normalization windows over the event-type² count table, so the plan
+    must show the count aggregation BETWEEN the two windows and no join
+    at all."""
+    from duckdb_cloudflare_spark.plans.introspect import formatted_plan
+
+    df = registry["q58_event_transitions"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert "Join type:" not in plan
+    assert "SinglePartition" not in plan
+    assert "rangepartitioning" not in plan.lower()

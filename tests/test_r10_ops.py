@@ -552,3 +552,61 @@ def test_vocab_growth_bigram_mode(spark):
     }
     assert got[0]["n_new_tokens"] == 2 and got[0]["vocab_size"] == 2
     assert got[1]["n_new_tokens"] == 1 and got[1]["vocab_size"] == 3
+
+
+# ---------------------------------------------------------------------------
+# q58 event transitions
+# ---------------------------------------------------------------------------
+
+
+def test_event_transitions_hand_computed(spark):
+    from duckdb_cloudflare_spark.queries import all_queries
+    import os
+    import tempfile
+
+    # u1: a(t1) -> b(t2) -> a(t3); u2: a(t1) -> c(t2). Transitions:
+    # a->b 1, b->a 1, a->c 1. From 'a': 2 total -> p=0.5 each.
+    d = tempfile.mkdtemp()
+    rows = [
+        (1, dt.datetime(2024, 3, 1, 1), 1, "a", 0.0, "{}"),
+        (2, dt.datetime(2024, 3, 1, 2), 1, "b", 0.0, "{}"),
+        (3, dt.datetime(2024, 3, 1, 3), 1, "a", 0.0, "{}"),
+        (4, dt.datetime(2024, 3, 1, 1), 2, "a", 0.0, "{}"),
+        (5, dt.datetime(2024, 3, 1, 2), 2, "c", 0.0, "{}"),
+        (6, dt.datetime(2024, 3, 1, 9), None, "zz", 0.0, "{}"),  # dropped
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+    got = {
+        (r["from_type"], r["to_type"]): r
+        for r in all_queries()["q58_event_transitions"](spark, d).collect()
+    }
+    assert set(got) == {("a", "b"), ("b", "a"), ("a", "c")}
+    assert got[("a", "b")]["n"] == 1 and got[("a", "b")]["p_transition"] == 0.5
+    assert got[("a", "c")]["p_transition"] == 0.5
+    assert got[("b", "a")]["p_transition"] == 1.0
+
+
+def test_event_transitions_tie_break_is_event_id(spark):
+    from duckdb_cloudflare_spark.queries import all_queries
+    import os
+    import tempfile
+
+    # same ts: order must follow event_id (1:x then 2:y), so x->y not y->x
+    d = tempfile.mkdtemp()
+    ts0 = dt.datetime(2024, 3, 2, 5)
+    rows = [
+        (1, ts0, 7, "x", 0.0, "{}"),
+        (2, ts0, 7, "y", 0.0, "{}"),
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+    rows = all_queries()["q58_event_transitions"](spark, d).collect()
+    assert len(rows) == 1
+    assert (rows[0]["from_type"], rows[0]["to_type"]) == ("x", "y")
