@@ -636,16 +636,21 @@ def vocab_growth_curve(
     """
     nd = df.agg((F.max(id_col) + 1).alias("_nd"))
     lt = F.transform(tokens(F.col(text_col)), lambda x: F.lower(x))
+    # Gram identity is an 8-byte xxhash64 key, not the string: the curve
+    # only COUNTS distinct grams, and counts per distinct gram are
+    # hash-independent absent collisions (the p93/p34 parity argument —
+    # the string-keyed oracle fails the hash gate if a collision ever
+    # perturbs a count). Halves the explode width and the agg shuffle.
     if ngram <= 1:
-        grams = lt
+        grams = F.transform(lt, lambda x: F.xxhash64(x))
     else:
         # TOTAL expression (when-guard — the p34 ANSI pushdown hazard)
         grams = F.when(
             F.size(lt) >= ngram,
             F.transform(
                 F.sequence(F.lit(0), F.size(lt) - ngram),
-                lambda i: F.concat_ws(
-                    " ", *[F.element_at(lt, i + j + 1) for j in range(ngram)]
+                lambda i: F.xxhash64(
+                    *[F.element_at(lt, i + j + 1) for j in range(ngram)]
                 ),
             ),
         )
