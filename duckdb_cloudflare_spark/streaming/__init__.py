@@ -11,5 +11,6 @@ from duckdb_cloudflare_spark.streaming.events import (  # noqa: F401
     read_event_stream,
     session_windows,
     sessionize_with_state,
+    transition_stream,
     windowed_event_counts,
 )

@@ -239,3 +239,84 @@ def run_to_memory(
     )
     q.awaitTermination()
     return stream_df.sparkSession.table(name)
+
+
+TRANSITION_OUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("from_type", StringType()),
+        StructField("to_type", StringType()),
+    ]
+)
+# state: the last event seen per user, as (epoch micros, event_id, type) —
+# micros as long because state columns want flat scalar codecs
+TRANSITION_STATE_SCHEMA = StructType(
+    [
+        StructField("last_us", LongType()),
+        StructField("last_id", LongType()),
+        StructField("last_type", StringType()),
+    ]
+)
+
+
+def _transition_fn(
+    key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Per-user transition emitter: chain the stored last event in front of
+    the batch's (ts, event_id)-sorted rows, emit one (from, to) row per
+    consecutive pair, store the new last event. Rows at or before the
+    stored last event are dropped as LATE (the bounded-state norm: a
+    transition already emitted is never retracted); within a micro-batch
+    ordering is exact, across micro-batches arrival is assumed
+    time-ordered per user (the at-ingest contract; replays/backfills
+    should use the batch q58 instead)."""
+    pdf = pd.concat(list(batches), ignore_index=True)
+    pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+    us = (pdf["ts"].astype("int64")).tolist()  # ns → keep as monotone key
+    ids = pdf["event_id"].tolist()
+    types = pdf["event_type"].tolist()
+    if state.exists:
+        last_us, last_id, last_type = state.get
+    else:
+        last_us = last_id = None
+        last_type = None
+    froms, tos = [], []
+    for u, i, t in zip(us, ids, types):
+        if last_us is not None and (u, i) <= (last_us, last_id):
+            continue  # late row — already behind the emitted frontier
+        if last_type is not None:
+            froms.append(last_type)
+            tos.append(t)
+        last_us, last_id, last_type = u, i, t
+    if last_us is not None:
+        state.update((int(last_us), int(last_id), last_type))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]] * len(froms),
+            "from_type": froms,
+            "to_type": tos,
+        }
+    )
+
+
+def transition_stream(stream: DataFrame) -> DataFrame:
+    """Streaming twin of batch q58: per-user first-order event transitions
+    emitted incrementally (append mode — each transition exactly once, so
+    any downstream count is a plain streaming aggregation). State is ONE
+    row per user (the last seen event), the minimum possible for
+    consecutive-pair semantics — bounded by the user population, not the
+    stream length; add a ProcessingTimeTimeout in production to reclaim
+    idle users (omitted here: availableNow drains never terminate with
+    pending timeouts, the sessionize_with_state note)."""
+    return (
+        stream.filter(F.col("user_id").isNotNull())
+        .select("user_id", "ts", "event_id", "event_type")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _transition_fn,
+            outputStructType=TRANSITION_OUT_SCHEMA,
+            stateStructType=TRANSITION_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -107,3 +107,76 @@ def test_interval_join_matches_batch(spark, batch_events):
     key = lambda rows: sorted(tuple(r) for r in rows)
     assert key(got.collect()) == key(want.collect())
     assert got.count() > 0  # the fixture data actually exercises the join
+
+
+def test_transition_stream_matches_batch_q58_across_microbatches(
+    spark, batch_events, tmp_path
+):
+    """Streaming transitions (state = last event per user) drained over
+    one-file-at-a-time micro-batches must reproduce batch q58's transition
+    counts exactly, INCLUDING the pairs that straddle the batch boundary.
+    The split is by time (per-user arrival stays ordered — the operator's
+    documented contract)."""
+    from duckdb_cloudflare_spark.queries import all_queries
+
+    src = str(tmp_path / "ev_split")
+    median = batch_events.approxQuantile("event_id", [0.5], 0.0)[0]
+    batch_events.filter(F.col("ts") < F.lit("2024-01-08")).coalesce(1).write.parquet(
+        src + "/f1.parquet"
+    )
+    batch_events.filter(F.col("ts") >= F.lit("2024-01-08")).coalesce(1).write.parquet(
+        src + "/f2.parquet"
+    )
+    assert median is not None  # fixture sanity
+    schema = batch_events.schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    got = run_to_memory(S.transition_stream(stream), "trans_stream")
+    got_counts = {
+        (r["from_type"], r["to_type"]): r["n"]
+        for r in got.groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    # batch twin over the SAME split data (the split drops nothing, so this
+    # is just q58 on the original table written back out)
+    exp = {
+        (r["from_type"], r["to_type"]): r["n"]
+        for r in all_queries()["q58_event_transitions"](spark, SF_DIR).collect()
+    }
+    assert got_counts == exp
+
+
+def test_transition_stream_drops_late_rows_keeps_frontier(spark, tmp_path):
+    """A row older than the stored frontier must be dropped (no retraction,
+    no duplicate emission), and the frontier must survive it."""
+    import datetime as dt
+
+    import pandas as pd  # noqa: F401
+
+    src = str(tmp_path / "ev_late")
+    rows1 = [(1, dt.datetime(2024, 5, 1, 10), 7, "a", 0.0, "{}"),
+             (2, dt.datetime(2024, 5, 1, 11), 7, "b", 0.0, "{}")]
+    rows2 = [(3, dt.datetime(2024, 5, 1, 9), 7, "zz", 0.0, "{}"),   # late
+             (4, dt.datetime(2024, 5, 1, 12), 7, "c", 0.0, "{}")]
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    spark.createDataFrame(rows1, schema).coalesce(1).write.parquet(src + "/f1.parquet")
+    spark.createDataFrame(rows2, schema).coalesce(1).write.parquet(src + "/f2.parquet")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    got = sorted(
+        (r["from_type"], r["to_type"])
+        for r in run_to_memory(S.transition_stream(stream), "trans_late").collect()
+    )
+    # a->b within batch 1; b->c across the boundary; the late 'zz' row is
+    # dropped entirely (no zz transitions, no a->zz rewrite)
+    assert got == [("a", "b"), ("b", "c")]
