@@ -29,7 +29,11 @@ from pyspark.sql.types import ArrayType, LongType
 from pyspark.sql.window import Window
 from pyspark.storagelevel import StorageLevel
 
-from duckdb_cloudflare_spark.operators.text_analysis import normalize_text, tokens
+from duckdb_cloudflare_spark.operators.text_analysis import (
+    fingerprint,
+    normalize_text,
+    tokens,
+)
 
 
 def ensure_parallelism(df: DataFrame) -> DataFrame:
@@ -1768,8 +1772,6 @@ def cross_source_leakage(
     duplicated across more than that many sources before pairing; with it
     set the matrix is a documented underestimate.
     """
-    from duckdb_cloudflare_spark.operators.text_analysis import fingerprint
-
     if key == "exact":
         fp = fingerprint(F.col(text_col))
     elif key == "token_set":

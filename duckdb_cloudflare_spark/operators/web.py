@@ -282,15 +282,19 @@ def apply_domain_blocklist(
     million rows — megabytes) becomes a BROADCAST hash join build side, so
     the 100 TB corpus is probed map-side with zero shuffle; the domain
     derivation is pure codegen expressions (``url_host`` +
-    ``registrable_domain``). Blocklist entries are normalized the same way
-    hosts are (lowercase, trailing dots stripped) so list spellings like
-    'Example.COM.' still match.
+    ``registrable_domain``). Blocklist entries pass through the SAME
+    ``registrable_domain`` collapse as the probe side (r10 code-review
+    find): real UT1-style lists spell hostnames ('login.bad.com',
+    'Example.COM.'), and an un-collapsed entry would never equal the
+    probe's eTLD+1 key — silently dead weight. Blocking is therefore at
+    registrable-domain granularity by contract: listing any host of
+    'bad.com' blocks all of 'bad.com'.
     """
     spark = df.sparkSession
     bl = spark.createDataFrame(
         [(d,) for d in sorted(set(blocked_domains))], "domain string"
     ).select(
-        F.regexp_replace(F.lower(F.trim("domain")), r"\.+$", "").alias("domain"),
+        registrable_domain(F.col("domain")).alias("domain"),
         F.lit(True).alias("blocked"),
     ).distinct()
     out = df.withColumn("domain", registrable_domain(url_host(F.col(url_col))))

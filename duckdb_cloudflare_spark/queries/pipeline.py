@@ -56,7 +56,7 @@ def p01_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
                                           lower(tok)))) AS DOUBLE)
                  / len({_TOKENS_SQL})                                AS stopword_ratio
     FROM documents
-    WHERE len({_TOKENS_SQL}) > 0
+    WHERE length(trim(text)) > 0
     """,
     description="token counting (whitespace + BPE-ish regex) and quality ratios",
 )

@@ -294,10 +294,13 @@ def q57_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- r10 second wave: PII scrub, decontamination, fertility, URL filtering,
 # --- cross-source leakage -------------------------------------------------
 
-_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
-_PII_IPV4 = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
-_PII_PHONE = r"\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b"
-_PII_SSN = r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b"
+# Interpolated from the operator's single source of truth so the oracle
+# can NEVER test a stale copy of a pattern (r10 code-review find)
+_PII_BY_NAME = {name: pat for name, pat, _tok in T.PII_RULES}
+_PII_EMAIL = _PII_BY_NAME["email"]
+_PII_IPV4 = _PII_BY_NAME["ipv4"]
+_PII_PHONE = _PII_BY_NAME["phone"]
+_PII_SSN = _PII_BY_NAME["ssn"]
 
 _DIRTY_PII_SQL = """
         text
@@ -453,7 +456,7 @@ def p95_ngram_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
                       AS DOUBLE)
                AS bpe_per_ws_token
     FROM documents
-    WHERE len(string_split_regex(trim(text), '\s+')) > 0
+    WHERE length(trim(text)) > 0
     GROUP BY lang
     """,
     description="Tokenizer-fertility report per language — chars per "
@@ -673,8 +676,9 @@ def p100_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     description="First-order Markov transition matrix over per-user event "
     "sequences: for every (from_type, to_type) pair of CONSECUTIVE events "
-    "of one user (ordered by ts with an event_id tie-break — a total "
-    "order, so lead() is deterministic), the count and the row-normalized "
+    "of one user (ordered by ts NULLS LAST — stated explicitly because "
+    "Spark defaults nulls first and DuckDB last — with an event_id "
+    "tie-break: a total order, so lead() is deterministic), the count and the row-normalized "
     "transition probability — the behavioral-analytics table session-flow "
     "and agent-trace analysis start from. Spark-side: ONE user-keyed "
     "window (the same single shuffle class as q47's sessionize), a "
@@ -688,7 +692,13 @@ def q58_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     e = load(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # NULLS LAST explicitly: Spark's default asc is NULLS FIRST while
+    # DuckDB's window ORDER BY defaults to NULLS LAST — a null-ts event
+    # would otherwise produce different transition pairs cross-engine
+    # (r10 code-review find, the q24-class null-ordering trap)
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc_nulls_last(), "event_id"
+    )
     t = (
         e.filter(F.col("user_id").isNotNull())
         .select(

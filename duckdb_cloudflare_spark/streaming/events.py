@@ -307,9 +307,16 @@ def transition_stream(stream: DataFrame) -> DataFrame:
     consecutive-pair semantics — bounded by the user population, not the
     stream length; add a ProcessingTimeTimeout in production to reclaim
     idle users (omitted here: availableNow drains never terminate with
-    pending timeouts, the sessionize_with_state note)."""
+    pending timeouts, the sessionize_with_state note).
+
+    NULL-ts rows are dropped up front (a documented divergence from batch
+    q58, which orders them NULLS LAST): "after everything" has no meaning
+    against future arrivals — keeping such a row would either wedge the
+    frontier or emit unordered pairs; pandas would also sort NaT last
+    while its int64 frontier key reads as int64-min, silently disagreeing
+    (r10 code-review find)."""
     return (
-        stream.filter(F.col("user_id").isNotNull())
+        stream.filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
         .select("user_id", "ts", "event_id", "event_type")
         .groupBy("user_id")
         .applyInPandasWithState(

@@ -357,10 +357,14 @@ def test_domain_blocklist_collapses_subdomains_and_normalizes(spark):
         ],
         "doc_id long, url string",
     )
-    # blocklist spellings deliberately dirty: case + trailing dot
+    # blocklist spellings deliberately dirty: case + trailing dot + a
+    # HOSTNAME entry (r10 review: real lists spell subdomains; the entry
+    # must collapse to the same eTLD+1 key the probe side derives)
     got = {
         r["doc_id"]: r
-        for r in apply_domain_blocklist(df, ["Bad.COM.", "bad.co.uk"]).collect()
+        for r in apply_domain_blocklist(
+            df, ["login.Bad.COM.", "www.bad.co.uk"]
+        ).collect()
     }
     assert [got[i]["blocked"] for i in (1, 2, 3, 4, 5)] == [
         True, True, False, True, False
@@ -610,3 +614,30 @@ def test_event_transitions_tie_break_is_event_id(spark):
     rows = all_queries()["q58_event_transitions"](spark, d).collect()
     assert len(rows) == 1
     assert (rows[0]["from_type"], rows[0]["to_type"]) == ("x", "y")
+
+
+def test_event_transitions_null_ts_sorts_last_like_duckdb(spark):
+    """r10 code-review pin: a null-ts event must order AFTER every
+    timestamped event (NULLS LAST — DuckDB's window default; Spark's
+    default is nulls FIRST, so the query states it explicitly)."""
+    from duckdb_cloudflare_spark.queries import all_queries
+    import os
+    import tempfile
+
+    d = tempfile.mkdtemp()
+    rows = [
+        (1, dt.datetime(2024, 4, 1, 1), 5, "a", 0.0, "{}"),
+        (2, dt.datetime(2024, 4, 1, 2), 5, "b", 0.0, "{}"),
+        (3, None, 5, "z", 0.0, "{}"),
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+    got = sorted(
+        (r["from_type"], r["to_type"])
+        for r in all_queries()["q58_event_transitions"](spark, d).collect()
+    )
+    # NULLS LAST: a -> b -> z, never z -> a
+    assert got == [("a", "b"), ("b", "z")]

@@ -120,14 +120,15 @@ def test_transition_stream_matches_batch_q58_across_microbatches(
     from duckdb_cloudflare_spark.queries import all_queries
 
     src = str(tmp_path / "ev_split")
-    median = batch_events.approxQuantile("event_id", [0.5], 0.0)[0]
+    # fixture sanity: the time split must cover every row (no null ts),
+    # or the streaming side would lose rows the batch twin keeps
+    assert batch_events.filter(F.col("ts").isNull()).count() == 0
     batch_events.filter(F.col("ts") < F.lit("2024-01-08")).coalesce(1).write.parquet(
         src + "/f1.parquet"
     )
     batch_events.filter(F.col("ts") >= F.lit("2024-01-08")).coalesce(1).write.parquet(
         src + "/f2.parquet"
     )
-    assert median is not None  # fixture sanity
     schema = batch_events.schema
     stream = (
         spark.readStream.schema(schema)
@@ -141,8 +142,8 @@ def test_transition_stream_matches_batch_q58_across_microbatches(
         .agg(F.count(F.lit(1)).alias("n"))
         .collect()
     }
-    # batch twin over the SAME split data (the split drops nothing, so this
-    # is just q58 on the original table written back out)
+    # batch twin: the split covers every fixture row (asserted above), so
+    # q58 on the original table IS the twin of the drained stream
     exp = {
         (r["from_type"], r["to_type"]): r["n"]
         for r in all_queries()["q58_event_transitions"](spark, SF_DIR).collect()
