@@ -957,8 +957,13 @@ def prefix_dup_groups(
     16-byte fingerprint.
     """
     pref = F.concat_ws(" ", F.slice(tokens(F.lower(F.col(text_col))), 1, k))
+    # NULL text has NO prefix (concat_ws would silently render "" and lump
+    # null docs with genuinely-empty ones — r10 dirty-parity find); a NULL
+    # fingerprint group still counts consistently in both engines if >= 2
+    # null-text docs exist
+    fp = F.when(F.col(text_col).isNotNull(), F.md5(pref))
     return (
-        df.select(F.col(id_col), F.md5(pref).alias("prefix_fp"))
+        df.select(F.col(id_col), fp.alias("prefix_fp"))
         .groupBy("prefix_fp")
         .agg(F.count(F.lit(1)).alias("n_docs"), F.min(id_col).alias("keep_id"))
         .filter(F.col("n_docs") >= 2)

@@ -108,7 +108,7 @@ def p03_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM documents
     )
     SELECT doc_id, lang_true,
-           CASE WHEN greatest(en_hits, es_hits, fr_hits, de_hits, zh_hits) = 0 THEN 'und'
+           CASE WHEN coalesce(greatest(en_hits, es_hits, fr_hits, de_hits, zh_hits), 0) = 0 THEN 'und'
                 WHEN de_hits = greatest(en_hits, es_hits, fr_hits, de_hits, zh_hits) THEN 'de'
                 WHEN en_hits = greatest(en_hits, es_hits, fr_hits, de_hits, zh_hits) THEN 'en'
                 WHEN es_hits = greatest(en_hits, es_hits, fr_hits, de_hits, zh_hits) THEN 'es'
@@ -422,6 +422,7 @@ def p16_token_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH toks AS (
         SELECT doc_id, lower(unnest({_TOKENS_SQL})) AS tok FROM documents
+        WHERE length(trim(text)) > 0
     ), tf AS (
         SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY doc_id, tok
     ), df AS (
@@ -874,6 +875,7 @@ def p27_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH toks AS (
         SELECT doc_id, lower(unnest({_TOKENS_SQL})) AS tok FROM documents
+        WHERE length(trim(text)) > 0
     ), vocab AS (
         SELECT tok, count(*) AS freq FROM toks GROUP BY tok
     ), tot AS (
@@ -1282,6 +1284,7 @@ def p36_dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH toks AS (
         SELECT doc_id, lower(unnest({_TOKENS_SQL})) AS tok FROM documents
+        WHERE length(trim(text)) > 0
     ), vocab AS (
         SELECT tok, count(*) AS freq FROM toks GROUP BY tok
     ), tot AS (

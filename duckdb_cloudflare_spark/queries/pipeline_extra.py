@@ -2699,6 +2699,7 @@ def p82_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                    string_split_regex(trim(text), '\s+')))), 1, 8))
                    AS BIGINT) % 1024 AS bucket
         FROM documents
+        WHERE length(trim(text)) > 0
     ), b AS (
         SELECT bucket, count(*) AS raw_n,
                count(CASE WHEN t THEN 1 END) AS tgt_n

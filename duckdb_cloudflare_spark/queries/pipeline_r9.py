@@ -78,6 +78,7 @@ def p85_source_mix_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
                    string_split_regex(trim(text), '\s+')))), 1, 8))
                    AS BIGINT) % 1024 AS bucket
         FROM documents
+        WHERE length(trim(text)) > 0
     ), b AS (
         SELECT bucket, count(*) AS raw_n,
                count(CASE WHEN t THEN 1 END) AS tgt_n
@@ -215,7 +216,8 @@ def p88_dup_cluster_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(sum(c) AS BIGINT) AS n_chars_counted,
            round(ln(CAST(sum(c) AS DOUBLE))
                  - CAST(sum(tm) AS DOUBLE)
-                   / (CAST(sum(c) AS DOUBLE) * 1000000.0), 6) AS char_entropy
+                   / (CAST(sum(c) AS DOUBLE) * 1000000.0), 6) + 0.0
+               AS char_entropy
     FROM t GROUP BY doc_id
     """,
     description="Per-document character-level Shannon entropy (nats) — "

@@ -710,10 +710,14 @@ def q24_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q25_json_extract",
     oracle="""
-    SELECT event_id, event_type,
-           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value
-    FROM events
-    WHERE json_extract_string(props, '$.k') IS NOT NULL
+    WITH j AS (
+        SELECT event_id, event_type,
+               CASE WHEN json_valid(props)
+                    THEN json_extract_string(props, '$.k') END AS ks
+        FROM events
+    )
+    SELECT event_id, event_type, CAST(ks AS BIGINT) AS k_value
+    FROM j WHERE ks IS NOT NULL
     """,
     description="JSON key extraction from a string column "
     "(reference ExtractJSONValue, web_archive_utils.cpp:160-177)",
@@ -807,6 +811,7 @@ def q27_struct_map_access(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(*) AS n_events,
            round(sum(value), 4) AS total_value
     FROM events
+    WHERE ts IS NOT NULL
     GROUP BY bucket_start, event_type
     """,
     description="tumbling time-window aggregation (F.window ≡ time_bucket)",
@@ -1012,7 +1017,7 @@ def q35_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
            regexp_extract(text, '([A-Za-z]+)', 1) AS first_word,
            regexp_extract(text, '([0-9]+)', 1) AS first_number,
            length(regexp_replace(text, '[aeiouAEIOU]', '', 'g')) AS len_no_vowels,
-           CASE WHEN regexp_matches(text, '[.!?]$') THEN 1 ELSE 0 END AS ends_sentence
+           CAST(regexp_matches(text, '[.!?]$') AS INT) AS ends_sentence
     FROM documents
     """,
     description="regular-expression scalar functions: regexp_extract (group, "
