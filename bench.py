@@ -49,6 +49,7 @@ _SF1_HEADLINE = [
     "p95_ngram_decontaminate",
     "p99_vocab_growth",
     "p100_pmi_collocations",
+    "p101_source_char_drift",
 ]
 
 
@@ -260,6 +261,9 @@ def main() -> None:
         # derivation).
         "p99_vocab_growth",
         "p100_pmi_collocations",
+        # cross-source char-distribution drift (one corpus char explode +
+        # alphabet-bounded joins — same-work pair with the DuckDB oracle)
+        "p101_source_char_drift",
     ]
     registry = Q.all_queries()
 

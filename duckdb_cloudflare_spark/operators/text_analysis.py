@@ -640,21 +640,28 @@ def vocab_growth_curve(
     # only COUNTS distinct grams, and counts per distinct gram are
     # hash-independent absent collisions (the p93/p34 parity argument —
     # the string-keyed oracle fails the hash gate if a collision ever
-    # perturbs a count). Halves the explode width and the agg shuffle.
+    # perturbs a count). The n-gram windows are built with
+    # arrays_zip-of-slices (native array ops) and hashed AFTER the
+    # explode as an ordinary codegen expression — a per-element
+    # xxhash64-inside-transform lambda goes through the interpreted
+    # higher-order path and measured 20x slower (8.05 -> 0.41 s at
+    # sf0.1). slice lengths clamp via greatest(.., 0), so the expression
+    # is TOTAL on short arrays (no sequence(), no p34 ANSI hazard).
     if ngram <= 1:
-        grams = F.transform(lt, lambda x: F.xxhash64(x))
-    else:
-        # TOTAL expression (when-guard — the p34 ANSI pushdown hazard)
-        grams = F.when(
-            F.size(lt) >= ngram,
-            F.transform(
-                F.sequence(F.lit(0), F.size(lt) - ngram),
-                lambda i: F.xxhash64(
-                    *[F.element_at(lt, i + j + 1) for j in range(ngram)]
-                ),
-            ),
+        exploded = df.select(
+            F.col(id_col).alias("_id"), F.explode(lt).alias("_t0")
         )
-    toks = df.select(F.col(id_col).alias("_id"), F.explode(grams).alias("tok"))
+        key = F.xxhash64("_t0")
+    else:
+        n_win = F.greatest(F.size(lt) - (ngram - 1), F.lit(0))
+        zipped = F.arrays_zip(
+            *[F.slice(lt, j + 1, n_win) for j in range(ngram)]
+        )
+        exploded = df.select(
+            F.col(id_col).alias("_id"), F.explode(zipped).alias("_bg")
+        )
+        key = F.xxhash64(*[F.col("_bg")[str(j)] for j in range(ngram)])
+    toks = exploded.select("_id", key.alias("tok"))
     # min-bucket == bucket-of-min-id (slice membership is monotone in id),
     # so aggregate the min id FIRST and bucket on the vocab-sized result:
     # the broadcast scalar join touches |vocab| rows, not the corpus, and
@@ -735,4 +742,65 @@ def pmi_collocations(
         .orderBy(F.col("_pmi").desc(), "w1", "w2")
         .limit(top_k)
         .select("w1", "w2", "n_ab", F.round("_pmi", 6).alias("pmi"))
+    )
+
+
+def source_char_similarity(
+    df: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-source character-distribution similarity matrix: cosine
+    between each pair of sources' per-codepoint count vectors — the
+    cheap language/encoding drift detector (two crawls of the same
+    language sit near 1.0; a source that flipped charset, language, or
+    started emitting binary spill drops visibly) run before any
+    tokenizer-level comparison. Returns (src_a, src_b, dot, cosine) for
+    src_a < src_b.
+
+    Determinism: counts are exact integers; each product and the running
+    sums stay integer-valued doubles (< 2^53 — exact regardless of
+    summation order; at corpus scales beyond that, swap the sums to
+    DECIMAL(38,0) per the p90 rule), so both engines compute identical
+    doubles through sqrt and one division; cosine is emitted 6-dp
+    rounded (transcendental-pipeline convention). Scale shape: ONE
+    corpus-sized exchange (the (source, char) partial agg — alphabet ×
+    sources rows survive the map side); the self-join and norm joins
+    operate on that alphabet-bounded table, never the corpus.
+    """
+    chars = (
+        df.filter(F.col(text_col).isNotNull() & F.col(source_col).isNotNull())
+        .select(
+            F.col(source_col).alias("src"),
+            F.explode(
+                F.regexp_extract_all(F.col(text_col), F.lit("(?s)."), 0)
+            ).alias("ch"),
+        )
+        .filter(F.length("ch") > 0)
+    )
+    cc = chars.groupBy("src", "ch").agg(
+        F.count(F.lit(1)).cast("double").alias("c")
+    )
+    nrm = cc.groupBy("src").agg(F.sum(F.col("c") * F.col("c")).alias("sq"))
+    a = cc.select(F.col("src").alias("src_a"), "ch", F.col("c").alias("ca"))
+    b = cc.select(F.col("src").alias("src_b"), "ch", F.col("c").alias("cb"))
+    dot = (
+        a.join(b, "ch")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.sum(F.col("ca") * F.col("cb")).alias("dot"))
+    )
+    na = nrm.select(F.col("src").alias("src_a"), F.col("sq").alias("sq_a"))
+    nb = nrm.select(F.col("src").alias("src_b"), F.col("sq").alias("sq_b"))
+    return (
+        dot.join(na, "src_a")
+        .join(nb, "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            F.col("dot").cast("bigint").alias("dot"),
+            F.round(
+                F.col("dot") / (F.sqrt("sq_a") * F.sqrt("sq_b")), 6
+            ).alias("cosine"),
+        )
     )

@@ -152,8 +152,9 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 # freshness of driver evidence IS the product, so the window rotates to the
 # STALEST driver history.
 #   - NEW r10 operators lead (zero driver history, like every round's
-#     additions): the third wave q58/p99/p100 (event transitions, vocab
-#     growth, PMI collocations), the second wave p94-p98 (PII scan,
+#     additions): the third wave p101/q58/p99/p100 (char-drift matrix,
+#     event transitions, vocab growth, PMI collocations), the second
+#     wave p94-p98 (PII scan,
 #     n-gram decontamination, token fertility, domain blocklist,
 #     cross-source leakage), then the first wave p91-p93/q56/q57.
 #   - then the entries whose VALUES changed this round, so their green
@@ -162,8 +163,8 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 #   - then the 41 entries last driver-graded in r7 — i.e. green in
 #     CORRECTNESS_r07 and in neither r08 nor r09 — in CORRECTNESS_r07
 #     record order (stalest-first within the round is unknowable, so the
-#     driver's own emission order is the documented tie-break); with 13
-#     new entries ahead only the first 35 fit the 50-prefix.
+#     driver's own emission order is the documented tie-break); with 14
+#     new entries ahead only the first 34 fit the 50-prefix.
 #   - the r7 tail and the r8-graded set (CORRECTNESS_r08 record order)
 #     stay listed below the cut and rotate next round.
 # This list may name MORE than 50 prefixes — only the first 50 of the
@@ -181,7 +182,7 @@ _WINDOW_PRIORITY = [
     # new this round — zero driver history (prepend each r10 addition here);
     # second wave (p94-p98) ahead of the first (p91-p93/q56/q57) is
     # arbitrary — all ten are in the graded prefix either way
-    "q58_", "p99_", "p100_",
+    "p101_", "q58_", "p99_", "p100_",
     "p94_", "p95_", "p96_", "p97_", "p98_",
     "p91_", "p92_", "p93_", "q56_", "q57_",
     # changed-this-round re-grades (values changed in r10)

@@ -715,3 +715,44 @@ def q58_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p_transition"
         ),
     )
+
+
+@register(
+    "p101_source_char_drift",
+    oracle="""
+    WITH ch AS (
+        SELECT source AS src, unnest(string_split(text, '')) AS ch
+        FROM documents WHERE text IS NOT NULL AND source IS NOT NULL
+    ), cc AS (
+        SELECT src, ch, CAST(count(*) AS DOUBLE) AS c
+        FROM ch WHERE length(ch) > 0 GROUP BY src, ch
+    ), nrm AS (
+        SELECT src, sum(c * c) AS sq FROM cc GROUP BY src
+    ), dt AS (
+        SELECT a.src AS src_a, b.src AS src_b, sum(a.c * b.c) AS dot
+        FROM cc a JOIN cc b ON a.ch = b.ch AND a.src < b.src
+        GROUP BY 1, 2
+    )
+    SELECT src_a, src_b, CAST(dot AS BIGINT) AS dot,
+           round(dot / (sqrt(na.sq) * sqrt(nb.sq)), 6) AS cosine
+    FROM dt
+    JOIN nrm na ON na.src = dt.src_a
+    JOIN nrm nb ON nb.src = dt.src_b
+    """,
+    description="Cross-source character-distribution drift matrix: cosine "
+    "between each source pair's per-codepoint count vectors — the cheap "
+    "encoding/language drift detector run before tokenizer-level "
+    "comparisons (a source that flipped charset or language drops "
+    "visibly). operators/text_analysis.py::source_char_similarity, on "
+    "p89's codepoint-exact explode (regexp '(?s).' ≡ DuckDB "
+    "string_split(text,'')). Determinism: integer counts; products and "
+    "sums stay integer-valued doubles (< 2^53, order-free exact; the "
+    "p90 DECIMAL swap documented for beyond), one sqrt+division per "
+    "pair, 6-dp round; `dot` emitted as an exact BIGINT check column. "
+    "Scale shape: ONE corpus exchange (the (source,char) partial agg); "
+    "the char-keyed self-join and norm joins touch only the alphabet x "
+    "sources table.",
+)
+def p101_source_char_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = D.ensure_parallelism(load(spark, sf_dir, "documents"))
+    return T.source_char_similarity(d)

@@ -759,3 +759,15 @@ def test_q58_transitions_single_user_window_tiny_normalization(spark, registry):
     assert "Join type:" not in plan
     assert "SinglePartition" not in plan
     assert "rangepartitioning" not in plan.lower()
+
+
+def test_p101_char_drift_single_corpus_exchange(spark, registry):
+    """p101's only corpus-sized exchange is the (source, char) partial
+    agg; the char-keyed self-join and norm joins run on the alphabet x
+    sources table — no cartesian, no corpus re-shuffle."""
+    from duckdb_cloudflare_spark.plans.introspect import formatted_plan
+
+    df = registry["p101_source_char_drift"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

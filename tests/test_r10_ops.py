@@ -641,3 +641,43 @@ def test_event_transitions_null_ts_sorts_last_like_duckdb(spark):
     )
     # NULLS LAST: a -> b -> z, never z -> a
     assert got == [("a", "b"), ("b", "z")]
+
+
+# ---------------------------------------------------------------------------
+# source_char_similarity (p101)
+# ---------------------------------------------------------------------------
+
+
+def test_source_char_similarity_hand_computed(spark):
+    import math
+
+    from duckdb_cloudflare_spark.operators.text_analysis import (
+        source_char_similarity,
+    )
+
+    # A: "aab" → {a:2, b:1}; B: "ab" → {a:1, b:1}; C: "cc" → {c:2}.
+    # cos(A,B) = (2·1 + 1·1) / (√5·√2) = 3/√10; cos with C = 0 → the
+    # (A,C)/(B,C) pairs share no chars and must NOT appear (inner join).
+    df = spark.createDataFrame(
+        [(1, "A", "aab"), (2, "B", "ab"), (3, "C", "cc"), (4, None, "x"), (5, "A", None)],
+        "doc_id long, source string, text string",
+    )
+    got = {
+        (r["src_a"], r["src_b"]): r for r in source_char_similarity(df).collect()
+    }
+    assert set(got) == {("A", "B")}
+    assert got[("A", "B")]["dot"] == 3
+    assert got[("A", "B")]["cosine"] == round(3 / math.sqrt(10), 6)
+
+
+def test_source_char_similarity_identical_sources_cosine_one(spark):
+    from duckdb_cloudflare_spark.operators.text_analysis import (
+        source_char_similarity,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "A", "same text here"), (2, "B", "same text here")],
+        "doc_id long, source string, text string",
+    )
+    (r,) = source_char_similarity(df).collect()
+    assert r["cosine"] == 1.0

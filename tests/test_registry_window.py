@@ -27,7 +27,7 @@ def test_graded_window_is_exactly_the_r10_rotation():
     expected = (
         # new r10 operators (zero driver history) lead.
         # Prepend each r10 addition here IN LOCKSTEP with _WINDOW_PRIORITY.
-        ["q58_", "p99_", "p100_"]
+        ["p101_", "q58_", "p99_", "p100_"]
         + ["p94_", "p95_", "p96_", "p97_", "p98_"]
         + ["p91_", "p92_", "p93_", "q56_", "q57_"]
         # changed-this-round re-grades (values changed in r10): p89
