@@ -716,7 +716,7 @@ def q24_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
                     THEN json_extract_string(props, '$.k') END AS ks
         FROM events
     )
-    SELECT event_id, event_type, CAST(ks AS BIGINT) AS k_value
+    SELECT event_id, event_type, TRY_CAST(ks AS BIGINT) AS k_value
     FROM j WHERE ks IS NOT NULL
     """,
     description="JSON key extraction from a string column "
@@ -725,8 +725,10 @@ def q24_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q25_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "events")
     k = F.get_json_object("props", "$.k")
+    # try_cast, not cast: $.k can legally hold a non-numeric JSON value,
+    # and ANSI cast throws (r10 dirty-parity find; DuckDB CAST throws too)
     return e.filter(k.isNotNull()).select(
-        "event_id", "event_type", k.cast("bigint").alias("k_value")
+        "event_id", "event_type", k.try_cast("bigint").alias("k_value")
     )
 
 

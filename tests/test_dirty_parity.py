@@ -42,17 +42,27 @@ def dirty_sf(tmp_path_factory):
     docs = pq.read_table(f"{_SRC}/documents.parquet")
     extra = pa.table(
         {
-            "doc_id": pa.array([900001, 900002, 900003, 900004, 900005], pa.int64()),
+            "doc_id": pa.array(
+                [900001, 900002, 900003, 900004, 900005,
+                 900006, 900007, 900008, 900009], pa.int64()),
             "text": pa.array(
                 [
                     None, "", "   ", "one two three four five",
                     "héllo wörld ünïcode ✓ 測試 текст emoji 🚀 done",
+                    "!!! ... ??? ---",            # punctuation-only tokens
+                    "a\tb\nc\r\nd  e",             # tabs/newlines/CRLF/double space
+                    "aaaaaaaaaaaaaaaaaaaaaaaa",   # one repeated char (entropy 0)
+                    "x" * 3000,                   # one very long token
                 ],
                 pa.string(),
             ),
-            "lang": pa.array(["en", None, "en", "xx", "xx"], pa.string()),
-            "source": pa.array(["srcX", "srcX", None, "srcY", "srcY"], pa.string()),
-            "n_chars": pa.array([0, 0, 3, 23, 46], pa.int64()),
+            "lang": pa.array(
+                ["en", None, "en", "xx", "xx", "en", "en", "xx", "xx"],
+                pa.string()),
+            "source": pa.array(
+                ["srcX", "srcX", None, "srcY", "srcY", "srcX", "srcY",
+                 "srcX", "srcY"], pa.string()),
+            "n_chars": pa.array([0, 0, 3, 23, 46, 15, 10, 24, 3000], pa.int64()),
         }
     ).select(docs.column_names).cast(docs.schema)
     pq.write_table(pa.concat_tables([docs, extra]), str(d / "documents.parquet"))
@@ -61,15 +71,21 @@ def dirty_sf(tmp_path_factory):
     ts_type = ev.schema.field("ts").type
     extra_ev = pa.table(
         {
-            "event_id": pa.array([9900001, 9900002, 9900003], pa.int64()),
+            "event_id": pa.array(
+                [9900001, 9900002, 9900003, 9900004, 9900005], pa.int64()),
             "ts": pa.array(
-                [None, 1704067200000000, 1704153600000000],  # us since epoch
+                # NULL, two normal, epoch-0, far future (2200-01-01)
+                [None, 1704067200000000, 1704153600000000, 0,
+                 7258118400000000],
                 pa.timestamp("us"),
             ).cast(ts_type),
-            "user_id": pa.array([42, None, 43], pa.int64()),
-            "event_type": pa.array(["click", "view", None], pa.string()),
-            "value": pa.array([1.0, None, 2.0], pa.float64()),
-            "props": pa.array(["{}", None, "not json"], pa.string()),
+            "user_id": pa.array([42, None, 43, 44, 44], pa.int64()),
+            "event_type": pa.array(
+                ["click", "view", None, "click", "purchase"], pa.string()),
+            "value": pa.array([1.0, None, 2.0, -3.5, 1e15], pa.float64()),
+            "props": pa.array(
+                ["{}", None, "not json", '{"k": "7"}', '{"k": []}'],
+                pa.string()),
         }
     ).select(ev.column_names).cast(ev.schema)
     pq.write_table(pa.concat_tables([ev, extra_ev]), str(d / "events.parquet"))
