@@ -433,6 +433,28 @@ def length_report(
     )
 
 
+def explode_codepoints(df: DataFrame, key, text_col: str = "text") -> DataFrame:
+    """One row per text CODEPOINT, keyed by ``key`` (a Column aliased to
+    its output name): the shared derivation under char_entropy (p89) and
+    source_char_similarity (p101). Tokenizes on CODEPOINTS, not UTF-16
+    code units: F.split(text, "") yields code units, so a surrogate-pair
+    char (emoji) becomes two tokens while DuckDB's string_split(text, '')
+    yields codepoints — counts would diverge on any non-BMP text (ADVICE
+    r9). Java regex "." with (?s) is supplementary-aware (one match = one
+    codepoint). NULL text rows are dropped; NULL KEYS are the caller's
+    business."""
+    return (
+        df.filter(F.col(text_col).isNotNull())
+        .select(
+            key,
+            F.explode(
+                F.regexp_extract_all(F.col(text_col), F.lit("(?s)."), 0)
+            ).alias("ch"),
+        )
+        .filter(F.length("ch") > 0)
+    )
+
+
 def char_entropy(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -449,21 +471,7 @@ def char_entropy(
     doubles and the final 6-dp round. Scale shape: one character explode
     feeding a (doc, char) partial-agg shuffle (≤ alphabet-size rows per
     doc survive the map side), then one doc-keyed fold — linear, no joins."""
-    # Tokenize on CODEPOINTS, not UTF-16 code units: F.split(text, "")
-    # yields code units, so a surrogate-pair char (emoji) becomes two
-    # tokens while DuckDB's string_split(text, '') yields codepoints —
-    # counts/entropy would diverge on any non-BMP text (ADVICE r9 low).
-    # Java regex "." is supplementary-aware (one match = one codepoint).
-    chars = (
-        df.filter(F.col(text_col).isNotNull())
-        .select(
-            id_col,
-            F.explode(
-                F.regexp_extract_all(F.col(text_col), F.lit("(?s)."), 0)
-            ).alias("ch"),
-        )
-        .filter(F.length("ch") > 0)
-    )
+    chars = explode_codepoints(df, F.col(id_col), text_col)
     cnt = chars.groupBy(id_col, "ch").agg(F.count(F.lit(1)).alias("c"))
     term = F.round(
         F.col("c").cast("double") * F.log(F.col("c").cast("double")) * 1e6, 0
@@ -768,15 +776,10 @@ def source_char_similarity(
     sources rows survive the map side); the self-join and norm joins
     operate on that alphabet-bounded table, never the corpus.
     """
-    chars = (
-        df.filter(F.col(text_col).isNotNull() & F.col(source_col).isNotNull())
-        .select(
-            F.col(source_col).alias("src"),
-            F.explode(
-                F.regexp_extract_all(F.col(text_col), F.lit("(?s)."), 0)
-            ).alias("ch"),
-        )
-        .filter(F.length("ch") > 0)
+    chars = explode_codepoints(
+        df.filter(F.col(source_col).isNotNull()),
+        F.col(source_col).alias("src"),
+        text_col,
     )
     cc = chars.groupBy("src", "ch").agg(
         F.count(F.lit(1)).cast("double").alias("c")

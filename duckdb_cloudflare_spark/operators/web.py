@@ -288,16 +288,26 @@ def apply_domain_blocklist(
     'Example.COM.'), and an un-collapsed entry would never equal the
     probe's eTLD+1 key — silently dead weight. Blocking is therefore at
     registrable-domain granularity by contract: listing any host of
-    'bad.com' blocks all of 'bad.com'.
+    'bad.com' blocks all of 'bad.com'. IPv4-LITERAL hosts are the
+    exception (review find #2): an IP has no registrable domain, and
+    collapsing '1.2.3.4' to '3.4' would over-block every IP ending in
+    .3.4 — IP literals key as the WHOLE address, on both the entry and
+    the probe side.
     """
+
+    def _key(host):
+        h = F.regexp_replace(F.lower(F.trim(host)), r"\.+$", "")
+        is_ip = h.rlike(r"^[0-9]{1,3}(\.[0-9]{1,3}){3}$")
+        return F.when(is_ip, h).otherwise(registrable_domain(h))
+
     spark = df.sparkSession
     bl = spark.createDataFrame(
         [(d,) for d in sorted(set(blocked_domains))], "domain string"
     ).select(
-        registrable_domain(F.col("domain")).alias("domain"),
+        _key(F.col("domain")).alias("domain"),
         F.lit(True).alias("blocked"),
     ).distinct()
-    out = df.withColumn("domain", registrable_domain(url_host(F.col(url_col))))
+    out = df.withColumn("domain", _key(url_host(F.col(url_col))))
     return out.join(F.broadcast(bl), "domain", "left").withColumn(
         "blocked", F.coalesce(F.col("blocked"), F.lit(False))
     )

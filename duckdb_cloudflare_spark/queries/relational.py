@@ -716,7 +716,9 @@ def q24_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
                     THEN json_extract_string(props, '$.k') END AS ks
         FROM events
     )
-    SELECT event_id, event_type, TRY_CAST(ks AS BIGINT) AS k_value
+    SELECT event_id, event_type,
+           CAST(CASE WHEN regexp_matches(ks, '^-?[0-9]+$') THEN ks END
+                AS BIGINT) AS k_value
     FROM j WHERE ks IS NOT NULL
     """,
     description="JSON key extraction from a string column "
@@ -725,10 +727,14 @@ def q24_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q25_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "events")
     k = F.get_json_object("props", "$.k")
-    # try_cast, not cast: $.k can legally hold a non-numeric JSON value,
-    # and ANSI cast throws (r10 dirty-parity find; DuckDB CAST throws too)
+    # integral-string guard, not a bare cast: ANSI cast throws on
+    # non-numeric $.k (dirty-parity find) and DuckDB TRY_CAST ROUNDS
+    # decimals where Spark's yields NULL (review find) — so k_value is
+    # defined for integral JSON numbers only, NULL otherwise, in BOTH
+    # engines
+    kv = F.when(k.rlike(r"^-?[0-9]+$"), k.cast("bigint"))
     return e.filter(k.isNotNull()).select(
-        "event_id", "event_type", k.try_cast("bigint").alias("k_value")
+        "event_id", "event_type", kv.alias("k_value")
     )
 
 
@@ -1019,7 +1025,7 @@ def q35_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
            regexp_extract(text, '([A-Za-z]+)', 1) AS first_word,
            regexp_extract(text, '([0-9]+)', 1) AS first_number,
            length(regexp_replace(text, '[aeiouAEIOU]', '', 'g')) AS len_no_vowels,
-           CAST(regexp_matches(text, '[.!?]$') AS INT) AS ends_sentence
+           CAST(regexp_matches(text, '[.!?]\z') AS INT) AS ends_sentence
     FROM documents
     """,
     description="regular-expression scalar functions: regexp_extract (group, "
@@ -1033,7 +1039,7 @@ def q37_regex_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_extract("text", r"([A-Za-z]+)", 1).alias("first_word"),
         F.regexp_extract("text", r"([0-9]+)", 1).alias("first_number"),
         F.length(F.regexp_replace("text", r"[aeiouAEIOU]", "")).alias("len_no_vowels"),
-        F.col("text").rlike(r"[.!?]$").cast("int").alias("ends_sentence"),
+        F.col("text").rlike(r"[.!?]\z").cast("int").alias("ends_sentence"),
     )
 
 

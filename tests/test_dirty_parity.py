@@ -44,25 +44,34 @@ def dirty_sf(tmp_path_factory):
         {
             "doc_id": pa.array(
                 [900001, 900002, 900003, 900004, 900005,
-                 900006, 900007, 900008, 900009], pa.int64()),
+                 900006, 900007, 900008, 900009, 900010, 900011],
+                pa.int64()),
             "text": pa.array(
-                [
+                _DIRTY_TEXTS := [
                     None, "", "   ", "one two three four five",
                     "héllo wörld ünïcode ✓ 測試 текст emoji 🚀 done",
                     "!!! ... ??? ---",            # punctuation-only tokens
                     "a\tb\nc\r\nd  e",             # tabs/newlines/CRLF/double space
                     "aaaaaaaaaaaaaaaaaaaaaaaa",   # one repeated char (entropy 0)
                     "x" * 3000,                   # one very long token
+                    "it ends with a period.",     # sentence-final punct
+                    "punct then newline!\n",      # Java '$' vs RE2 '$' trap
                 ],
                 pa.string(),
             ),
             "lang": pa.array(
-                ["en", None, "en", "xx", "xx", "en", "en", "xx", "xx"],
+                ["en", None, "en", "xx", "xx", "en", "en", "xx", "xx",
+                 "en", "en"],
                 pa.string()),
             "source": pa.array(
                 ["srcX", "srcX", None, "srcY", "srcY", "srcX", "srcY",
-                 "srcX", "srcY"], pa.string()),
-            "n_chars": pa.array([0, 0, 3, 23, 46, 15, 10, 24, 3000], pa.int64()),
+                 "srcX", "srcY", "srcX", "srcY"], pa.string()),
+            # codepoint lengths COMPUTED from the text (Python len ==
+            # DuckDB length(); hand-written constants drifted — review
+            # find), 0 for the NULL row
+            "n_chars": pa.array(
+                [0 if t is None else len(t) for t in _DIRTY_TEXTS],
+                pa.int64()),
         }
     ).select(docs.column_names).cast(docs.schema)
     pq.write_table(pa.concat_tables([docs, extra]), str(d / "documents.parquet"))
@@ -84,7 +93,7 @@ def dirty_sf(tmp_path_factory):
                 ["click", "view", None, "click", "purchase"], pa.string()),
             "value": pa.array([1.0, None, 2.0, -3.5, 1e15], pa.float64()),
             "props": pa.array(
-                ["{}", None, "not json", '{"k": "7"}', '{"k": []}'],
+['{"k": []}', None, "not json", '{"k": "7"}', '{"k": 7.5}'],
                 pa.string()),
         }
     ).select(ev.column_names).cast(ev.schema)

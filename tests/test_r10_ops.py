@@ -681,3 +681,25 @@ def test_source_char_similarity_identical_sources_cosine_one(spark):
     )
     (r,) = source_char_similarity(df).collect()
     assert r["cosine"] == 1.0
+
+
+def test_domain_blocklist_ip_literals_key_whole(spark):
+    """An IPv4-literal blocklist entry must match exactly that address —
+    never collapse to its last two octets and over-block (review find)."""
+    from duckdb_cloudflare_spark.operators.web import apply_domain_blocklist
+
+    df = spark.createDataFrame(
+        [
+            (1, "http://1.2.3.4/x"),      # listed IP
+            (2, "http://9.9.3.4/x"),      # different IP, same last octets
+            (3, "https://sub.ipish.net/"),
+        ],
+        "doc_id long, url string",
+    )
+    got = {
+        r["doc_id"]: r
+        for r in apply_domain_blocklist(df, ["1.2.3.4", "ipish.net"]).collect()
+    }
+    assert got[1]["blocked"] is True and got[1]["domain"] == "1.2.3.4"
+    assert got[2]["blocked"] is False and got[2]["domain"] == "9.9.3.4"
+    assert got[3]["blocked"] is True
