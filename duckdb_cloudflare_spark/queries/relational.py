@@ -1020,7 +1020,7 @@ def q35_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q37_regex_functions",
-    oracle="""
+    oracle=r"""
     SELECT doc_id,
            regexp_extract(text, '([A-Za-z]+)', 1) AS first_word,
            regexp_extract(text, '([0-9]+)', 1) AS first_number,
