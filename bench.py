@@ -21,8 +21,11 @@ import time
 # measure the actual scan/shuffle work. Deterministic generation mirrors
 # tests/test_scale_sf1.py::sf1_dir (word-level md5 shuffle keeps shingle
 # vocabulary realistic: replicas share structure but not exact shingles).
-_SF1_TABLES = ("documents", "embeddings", "lineitem")
-# headline queries whose ONLY inputs are the three replicated tables
+# events replicas shift user_id and event_id per replica (each replica is
+# its own user population, so DAU/retention/transition cardinalities scale
+# 10x; timestamps stay as-is — the window density grows instead).
+_SF1_TABLES = ("documents", "embeddings", "lineitem", "events")
+# headline queries whose ONLY inputs are the replicated tables
 _SF1_HEADLINE = [
     "q01_pricing_summary",
     "q06_forecast_revenue",
@@ -50,6 +53,12 @@ _SF1_HEADLINE = [
     "p99_vocab_growth",
     "p100_pmi_collocations",
     "p101_source_char_drift",
+    # events family (replicated with per-replica user populations)
+    "q28_time_bucket",
+    "q47_sessionize_batch",
+    "q56_sliding_distinct_users",
+    "q57_retention_cohorts",
+    "q58_event_transitions",
 ]
 
 
@@ -62,7 +71,8 @@ def _gen_sf1(src: str) -> str | None:
     additionally plants skew and has a different table mix, so they are
     deliberately not one function) so dedup/shingle operators see 10×
     distinct work, not 10 identical copies; lineitem/embeddings replicate
-    with shifted keys.
+    with shifted keys; events shift user_id/event_id per replica (10x the
+    user population on the same calendar).
 
     The cache key fingerprints the FULL source path plus each source
     file's (mtime, size) — a regenerated testdata dir or a different
@@ -120,6 +130,19 @@ def _gen_sf1(src: str) -> str | None:
             SELECT * REPLACE (l_orderkey + {max_ok + 1} * r AS l_orderkey)
             FROM src_li, range(10) t(r)
         ) TO '{d}/lineitem.parquet' (FORMAT parquet)
+        """
+    )
+    con.execute(f"CREATE VIEW src_ev AS SELECT * FROM '{src}/events.parquet'")
+    mx = con.execute(
+        "SELECT max(event_id) + 1, max(user_id) + 1 FROM src_ev"
+    ).fetchone()
+    con.execute(
+        f"""
+        COPY (
+            SELECT * REPLACE (event_id + {mx[0]} * r AS event_id,
+                              user_id + {mx[1]} * r AS user_id)
+            FROM src_ev, range(10) t(r)
+        ) TO '{d}/events.parquet' (FORMAT parquet)
         """
     )
     n_vec = con.execute("SELECT count(*) FROM src_emb").fetchone()[0]
