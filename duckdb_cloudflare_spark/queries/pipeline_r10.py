@@ -266,28 +266,37 @@ def q56_sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     description="Day-0..13 retention-cohort matrix over the events "
     "stream: users grouped by first-seen day, distinct actives per "
     "(cohort, day-offset) cell — the standard cohort-retention table "
-    "(offset 0 = cohort size by construction). Spark-side: dedup to "
-    "(day, user) (one shuffle), min-day per user on the SAME user key "
-    "(partial agg, no extra exchange class), a user-keyed equi-join of "
-    "two co-partitioned derivatives of the same table, then one "
-    "(cohort, offset)-keyed distinct agg. All-integer output; DATE "
-    "cohort keys via queries.load()'s normalized events.ts.",
+    "(offset 0 = cohort size by construction). Spark-side (r10 reshape): "
+    "ONE user-keyed agg collects each user's distinct day SET (bounded "
+    "by the calendar; partial agg dedups map-side), cohort and offsets "
+    "derive map-side from the array, and the final agg is a plain COUNT "
+    "(days are distinct per user, so no countDistinct Expand) — two "
+    "shuffles total where the join formulation paid four. All-integer "
+    "output; DATE cohort keys via queries.load()'s normalized events.ts.",
 )
 def q57_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TWO shuffles, not four (r10 reshape, A/B at 10M events: 1.68 ->
+    # 1.22 s): ONE user-keyed agg collects the distinct day SET (bounded
+    # by the calendar, not the event count — partial agg dedups map-side),
+    # the cohort and 0..13 offsets derive map-side from that array, and
+    # because days are distinct per user the final countDistinct becomes a
+    # plain COUNT (no Expand). The old shape paid distinct + cohort agg +
+    # join + distinct agg.
     e = load(spark, sf_dir, "events")
-    du = (
+    per = (
         e.filter(F.col("user_id").isNotNull())
-        .select(F.to_date("ts").alias("day"), "user_id")
-        .distinct()
+        .groupBy("user_id")
+        .agg(F.collect_set(F.to_date("ts")).alias("days"))
     )
-    cohort = du.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
-    offset = F.datediff(F.col("day"), F.col("cohort_day"))
+    cohort = F.array_min("days")
+    offs = F.filter(
+        F.transform("days", lambda d: F.datediff(d, cohort)),
+        lambda o: (o >= 0) & (o <= 13),
+    )
     return (
-        du.join(cohort, "user_id")
-        .select("cohort_day", offset.alias("offset_days"), "user_id")
-        .filter((F.col("offset_days") >= 0) & (F.col("offset_days") <= 13))
-        .groupBy("cohort_day", F.col("offset_days").cast("long").alias("offset_days"))
-        .agg(F.countDistinct("user_id").alias("n_users"))
+        per.select(cohort.alias("cohort_day"), F.explode(offs).alias("o"))
+        .groupBy("cohort_day", F.col("o").cast("long").alias("offset_days"))
+        .agg(F.count(F.lit(1)).alias("n_users"))
     )
 
 
