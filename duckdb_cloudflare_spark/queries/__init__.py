@@ -147,57 +147,46 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 # The external driver grades a bounded prefix (first 50) of the registry,
 # so ordering IS the rotation policy: least-recently-driver-graded first.
 #
-# r10 window (the first 50 entries this list selects) — VERDICT r9 item 1:
-# with the surface complete and 136/136 oracle-bearing entries driver-green,
+# r11 window (the first 50 entries this list selects) — VERDICT r10 item 1:
+# with the surface complete and 150/150 oracle-bearing entries driver-green,
 # freshness of driver evidence IS the product, so the window rotates to the
-# STALEST driver history.
-#   - NEW r10 operators lead (zero driver history, like every round's
-#     additions): the third wave p101/q58/p99/p100 (char-drift matrix,
-#     event transitions, vocab growth, PMI collocations), the second
-#     wave p94-p98 (PII scan,
-#     n-gram decontamination, token fertility, domain blocklist,
-#     cross-source leakage), then the first wave p91-p93/q56/q57.
-#   - then the entries whose VALUES changed this round, so their green
-#     history predates the change: p89 (codepoint split, ADVICE r9 low),
-#     p90 (decimal/HUGEINT exact sums, ADVICE r9 medium).
-#   - then the 41 entries last driver-graded in r7 — i.e. green in
-#     CORRECTNESS_r07 and in neither r08 nor r09 — in CORRECTNESS_r07
-#     record order (stalest-first within the round is unknowable, so the
-#     driver's own emission order is the documented tie-break); with 14
-#     new entries ahead only the first 34 fit the 50-prefix.
-#   - the r7 tail and the r8-graded set (CORRECTNESS_r08 record order)
-#     stay listed below the cut and rotate next round.
+# STALEST driver history: the 52 entries last driver-graded in r7/r8 (green
+# in CORRECTNESS_r07 or _r08 and in none of r09/r10 — judge-computed list,
+# reproduced programmatically from the checked-in CORRECTNESS files).
+#   - the 7 r7-graded entries lead (stalest), CORRECTNESS_r07 record order;
+#   - then the 45 r8-graded entries in CORRECTNESS_r08 record order (the
+#     driver's own emission order is the documented within-round tie-break);
+#     with 52 candidates only the first 50 fit — q12/q13 sit below the cut
+#     and lead the r12 rotation.
+# No r11 additions are oracle-bearing (the q56/q57 HLL at-scale twins are
+# rows-only approximates by design, pinned by pytest accuracy tests with
+# q56/q57 themselves as their exact oracle-bearing anchors), so nothing
+# preempts the rotation.
 # This list may name MORE than 50 prefixes — only the first 50 of the
 # reordered registry are graded; listing the full rotation keeps the
 # bookkeeping monotone as new operators are prepended.
 # Every windowed entry is oracle-bearing. Deliberately NEVER windowed:
-# the rows-only approximates (q31, p06–p10, p14, p20, p30) — the driver
-# emits `err: no_oracle` for them, which reads as a failure row; they are
-# pinned by pytest recall/quality tests and each has an exact
-# oracle-bearing anchor (p34/p35/p36/p39/p48) instead.
+# the rows-only approximates (q31, p06–p10, p14, p20, p30, and the r11
+# HLL twins) — the driver emits `err: no_oracle` for them, which reads as
+# a failure row; they are pinned by pytest recall/quality/accuracy tests
+# and each has an exact oracle-bearing anchor (p34/p35/p36/p39/p48,
+# q56/q57) instead.
 # ALL entries, windowed or not, are verified every run by the local
 # driver-replica gate (tests/test_oracle_parity.py) and the sf0.1 scale
 # sweep (tests/test_scale_parity.py).
 _WINDOW_PRIORITY = [
-    # new this round — zero driver history (prepend each r10 addition here);
-    # second wave (p94-p98) ahead of the first (p91-p93/q56/q57) is
-    # arbitrary — all ten are in the graded prefix either way
-    "p101_", "q58_", "p99_", "p100_",
-    "p94_", "p95_", "p96_", "p97_", "p98_",
-    "p91_", "p92_", "p93_", "q56_", "q57_",
-    # changed-this-round re-grades (values changed in r10)
-    "p89_", "p90_",
     # last driver-graded in r7 (green in CORRECTNESS_r07, absent from
-    # r08/r09), in CORRECTNESS_r07 record order
-    "p69_", "q44_", "p49_", "p51_", "p53_", "p54_", "q54_", "q55_",
-    "q36_", "q39_", "q52_", "p55_", "p56_", "p57_", "p58_", "p59_",
-    "p60_", "p61_", "q29_", "q30_", "q32_", "q33_", "q34_", "q35_",
-    "q37_", "q51_", "q01_", "p01_", "p02_", "p03_", "p04_", "p05_",
-    "p11_", "p12_", "p13_", "p15_", "p16_", "p17_", "p18_", "p19_",
-    "p21_",
-    # r8-graded set, CORRECTNESS_r08 record order, to fill 50
+    # r08/r09/r10), CORRECTNESS_r07 record order
+    "p13_", "p15_", "p16_", "p17_", "p18_", "p19_", "p21_",
+    # last driver-graded in r8, CORRECTNESS_r08 record order
     "p71_", "p72_", "p73_", "p75_", "p76_", "p77_", "p78_", "p80_",
-    "p82_", "p84_",
+    "p82_", "p84_", "p70_", "p22_", "p23_", "p24_", "p25_", "p26_",
+    "p27_", "p29_", "p31_", "p32_", "p33_", "q40_", "q41_", "q42_",
+    "q43_", "q38_", "q53_", "q45_", "q46_", "q47_", "q48_", "q49_",
+    "q50_", "q02_", "q03_", "q04_", "q05_", "q06_", "q07_", "q08_",
+    "q09_", "q10_", "q11_",
+    # below the 50-cut: rotate first in r12
+    "q12_", "q13_",
 ]
 
 

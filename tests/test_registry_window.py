@@ -21,31 +21,25 @@ from duckdb_cloudflare_spark import queries as Q
 _ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def test_graded_window_is_exactly_the_r10_rotation():
+def test_graded_window_is_exactly_the_r11_rotation():
     names = list(Q.all_queries())
     window = names[:50]
     expected = (
-        # new r10 operators (zero driver history) lead.
-        # Prepend each r10 addition here IN LOCKSTEP with _WINDOW_PRIORITY.
-        ["p101_", "q58_", "p99_", "p100_"]
-        + ["p94_", "p95_", "p96_", "p97_", "p98_"]
-        + ["p91_", "p92_", "p93_", "q56_", "q57_"]
-        # changed-this-round re-grades (values changed in r10): p89
-        # codepoint split, p90 overflow-exact sums (ADVICE r9)
-        + ["p89_", "p90_"]
-        # the 41 entries last driver-graded in r7 (green in
-        # CORRECTNESS_r07, absent from r08/r09), CORRECTNESS_r07 order
+        # the 52 entries last driver-graded in r7/r8 (VERDICT r10 item 1),
+        # stalest-first: r7 set in CORRECTNESS_r07 record order, then the
+        # r8 set in CORRECTNESS_r08 record order; first 50 fit, q12/q13
+        # sit below the cut and lead r12. No r11 addition is
+        # oracle-bearing (HLL twins are rows-only), so nothing preempts.
+        ["p13_", "p15_", "p16_", "p17_", "p18_", "p19_", "p21_"]
         + [
-            "p69_", "q44_", "p49_", "p51_", "p53_", "p54_", "q54_",
-            "q55_", "q36_", "q39_", "q52_", "p55_", "p56_", "p57_",
-            "p58_", "p59_", "p60_", "p61_", "q29_", "q30_", "q32_",
-            "q33_", "q34_", "q35_", "q37_", "q51_", "q01_", "p01_",
-            "p02_", "p03_", "p04_", "p05_", "p11_", "p12_", "p13_",
-            "p15_", "p16_", "p17_", "p18_", "p19_", "p21_",
+            "p71_", "p72_", "p73_", "p75_", "p76_", "p77_", "p78_",
+            "p80_", "p82_", "p84_", "p70_", "p22_", "p23_", "p24_",
+            "p25_", "p26_", "p27_", "p29_", "p31_", "p32_", "p33_",
+            "q40_", "q41_", "q42_", "q43_", "q38_", "q53_", "q45_",
+            "q46_", "q47_", "q48_", "q49_", "q50_", "q02_", "q03_",
+            "q04_", "q05_", "q06_", "q07_", "q08_", "q09_", "q10_",
+            "q11_", "q12_", "q13_",
         ]
-        # r8-graded set, CORRECTNESS_r08 record order, fills 50
-        + ["p71_", "p72_", "p73_", "p75_", "p76_", "p77_", "p78_",
-           "p80_", "p82_", "p84_"]
     )[:50]
     assert len(window) == len(expected) == 50
     for name, prefix in zip(window, expected):
