@@ -955,6 +955,16 @@ def prefix_dup_groups(
     One shuffle on md5(prefix) — high-cardinality uniform key, same scale
     shape as exact dedup; the full text column is never shuffled, only the
     16-byte fingerprint.
+
+    CONTRACT for NULL text (ADVICE r10): null-text docs carry a NULL
+    ``prefix_fp``, and groupBy treats NULL as a regular key — so >= 2
+    null-text docs are reported as ONE group (``prefix_fp IS NULL``,
+    ``keep_id`` = min id). A caller deduping on this output therefore
+    keeps exactly one null-text doc. This mirrors the DuckDB oracle
+    (md5(NULL) is NULL; GROUP BY groups NULLs) and is deliberate: a NULL
+    fp is still "these docs have no distinguishing prefix". Callers who
+    want null-text docs exempt from prefix-dedup should pre-filter
+    ``df.filter(col(text_col).isNotNull())`` before calling.
     """
     pref = F.concat_ws(" ", F.slice(tokens(F.lower(F.col(text_col))), 1, k))
     # NULL text has NO prefix (concat_ws would silently render "" and lump

@@ -701,10 +701,14 @@ def pmi_collocations(
     table's own marginals: ln(c_ab·N / (c_a·c_b)) with N the total bigram
     instance count; a ``min_count`` floor drops the unstable low-frequency
     tail (classic Church & Hanks '90 practice). Selection orders on the
-    UNROUNDED pmi with a (w1, w2) tie-break (deterministic at the k
-    boundary); pmi is emitted 6-dp rounded. All factors are cast to double
-    BEFORE multiplying (the p74 overflow rule — c_ab·N exceeds int64 long
-    before doubles lose these integers).
+    6-dp ROUNDED pmi — the same value emitted — with a (w1, w2) tie-break
+    (ADVICE r10: JVM Math.log and DuckDB libm can differ by 1 ulp, so
+    ordering on the unrounded double left near-tied values at the k
+    boundary free to order differently across engines; rounding first
+    collapses 1-ulp neighbors into exact ties the tie-break then settles
+    identically). All factors are cast to double BEFORE multiplying (the
+    p74 overflow rule — c_ab·N exceeds int64 long before doubles lose
+    these integers).
 
     Scale shape: inline bigram explode → ONE (w1, w2) partial-agg shuffle
     (the only corpus-sized exchange); both marginals and the N scalar
@@ -746,10 +750,9 @@ def pmi_collocations(
         .join(ca, "w1")
         .join(cb, "w2")
         .crossJoin(F.broadcast(nt))
-        .select("w1", "w2", "n_ab", pmi.alias("_pmi"))
-        .orderBy(F.col("_pmi").desc(), "w1", "w2")
+        .select("w1", "w2", "n_ab", F.round(pmi, 6).alias("pmi"))
+        .orderBy(F.col("pmi").desc(), "w1", "w2")
         .limit(top_k)
-        .select("w1", "w2", "n_ab", F.round("_pmi", 6).alias("pmi"))
     )
 
 

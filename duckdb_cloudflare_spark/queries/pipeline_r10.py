@@ -647,8 +647,9 @@ def p99_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS pmi
     FROM cab JOIN ca USING (w1) JOIN cb USING (w2), n
     WHERE n_ab >= 5
-    ORDER BY ln((CAST(n_ab AS DOUBLE) * CAST(nt AS DOUBLE))
-                / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))) DESC,
+    ORDER BY round(ln((CAST(n_ab AS DOUBLE) * CAST(nt AS DOUBLE))
+                      / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))), 6)
+                 DESC,
              w1, w2
     LIMIT 50
     """,
@@ -660,8 +661,9 @@ def p99_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     "multiplying (p74 overflow rule; c_ab*N exceeds int64 long before "
     "doubles lose these integers), one IEEE-exact ratio, ln through the "
     "same libm on both engines (DuckDB ln(), never its log10 'log' — the "
-    "compat.py trap), selection ordered on the UNROUNDED pmi with a "
-    "(w1, w2) tie-break at the k boundary, emitted 6-dp rounded. Scale "
+    "compat.py trap), selection ordered on the 6-dp ROUNDED pmi (the "
+    "emitted value — 1-ulp libm divergence cannot reorder the k boundary, "
+    "ADVICE r10) with a (w1, w2) tie-break. Scale "
     "shape: inline bigram explode -> ONE (w1,w2) partial-agg shuffle (the "
     "only corpus-sized exchange); marginals and the N scalar fold from "
     "the vocab^2-bounded count table; distributed TakeOrdered(50), no "

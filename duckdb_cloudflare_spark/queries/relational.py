@@ -717,8 +717,8 @@ def q24_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events
     )
     SELECT event_id, event_type,
-           CAST(CASE WHEN regexp_matches(ks, '^-?[0-9]+$') THEN ks END
-                AS BIGINT) AS k_value
+           TRY_CAST(CASE WHEN regexp_matches(ks, '^-?[0-9]+$') THEN ks END
+                    AS BIGINT) AS k_value
     FROM j WHERE ks IS NOT NULL
     """,
     description="JSON key extraction from a string column "
@@ -731,8 +731,13 @@ def q25_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     # non-numeric $.k (dirty-parity find) and DuckDB TRY_CAST ROUNDS
     # decimals where Spark's yields NULL (review find) — so k_value is
     # defined for integral JSON numbers only, NULL otherwise, in BOTH
-    # engines
-    kv = F.when(k.rlike(r"^-?[0-9]+$"), k.cast("bigint"))
+    # engines. try_cast/TRY_CAST behind the regex (ADVICE r10): the guard
+    # admits integral strings that overflow int64 (a 20-digit $.k), where
+    # a plain CAST throws AT RUNTIME in both engines; try_cast turns
+    # dirty-but-plausible JSON into NULL instead of a crash, and the regex
+    # has already ruled out the decimal-rounding divergence TRY_CAST alone
+    # would reintroduce.
+    kv = F.when(k.rlike(r"^-?[0-9]+$"), k).try_cast("bigint")
     return e.filter(k.isNotNull()).select(
         "event_id", "event_type", kv.alias("k_value")
     )

@@ -248,11 +248,14 @@ TRANSITION_OUT_SCHEMA = StructType(
         StructField("to_type", StringType()),
     ]
 )
-# state: the last event seen per user, as (epoch micros, event_id, type) —
-# micros as long because state columns want flat scalar codecs
+# state: the last event seen per user, as (epoch NANOSECONDS, event_id,
+# type) — a long because state columns want flat scalar codecs. Nanos, not
+# micros: the value written is pandas datetime64[ns].astype('int64'); only
+# ordering is ever consumed, but anyone comparing this against an event-time
+# watermark or a micros-based timeout must divide by 1000 first (ADVICE r10).
 TRANSITION_STATE_SCHEMA = StructType(
     [
-        StructField("last_us", LongType()),
+        StructField("last_ns", LongType()),
         StructField("last_id", LongType()),
         StructField("last_type", StringType()),
     ]
@@ -272,24 +275,24 @@ def _transition_fn(
     should use the batch q58 instead)."""
     pdf = pd.concat(list(batches), ignore_index=True)
     pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
-    us = (pdf["ts"].astype("int64")).tolist()  # ns → keep as monotone key
+    ns = (pdf["ts"].astype("int64")).tolist()  # epoch ns → monotone key
     ids = pdf["event_id"].tolist()
     types = pdf["event_type"].tolist()
     if state.exists:
-        last_us, last_id, last_type = state.get
+        last_ns, last_id, last_type = state.get
     else:
-        last_us = last_id = None
+        last_ns = last_id = None
         last_type = None
     froms, tos = [], []
-    for u, i, t in zip(us, ids, types):
-        if last_us is not None and (u, i) <= (last_us, last_id):
+    for n, i, t in zip(ns, ids, types):
+        if last_ns is not None and (n, i) <= (last_ns, last_id):
             continue  # late row — already behind the emitted frontier
         if last_type is not None:
             froms.append(last_type)
             tos.append(t)
-        last_us, last_id, last_type = u, i, t
-    if last_us is not None:
-        state.update((int(last_us), int(last_id), last_type))
+        last_ns, last_id, last_type = n, i, t
+    if last_ns is not None:
+        state.update((int(last_ns), int(last_id), last_type))
     yield pd.DataFrame(
         {
             "user_id": [key[0]] * len(froms),
@@ -314,9 +317,20 @@ def transition_stream(stream: DataFrame) -> DataFrame:
     against future arrivals — keeping such a row would either wedge the
     frontier or emit unordered pairs; pandas would also sort NaT last
     while its int64 frontier key reads as int64-min, silently disagreeing
-    (r10 code-review find)."""
+    (r10 code-review find).
+
+    NULL-event_id rows are dropped for the same class of reason (a second
+    documented divergence from batch q58, whose NULLS-LAST ordering
+    tolerates them): pandas promotes a null into the int64 event_id column
+    as NaN (int64→float64), making the (ts, id) frontier tuple comparison
+    unreliable and int(last_id) raise — killing the streaming query
+    (ADVICE r10)."""
     return (
-        stream.filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+        stream.filter(
+            F.col("user_id").isNotNull()
+            & F.col("ts").isNotNull()
+            & F.col("event_id").isNotNull()
+        )
         .select("user_id", "ts", "event_id", "event_type")
         .groupBy("user_id")
         .applyInPandasWithState(

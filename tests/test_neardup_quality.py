@@ -248,6 +248,18 @@ def test_prefix_dup_groups_planted(spark):
     assert groups[0]["n_docs"] == 2 and groups[0]["keep_id"] == 10
 
 
+def test_prefix_dup_groups_null_text_contract(spark):
+    # Documented contract (ADVICE r10): >= 2 null-text docs form ONE group
+    # under a NULL prefix_fp (nulls-are-mutual-dups), mirroring the DuckDB
+    # oracle where md5(NULL) IS NULL and GROUP BY groups NULLs together.
+    rows = [(1, None), (2, None), (3, "some unique body of text here ok")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    groups = D.prefix_dup_groups(df, k=8).collect()
+    assert len(groups) == 1
+    g = groups[0]
+    assert g["prefix_fp"] is None and g["n_docs"] == 2 and g["keep_id"] == 1
+
+
 def test_dup_span_stats_planted(spark):
     # B embeds tokens t3..t10 of A: shared word-5-grams mark positions
     # 2..5 in A and 0..3 in B, each merging into ONE maximal span of 8
