@@ -206,8 +206,6 @@ def hll_estimate(
     Returns group_cols + (hll_estimate double, n_buckets_used int).
     Shape: one partial-agg shuffle to m rows per group, then a 1-row
     (per-group) fold — the 100 TB distinct-count shape."""
-    m = 1 << log2m
-    rest_bits = 60 - log2m  # 50 for log2m=10
     bucket, rho = hll_bucket_rho(F.col(value_col), log2m)
     gcols = list(group_cols or [])
     regs = (
@@ -215,28 +213,82 @@ def hll_estimate(
         .groupBy(*gcols, "b")
         .agg(F.max("rho").alias("M"))
     )
-    # exact integer register fold: S* = Σ 2^(rest_bits+1-M) ≤ m·2^rest_bits
-    # (SQL expr: the Python F.shiftleft only takes a literal shift amount)
-    s_star = F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {rest_bits + 1} - M)"))
+    return hll_fold_registers(regs, gcols, log2m)
+
+
+def hll_fold_registers(
+    regs: DataFrame,
+    group_cols: list[str],
+    log2m: int = 10,
+    m_col: str = "M",
+) -> DataFrame:
+    """Fold an HLL register TABLE (``group_cols`` + one row per non-empty
+    bucket carrying its max-ρ value in ``m_col``) into estimates — the
+    register-level half of ``hll_estimate``, split out (r11) so operators
+    that MERGE register tables before estimating (sliding/overlapping
+    windows: q59's trailing-7-day union is a per-bucket max over the 7
+    per-day register rows) reuse the exact same integer-exact fold. Same
+    arithmetic shape as ``hll_finalize`` — exact 64-bit S* sum, ONE float
+    division, identical linear-counting branch — so estimates stay
+    bit-identical across batch, merged-window, and streaming paths.
+
+    Returns group_cols + (hll_estimate double, n_buckets_used int)."""
+    gcols = list(group_cols)
+    s_star, used = hll_register_agg_exprs(m_col, log2m)
     agg = regs.groupBy(*gcols).agg(
         s_star.alias("s_star"),
-        F.count(F.lit(1)).alias("used"),
+        used.alias("used"),
     )
-    # Σ 2^-M over ALL m registers = s_star/2^(rest_bits+1) + (m - used)·1
-    denom = (
-        F.col("s_star").cast("double") / F.lit(float(1 << (rest_bits + 1)))
-        + (F.lit(m) - F.col("used")).cast("double")
-    )
-    raw = F.lit(_hll_alpha(m) * m * m) / denom
-    zeros = F.lit(m) - F.col("used")
-    # linear-counting small-range correction (E ≤ 2.5m and empty buckets)
-    lc = F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double"))
-    est = F.when((raw <= 2.5 * m) & (zeros > 0), lc).otherwise(raw)
     return agg.select(
         *gcols,
-        F.round(est, 4).alias("hll_estimate"),
+        hll_estimate_expr(F.col("s_star"), F.col("used"), log2m).alias(
+            "hll_estimate"
+        ),
         F.col("used").cast("int").alias("n_buckets_used"),
     )
+
+
+def hll_register_agg_exprs(
+    m_col: str = "M", log2m: int = 10
+) -> tuple[Column, Column]:
+    """(S*, used) aggregate expressions folding a register column — split
+    out (r11) so an operator folding SEVERAL register columns in ONE
+    aggregation (q59 fuses the 1-day and 7-day windows into a single
+    shuffle) composes them instead of paying one groupBy per estimate.
+    NULL entries in ``m_col`` (a bucket empty for this window variant)
+    count as empty registers — excluded from both S* and ``used``, which
+    is exactly what hll_estimate's absent-row convention does."""
+    rest_bits = 60 - log2m  # 50 for log2m=10
+    # exact integer register fold: S* = Σ 2^(rest_bits+1-M) ≤ m·2^rest_bits
+    # (SQL expr: the Python F.shiftleft only takes a literal shift amount)
+    s_star = F.sum(
+        F.expr(f"shiftleft(CAST(1 AS BIGINT), {rest_bits + 1} - {m_col})")
+    )
+    used = F.count(F.col(m_col))
+    return s_star, used
+
+
+def hll_estimate_expr(
+    s_star: Column, used: Column, log2m: int = 10
+) -> Column:
+    """Estimate from folded (S*, used) — the paper's E with the exact
+    arithmetic shape of ``hll_finalize`` (one float division, identical
+    linear-counting branch, 4-dp round) so every caller — hll_estimate,
+    the register-merge operators, the streaming twin — emits the same
+    bits for the same registers. NULL S* (a group whose every register
+    column was empty) yields NULL, not 0."""
+    m = 1 << log2m
+    rest_bits = 60 - log2m
+    # Σ 2^-M over ALL m registers = s_star/2^(rest_bits+1) + (m - used)·1
+    denom = (
+        s_star.cast("double") / F.lit(float(1 << (rest_bits + 1)))
+        + (F.lit(m) - used).cast("double")
+    )
+    raw = F.lit(_hll_alpha(m) * m * m) / denom
+    zeros = F.lit(m) - used
+    # linear-counting small-range correction (E ≤ 2.5m and empty buckets)
+    lc = F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double"))
+    return F.round(F.when((raw <= 2.5 * m) & (zeros > 0), lc).otherwise(raw), 4)
 
 
 # ---------------------------------------------------------------------------

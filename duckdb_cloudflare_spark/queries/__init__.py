@@ -220,6 +220,7 @@ def _import_all() -> None:
     from duckdb_cloudflare_spark.queries import pipeline_extra  # noqa: F401
     from duckdb_cloudflare_spark.queries import pipeline_r9  # noqa: F401
     from duckdb_cloudflare_spark.queries import pipeline_r10  # noqa: F401
+    from duckdb_cloudflare_spark.queries import pipeline_r11  # noqa: F401
 
     _reorder_registry()
 

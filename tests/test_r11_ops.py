@@ -1,0 +1,225 @@
+"""r11 operators: the HLL at-scale twins of the events distinct-agg family
+(q59/q60). Rows-only registry entries BY DESIGN (VERDICT r10 item 2 — the
+q31→p79 precedent), so these tests ARE their correctness gate:
+
+- bit-exact cross-engine pins: a DuckDB twin of the full register
+  derivation (the estimates are md5-deterministic, so equality is exact,
+  not approximate) — the same strength the driver oracle would give;
+- accuracy pins against their exact oracle-bearing anchors (q56/q57)
+  at the HLL error bound;
+- plan pins: q59's only corpus-sized operation must be the single
+  (day, bucket) partial-agg shuffle (one events scan, three exchanges,
+  no joins).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from duckdb_cloudflare_spark import queries as Q
+
+# alpha * m * m for m = 1024 — same literal the operators embed (p79 rule:
+# ONE Python double so Spark and SQL use the same bits)
+_ALPHA_MM = 0.7213 / (1.0 + 1.079 / 1024) * 1024 * 1024
+
+# register derivation fragments shared by both twins (copied verbatim from
+# the proven p79 oracle so the rho arithmetic is the known-green form)
+_HV = (
+    "('0x' || substr(md5('hll:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT"
+)
+_RHO_CASE = """
+    CASE WHEN (hv & ((1::BIGINT << 50) - 1)) = 0 THEN 51
+         ELSE 50 - length(bin(hv & ((1::BIGINT << 50) - 1))) + 1 END
+"""
+
+
+def _est_sql(s: str, u: str) -> str:
+    """The integer-exact fold → estimate, mirroring hll_estimate_expr."""
+    raw = f"{_ALPHA_MM!r} / ({s}::DOUBLE / 2251799813685248.0 + (1024 - {u}))"
+    return (
+        f"round(CASE WHEN {raw} <= 2560.0 AND {u} < 1024 "
+        f"THEN 1024.0 * ln(1024.0 / (1024 - {u})) ELSE {raw} END, 4)"
+    )
+
+
+@pytest.fixture(scope="module")
+def registry():
+    return Q.all_queries()
+
+
+def test_q59_bit_exact_vs_duckdb_register_twin(spark, duck, registry, sf_dir):
+    got = {
+        r["day"]: (r["users_7d_hll"], r["users_1d_hll"])
+        for r in registry["q59_sliding_distinct_users_hll"](
+            spark, sf_dir
+        ).collect()
+    }
+    want_rows = duck.execute(
+        f"""
+        WITH e AS (
+            SELECT CAST(ts AS DATE) AS day, {_HV} AS hv
+            FROM events WHERE user_id IS NOT NULL
+        ), regs1d AS (
+            SELECT day, hv >> 50 AS b, max({_RHO_CASE}) AS M
+            FROM e GROUP BY day, b
+        ), cov AS (
+            SELECT day + CAST(t.r AS INTEGER) AS wday, day, b, M
+            FROM regs1d, range(7) t(r)
+        ), regs AS (
+            SELECT wday, b, max(M) AS M7,
+                   max(CASE WHEN wday = day THEN M END) AS M1
+            FROM cov GROUP BY wday, b
+        ), folded AS (
+            SELECT wday,
+                   sum((1::BIGINT) << (51 - M7)) AS s7, count(M7) AS u7,
+                   sum((1::BIGINT) << (51 - M1)) AS s1, count(M1) AS u1
+            FROM regs GROUP BY wday
+        )
+        SELECT wday AS day,
+               {_est_sql('s7', 'u7')} AS users_7d_hll,
+               {_est_sql('s1', 'u1')} AS users_1d_hll
+        FROM folded WHERE u1 > 0
+        """
+    ).fetchall()
+    want = {d: (u7, u1) for d, u7, u1 in want_rows}
+    assert got == want  # bit-exact: deterministic md5 registers, 4-dp round
+
+
+def test_q60_bit_exact_vs_duckdb_register_twin(spark, duck, registry, sf_dir):
+    got = {
+        (r["cohort_day"], r["offset_days"]): r["n_users_hll"]
+        for r in registry["q60_retention_cohorts_hll"](spark, sf_dir).collect()
+    }
+    want_rows = duck.execute(
+        f"""
+        WITH du AS (
+            SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+            WHERE user_id IS NOT NULL
+        ), c AS (
+            SELECT user_id, min(day) AS cohort_day FROM du GROUP BY user_id
+        ), cells AS (
+            SELECT c.cohort_day,
+                   CAST(date_diff('day', c.cohort_day, du.day) AS BIGINT)
+                       AS offset_days,
+                   {_HV} AS hv
+            FROM du JOIN c USING (user_id)
+            WHERE date_diff('day', c.cohort_day, du.day) BETWEEN 0 AND 13
+        ), regs AS (
+            SELECT cohort_day, offset_days, hv >> 50 AS b,
+                   max({_RHO_CASE}) AS M
+            FROM cells GROUP BY 1, 2, 3
+        ), agg AS (
+            SELECT cohort_day, offset_days,
+                   sum((1::BIGINT) << (51 - M)) AS s, count(*) AS u
+            FROM regs GROUP BY 1, 2
+        )
+        SELECT cohort_day, offset_days, {_est_sql('s', 'u')} AS n_users_hll
+        FROM agg
+        """
+    ).fetchall()
+    want = {(cd, off): est for cd, off, est in want_rows}
+    assert got == want
+
+
+def test_q59_accuracy_vs_exact_anchor_q56(spark, registry, sf_dir):
+    exact = {
+        r["day"]: (r["users_7d"], r["users_1d"])
+        for r in registry["q56_sliding_distinct_users"](spark, sf_dir).collect()
+    }
+    approx = {
+        r["day"]: (r["users_7d_hll"], r["users_1d_hll"])
+        for r in registry["q59_sliding_distinct_users_hll"](
+            spark, sf_dir
+        ).collect()
+    }
+    # identical day keyset (the observed-days contract), estimates within
+    # 4σ of the m=1024 bound (σ ≈ 3.25%); testdata cardinalities sit in
+    # the linear-counting regime where the real error is ≲1%
+    assert set(approx) == set(exact)
+    for day, (e7, e1) in exact.items():
+        a7, a1 = approx[day]
+        assert abs(a7 - e7) <= max(0.13 * e7, 3.0), (day, e7, a7)
+        assert abs(a1 - e1) <= max(0.13 * e1, 3.0), (day, e1, a1)
+
+
+def test_q60_accuracy_vs_exact_anchor_q57(spark, registry, sf_dir):
+    exact = {
+        (r["cohort_day"], r["offset_days"]): r["n_users"]
+        for r in registry["q57_retention_cohorts"](spark, sf_dir).collect()
+    }
+    approx = {
+        (r["cohort_day"], r["offset_days"]): r["n_users_hll"]
+        for r in registry["q60_retention_cohorts_hll"](spark, sf_dir).collect()
+    }
+    assert set(approx) == set(exact)  # same (cohort, offset) cells
+    for cell, e in exact.items():
+        a = approx[cell]
+        assert abs(a - e) <= max(0.13 * e, 3.0), (cell, e, a)
+
+
+def test_q59_plan_one_scan_three_register_bounded_shuffles(spark, registry):
+    """q59's 100 TB contract: the ONLY corpus-sized operation is the
+    (day, bucket) partial-agg shuffle; everything downstream is register-
+    bounded. One events scan (this Spark build never reuses exchanges
+    across DataFrame branches, so the operator is a single linear
+    pipeline by construction), exactly three hash exchanges, zero joins."""
+    from duckdb_cloudflare_spark.plans import shuffle_count
+
+    prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        df = registry["q59_sliding_distinct_users_hll"](
+            spark, "/root/testdata/sf0.001"
+        )
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
+    assert plan.count("Scan parquet") == 1, plan
+    assert shuffle_count(df) == 3, plan
+    assert "Join" not in plan, plan
+
+
+def test_q60_plan_single_linear_pipeline(spark, registry):
+    """q60: one events scan (user-keyed day-set agg → map-side cohort /
+    offset derivation → register agg → fold), no joins."""
+    prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        df = registry["q60_retention_cohorts_hll"](
+            spark, "/root/testdata/sf0.001"
+        )
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
+    assert plan.count("Scan parquet") == 1, plan
+    assert "Join" not in plan, plan
+
+
+def test_fold_refactor_keeps_hll_estimate_bit_identical(spark):
+    """The r11 hll_fold_registers/hll_estimate_expr split must not move
+    a single bit of the proven p79 path: compare hll_estimate against
+    the Python-side hll_finalize twin on a mixed-cardinality input."""
+    from duckdb_cloudflare_spark.operators.sketches import (
+        hll_bucket_rho,
+        hll_estimate,
+        hll_finalize,
+    )
+    import pyspark.sql.functions as F  # noqa: N812
+
+    vals = [f"v{i}" for i in range(3000)] + ["dup"] * 50
+    df = spark.createDataFrame([(v,) for v in vals], "v string")
+    est = hll_estimate(df, "v").first()["hll_estimate"]
+    # registers via the Python twin
+    regs_df = (
+        df.select(*[
+            c.alias(n)
+            for c, n in zip(hll_bucket_rho(F.col("v")), ("b", "rho"))
+        ])
+        .groupBy("b")
+        .agg(F.max("rho").alias("M"))
+        .collect()
+    )
+    registers = [0] * 1024
+    for r in regs_df:
+        registers[r["b"]] = r["M"]
+    assert est == hll_finalize(registers)
