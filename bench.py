@@ -24,11 +24,34 @@ import time
 # events replicas shift user_id and event_id per replica (each replica is
 # its own user population, so DAU/retention/transition cardinalities scale
 # 10x; timestamps stay as-is — the window density grows instead).
-_SF1_TABLES = ("documents", "embeddings", "lineitem", "events")
-# headline queries whose ONLY inputs are the replicated tables
+# r11 (VERDICT r10 item 3): orders/customer replicate too, with key shifts
+# CONSISTENT across tables (one shared orderkey shift for lineitem+orders,
+# one shared custkey shift for orders+customer) so every TPC-H join keys
+# up within its replica; region/nation/supplier/part copy verbatim (their
+# keys are unshifted in the fact replicas — each replica joins the same
+# dims, a 10× fan-in). That puts the join/window headline families on the
+# lane instead of leaving them with sf0.1 fixed-overhead evidence only.
+_SF1_REPLICATED = ("documents", "embeddings", "lineitem", "events", "orders", "customer")
+_SF1_VERBATIM = ("region", "nation", "supplier", "part")
+_SF1_TABLES = _SF1_REPLICATED + _SF1_VERBATIM
+# bump when the generation recipe changes: the cache key must miss stale
+# /tmp replicas built by an older recipe (source mtimes alone can't see it)
+_SF1_GEN_VERSION = 2
+# headline queries whose inputs are covered by the sf1 table set
 _SF1_HEADLINE = [
     "q01_pricing_summary",
+    "q03_shipping_priority",
+    "q05_local_supplier_volume",
     "q06_forecast_revenue",
+    "q07_left_join_nulls",
+    "q13_distinct_aggs",
+    "q14_rollup",
+    "q21_distinct_on",
+    "q40_ranking",
+    "q42_running_rows_frame",
+    "q46_cumulative_share",
+    "q49_asof_join",
+    "q50_range_join_bucketed",
     "p01_dedup_exact",
     "p02_text_stats",
     "p03_fingerprint",
@@ -59,6 +82,10 @@ _SF1_HEADLINE = [
     "q56_sliding_distinct_users",
     "q57_retention_cohorts",
     "q58_event_transitions",
+    # r11: the HLL at-scale twins (rows-only — no DuckDB column; their
+    # scale evidence is the Spark absolute + the PERF.md probe A/B)
+    "q59_sliding_distinct_users_hll",
+    "q60_retention_cohorts_hll",
 ]
 
 
@@ -81,7 +108,7 @@ def _gen_sf1(src: str) -> str | None:
     import duckdb
     import hashlib
 
-    fp = hashlib.md5(os.path.abspath(src).encode())
+    fp = hashlib.md5(f"v{_SF1_GEN_VERSION}:{os.path.abspath(src)}".encode())
     for t in _SF1_TABLES:
         st = os.stat(os.path.join(src, f"{t}.parquet"))
         fp.update(f"{t}:{st.st_mtime_ns}:{st.st_size};".encode())
@@ -123,15 +150,55 @@ def _gen_sf1(src: str) -> str | None:
         ) TO '{d}/documents.parquet' (FORMAT parquet)
         """
     )
-    max_ok = con.execute("SELECT max(l_orderkey) FROM src_li").fetchone()[0]
+    # ONE orderkey shift shared by lineitem+orders and ONE custkey shift
+    # shared by orders+customer, so foreign keys stay consistent within
+    # each replica and every TPC-H join (q03/q05/q07...) keys up at sf1.
+    con.execute(f"CREATE VIEW src_ord AS SELECT * FROM '{src}/orders.parquet'")
+    con.execute(
+        f"CREATE VIEW src_cust AS SELECT * FROM '{src}/customer.parquet'"
+    )
+    k_ord = (
+        con.execute(
+            "SELECT greatest((SELECT max(l_orderkey) FROM src_li), "
+            "(SELECT max(o_orderkey) FROM src_ord)) + 1"
+        ).fetchone()[0]
+    )
+    k_cust = (
+        con.execute(
+            "SELECT greatest((SELECT max(c_custkey) FROM src_cust), "
+            "(SELECT max(o_custkey) FROM src_ord)) + 1"
+        ).fetchone()[0]
+    )
     con.execute(
         f"""
         COPY (
-            SELECT * REPLACE (l_orderkey + {max_ok + 1} * r AS l_orderkey)
+            SELECT * REPLACE (l_orderkey + {k_ord} * r AS l_orderkey)
             FROM src_li, range(10) t(r)
         ) TO '{d}/lineitem.parquet' (FORMAT parquet)
         """
     )
+    con.execute(
+        f"""
+        COPY (
+            SELECT * REPLACE (o_orderkey + {k_ord} * r AS o_orderkey,
+                              o_custkey + {k_cust} * r AS o_custkey)
+            FROM src_ord, range(10) t(r)
+        ) TO '{d}/orders.parquet' (FORMAT parquet)
+        """
+    )
+    con.execute(
+        f"""
+        COPY (
+            SELECT * REPLACE (c_custkey + {k_cust} * r AS c_custkey)
+            FROM src_cust, range(10) t(r)
+        ) TO '{d}/customer.parquet' (FORMAT parquet)
+        """
+    )
+    for t in _SF1_VERBATIM:
+        con.execute(
+            f"COPY (SELECT * FROM '{src}/{t}.parquet') "
+            f"TO '{d}/{t}.parquet' (FORMAT parquet)"
+        )
     con.execute(f"CREATE VIEW src_ev AS SELECT * FROM '{src}/events.parquet'")
     mx = con.execute(
         "SELECT max(event_id) + 1, max(user_id) + 1 FROM src_ev"
@@ -287,6 +354,11 @@ def main() -> None:
         # cross-source char-distribution drift (one corpus char explode +
         # alphabet-bounded joins — same-work pair with the DuckDB oracle)
         "p101_source_char_drift",
+        # r11: HLL at-scale twins of q56/q57 (rows-only: Spark absolute
+        # tracked here; the like-for-like evidence is the PERF.md probe
+        # A/B vs DuckDB's exact at 100x events)
+        "q59_sliding_distinct_users_hll",
+        "q60_retention_cohorts_hll",
     ]
     registry = Q.all_queries()
 
@@ -415,7 +487,10 @@ def main() -> None:
             print(f"bench: sf1 lane skipped ({e})", file=sys.stderr)
             sf1_dir = None
         if sf1_dir:
-            Q.cache_tables(spark, sf1_dir, tables=("lineitem", "documents"))
+            # default table set (all scalar tables + documents): the r11
+            # lane carries the join/window families, so orders/customer/
+            # dims are hot too — same protocol as the sf0.1 loop above
+            Q.cache_tables(spark, sf1_dir)
             sf1_t: dict[str, float] = {}
             ran = [n for n in _SF1_HEADLINE if n in registry]
             for name in ran:
