@@ -254,3 +254,113 @@ def test_pagerank_million_node_graph_completes(spark):
     # so the upper bound carries a 1e-3 rounding allowance at 10^6 nodes
     assert 0.5 < stats["mass"] <= 1.001, stats["mass"]
     assert stats["mx"] > (1 - 0.85) / n * 5
+
+
+# ---------------------------------------------------------------------------
+# r11: the HLL twins at 10× events (1M rows, 10 user populations)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def sf1_events_dir(tmp_path_factory):
+    """10× events replica, bench-recipe key shifts: each replica is its
+    own user population, so distinct-user cardinalities scale 10× on the
+    same calendar — the regime the register twins exist for."""
+    import duckdb
+
+    d = str(tmp_path_factory.mktemp("sf1ev"))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW src_ev AS SELECT * FROM '{SRC}/events.parquet'")
+    mx = con.execute(
+        "SELECT max(event_id) + 1, max(user_id) + 1 FROM src_ev"
+    ).fetchone()
+    con.execute(
+        f"""
+        COPY (
+            SELECT * REPLACE (event_id + {mx[0]} * r AS event_id,
+                              user_id + {mx[1]} * r AS user_id)
+            FROM src_ev, range({REPLICAS}) t(r)
+        ) TO '{d}/events.parquet' (FORMAT parquet)
+        """
+    )
+    con.close()
+    return d
+
+
+def test_sf1_q59_bit_exact_and_within_hll_bound(spark, sf1_events_dir):
+    """At 1M events / 10× users the estimates leave the tiny-count
+    linear-counting comfort zone the sf0.01 default-suite pin exercises;
+    re-pin BOTH properties at scale: bit-exact vs the DuckDB register
+    twin, and within 4σ of exact q56."""
+    import duckdb
+
+    from tests.test_r11_ops import _HV, _RHO_CASE, _est_sql
+
+    reg = Q.all_queries()
+    got = {
+        r["day"]: (r["users_7d_hll"], r["users_1d_hll"])
+        for r in reg["q59_sliding_distinct_users_hll"](
+            spark, sf1_events_dir
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{sf1_events_dir}/events.parquet'"
+    )
+    want_rows = con.execute(
+        f"""
+        WITH e AS (
+            SELECT CAST(ts AS DATE) AS day, {_HV} AS hv
+            FROM events WHERE user_id IS NOT NULL
+        ), regs1d AS (
+            SELECT day, hv >> 50 AS b, max({_RHO_CASE}) AS M
+            FROM e GROUP BY day, b
+        ), cov AS (
+            SELECT day + CAST(t.r AS INTEGER) AS wday, day, b, M
+            FROM regs1d, range(7) t(r)
+        ), regs AS (
+            SELECT wday, b, max(M) AS M7,
+                   max(CASE WHEN wday = day THEN M END) AS M1
+            FROM cov GROUP BY wday, b
+        ), folded AS (
+            SELECT wday,
+                   sum((1::BIGINT) << (51 - M7)) AS s7, count(M7) AS u7,
+                   sum((1::BIGINT) << (51 - M1)) AS s1, count(M1) AS u1
+            FROM regs GROUP BY wday
+        )
+        SELECT wday AS day,
+               {_est_sql('s7', 'u7')} AS users_7d_hll,
+               {_est_sql('s1', 'u1')} AS users_1d_hll
+        FROM folded WHERE u1 > 0
+        """
+    ).fetchall()
+    con.close()
+    assert got == {d_: (u7, u1) for d_, u7, u1 in want_rows}
+    exact = {
+        r["day"]: (r["users_7d"], r["users_1d"])
+        for r in reg["q56_sliding_distinct_users"](
+            spark, sf1_events_dir
+        ).collect()
+    }
+    assert set(got) == set(exact)
+    for day, (e7, e1) in exact.items():
+        a7, a1 = got[day]
+        assert abs(a7 - e7) <= 0.13 * max(e7, 25), (day, e7, a7)
+        assert abs(a1 - e1) <= 0.13 * max(e1, 25), (day, e1, a1)
+
+
+def test_sf1_q60_within_hll_bound_of_exact(spark, sf1_events_dir):
+    reg = Q.all_queries()
+    exact = {
+        (r["cohort_day"], r["offset_days"]): r["n_users"]
+        for r in reg["q57_retention_cohorts"](spark, sf1_events_dir).collect()
+    }
+    approx = {
+        (r["cohort_day"], r["offset_days"]): r["n_users_hll"]
+        for r in reg["q60_retention_cohorts_hll"](
+            spark, sf1_events_dir
+        ).collect()
+    }
+    assert set(approx) == set(exact)
+    for cell, e in exact.items():
+        assert abs(approx[cell] - e) <= 0.13 * max(e, 25), (cell, e, approx[cell])
