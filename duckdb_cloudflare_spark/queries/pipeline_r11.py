@@ -86,10 +86,7 @@ def q59_sliding_distinct_users_hll(
     #   events →(map)→ (day, bucket, ρ)
     #     →(shuffle 1: the ONLY corpus-sized one, map-side combined to
     #       ≤1024 rows/day/task)→ per-day registers
-    #     →(register-level explode to the ≤7 windows each day serves)
-    #     →(shuffle 2, register-bounded)→ per-(window, bucket) M7 and,
-    #       via the own-day row, M1
-    #     →(shuffle 3, ≤days rows)→ fused double fold → both estimates.
+    #     →(register-level derivation, see sliding_users_from_registers)
     e = load(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
     bucket, rho = _user_bucket_rho()
     regs1d = (
@@ -97,9 +94,23 @@ def q59_sliding_distinct_users_hll(
         .groupBy("day", "b")
         .agg(F.max("rho").alias("M"))
     )
-    # Day d's registers serve the windows ending on d..d+6. Unobserved
-    # window days (calendar gaps) are dropped below via used1 = 0 — the
-    # q56 contract (output keyed by OBSERVED days) without a day-list join.
+    return sliding_users_from_registers(regs1d)
+
+
+def sliding_users_from_registers(regs1d: DataFrame) -> DataFrame:
+    """q59's register→estimate derivation, public so the STREAMING
+    register maintainer (streaming/events.py::dau_registers_stream, whose
+    state IS this (day, b, M) table) serves the identical dashboard query
+    by construction — batch and stream fold the same registers through
+    the same arithmetic, so estimates match bit-for-bit (pinned in
+    test_streaming.py).
+
+    Shape (everything register-bounded — the input is ≤ days×1024 rows):
+    explode each day's registers to the ≤7 windows it serves →
+    per-(window, bucket) max (M7; the own-day row rides along as M1) →
+    fused double fold → both estimates. Unobserved window days (calendar
+    gaps) drop via used1 = 0 — the q56 observed-days contract without a
+    day-list join."""
     covered = regs1d.select(
         F.explode(F.sequence(F.col("day"), F.date_add("day", 6))).alias("wday"),
         "day",

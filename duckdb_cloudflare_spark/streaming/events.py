@@ -103,6 +103,38 @@ def dedup_stream(stream: DataFrame, watermark: str = "2 hours") -> DataFrame:
     return stream.withWatermark("ts", watermark).dropDuplicates(["event_id"])
 
 
+def dau_registers_stream(stream: DataFrame) -> DataFrame:
+    """Streaming maintainer of the per-(day, bucket) HyperLogLog register
+    table — the live half of the q59 DAU/WAU twin, and the operator that
+    demonstrates WHY the register form wins at scale: the stream folds
+    each arriving event into a per-bucket max (a built-in streaming
+    aggregation — no custom state function needed, HLL inserts ARE
+    max-merges), so state is ≤ days × 1024 tiny rows REGARDLESS of user
+    count, and the sliding 1-/7-day estimates fold ON READ from that
+    table via ``queries.pipeline_r11.sliding_users_from_registers`` —
+    the exact code path batch q59 runs, so dashboard numbers served from
+    the live register table equal a from-scratch batch recompute
+    bit-for-bit (pinned in test_streaming.py). An exact distinct-user
+    window would instead keep every (day, user) pair in state and
+    reshuffle history on every merge.
+
+    Null user_id rows are dropped up front (batch q59's own contract).
+    No watermark: register rows are per calendar day and never retract,
+    so the aggregation state is calendar-bounded, not event-bounded; run
+    it in update mode (or complete, for small calendars / memory sinks).
+    The (bucket, ρ) derivation is hll_bucket_rho over the DECIMAL string
+    of user_id — the batch twin's expressions verbatim."""
+    from duckdb_cloudflare_spark.operators.sketches import hll_bucket_rho
+
+    bucket, rho = hll_bucket_rho(F.col("user_id").cast("string"))
+    return (
+        stream.filter(F.col("user_id").isNotNull())
+        .select(F.to_date("ts").alias("day"), bucket.alias("b"), rho.alias("rho"))
+        .groupBy("day", "b")
+        .agg(F.max("rho").alias("M"))
+    )
+
+
 def session_windows(
     stream: DataFrame, gap: str = "10 minutes", watermark: str = "2 hours"
 ) -> DataFrame:

@@ -181,3 +181,47 @@ def test_transition_stream_drops_late_rows_keeps_frontier(spark, tmp_path):
     # a->b within batch 1; b->c across the boundary; the late 'zz' row is
     # dropped entirely (no zz transitions, no a->zz rewrite)
     assert got == [("a", "b"), ("b", "c")]
+
+
+def test_dau_registers_stream_serves_batch_q59_bit_for_bit(
+    spark, batch_events, tmp_path
+):
+    """The live register table (built-in streaming agg, state ≤ days×1024
+    rows no matter the user count) drained across two micro-batches, then
+    folded by the SAME derivation batch q59 uses, must equal the batch
+    q59 output bit-for-bit — the mergeable-sketch serving contract: HLL
+    inserts are max-merges, so micro-batch boundaries can never change
+    the registers."""
+    from duckdb_cloudflare_spark.queries import all_queries
+    from duckdb_cloudflare_spark.queries.pipeline_r11 import (
+        sliding_users_from_registers,
+    )
+
+    src = str(tmp_path / "ev_split_dau")
+    assert batch_events.filter(F.col("ts").isNull()).count() == 0
+    batch_events.filter(F.col("ts") < F.lit("2024-01-08")).coalesce(1).write.parquet(
+        src + "/f1.parquet"
+    )
+    batch_events.filter(F.col("ts") >= F.lit("2024-01-08")).coalesce(1).write.parquet(
+        src + "/f2.parquet"
+    )
+    stream = (
+        spark.readStream.schema(batch_events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    # complete mode: the memory sink holds the CURRENT register table
+    regs = run_to_memory(
+        S.dau_registers_stream(stream), "dau_regs", output_mode="complete"
+    )
+    got = {
+        r["day"]: (r["users_7d_hll"], r["users_1d_hll"])
+        for r in sliding_users_from_registers(regs).collect()
+    }
+    want = {
+        r["day"]: (r["users_7d_hll"], r["users_1d_hll"])
+        for r in all_queries()["q59_sliding_distinct_users_hll"](
+            spark, SF_DIR
+        ).collect()
+    }
+    assert got == want and len(got) > 0
