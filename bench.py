@@ -491,6 +491,19 @@ def main() -> None:
             # lane carries the join/window families, so orders/customer/
             # dims are hot too — same protocol as the sf0.1 loop above
             Q.cache_tables(spark, sf1_dir)
+            # embeddings is excluded from the DEFAULT cache set (nested
+            # arrays decode through the non-codegen InMemoryRelation path,
+            # a loss at sf0.1's 5k vectors) — but at sf1 the single-file
+            # scan runs p05's Arrow matmul as ONE task under
+            # assumeParallel, and full-parallelism caching re-measured ~2×
+            # faster (1.98 → 1.07 s isolated; the uncached lane row also
+            # showed GC-debris swings up to 7 s). Scale flips the trade.
+            Q.cache_tables(
+                spark,
+                sf1_dir,
+                tables=("embeddings",),
+                parallelism=spark.sparkContext.defaultParallelism,
+            )
             sf1_t: dict[str, float] = {}
             ran = [n for n in _SF1_HEADLINE if n in registry]
             for name in ran:
