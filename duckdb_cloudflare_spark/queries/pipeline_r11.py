@@ -31,6 +31,20 @@ of the register derivation in tests/test_r11_ops.py (the estimates are
 md5-deterministic, so the pin is bit-exact). Keeping them out of the
 driver window preserves the r11 rotation (queries/__init__ note).
 
+q59's streaming twin lives in streaming/events.py::dau_registers_stream:
+the live register table is maintained by a BUILT-IN streaming
+aggregation (HLL inserts are max-merges), and dashboards fold estimates
+on read via ``sliding_users_from_registers`` below — the identical code
+path this batch query runs, so served numbers equal a from-scratch
+recompute bit-for-bit (pinned across micro-batch boundaries in
+test_streaming.py).
+
+Measured crossover (PERF.md r11): at 100M events / 1.5M users, q59 runs
+8.7 s where exact q56 takes 51.2 s in Spark and 20.4 s in DuckDB — the
+first row in this family where the Spark side wins the like-for-like
+single-node absolute; the same derivation in DuckDB SQL beats DuckDB's
+exact 6.6×, so the win is the algorithm, not the engine.
+
 Reference parity note: the reference engine exposes approx_count_distinct
 through DuckDB's native HLL (duckdb/src/core_functions/aggregate/distributive
 /approx_count.cpp); these twins are the Spark-first re-expression with a
