@@ -364,3 +364,114 @@ def test_psl_user_rules_override_snapshot(spark):
         ).collect()
     ]
     assert got == ["example.co.uk", "nom.br"]
+
+
+def test_q59_q60_dirty_events_bit_exact_vs_twins(spark, sf_dir, tmp_path):
+    """The gated dirty-parity sweep covers oracle-bearing entries only;
+    this pins the rows-only twins on the same dirty classes (null ts,
+    null user_id) — Spark and the DuckDB register twin must agree
+    bit-for-bit that null user_id drops up front and null-ts events
+    contribute to no calendar day (to_date(NULL) explodes away), matching
+    exact q56/q57's own null semantics."""
+    import duckdb
+
+    from duckdb_cloudflare_spark.queries import load
+
+    ev = load(spark, sf_dir, "events")
+    dirty = ev.limit(50).selectExpr(
+        "event_id + 1000000 AS event_id",
+        "CAST(NULL AS TIMESTAMP) AS ts",
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    ).unionByName(
+        ev.limit(30).selectExpr(
+            "event_id + 2000000 AS event_id",
+            "ts",
+            "CAST(NULL AS BIGINT) AS user_id",
+            "event_type",
+            "value",
+            "props",
+        )
+    )
+    d = str(tmp_path / "dirty_ev")
+    ev.unionByName(dirty).coalesce(1).write.parquet(f"{d}/events.parquet")
+
+    from duckdb_cloudflare_spark import queries as Q
+
+    reg = Q.all_queries()
+    got59 = {
+        r["day"]: (r["users_7d_hll"], r["users_1d_hll"])
+        for r in reg["q59_sliding_distinct_users_hll"](spark, d).collect()
+    }
+    got60 = {
+        (r["cohort_day"], r["offset_days"]): r["n_users_hll"]
+        for r in reg["q60_retention_cohorts_hll"](spark, d).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{d}/events.parquet/*.parquet')"
+    )
+    want59 = {
+        day: (u7, u1)
+        for day, u7, u1 in con.execute(
+            f"""
+        WITH e AS (
+            SELECT CAST(ts AS DATE) AS day, {_HV} AS hv
+            FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        ), regs1d AS (
+            SELECT day, hv >> 50 AS b, max({_RHO_CASE}) AS M
+            FROM e GROUP BY day, b
+        ), cov AS (
+            SELECT day + CAST(t.r AS INTEGER) AS wday, day, b, M
+            FROM regs1d, range(7) t(r)
+        ), regs AS (
+            SELECT wday, b, max(M) AS M7,
+                   max(CASE WHEN wday = day THEN M END) AS M1
+            FROM cov GROUP BY wday, b
+        ), folded AS (
+            SELECT wday,
+                   sum((1::BIGINT) << (51 - M7)) AS s7, count(M7) AS u7,
+                   sum((1::BIGINT) << (51 - M1)) AS s1, count(M1) AS u1
+            FROM regs GROUP BY wday
+        )
+        SELECT wday AS day, {_est_sql('s7', 'u7')} AS users_7d_hll,
+               {_est_sql('s1', 'u1')} AS users_1d_hll
+        FROM folded WHERE u1 > 0
+        """
+        ).fetchall()
+    }
+    want60 = {
+        (cd, off): est
+        for cd, off, est in con.execute(
+            f"""
+        WITH du AS (
+            SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+            WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        ), c AS (
+            SELECT user_id, min(day) AS cohort_day FROM du GROUP BY user_id
+        ), cells AS (
+            SELECT c.cohort_day,
+                   CAST(date_diff('day', c.cohort_day, du.day) AS BIGINT)
+                       AS offset_days,
+                   {_HV} AS hv
+            FROM du JOIN c USING (user_id)
+            WHERE date_diff('day', c.cohort_day, du.day) BETWEEN 0 AND 13
+        ), regs AS (
+            SELECT cohort_day, offset_days, hv >> 50 AS b,
+                   max({_RHO_CASE}) AS M
+            FROM cells GROUP BY 1, 2, 3
+        ), agg AS (
+            SELECT cohort_day, offset_days,
+                   sum((1::BIGINT) << (51 - M)) AS s, count(*) AS u
+            FROM regs GROUP BY 1, 2
+        )
+        SELECT cohort_day, offset_days, {_est_sql('s', 'u')} AS n_users_hll
+        FROM agg
+        """
+        ).fetchall()
+    }
+    con.close()
+    assert got59 == want59 and len(got59) > 0
+    assert got60 == want60 and len(got60) > 0
