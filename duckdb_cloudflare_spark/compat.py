@@ -983,10 +983,81 @@ def _reject_unsupported_joins(sql: str) -> None:
         )
 
 
+_SCAN_LIMIT_FNS = ("common_crawl_index", "wayback_machine")
+
+
+def rewrite_scan_limit(sql: str) -> str:
+    """The reference's LIMIT pushdown for federated scans, duck_sql half
+    (src/common_crawl_index.cpp:1474-1526 deletes a LIMIT sitting directly
+    on the scan and sets the CDX ``&limit=``; same for the IA path): when
+    the statement is exactly
+
+        SELECT <plain columns or *> FROM common_crawl_index(...) [alias]
+        LIMIT n
+
+    — no WHERE / DISTINCT / GROUP BY / ORDER BY / OFFSET / joins / set
+    ops, i.e. the LIMIT sits directly above the scan, the reference's own
+    pushdown condition — inject ``max_results => n`` into the call so the
+    CDX fetch is capped server-side (divided per crawl with ceiling
+    division — the reference's limit-division semantics, which accepts
+    under-fill when one crawl has fewer matches). The textual LIMIT stays
+    in the statement: as in ``read_common_crawl(limit=...)``, the option
+    caps the fetch and Spark still enforces the exact ``n``. An explicit
+    ``max_results`` argument always wins (never overridden).
+
+    Select lists with ANY parenthesized expression are left alone: an
+    aggregate without GROUP BY (``SELECT count(*) ...``) collapses to one
+    row, and capping its scan would change the answer — the plain-columns
+    restriction makes that class unreachable instead of enumerating
+    aggregate names. A bare DataFrame ``.load().limit(n)`` still cannot
+    reach the scan (no PySpark DataSource limit hook — the documented
+    structural residual; use the wrapper/option path)."""
+    stripped = sql.strip()
+    while stripped.endswith(";"):
+        stripped = stripped[:-1].rstrip()
+    up = stripped.upper()
+    if not up.startswith("SELECT") or "LIMIT" not in up:
+        return sql
+    frm = _find_keyword(stripped, "FROM")
+    if frm == -1:
+        return sql
+    sel_list = stripped[len("SELECT"):frm]
+    if "(" in sel_list or re.match(r"\s*DISTINCT\b", sel_list, re.IGNORECASE):
+        return sql
+    m = re.match(
+        r"\s*(" + "|".join(_SCAN_LIMIT_FNS) + r")\s*\(",
+        stripped[frm + len("FROM"):],
+        re.IGNORECASE,
+    )
+    if not m:
+        return sql
+    open_idx = frm + len("FROM") + m.end() - 1
+    try:
+        close, args = _call_args(stripped, open_idx)
+    except ValueError:
+        return sql
+    if any(
+        re.match(r"\s*max_results\s*(=>|:=)", a, re.IGNORECASE) for a in args
+    ):
+        return sql
+    tail = stripped[close + 1:]
+    tm = re.fullmatch(
+        r"\s*(?:(?:AS\s+)?[A-Za-z_]\w*\s+)?LIMIT\s+(\d+)\s*",
+        tail,
+        re.IGNORECASE,
+    )
+    if not tm:
+        return sql
+    n = int(tm.group(1))
+    sep = "" if all(not a.strip() for a in args) else ", "
+    return stripped[:close] + f"{sep}max_results => {n}" + stripped[close:]
+
+
 def duck_sql(spark: SparkSession, sql: str) -> DataFrame:
     """``spark.sql`` accepting the DuckDB dialect idioms above."""
     _reject_unsupported_joins(sql)
     sql = rewrite_named_args(sql)
+    sql = rewrite_scan_limit(sql)
     sql = rewrite_distinct_on(sql)
     sql = rewrite_file_tables(sql)
     sql = rewrite_list_exprs(sql)

@@ -1034,3 +1034,67 @@ class TestDistinctOnRewrite:
         drows = duck.sql(body).fetchall()
         srows = [tuple(r) for r in duck_sql(t, body).collect()]
         assert srows == drows and len(srows) == 3
+
+
+class TestScanLimitPushdown:
+    """rewrite_scan_limit: the duck_sql half of the reference's federated
+    LIMIT pushdown (VERDICT missing #1) — injected only when the LIMIT
+    sits directly above a bare table-function scan."""
+
+    def _r(self, sql):
+        from duckdb_cloudflare_spark.compat import rewrite_scan_limit
+
+        return rewrite_scan_limit(sql)
+
+    def test_injects_max_results_and_keeps_limit(self):
+        out = self._r("SELECT * FROM common_crawl_index(url => 'x') LIMIT 10")
+        assert "max_results => 10" in out
+        assert out.rstrip().upper().endswith("LIMIT 10")
+
+    def test_alias_and_semicolon_forms(self):
+        assert "max_results => 5" in self._r(
+            "SELECT url FROM wayback_machine(url => 'x') AS w LIMIT 5;"
+        )
+        assert "max_results => 7" in self._r(
+            "SELECT url, timestamp FROM common_crawl_index(url => 'x') t LIMIT 7"
+        )
+
+    def test_explicit_max_results_wins(self):
+        sql = (
+            "SELECT * FROM common_crawl_index(url => 'x', "
+            "max_results => 3) LIMIT 10"
+        )
+        assert self._r(sql) == sql
+
+    def test_where_group_order_offset_block_the_pushdown(self):
+        for tail in (
+            "WHERE statuscode = 200 LIMIT 5",
+            "GROUP BY url LIMIT 5",
+            "ORDER BY timestamp LIMIT 5",
+            "LIMIT 5 OFFSET 2",
+        ):
+            sql = f"SELECT url FROM common_crawl_index(url => 'x') {tail}"
+            assert self._r(sql) == sql, tail
+
+    def test_aggregates_and_distinct_block_the_pushdown(self):
+        # any parenthesized select expression blocks it — count(*) over a
+        # capped scan would change the answer
+        for sel in ("count(*)", "max(length)", "DISTINCT url",
+                    "(SELECT 1) AS one", "lower(url)"):
+            sql = f"SELECT {sel} FROM common_crawl_index(url => 'x') LIMIT 5"
+            assert self._r(sql) == sql, sel
+
+    def test_joins_and_other_tables_untouched(self):
+        for sql in (
+            "SELECT * FROM lineitem LIMIT 5",
+            "SELECT * FROM common_crawl_index(url => 'x') a JOIN b ON a.u = b.u LIMIT 5",
+            "SELECT * FROM d1_scan(tbl => 'x') LIMIT 5",
+        ):
+            assert self._r(sql) == sql, sql
+
+    def test_string_literal_cannot_confuse_the_scanner(self):
+        sql = (
+            "SELECT url FROM common_crawl_index(url => 'a LIMIT 99 (') LIMIT 4"
+        )
+        out = self._r(sql)
+        assert "max_results => 4" in out and "'a LIMIT 99 ('" in out

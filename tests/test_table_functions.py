@@ -202,3 +202,24 @@ class TestNamedArgRewrite:
         assert rw("SELECT ':=' AS s, x FROM t") == "SELECT ':=' AS s, x FROM t"
         # cast operator :: is untouched
         assert rw("SELECT x::INT FROM t") == "SELECT x::INT FROM t"
+
+
+class TestScanLimitPushdownE2E:
+    def test_duck_sql_limit_reaches_the_cdx_url(self, tf_spark):
+        """The duck_sql LIMIT pushdown end-to-end: `... LIMIT 3` over a
+        bare common_crawl_index scan must cap the CDX fetch server-side —
+        the dry_run golden URL carries &limit=3 (the reference deletes
+        the LIMIT node and sets exactly this — common_crawl_index.cpp:
+        1474-1526); the Spark-side LIMIT still enforces the exact n."""
+        from duckdb_cloudflare_spark.compat import duck_sql
+
+        rows = duck_sql(
+            tf_spark,
+            "SELECT cdx_url FROM common_crawl_index("
+            "url := '*.example.com/*', crawl_id := 'CC-MAIN-2025-43', "
+            "debug := 'true', dry_run := 'true') LIMIT 3",
+        ).collect()
+        expected = build_cc_cdx_url(
+            CC_CRAWL, "*.example.com/*", CC_FIELDS, max_results=3
+        )
+        assert [r["cdx_url"] for r in rows] == [expected]
