@@ -1037,20 +1037,39 @@ def rewrite_scan_limit(sql: str) -> str:
     except ValueError:
         return sql
     if any(
-        re.match(r"\s*max_results\s*(=>|:=)", a, re.IGNORECASE) for a in args
+        re.match(r"\s*(max_results|fast_latest)\s*(=>|:=)", a, re.IGNORECASE)
+        for a in args
     ):
         return sql
     tail = stripped[close + 1:]
+    sep = "" if all(not a.strip() for a in args) else ", "
     tm = re.fullmatch(
         r"\s*(?:(?:AS\s+)?[A-Za-z_]\w*\s+)?LIMIT\s+(\d+)\s*",
         tail,
         re.IGNORECASE,
     )
-    if not tm:
-        return sql
-    n = int(tm.group(1))
-    sep = "" if all(not a.strip() for a in args) else ", "
-    return stripped[:close] + f"{sep}max_results => {n}" + stripped[close:]
+    if tm:
+        n = int(tm.group(1))
+        return stripped[:close] + f"{sep}max_results => {n}" + stripped[close:]
+    # wayback TopN: ORDER BY timestamp DESC LIMIT n → the reference's
+    # fastLatest (negative CDX limit, src/internet_archive.cpp:1415-1475);
+    # the sort + limit STAY in the plan (reference parity: the server's
+    # newest-first ordering is requested, the plan still proves the TopN)
+    if m.group(1).lower() == "wayback_machine":
+        tn = re.fullmatch(
+            r"\s*(?:(?:AS\s+)?[A-Za-z_]\w*\s+)?ORDER\s+BY\s+timestamp\s+DESC"
+            r"\s+LIMIT\s+(\d+)\s*",
+            tail,
+            re.IGNORECASE,
+        )
+        if tn:
+            n = int(tn.group(1))
+            return (
+                stripped[:close]
+                + f"{sep}fast_latest => true, max_results => {n}"
+                + stripped[close:]
+            )
+    return sql
 
 
 def duck_sql(spark: SparkSession, sql: str) -> DataFrame:

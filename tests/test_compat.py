@@ -1098,3 +1098,32 @@ class TestScanLimitPushdown:
         )
         out = self._r(sql)
         assert "max_results => 4" in out and "'a LIMIT 99 ('" in out
+
+    def test_wayback_topn_becomes_fast_latest(self):
+        out = self._r(
+            "SELECT url, timestamp FROM wayback_machine(url => 'x') "
+            "ORDER BY timestamp DESC LIMIT 8"
+        )
+        assert "fast_latest => true, max_results => 8" in out
+        # sort + limit stay in the plan (reference parity)
+        assert out.rstrip().upper().endswith("ORDER BY TIMESTAMP DESC LIMIT 8")
+
+    def test_topn_not_pushed_for_cc_or_other_orders(self):
+        for sql in (
+            # common_crawl has no fastLatest — TopN stays un-pushed
+            "SELECT url FROM common_crawl_index(url => 'x') "
+            "ORDER BY timestamp DESC LIMIT 8",
+            # ascending / other keys are not the fastLatest contract
+            "SELECT url FROM wayback_machine(url => 'x') "
+            "ORDER BY timestamp ASC LIMIT 8",
+            "SELECT url FROM wayback_machine(url => 'x') "
+            "ORDER BY url DESC LIMIT 8",
+        ):
+            assert self._r(sql) == sql, sql
+
+    def test_explicit_fast_latest_wins(self):
+        sql = (
+            "SELECT url FROM wayback_machine(url => 'x', "
+            "fast_latest => false) ORDER BY timestamp DESC LIMIT 8"
+        )
+        assert self._r(sql) == sql

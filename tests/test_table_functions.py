@@ -223,3 +223,19 @@ class TestScanLimitPushdownE2E:
             CC_CRAWL, "*.example.com/*", CC_FIELDS, max_results=3
         )
         assert [r["cdx_url"] for r in rows] == [expected]
+
+    def test_duck_sql_wayback_topn_pushes_fast_latest(self, tf_spark):
+        """ORDER BY timestamp DESC LIMIT n over a bare wayback scan must
+        request the server's newest-first ordering with a NEGATIVE CDX
+        limit (the reference's fastLatest, internet_archive.cpp:1415-1475)
+        — visible in the dry_run golden URL as limit=-n."""
+        from duckdb_cloudflare_spark.compat import duck_sql
+
+        rows = duck_sql(
+            tf_spark,
+            "SELECT cdx_url FROM wayback_machine("
+            "url := 'example.com/*', debug := 'true', dry_run := 'true') "
+            "ORDER BY timestamp DESC LIMIT 4",
+        ).collect()
+        got = rows[0]["cdx_url"]
+        assert "limit=-4" in got, got
