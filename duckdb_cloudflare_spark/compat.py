@@ -983,7 +983,14 @@ def _reject_unsupported_joins(sql: str) -> None:
         )
 
 
-_SCAN_LIMIT_FNS = ("common_crawl_index", "wayback_machine")
+# table function → the reader option its LIMIT pushdown sets (the CDX
+# scans use max_results with per-crawl division; d1_scan re-serializes a
+# literal LIMIT into the remote SQL — src/d1_scan.cpp:325-393)
+_SCAN_LIMIT_FNS = {
+    "common_crawl_index": "max_results",
+    "wayback_machine": "max_results",
+    "d1_scan": "limit",
+}
 
 
 def rewrite_scan_limit(sql: str) -> str:
@@ -1036,8 +1043,12 @@ def rewrite_scan_limit(sql: str) -> str:
         close, args = _call_args(stripped, open_idx)
     except ValueError:
         return sql
+    fn = m.group(1).lower()
+    opt = _SCAN_LIMIT_FNS[fn]
     if any(
-        re.match(r"\s*(max_results|fast_latest)\s*(=>|:=)", a, re.IGNORECASE)
+        re.match(
+            rf"\s*({opt}|fast_latest)\s*(=>|:=)", a, re.IGNORECASE
+        )
         for a in args
     ):
         return sql
@@ -1050,12 +1061,12 @@ def rewrite_scan_limit(sql: str) -> str:
     )
     if tm:
         n = int(tm.group(1))
-        return stripped[:close] + f"{sep}max_results => {n}" + stripped[close:]
+        return stripped[:close] + f"{sep}{opt} => {n}" + stripped[close:]
     # wayback TopN: ORDER BY timestamp DESC LIMIT n → the reference's
     # fastLatest (negative CDX limit, src/internet_archive.cpp:1415-1475);
     # the sort + limit STAY in the plan (reference parity: the server's
     # newest-first ordering is requested, the plan still proves the TopN)
-    if m.group(1).lower() == "wayback_machine":
+    if fn == "wayback_machine":
         tn = re.fullmatch(
             r"\s*(?:(?:AS\s+)?[A-Za-z_]\w*\s+)?ORDER\s+BY\s+timestamp\s+DESC"
             r"\s+LIMIT\s+(\d+)\s*",

@@ -1088,9 +1088,16 @@ class TestScanLimitPushdown:
         for sql in (
             "SELECT * FROM lineitem LIMIT 5",
             "SELECT * FROM common_crawl_index(url => 'x') a JOIN b ON a.u = b.u LIMIT 5",
-            "SELECT * FROM d1_scan(tbl => 'x') LIMIT 5",
         ):
             assert self._r(sql) == sql, sql
+
+    def test_d1_scan_uses_its_own_limit_option(self):
+        # d1_scan's pushdown re-serializes a literal LIMIT into the remote
+        # SQL (src/d1_scan.cpp:325-393) via the `limit` reader option
+        out = self._r("SELECT * FROM d1_scan(table => 'users') LIMIT 5")
+        assert "limit => 5" in out
+        sql = "SELECT * FROM d1_scan(table => 'users', limit => 2) LIMIT 5"
+        assert self._r(sql) == sql  # explicit option wins
 
     def test_string_literal_cannot_confuse_the_scanner(self):
         sql = (

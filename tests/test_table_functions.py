@@ -239,3 +239,18 @@ class TestScanLimitPushdownE2E:
         ).collect()
         got = rows[0]["cdx_url"]
         assert "limit=-4" in got, got
+
+    def test_duck_sql_limit_reaches_the_d1_remote_sql(self, tf_spark, tf_d1_db):
+        """LIMIT over a bare d1_scan injects the `limit` reader option,
+        which re-serializes into the remote SELECT (build_select_sql,
+        reference d1_scan.cpp:325-393) — the stub executes that SQL, so a
+        pushed LIMIT 1 returns exactly one row from a 2-row table."""
+        from duckdb_cloudflare_spark.compat import duck_sql, rewrite_scan_limit
+
+        sql = (
+            f"SELECT * FROM d1_scan(table => 'users', {_D1_ARGS}, "
+            f"d1_sqlite_stub => '{tf_d1_db}') LIMIT 1"
+        )
+        assert "limit => 1" in rewrite_scan_limit(sql)
+        rows = duck_sql(tf_spark, sql).collect()
+        assert len(rows) == 1
