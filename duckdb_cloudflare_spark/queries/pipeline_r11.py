@@ -111,22 +111,35 @@ def q59_sliding_distinct_users_hll(
     return sliding_users_from_registers(regs1d)
 
 
-def sliding_users_from_registers(regs1d: DataFrame) -> DataFrame:
+def sliding_users_from_registers(
+    regs1d: DataFrame, window_days: int = 7
+) -> DataFrame:
     """q59's register→estimate derivation, public so the STREAMING
     register maintainer (streaming/events.py::dau_registers_stream, whose
     state IS this (day, b, M) table) serves the identical dashboard query
     by construction — batch and stream fold the same registers through
     the same arithmetic, so estimates match bit-for-bit (pinned in
-    test_streaming.py).
+    test_streaming.py). ``window_days`` generalizes the trailing window
+    (7 = the q59/WAU contract; 28/30 give MAU-style rollups from the SAME
+    register table — no rescan, the point of keeping registers).
 
     Shape (everything register-bounded — the input is ≤ days×1024 rows):
-    explode each day's registers to the ≤7 windows it serves →
+    explode each day's registers to the ≤window_days windows it serves →
     per-(window, bucket) max (M7; the own-day row rides along as M1) →
     fused double fold → both estimates. Unobserved window days (calendar
     gaps) drop via used1 = 0 — the q56 observed-days contract without a
     day-list join."""
+    if window_days < 2:
+        # the same-day estimate is ALWAYS emitted as users_1d_hll; a
+        # 1-day trailing window would duplicate that column (and value)
+        raise ValueError(
+            "window_days must be >= 2 (the 1-day estimate is every "
+            "result's users_1d_hll column)"
+        )
     covered = regs1d.select(
-        F.explode(F.sequence(F.col("day"), F.date_add("day", 6))).alias("wday"),
+        F.explode(
+            F.sequence(F.col("day"), F.date_add("day", window_days - 1))
+        ).alias("wday"),
         "day",
         "b",
         "M",
@@ -144,7 +157,7 @@ def sliding_users_from_registers(regs1d: DataFrame) -> DataFrame:
     return folded.filter(F.col("u1") > 0).select(
         F.col("wday").alias("day"),
         hll_estimate_expr(F.col("s7"), F.col("u7"), _LOG2M).alias(
-            "users_7d_hll"
+            f"users_{window_days}d_hll"
         ),
         hll_estimate_expr(F.col("s1"), F.col("u1"), _LOG2M).alias(
             "users_1d_hll"

@@ -475,3 +475,40 @@ def test_q59_q60_dirty_events_bit_exact_vs_twins(spark, sf_dir, tmp_path):
     con.close()
     assert got59 == want59 and len(got59) > 0
     assert got60 == want60 and len(got60) > 0
+
+
+def test_sliding_window_days_generalizes_from_same_registers(spark, sf_dir):
+    """window_days generalizes the fold over the SAME register table (the
+    point of keeping registers: MAU from the DAU state, no rescan). The
+    28-day estimate must dominate the 7-day one, which must dominate the
+    same-day one, on every observed day; window_days < 2 raises (the
+    1-day estimate is every result's users_1d_hll column)."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F  # noqa: N812
+
+    from duckdb_cloudflare_spark.operators.sketches import hll_bucket_rho
+    from duckdb_cloudflare_spark.queries import load
+    from duckdb_cloudflare_spark.queries.pipeline_r11 import (
+        sliding_users_from_registers,
+    )
+
+    e = load(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    b, rho = hll_bucket_rho(F.col("user_id").cast("string"))
+    regs = (
+        e.select(F.to_date("ts").alias("day"), b.alias("b"), rho.alias("rho"))
+        .groupBy("day", "b")
+        .agg(F.max("rho").alias("M"))
+    )
+    seven = {
+        r["day"]: (r["users_7d_hll"], r["users_1d_hll"])
+        for r in sliding_users_from_registers(regs, 7).collect()
+    }
+    twenty8 = {
+        r["day"]: r["users_28d_hll"]
+        for r in sliding_users_from_registers(regs, 28).collect()
+    }
+    assert set(seven) == set(twenty8) and len(seven) > 0
+    for d, (w7, w1) in seven.items():
+        assert twenty8[d] >= w7 >= w1, (d, twenty8[d], w7, w1)
+    with _pytest.raises(ValueError, match="window_days"):
+        sliding_users_from_registers(regs, 1)
