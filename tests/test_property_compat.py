@@ -87,3 +87,42 @@ def test_alias_rewrites_only_call_sites(fn):
     out = rewrite_function_names(sql)
     assert out.startswith(f"SELECT {fn}, '{fn}(x)' AS s, ")
     assert f"{fn}(a, b)" not in out  # the call site was rewritten
+
+
+# ---------------------------------------------------------------------------
+# rewrite_scan_limit robustness (r11): it runs on EVERY duck_sql call, so
+# it must never raise on arbitrary input and must be a no-op unless the
+# exact pushdown shape is present; injection must be idempotent.
+# ---------------------------------------------------------------------------
+
+
+@given(st.text(alphabet=st.sampled_from(list(
+    "SELECT FROM limit() '\"*,;=><:0123456789abcwhere_"
+)), max_size=120))
+@settings(max_examples=400, deadline=None)
+def test_rewrite_scan_limit_never_raises_on_garbage(s):
+    from duckdb_cloudflare_spark.compat import rewrite_scan_limit
+
+    out = rewrite_scan_limit(s)
+    assert isinstance(out, str)
+    # untouched unless BOTH a known scan function and LIMIT appear
+    low = s.lower()
+    if not (("common_crawl_index" in low or "wayback_machine" in low
+             or "d1_scan" in low) and "limit" in low):
+        assert out == s
+
+
+@given(
+    st.sampled_from(["common_crawl_index", "wayback_machine", "d1_scan"]),
+    st.integers(min_value=1, max_value=10_000),
+    st.sampled_from(["", " t", " AS t"]),
+)
+@settings(max_examples=100, deadline=None)
+def test_rewrite_scan_limit_injection_is_idempotent(fn, n, alias):
+    from duckdb_cloudflare_spark.compat import rewrite_scan_limit
+
+    sql = f"SELECT * FROM {fn}(url => 'x'){alias} LIMIT {n}"
+    once = rewrite_scan_limit(sql)
+    assert once != sql and f"=> {n}" in once
+    assert rewrite_scan_limit(once) == once  # option now present → no-op
+    assert once.rstrip().upper().endswith(f"LIMIT {n}")
