@@ -10,6 +10,12 @@ remaining everyday gaps with source-level rewrites:
   ``list``→``collect_list``, ... — only drop-in-compatible mappings).
 - Direct file queries — ``FROM 'x.parquet'`` / ``read_parquet('x')`` /
   ``read_csv('x')`` → Spark's ``FROM parquet.`x``` syntax.
+- Federated-scan LIMIT/TopN pushdown (``rewrite_scan_limit``): the
+  reference's optimizer-extension behavior, recovered at the SQL layer —
+  a LIMIT sitting directly above a bare ``common_crawl_index`` /
+  ``wayback_machine`` / ``d1_scan`` call becomes the reader's fetch-cap
+  option (+ ``fast_latest`` for wayback's newest-first TopN), with the
+  LIMIT kept in the plan for exactness.
 - top-level ``QUALIFY <pred>`` → the predicate is evaluated as a projected
   boolean over the original query's output and filtered in a wrapper:
 
