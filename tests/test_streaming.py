@@ -225,3 +225,57 @@ def test_dau_registers_stream_serves_batch_q59_bit_for_bit(
         ).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_dau_registers_stream_null_contract_matches_batch(spark, tmp_path):
+    """Null user_id rows drop up front and null-ts events reach no
+    calendar day — the batch q59 contract (pinned bit-exactly against the
+    DuckDB twin in test_r11_ops) must hold through the STREAM too: drain
+    a dirty two-file stream and fold; the estimates must equal batch q59
+    over the same dirty data bit-for-bit."""
+    from duckdb_cloudflare_spark.queries import all_queries
+    from duckdb_cloudflare_spark.queries.pipeline_r11 import (
+        sliding_users_from_registers,
+    )
+
+    ev = load(spark, SF_DIR, "events")
+    dirty = ev.limit(40).selectExpr(
+        "event_id + 1000000 AS event_id",
+        "CAST(NULL AS TIMESTAMP) AS ts",
+        "user_id", "event_type", "value", "props",
+    ).unionByName(
+        ev.limit(25).selectExpr(
+            "event_id + 2000000 AS event_id", "ts",
+            "CAST(NULL AS BIGINT) AS user_id", "event_type", "value", "props",
+        )
+    )
+    src = str(tmp_path / "dirty_dau")
+    ev.filter(F.col("ts") < F.lit("2024-01-08")).unionByName(dirty).coalesce(
+        1
+    ).write.parquet(src + "/f1.parquet")
+    ev.filter(F.col("ts") >= F.lit("2024-01-08")).coalesce(1).write.parquet(
+        src + "/f2.parquet"
+    )
+    batch_dir = str(tmp_path / "dirty_dau_batch")
+    ev.unionByName(dirty).coalesce(1).write.parquet(
+        batch_dir + "/events.parquet"
+    )
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    regs = run_to_memory(
+        S.dau_registers_stream(stream), "dau_regs_dirty", output_mode="complete"
+    )
+    got = {
+        r["day"]: (r["users_7d_hll"], r["users_1d_hll"])
+        for r in sliding_users_from_registers(regs).collect()
+    }
+    want = {
+        r["day"]: (r["users_7d_hll"], r["users_1d_hll"])
+        for r in all_queries()["q59_sliding_distinct_users_hll"](
+            spark, batch_dir
+        ).collect()
+    }
+    assert got == want and len(got) > 0
