@@ -36,7 +36,7 @@ _SF1_VERBATIM = ("region", "nation", "supplier", "part")
 _SF1_TABLES = _SF1_REPLICATED + _SF1_VERBATIM
 # bump when the generation recipe changes: the cache key must miss stale
 # /tmp replicas built by an older recipe (source mtimes alone can't see it)
-_SF1_GEN_VERSION = 2
+_SF1_GEN_VERSION = 3
 # headline queries whose inputs are covered by the sf1 table set
 _SF1_HEADLINE = [
     "q01_pricing_summary",
@@ -172,7 +172,7 @@ def _gen_sf1(src: str) -> str | None:
     con.execute(
         f"""
         COPY (
-            SELECT * REPLACE (l_orderkey + {k_ord} * r AS l_orderkey)
+            SELECT src_li.* REPLACE (l_orderkey + {k_ord} * r AS l_orderkey)
             FROM src_li, range(10) t(r)
         ) TO '{d}/lineitem.parquet' (FORMAT parquet)
         """
@@ -180,7 +180,7 @@ def _gen_sf1(src: str) -> str | None:
     con.execute(
         f"""
         COPY (
-            SELECT * REPLACE (o_orderkey + {k_ord} * r AS o_orderkey,
+            SELECT src_ord.* REPLACE (o_orderkey + {k_ord} * r AS o_orderkey,
                               o_custkey + {k_cust} * r AS o_custkey)
             FROM src_ord, range(10) t(r)
         ) TO '{d}/orders.parquet' (FORMAT parquet)
@@ -189,7 +189,7 @@ def _gen_sf1(src: str) -> str | None:
     con.execute(
         f"""
         COPY (
-            SELECT * REPLACE (c_custkey + {k_cust} * r AS c_custkey)
+            SELECT src_cust.* REPLACE (c_custkey + {k_cust} * r AS c_custkey)
             FROM src_cust, range(10) t(r)
         ) TO '{d}/customer.parquet' (FORMAT parquet)
         """
@@ -206,7 +206,7 @@ def _gen_sf1(src: str) -> str | None:
     con.execute(
         f"""
         COPY (
-            SELECT * REPLACE (event_id + {mx[0]} * r AS event_id,
+            SELECT src_ev.* REPLACE (event_id + {mx[0]} * r AS event_id,
                               user_id + {mx[1]} * r AS user_id)
             FROM src_ev, range(10) t(r)
         ) TO '{d}/events.parquet' (FORMAT parquet)

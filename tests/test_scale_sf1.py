@@ -99,7 +99,7 @@ def sf1_dir(tmp_path_factory):
     con.execute(
         f"""
         COPY (
-            SELECT * REPLACE (l_orderkey + {max_ok + 1} * r AS l_orderkey)
+            SELECT src_li.* REPLACE (l_orderkey + {max_ok + 1} * r AS l_orderkey)
             FROM src_li, range({REPLICAS}) t(r)
         ) TO '{d}/lineitem.parquet' (FORMAT parquet)
         """
@@ -277,7 +277,7 @@ def sf1_events_dir(tmp_path_factory):
     con.execute(
         f"""
         COPY (
-            SELECT * REPLACE (event_id + {mx[0]} * r AS event_id,
+            SELECT src_ev.* REPLACE (event_id + {mx[0]} * r AS event_id,
                               user_id + {mx[1]} * r AS user_id)
             FROM src_ev, range({REPLICAS}) t(r)
         ) TO '{d}/events.parquet' (FORMAT parquet)
