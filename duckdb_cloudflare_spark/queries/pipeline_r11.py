@@ -43,7 +43,14 @@ Measured crossover (PERF.md r11): at 100M events / 1.5M users, q59 runs
 8.7 s where exact q56 takes 51.2 s in Spark and 20.4 s in DuckDB — the
 first row in this family where the Spark side wins the like-for-like
 single-node absolute; the same derivation in DuckDB SQL beats DuckDB's
-exact 6.6×, so the win is the algorithm, not the engine.
+exact 6.6×, so the win is the algorithm, not the engine. At 1B events /
+15M users the whole single-node trade inverts: Spark's exact q56
+finishes in 153 s where DuckDB's exact formulation exceeds a 900 s cap,
+and the register twin is the only sub-minute path in any engine
+(DuckDB twin SQL 25.7 s; Spark q59 ties Spark's exact there because
+~1B JVM md5 casts dominate the map side — the deliberate cross-engine
+determinism contract — while the structural advantage lives in the
+shuffle: registers vs 15M day-set rows).
 
 Reference parity note: the reference engine exposes approx_count_distinct
 through DuckDB's native HLL (duckdb/src/core_functions/aggregate/distributive
