@@ -147,46 +147,45 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 # The external driver grades a bounded prefix (first 50) of the registry,
 # so ordering IS the rotation policy: least-recently-driver-graded first.
 #
-# r11 window (the first 50 entries this list selects) — VERDICT r10 item 1:
-# with the surface complete and 150/150 oracle-bearing entries driver-green,
-# freshness of driver evidence IS the product, so the window rotates to the
-# STALEST driver history: the 52 entries last driver-graded in r7/r8 (green
-# in CORRECTNESS_r07 or _r08 and in none of r09/r10 — judge-computed list,
-# reproduced programmatically from the checked-in CORRECTNESS files).
-#   - the 7 r7-graded entries lead (stalest), CORRECTNESS_r07 record order;
-#   - then the 45 r8-graded entries in CORRECTNESS_r08 record order (the
-#     driver's own emission order is the documented within-round tie-break);
-#     with 52 candidates only the first 50 fit — q12/q13 sit below the cut
-#     and lead the r12 rotation.
-# No r11 additions are oracle-bearing (the q56/q57 HLL at-scale twins are
-# rows-only approximates by design, pinned by pytest accuracy tests with
-# q56/q57 themselves as their exact oracle-bearing anchors), so nothing
-# preempts the rotation.
+# r12 window (the first 50 entries this list selects) — continuing the
+# stalest-first rotation plan (VERDICT r10 item 1): with the surface complete
+# and 150/150 oracle-bearing entries driver-green, freshness of driver
+# evidence IS the product. The r12 window is the 50 entries with the stalest
+# driver history, computed programmatically from the checked-in
+# CORRECTNESS_r*.json files:
+#   - q12/q13 lead (last driver-graded in r8 — they sat below the 50-cut of
+#     the r11 window, exactly as the r11 rotation documented);
+#   - then the 48 entries last driver-graded in r9 (green in CORRECTNESS_r09
+#     and in none of r10/r11), in CORRECTNESS_r09 record order (the driver's
+#     own emission order is the documented within-round tie-break).
+# 2 + 48 = exactly 50: the whole stale cohort fits, nothing sits below the
+# cut, and every r10/r11-graded entry rotates out for r13.
+# No r11/r12 additions preempt (the q59/q60 HLL twins are rows-only by
+# design, pinned by pytest accuracy tests with q56/q57 as their exact
+# oracle-bearing anchors).
 # This list may name MORE than 50 prefixes — only the first 50 of the
 # reordered registry are graded; listing the full rotation keeps the
 # bookkeeping monotone as new operators are prepended.
 # Every windowed entry is oracle-bearing. Deliberately NEVER windowed:
 # the rows-only approximates (q31, p06–p10, p14, p20, p30, and the r11
-# HLL twins) — the driver emits `err: no_oracle` for them, which reads as
-# a failure row; they are pinned by pytest recall/quality/accuracy tests
-# and each has an exact oracle-bearing anchor (p34/p35/p36/p39/p48,
+# HLL twins q59/q60) — the driver emits `err: no_oracle` for them, which
+# reads as a failure row; they are pinned by pytest recall/quality/accuracy
+# tests and each has an exact oracle-bearing anchor (p34/p35/p36/p39/p48,
 # q56/q57) instead.
 # ALL entries, windowed or not, are verified every run by the local
 # driver-replica gate (tests/test_oracle_parity.py) and the sf0.1 scale
 # sweep (tests/test_scale_parity.py).
 _WINDOW_PRIORITY = [
-    # last driver-graded in r7 (green in CORRECTNESS_r07, absent from
-    # r08/r09/r10), CORRECTNESS_r07 record order
-    "p13_", "p15_", "p16_", "p17_", "p18_", "p19_", "p21_",
-    # last driver-graded in r8, CORRECTNESS_r08 record order
-    "p71_", "p72_", "p73_", "p75_", "p76_", "p77_", "p78_", "p80_",
-    "p82_", "p84_", "p70_", "p22_", "p23_", "p24_", "p25_", "p26_",
-    "p27_", "p29_", "p31_", "p32_", "p33_", "q40_", "q41_", "q42_",
-    "q43_", "q38_", "q53_", "q45_", "q46_", "q47_", "q48_", "q49_",
-    "q50_", "q02_", "q03_", "q04_", "q05_", "q06_", "q07_", "q08_",
-    "q09_", "q10_", "q11_",
-    # below the 50-cut: rotate first in r12
+    # last driver-graded in r8 (below the r11 window's 50-cut)
     "q12_", "q13_",
+    # last driver-graded in r9 (green in CORRECTNESS_r09, absent from
+    # r10/r11), CORRECTNESS_r09 record order
+    "p85_", "p86_", "p87_", "p88_", "p83_", "p79_", "p81_", "p52_",
+    "p74_", "p28_", "p50_", "q14_", "q15_", "q16_", "q17_", "q18_",
+    "q19_", "q20_", "q21_", "q22_", "q23_", "q24_", "q25_", "q26_",
+    "q27_", "q28_", "p34_", "p35_", "p36_", "p37_", "p38_", "p39_",
+    "p40_", "p41_", "p42_", "p43_", "p44_", "p45_", "p46_", "p47_",
+    "p48_", "p62_", "p63_", "p64_", "p65_", "p66_", "p67_", "p68_",
 ]
 
 

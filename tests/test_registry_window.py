@@ -21,24 +21,25 @@ from duckdb_cloudflare_spark import queries as Q
 _ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def test_graded_window_is_exactly_the_r11_rotation():
+def test_graded_window_is_exactly_the_r12_rotation():
     names = list(Q.all_queries())
     window = names[:50]
     expected = (
-        # the 52 entries last driver-graded in r7/r8 (VERDICT r10 item 1),
-        # stalest-first: r7 set in CORRECTNESS_r07 record order, then the
-        # r8 set in CORRECTNESS_r08 record order; first 50 fit, q12/q13
-        # sit below the cut and lead r12. No r11 addition is
-        # oracle-bearing (HLL twins are rows-only), so nothing preempts.
-        ["p13_", "p15_", "p16_", "p17_", "p18_", "p19_", "p21_"]
+        # the 50 stalest-driver-history entries (continuing the VERDICT r10
+        # rotation plan): q12/q13 (last graded r8, below the r11 window's
+        # cut) lead, then the 48 entries last driver-graded in r9 in
+        # CORRECTNESS_r09 record order. 2 + 48 = exactly 50. No r11/r12
+        # addition is oracle-bearing (HLL twins are rows-only), so nothing
+        # preempts.
+        ["q12_", "q13_"]
         + [
-            "p71_", "p72_", "p73_", "p75_", "p76_", "p77_", "p78_",
-            "p80_", "p82_", "p84_", "p70_", "p22_", "p23_", "p24_",
-            "p25_", "p26_", "p27_", "p29_", "p31_", "p32_", "p33_",
-            "q40_", "q41_", "q42_", "q43_", "q38_", "q53_", "q45_",
-            "q46_", "q47_", "q48_", "q49_", "q50_", "q02_", "q03_",
-            "q04_", "q05_", "q06_", "q07_", "q08_", "q09_", "q10_",
-            "q11_", "q12_", "q13_",
+            "p85_", "p86_", "p87_", "p88_", "p83_", "p79_", "p81_",
+            "p52_", "p74_", "p28_", "p50_", "q14_", "q15_", "q16_",
+            "q17_", "q18_", "q19_", "q20_", "q21_", "q22_", "q23_",
+            "q24_", "q25_", "q26_", "q27_", "q28_", "p34_", "p35_",
+            "p36_", "p37_", "p38_", "p39_", "p40_", "p41_", "p42_",
+            "p43_", "p44_", "p45_", "p46_", "p47_", "p48_", "p62_",
+            "p63_", "p64_", "p65_", "p66_", "p67_", "p68_",
         ]
     )[:50]
     assert len(window) == len(expected) == 50
