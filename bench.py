@@ -562,23 +562,61 @@ def main() -> None:
             }
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": round(sum(timings.values()), 4),
-                "unit": "sec",
-                "queries": timings,
-                "first_run_value": round(sum(first_run.values()), 4),
-                "oracle_subset_value": spark_oracle_subset,
-                "duckdb_oracle_subset_value": round(sum(duckdb_timings.values()), 4),
-                "duckdb_queries": duckdb_timings,
-                "iterations": iterations,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                **sf1,
-            }
-        )
+    payload = {
+        "metric": "headline_queries_total",
+        "value": round(sum(timings.values()), 4),
+        "unit": "sec",
+        "queries": timings,
+        "first_run_value": round(sum(first_run.values()), 4),
+        "oracle_subset_value": spark_oracle_subset,
+        "duckdb_oracle_subset_value": round(sum(duckdb_timings.values()), 4),
+        "duckdb_queries": duckdb_timings,
+        "iterations": iterations,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        **sf1,
+    }
+    # Full payload (per-query full names, DuckDB lanes, sf1 lane) goes to a
+    # side file: the stdout line grew past the driver's 2000-char stdout
+    # tail at r7 and every BENCH_r07..r11.json records `parsed: null` — the
+    # driver truncates the tail mid-line and fails to parse. The stdout
+    # line therefore stays COMPACT (short per-query ids, the headline
+    # subtotals only) and must fit a 2000-char tail with margin.
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
     )
+    try:
+        with open(detail_path, "w") as f:
+            json.dump(payload, f, indent=1)
+            f.write("\n")
+    except OSError as e:
+        print(f"bench: could not write {detail_path} ({e})", file=sys.stderr)
+    compact = {
+        "metric": "headline_queries_total",
+        "value": payload["value"],
+        "unit": "sec",
+        # short ids ("q01", "p100") keep the line parseable from a
+        # truncated tail; BENCH_DETAIL.json carries the full names
+        "queries": {n.split("_", 1)[0]: v for n, v in timings.items()},
+        "sf": payload["sf"],
+        "oracle_subset_value": spark_oracle_subset,
+        "duckdb_oracle_subset_value": payload["duckdb_oracle_subset_value"],
+        **{
+            k: sf1[k]
+            for k in (
+                "sf1_value",
+                "sf1_oracle_subset_value",
+                "sf1_duckdb_oracle_subset_value",
+            )
+            if k in sf1
+        },
+        "detail_file": "BENCH_DETAIL.json",
+    }
+    line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 1900:  # belt-and-braces: never regrow past the tail
+        compact.pop("queries")
+        compact["queries_dropped"] = "see BENCH_DETAIL.json"
+        line = json.dumps(compact, separators=(",", ":"))
+    print(line)
     spark.stop()
 
 
