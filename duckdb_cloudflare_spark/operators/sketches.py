@@ -203,9 +203,16 @@ def hll_estimate(
     anywhere. Small-range (linear counting) correction applied as in the
     paper; the large-range correction is unreachable at 60-bit hashes.
 
+    NULL values are excluded up front (a NULL hashes to a NULL bucket/ρ
+    pair, which the register fold would silently drop via count(M) while a
+    count(*)-style oracle would count — r11 advice; filtering makes the
+    "NULL is not a distinct value" convention explicit, matching DuckDB's
+    count(DISTINCT) which likewise ignores NULLs).
+
     Returns group_cols + (hll_estimate double, n_buckets_used int).
     Shape: one partial-agg shuffle to m rows per group, then a 1-row
     (per-group) fold — the 100 TB distinct-count shape."""
+    values = values.filter(F.col(value_col).isNotNull())
     bucket, rho = hll_bucket_rho(F.col(value_col), log2m)
     gcols = list(group_cols or [])
     regs = (

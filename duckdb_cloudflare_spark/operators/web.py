@@ -298,15 +298,23 @@ def apply_domain_blocklist(
     ``psl`` (r11, VERDICT r10 item 4) upgrades the eTLD+1 collapse from
     public-suffix-LITE to the full publicsuffix.org algorithm: ``True``
     uses the vendored ``operators/psl.py::SNAPSHOT_RULES``; a list/tuple
-    is treated as a complete vendored PSL. Hosts under suffixes outside
-    the LITE 7-set ('nom.br', 'sch.uk', 'gob.mx') then key correctly.
+    (INCLUDING an empty one, which selects PSL matching under the
+    implicit ``*`` rule alone — r11 advice: the gate is an explicit
+    False-check, not truthiness) is treated as a complete vendored PSL.
+    Hosts under suffixes outside the LITE 7-set ('nom.br', 'sch.uk',
+    'gob.mx') then key correctly. Note SNAPSHOT_RULES is an ICANN-only
+    curated subset: the PSL private-domain section ('github.io',
+    'blogspot.*', ...) and the deeper ICANN rules (Japanese geo
+    exceptions like '!city.kawasaki.jp', the k12/cc/lib third-levels
+    under '*.us') are absent — ``psl=True`` still mis-keys those hosts;
+    pass a full vendored PSL via ``psl=[...]`` for complete coverage.
     Off by default — the LITE path stays pure-JVM codegen and is what
     the p97 oracle pins; the PSL path is an Arrow-batched pandas UDF
     (rules shipped once per executor in the UDF closure) applied to both
     the entry and the probe side, so the granularity contract holds
     under either keying.
     """
-    if psl:
+    if psl is not False and psl is not None:
         from duckdb_cloudflare_spark.operators.psl import (
             registrable_domain_psl,
         )

@@ -2505,8 +2505,11 @@ def p78_countmin_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
                    END) AS M
         FROM h GROUP BY source, b
     ), agg AS (
+        -- count(M), not count(*): a NULL value would land a NULL-M
+        -- register row that Spark's fold excludes; counting M pins the
+        -- same convention on both engines (r11 advice)
         SELECT source, sum((1::BIGINT) << (51 - M)) AS s_star,
-               count(*) AS used
+               count(M) AS used
         FROM regs GROUP BY source
     ), ex AS (SELECT source, count(DISTINCT tok) AS exact_distinct FROM h GROUP BY source),
     est AS (

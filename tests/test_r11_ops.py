@@ -346,6 +346,20 @@ def test_blocklist_lite_default_unchanged_by_psl_wiring(spark):
     assert out["http://1.2.3.4/y"] == ("1.2.3.4", True)
 
 
+def test_blocklist_psl_empty_rules_selects_psl_path(spark):
+    """psl=[] means 'PSL matching under the implicit * rule alone' — it
+    must select the PSL path, not silently truthiness-fall-back to LITE
+    (r11 advice). Distinguishable on a co.uk host: implicit-* keys it as
+    'co.uk' (suffix = bare TLD 'uk'), while LITE's 7-set special-cases
+    'co' and would key 'example.co.uk'."""
+    from duckdb_cloudflare_spark.operators.web import apply_domain_blocklist
+
+    df = spark.createDataFrame([("http://cdn.a.example.co.uk/x",)], ["url"])
+    row = apply_domain_blocklist(df, ["co.uk"], psl=[]).first()
+    assert row["domain"] == "co.uk"
+    assert row["blocked"] is True
+
+
 def test_psl_user_rules_override_snapshot(spark):
     """rules= is a COMPLETE vendored list (snapshot not merged in): with
     only 'co.uk' supplied, nom.br hosts fall back to the implicit '*'

@@ -73,6 +73,24 @@ def test_hll_small_range_uses_linear_counting(spark):
     assert row["n_buckets_used"] <= 50
 
 
+def test_hll_estimate_ignores_null_values(spark):
+    """NULL values are excluded up front (r11 advice): a NULL used to hash
+    to a NULL-bucket register row that the count(M) fold silently dropped
+    while a count(*)-style oracle counted — the convention is now explicit
+    (matching count(DISTINCT)'s NULL handling), so estimates and bucket
+    counts are identical with or without NULL rows."""
+    from duckdb_cloudflare_spark.operators.sketches import hll_estimate
+
+    clean = spark.createDataFrame([(f"x{i}",) for i in range(200)], "v string")
+    dirty = clean.unionAll(
+        spark.createDataFrame([(None,)] * 7, "v string")
+    )
+    a = hll_estimate(clean, "v").first()
+    b = hll_estimate(dirty, "v").first()
+    assert a["hll_estimate"] == b["hll_estimate"]
+    assert a["n_buckets_used"] == b["n_buckets_used"]
+
+
 def test_priority_sample_prefers_heavy_weights(spark):
     from duckdb_cloudflare_spark.operators.sketches import priority_sample
 
