@@ -9,13 +9,13 @@ pinned by pytest instead).
 
 NOTE on registry order: the driver grades a bounded prefix (observed: the
 first 50 entries) of ``queries()``. The registry implements the rotation
-policy explicitly (queries/__init__._WINDOW_PRIORITY): least-recently-
-driver-graded entries first. With the surface complete and all 150
-oracle-bearing entries driver-green, the r11 window is the pure
-freshness rotation VERDICT r10 item 1 prescribed: the 52 entries last
-driver-graded in r7/r8 (the 7 r7-graded entries in CORRECTNESS_r07
-record order, then the 45 r8-graded entries in CORRECTNESS_r08 record
-order; q12/q13 fall below the 50-cut and lead the r12 rotation), all
+policy explicitly (queries/__init__._WINDOW_PRIORITY): new oracle-bearing
+operators lead (zero driver history), then least-recently-driver-graded
+entries. The r12 window: the two new r12 operators (p102 line dedup,
+p103 shard manifest), then q12/q13 (last graded r8, below the r11 cut),
+then the entries last driver-graded in r9 in CORRECTNESS_r09 record
+order — the last two of that cohort (p67/p68, green r9 history) sit just
+below the 50-cut and lead the r13 rotation. All windowed entries are
 oracle-bearing. The r11 additions (q59/q60, the HLL at-scale twins of
 q56/q57) are rows-only BY DESIGN and never preempt the rotation —
 their gate is tests/test_r11_ops.py's bit-exact DuckDB register twins

@@ -86,6 +86,10 @@ _SF1_HEADLINE = [
     # scale evidence is the Spark absolute + the PERF.md probe A/B)
     "q59_sliding_distinct_users_hll",
     "q60_retention_cohorts_hll",
+    # r12: corpus-wide line dedup (explode every line, one partial-agg +
+    # one line-keyed join — a genuine same-work pair: both engines split,
+    # rank, and reassemble every document)
+    "p102_line_dedup",
 ]
 
 
@@ -359,6 +363,10 @@ def main() -> None:
         # A/B vs DuckDB's exact at 100x events)
         "q59_sliding_distinct_users_hll",
         "q60_retention_cohorts_hll",
+        # r12: line-level dedup with reassembly (RefinedWeb boilerplate
+        # pass) — the heaviest new text shape: per-LINE explode, corpus
+        # first-occurrence agg+join, per-doc ordered reassembly
+        "p102_line_dedup",
     ]
     registry = Q.all_queries()
 

@@ -216,3 +216,62 @@ def source_mix_entropy(df: DataFrame, group_col: str = "source") -> DataFrame:
         F.round(F.exp(h), 6).alias("effective_sources"),
         F.max("share").alias("max_share"),
     )
+
+
+def shard_manifest(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    size_col: str | None = "n_chars",
+    num_shards: int = 64,
+) -> DataFrame:
+    """Reproducible training-shard assignment + per-shard manifest — the
+    bookkeeping a 100 TB export publishes next to its shards so any
+    consumer (or a re-run months later) can verify it received exactly
+    the intended bytes. Documents are assigned by a deterministic
+    md5-derived hash of their id (``shard = md5_60('shard:'||id) %
+    num_shards``), NOT by partition index or arrival order, so the
+    assignment is stable under repartitioning, retries, and engine
+    changes. Each shard row carries:
+
+    - ``n_docs``, ``n_chars`` (sum of ``size_col``; 0 if None),
+    - ``min_id`` / ``max_id`` (the id range sanity check),
+    - ``fingerprint``: an ORDER-INDEPENDENT content checksum — the sum of
+      per-document md5 hashes of ``id:text`` reduced mod 1e9+7. Sums
+      commute, so the fingerprint is identical however the shard's rows
+      were partitioned or ordered — the property a distributed writer
+      needs (a concatenation-order checksum would be non-deterministic
+      under parallel writes). Mod keeps the running sum inside int64 for
+      any realistic shard (9.2e18 / 1e9 ≈ 9e9 docs per shard).
+
+    Scale shape: map-side hash derivation + ONE partial aggregation to
+    ``num_shards`` rows. No joins, no windows, no skew (md5 is uniform).
+    """
+    from duckdb_cloudflare_spark.operators.sketches import _md5_int60
+
+    idc = F.col(id_col)
+    doc_fp = _md5_int60(
+        F.concat(idc.cast("string"), F.lit(":"), F.coalesce(F.col(text_col), F.lit(""))),
+        "fp:",
+    ) % F.lit(1000000007)
+    size = (
+        F.coalesce(F.col(size_col), F.lit(0)).cast("bigint")
+        if size_col
+        else F.lit(0).cast("bigint")
+    )
+    return (
+        df.select(
+            (_md5_int60(idc, "shard:") % F.lit(num_shards)).alias("shard_id"),
+            idc.alias("_id"),
+            size.alias("_sz"),
+            doc_fp.alias("_fp"),
+        )
+        .groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("_sz").cast("bigint").alias("n_chars"),
+            F.min("_id").alias("min_id"),
+            F.max("_id").alias("max_id"),
+            F.sum("_fp").cast("bigint").alias("fingerprint"),
+        )
+    )

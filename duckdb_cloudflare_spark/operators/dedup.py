@@ -1809,3 +1809,89 @@ def cross_source_leakage(
         .groupBy("src_a", "src_b")
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )
+
+
+def line_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_len: int = 15,
+) -> DataFrame:
+    """Corpus-wide exact line-level deduplication with text reassembly —
+    the RefinedWeb / CCNet boilerplate pass (Penedo et al. '23 §3.3,
+    Wenzek et al. '19): any line (``\\n``-delimited) that appears anywhere
+    earlier in the corpus is REMOVED from later documents, killing nav
+    bars, cookie banners, and footer boilerplate that repeat verbatim
+    across a crawl. "Earlier" is the deterministic (id, position) order,
+    so the survivor set is reproducible run-to-run and engine-to-engine.
+
+    Lines shorter than ``min_len`` characters are never dedup candidates
+    (always kept): short lines are structure (blank separators, headings,
+    "Home"), and removing every later blank line would destroy formatting
+    — the same guard CCNet applies by hashing only substantial lines.
+
+    Returns one row per input document: ``id_col``, ``n_lines`` (split
+    count), ``n_removed`` (later-duplicate lines dropped), and
+    ``clean_text`` (surviving lines re-joined by ``\\n`` in original
+    order; empty string when nothing survives).
+
+    Scale shape: explode to (id, pos, line) → first-occurrence per LONG
+    line via groupBy(line).agg(min(struct(id, pos))) — a PARTIAL
+    aggregation, so a boilerplate line repeated 10^9 times ships ONE
+    partial row per map task, not 10^9 rows into one window partition
+    (the hot-shingle lesson: groupBy+join, never a corpus window over a
+    skewable key; a window or a collect-occurrences fold would funnel
+    exactly the hot boilerplate this operator exists to remove into one
+    task) — then ONE line-keyed LEFT join marks keepers (short lines miss
+    the long-only build side and keep unconditionally, so they ride the
+    same linear pipeline instead of a third scan branch; AQE skew-join
+    splits any residual hot probe key), and one id-keyed aggregation
+    reassembles. This build never reuses exchanges across DataFrame
+    branches, so the agg+join form reads the corpus twice (the agg branch
+    and the probe branch) — the deliberate price for skew immunity; with
+    hot tables cached the second read is memory-resident. Nothing
+    collects, nothing is quadratic. Reference: the reference stack is
+    per-page (no cross-document state); this is the corpus-level operator
+    a 100 TB curation run needs.
+    """
+    # NULL ids order FIRST (collapsed to LONG_MIN so the survivor rule is
+    # total and NULL-safe on both engines — Spark's struct-min is
+    # NULLS-FIRST, SQL window ORDER BY defaults NULLS-LAST); ties (two
+    # NULL-id docs emitting the identical (pos, line)) all keep, the
+    # rank()=1 semantics of the SQL twin.
+    d0 = F.coalesce(
+        F.col(id_col).cast("long"), F.lit(-9223372036854775808)
+    ).alias("d0")
+    lines = df.select(
+        F.col(id_col),
+        d0,
+        F.posexplode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), "\n", -1)
+        ).alias("pos", "line"),
+    )
+    first = (
+        lines.filter(F.length("line") >= min_len)
+        .groupBy("line")
+        .agg(F.min(F.struct("d0", "pos")).alias("fo"))
+    )
+    marked = lines.join(first, "line", "left").withColumn(
+        "keep",
+        F.col("fo").isNull()
+        | (
+            (F.col("fo.d0") == F.col("d0"))
+            & (F.col("fo.pos") == F.col("pos"))
+        ),
+    )
+    packed = F.array_sort(F.collect_list(F.struct("pos", "line", "keep")))
+    return marked.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        F.sum(F.when(F.col("keep"), 0).otherwise(1))
+        .cast("bigint")
+        .alias("n_removed"),
+        F.array_join(
+            F.transform(
+                F.filter(packed, lambda x: x["keep"]), lambda x: x["line"]
+            ),
+            "\n",
+        ).alias("clean_text"),
+    )

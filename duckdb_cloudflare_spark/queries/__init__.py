@@ -176,6 +176,10 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 # driver-replica gate (tests/test_oracle_parity.py) and the sf0.1 scale
 # sweep (tests/test_scale_parity.py).
 _WINDOW_PRIORITY = [
+    # new r12 oracle-bearing operators: zero driver history, so they MUST
+    # lead (the q44/p70 stranding invariant); they preempt the last two
+    # stale-cohort entries (p67/p68, green r9 history — lead r13 instead)
+    "p102_", "p103_",
     # last driver-graded in r8 (below the r11 window's 50-cut)
     "q12_", "q13_",
     # last driver-graded in r9 (green in CORRECTNESS_r09, absent from
@@ -220,6 +224,7 @@ def _import_all() -> None:
     from duckdb_cloudflare_spark.queries import pipeline_r9  # noqa: F401
     from duckdb_cloudflare_spark.queries import pipeline_r10  # noqa: F401
     from duckdb_cloudflare_spark.queries import pipeline_r11  # noqa: F401
+    from duckdb_cloudflare_spark.queries import pipeline_r12  # noqa: F401
 
     _reorder_registry()
 

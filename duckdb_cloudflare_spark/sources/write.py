@@ -97,3 +97,45 @@ def read_epoch_shard(spark, path: str, shard: int, shard_col: str = "shard"):
     # Typed predicate (ADVICE r5): a Column comparison instead of an
     # f-string, so a non-integer ``shard`` can't inject into the filter.
     return spark.read.parquet(path).filter(F.col(shard_col) == int(shard))
+
+
+def write_hash_shards(
+    df: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    size_col: str | None = "n_chars",
+    num_shards: int = 64,
+    mode: str = "overwrite",
+) -> "DataFrame":
+    """Manifest-verified sharded export — the write path of
+    ``operators/curation.py::shard_manifest`` (p103): documents land in
+    the shard directory their md5 hash assigns (``shard_id =
+    md5_60('shard:'||id) % num_shards``), and the returned manifest
+    DataFrame carries the per-shard doc counts, byte totals, id ranges,
+    and order-independent content fingerprints a consumer recomputes from
+    the files to verify the export byte-for-byte. Because the fingerprint
+    is a commutative sum, verification never depends on file order within
+    a shard — 1000 parallel writers, one checksum.
+
+    One repartition on the computed shard id co-locates each shard's rows
+    (num_shards is the parallelism lever; md5 keys are uniform so shards
+    balance), ``partitionBy`` writes the directory tree, and readers get
+    partition pruning on ``shard_id`` for free."""
+    from pyspark.sql import functions as F
+
+    from duckdb_cloudflare_spark.operators.curation import shard_manifest
+    from duckdb_cloudflare_spark.operators.sketches import _md5_int60
+
+    shard = _md5_int60(F.col(id_col), "shard:") % F.lit(num_shards)
+    (
+        df.withColumn("shard_id", shard)
+        .repartition("shard_id")
+        .write.mode(mode)
+        .partitionBy("shard_id")
+        .parquet(path)
+    )
+    return shard_manifest(
+        df, id_col=id_col, text_col=text_col, size_col=size_col,
+        num_shards=num_shards,
+    )

@@ -771,3 +771,34 @@ def test_p101_char_drift_single_corpus_exchange(spark, registry):
     plan = formatted_plan(df)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_p102_line_dedup_no_window_partial_agg_join_shape(spark, registry):
+    """p102's first-occurrence derivation must be the skew-safe
+    groupBy+join shape: NO Window over the line key (a hot boilerplate
+    line would funnel into one task), a PARTIAL min(struct) aggregation
+    map-side, no cartesian, and no Python nodes — the whole operator is
+    JVM expressions."""
+    from duckdb_cloudflare_spark.plans.introspect import formatted_plan
+
+    df = registry["p102_line_dedup"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert "Window" not in plan
+    assert "partial_min(struct" in plan
+    assert "CartesianProduct" not in plan
+    assert "Python" not in plan
+
+
+def test_p103_shard_manifest_single_partial_agg(spark, registry):
+    """p103 is map-side hash derivation + ONE exchange to num_shards
+    rows: no joins, no windows, no Python."""
+    from duckdb_cloudflare_spark.plans.introspect import (
+        formatted_plan,
+        shuffle_count,
+    )
+
+    df = registry["p103_shard_manifest"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert shuffle_count(df) == 1
+    assert "Join" not in plan and "Window" not in plan
+    assert "Python" not in plan

@@ -31,7 +31,8 @@ def test_graded_window_is_exactly_the_r12_rotation():
         # CORRECTNESS_r09 record order. 2 + 48 = exactly 50. No r11/r12
         # addition is oracle-bearing (HLL twins are rows-only), so nothing
         # preempts.
-        ["q12_", "q13_"]
+        ["p102_", "p103_"]  # new r12 ops: no driver history, must lead
+        + ["q12_", "q13_"]
         + [
             "p85_", "p86_", "p87_", "p88_", "p83_", "p79_", "p81_",
             "p52_", "p74_", "p28_", "p50_", "q14_", "q15_", "q16_",
