@@ -90,6 +90,12 @@ _SF1_HEADLINE = [
     # one line-keyed join — a genuine same-work pair: both engines split,
     # rank, and reassemble every document)
     "p102_line_dedup",
+    # r12 second wave: regex-extraction, tokenizer-stats, and events-fold
+    # rows — all same-work pairs with their oracles
+    "p104_html_extract",
+    "p105_bpe_pair_stats",
+    "q61_event_anomaly",
+    "q62_conversion_lag",
 ]
 
 
@@ -367,6 +373,15 @@ def main() -> None:
         # pass) — the heaviest new text shape: per-LINE explode, corpus
         # first-occurrence agg+join, per-doc ordered reassembly
         "p102_line_dedup",
+        # r12 second wave: HTML->text extraction (the heaviest map-only
+        # regex chain — like-for-like Java-vs-RE2 row over synthesized
+        # HTML), BPE pair statistics (corpus explode -> vocab-bounded pair
+        # expansion), and the event-anomaly window + conversion-lag
+        # cohorts (events-family folds; same-work pairs with the oracle)
+        "p104_html_extract",
+        "p105_bpe_pair_stats",
+        "q61_event_anomaly",
+        "q62_conversion_lag",
     ]
     registry = Q.all_queries()
 

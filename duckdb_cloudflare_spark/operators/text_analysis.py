@@ -810,3 +810,41 @@ def source_char_similarity(
             ).alias("cosine"),
         )
     )
+
+
+def bpe_pair_counts(
+    df: DataFrame, text_col: str = "text", top_n: int = 50
+) -> DataFrame:
+    """BPE iteration-0 statistics: the symbol-pair (character-bigram)
+    frequencies a byte-pair-encoding trainer computes to pick its first
+    merge (Sennrich et al. 2016 §3.2), weighted by word frequency.
+
+    Scale shape (the reason BPE training is feasible on a corpus at all):
+    the corpus explodes ONCE into words and partially aggregates to the
+    VOCABULARY (map-side combine collapses repeated words per partition);
+    the quadratic-feeling pair expansion then runs over the vocab — bounded
+    by distinct words, not corpus tokens — and folds to at most
+    |alphabet|² rows. Two partial-agg shuffles, no joins, no Python.
+
+    Deterministic top-``top_n`` (count DESC, pair ASC) so reruns and
+    engines agree on the boundary.
+    """
+    words = (
+        df.select(F.explode(tokens(F.col(text_col))).alias("t0"))
+        .select(F.lower("t0").alias("w"))
+        .filter(F.length("w") >= 2)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    pairs = words.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
+        ).alias("pair"),
+        "freq",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("freq").alias("pair_count"))
+        .orderBy(F.col("pair_count").desc(), "pair")
+        .limit(top_n)
+    )

@@ -344,3 +344,85 @@ def apply_domain_blocklist(
     return out.join(F.broadcast(bl), "domain", "left").withColumn(
         "blocked", F.coalesce(F.col("blocked"), F.lit(False))
     )
+
+
+# ---------------------------------------------------------------------------
+# HTML -> text extraction (r12)
+#
+# The reference's fetch path returns raw HTML bodies (parse_warc_response,
+# /root/reference/src/warc.cpp — the `content` column of a WARC record); a
+# training pipeline's very next step is boilerplate-free TEXT extraction
+# (CCNet / RefinedWeb "extraction" stage). A full DOM parser is out of scope
+# for a column expression, but the regex pipeline below covers the
+# flat-extraction core (drop script/style subtrees, strip tags, decode the
+# common entities, collapse whitespace) entirely in JVM codegen — map-only,
+# no Python, fuses into the scan at 100 TB.
+#
+# Pattern notes (cross-engine contract): every regex here is valid AND
+# equivalent in Java's engine (Spark) and RE2 (DuckDB oracle) — inline
+# (?s)/(?i) modifiers and non-greedy `.*?` only; NO backreferences (RE2 has
+# none), which is why script and style are two passes instead of one
+# `<(script|style)>.*?</\1>`.
+
+# decode order matters: &amp; must be LAST or it would re-introduce
+# decodable entities ("&amp;lt;" must yield "&lt;", not "<").
+_HTML_ENTITIES = (
+    ("&nbsp;", " "),
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&copy;", "©"),
+    ("&amp;", "&"),
+)
+
+
+def html_title(html: Column) -> Column:
+    """First <title> element's text ('' when absent) — case-insensitive,
+    single-line titles (the flat-extraction contract)."""
+    return F.regexp_extract(html, r"(?i)<title[^>]*>([^<]*)</title>", 1)
+
+
+def html_link_count(html: Column) -> Column:
+    """Number of anchor OPENING tags (`<a ` / `<A `), via the
+    length-difference idiom (no regexp_count in the cross-engine subset)."""
+    h = F.lower(html)
+    return (
+        (F.length(h) - F.length(F.replace(h, F.lit("<a "), F.lit(""))))
+        / F.lit(3)
+    ).cast("long")
+
+
+def html_to_text(html: Column) -> Column:
+    """Flat HTML->text: drop <script>/<style> subtrees, strip every
+    remaining tag, decode the common entities, collapse whitespace, trim.
+
+    NULL html -> NULL (the reference's fetch errors surface as NULL
+    content; extraction propagates rather than inventing '')."""
+    s = F.regexp_replace(html, r"(?is)<script[^>]*>.*?</script>", " ")
+    s = F.regexp_replace(s, r"(?is)<style[^>]*>.*?</style>", " ")
+    # comments can hide partial tags from the tag-stripper
+    s = F.regexp_replace(s, r"(?s)<!--.*?-->", " ")
+    s = F.regexp_replace(s, r"<[^>]*>", " ")
+    for ent, repl in _HTML_ENTITIES:
+        s = F.replace(s, F.lit(ent), F.lit(repl))
+    return F.trim(F.regexp_replace(s, r"\s+", " "))
+
+
+def html_extract(df: DataFrame, html_col: str = "html") -> DataFrame:
+    """Per-row extraction report: title, link count, clean text + length.
+
+    Map-only codegen (regex chain + replaces); no shuffle, no Python. At
+    crawl scale this fuses into the WARC/parquet scan and is bounded by
+    regex throughput per byte, which is why the pipeline is a fixed number
+    of single-pass RE2/Java-compatible patterns rather than per-tag loops.
+    """
+    h = F.col(html_col)
+    clean = html_to_text(h)
+    return df.select(
+        *[c for c in df.columns if c != html_col],
+        html_title(h).alias("title"),
+        html_link_count(h).alias("n_links"),
+        clean.alias("clean_text"),
+        F.length(clean).alias("clean_len"),
+    )

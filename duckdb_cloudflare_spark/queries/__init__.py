@@ -177,9 +177,9 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 # sweep (tests/test_scale_parity.py).
 _WINDOW_PRIORITY = [
     # new r12 oracle-bearing operators: zero driver history, so they MUST
-    # lead (the q44/p70 stranding invariant); they preempt the last two
-    # stale-cohort entries (p67/p68, green r9 history — lead r13 instead)
-    "p102_", "p103_",
+    # lead (the q44/p70 stranding invariant); they preempt the last seven
+    # stale-cohort entries (p62..p68, green r9 history — lead r13 instead)
+    "p102_", "p103_", "p104_", "p105_", "p106_", "q61_", "q62_",
     # last driver-graded in r8 (below the r11 window's 50-cut)
     "q12_", "q13_",
     # last driver-graded in r9 (green in CORRECTNESS_r09, absent from

@@ -108,3 +108,346 @@ def p103_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from duckdb_cloudflare_spark.operators.curation import shard_manifest
 
     return shard_manifest(load(spark, sf_dir, "documents"))
+
+
+# --- r12 batch 2: extraction, tokenizer stats, evaluation, event anomaly ---
+
+from pyspark.sql import functions as F  # noqa: E402
+from pyspark.sql.window import Window  # noqa: E402
+
+# Deterministic HTML wrapper used by p104's GRADED query: the corpus tables
+# carry plain text, so both engines synthesize an identical realistic HTML
+# document per row (title/script/style/nav/anchors/entities) and the oracle
+# grades the EXTRACTION pipeline's cross-engine regex parity on it. The
+# operator itself (operators/web.py::html_extract) takes any html column —
+# e.g. the `content` column of a WARC fetch — and is exercised on
+# adversarial hand-written HTML in tests/test_r12_ops.py.
+#
+# NULL contract: concat() is NULL-poisoned in Spark but NULL-skipping in
+# DuckDB, so every nullable input is coalesced EXPLICITLY on both sides.
+_HTML_WRAP_SQL = """
+    '<html><head><title>' || substr(coalesce(text, ''), 1, 40)
+    || '</title><script type="text/javascript">var docId = '
+    || coalesce(CAST(doc_id AS VARCHAR), '') || ';</script>'
+    || '<style>.nav { color: #888; }</style></head>'
+    || '<body><nav><a href="/">Home</a> | <a href="/about">About</a></nav>'
+    || '<h1>' || substr(coalesce(text, ''), 1, 40) || '</h1>'
+    || '<p>' || coalesce(text, '') || '</p>'
+    || '<a href="https://example.com/' || coalesce(CAST(doc_id AS VARCHAR), '')
+    || '">perma&amp;link</a>'
+    || '<div class="footer">&copy; 2024 &lt;Example&gt; Corp&nbsp;</div>'
+    || '</body></html>'
+"""
+
+
+def _html_wrap_col():
+    txt = F.coalesce(F.col("text"), F.lit(""))
+    did = F.coalesce(F.col("doc_id").cast("string"), F.lit(""))
+    return F.concat(
+        F.lit("<html><head><title>"),
+        F.substring(txt, 1, 40),
+        F.lit('</title><script type="text/javascript">var docId = '),
+        did,
+        F.lit(";</script>"),
+        F.lit("<style>.nav { color: #888; }</style></head>"),
+        F.lit('<body><nav><a href="/">Home</a> | <a href="/about">About</a></nav>'),
+        F.lit("<h1>"),
+        F.substring(txt, 1, 40),
+        F.lit("</h1>"),
+        F.lit("<p>"),
+        txt,
+        F.lit("</p>"),
+        F.lit('<a href="https://example.com/'),
+        did,
+        F.lit('">perma&amp;link</a>'),
+        F.lit('<div class="footer">&copy; 2024 &lt;Example&gt; Corp&nbsp;</div>'),
+        F.lit("</body></html>"),
+    )
+
+
+@register(
+    "p104_html_extract",
+    oracle=f"""
+    WITH h AS (SELECT doc_id, {_HTML_WRAP_SQL} AS html FROM documents),
+    stripped AS (
+        SELECT doc_id, html,
+               regexp_extract(html, '(?i)<title[^>]*>([^<]*)</title>', 1) AS title,
+               trim(regexp_replace(
+                 replace(replace(replace(replace(replace(replace(replace(
+                   regexp_replace(
+                     regexp_replace(
+                       regexp_replace(
+                         regexp_replace(html, '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+                         '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+                       '(?s)<!--.*?-->', ' ', 'g'),
+                     '<[^>]*>', ' ', 'g'),
+                   '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+                   '&#39;', chr(39)), '&copy;', '©'), '&amp;', '&'),
+                 '\\s+', ' ', 'g')) AS clean_text
+        FROM h
+    )
+    SELECT doc_id, title,
+           CAST((length(lower(html)) - length(replace(lower(html), '<a ', '')))
+                // 3 AS BIGINT) AS n_links,
+           clean_text,
+           CAST(length(clean_text) AS BIGINT) AS clean_len
+    FROM stripped
+    """,
+    description="HTML->text extraction (the CCNet/RefinedWeb stage after the "
+    "reference's WARC fetch returns raw HTML bodies): drop script/style "
+    "subtrees, strip tags, decode common entities, collapse whitespace; "
+    "plus title extraction and anchor count. operators/web.py::html_extract "
+    "— map-only JVM codegen regex chain (RE2-compatible: no backreferences, "
+    "inline (?is), non-greedy), zero shuffles/Python; the graded query "
+    "synthesizes identical HTML per row on both engines so the oracle pins "
+    "cross-engine regex parity.",
+)
+def p104_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duckdb_cloudflare_spark.operators.dedup import ensure_parallelism
+    from duckdb_cloudflare_spark.operators.web import html_extract
+
+    d = ensure_parallelism(load(spark, sf_dir, "documents"))
+    return html_extract(
+        d.select("doc_id", _html_wrap_col().alias("html")), html_col="html"
+    ).select("doc_id", "title", "n_links", "clean_text", "clean_len")
+
+
+@register(
+    "p105_bpe_pair_stats",
+    oracle=r"""
+    WITH words AS (
+        SELECT w, count(*) AS freq
+        FROM (SELECT lower(unnest(string_split_regex(trim(coalesce(text, '')),
+                                                     '\s+'))) AS w
+              FROM documents)
+        WHERE length(w) >= 2
+        GROUP BY w
+    ), pairs AS (
+        SELECT substr(w, i, 2) AS pair, sum(freq) AS pair_count
+        FROM words, unnest(generate_series(1, length(w) - 1)) AS t(i)
+        GROUP BY 1
+    )
+    SELECT pair, CAST(pair_count AS BIGINT) AS pair_count
+    FROM pairs ORDER BY pair_count DESC, pair LIMIT 50
+    """,
+    description="BPE iteration-0 merge statistics (Sennrich et al. 2016): "
+    "frequency-weighted symbol-pair counts over the word vocabulary, top-50 "
+    "with deterministic (count DESC, pair ASC) boundary. operators/"
+    "text_analysis.py::bpe_pair_counts. Scale shape: corpus explodes once "
+    "to words with map-side combine to the VOCAB; the pair expansion runs "
+    "vocab-bounded (not corpus-bounded) and folds to <=|alphabet|^2 rows — "
+    "two partial-agg shuffles, no joins, no Python.",
+)
+def p105_bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duckdb_cloudflare_spark.operators.dedup import ensure_parallelism
+    from duckdb_cloudflare_spark.operators.text_analysis import bpe_pair_counts
+
+    return bpe_pair_counts(ensure_parallelism(load(spark, sf_dir, "documents")))
+
+
+@register(
+    "p106_langid_confusion",
+    oracle="""
+    WITH scored AS (
+        SELECT doc_id, lang AS lang_true,
+               len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                   t -> list_contains(['the','and','of','to','in','is','it','that','was','for'], t))) AS en_hits,
+               len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                   t -> list_contains(['el','la','de','que','y','en','un','los','se','por'], t))) AS es_hits,
+               len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                   t -> list_contains(['le','la','de','et','les','des','un','une','du','est'], t))) AS fr_hits,
+               len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                   t -> list_contains(['der','die','und','das','von','zu','den','mit','ist','im'], t))) AS de_hits,
+               len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                   t -> list_contains(['的','是','了','在','和','有','我','不','这','他'], t))) AS zh_hits
+        FROM documents
+    ), pred AS (
+        SELECT lang_true,
+               CASE WHEN coalesce(greatest(en_hits, es_hits, fr_hits, de_hits, zh_hits), 0) = 0 THEN 'und'
+                    WHEN de_hits = greatest(en_hits, es_hits, fr_hits, de_hits, zh_hits) THEN 'de'
+                    WHEN en_hits = greatest(en_hits, es_hits, fr_hits, de_hits, zh_hits) THEN 'en'
+                    WHEN es_hits = greatest(en_hits, es_hits, fr_hits, de_hits, zh_hits) THEN 'es'
+                    WHEN fr_hits = greatest(en_hits, es_hits, fr_hits, de_hits, zh_hits) THEN 'fr'
+                    ELSE 'zh' END AS lang_pred
+        FROM scored
+    )
+    SELECT lang_true, lang_pred,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           count(*) / sum(count(*)) OVER (PARTITION BY lang_true)
+               AS share_of_true
+    FROM pred GROUP BY lang_true, lang_pred
+    """,
+    description="Language-ID confusion matrix: the classifier-evaluation "
+    "report a curation pipeline publishes before trusting p04's predictions "
+    "for p29-style filtering — (labeled lang x predicted lang) doc counts "
+    "and each cell's share of its true-label row (exact-integer division, "
+    "deliberately unrounded: bit-identical doubles on both engines). Scale "
+    "shape: map-side scoring (same codegen as p04) + ONE partial agg to "
+    "<=|langs|^2 rows; the share window runs on that tiny fold.",
+)
+def p106_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duckdb_cloudflare_spark.operators import text_analysis as T
+    from duckdb_cloudflare_spark.operators.dedup import ensure_parallelism
+
+    d = ensure_parallelism(load(spark, sf_dir, "documents"))
+    g = (
+        d.select(
+            F.col("lang").alias("lang_true"),
+            T.identify_language(F.col("text")).alias("lang_pred"),
+        )
+        .groupBy("lang_true", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    w = Window.partitionBy("lang_true")
+    return g.select(
+        "lang_true",
+        "lang_pred",
+        "n_docs",
+        (F.col("n_docs") / F.sum("n_docs").over(w)).alias("share_of_true"),
+    )
+
+
+@register(
+    "q61_event_anomaly",
+    oracle="""
+    WITH hourly AS (
+        SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+               count(*) AS n
+        FROM events WHERE ts IS NOT NULL
+        GROUP BY 1, 2
+    ), framed AS (
+        SELECT event_type, hour, n,
+               sum(n)     OVER w AS s,
+               sum(n * n) OVER w AS sq,
+               count(*)   OVER w AS w_n
+        FROM hourly
+        WINDOW w AS (PARTITION BY event_type ORDER BY hour
+                     ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_type, hour, CAST(n AS BIGINT) AS n,
+           s / 24.0 AS trailing_mean,
+           (n - s / 24.0) / sqrt((sq - s * s / 24.0) / 23.0) AS zscore
+    FROM framed
+    WHERE w_n = 24 AND (sq - s * s / 24.0) > 0
+      AND abs((n - s / 24.0) / sqrt((sq - s * s / 24.0) / 23.0)) > 2.5
+    """,
+    description="Hourly event-count anomaly detection: trailing-24h z-score "
+    "per event_type, flag |z| > 2.5 — the ops-monitoring sweep over an "
+    "event stream. Cross-engine determinism by construction: mean and "
+    "variance are derived from EXACT integer window sums (sum, sum-of-"
+    "squares, count over ROWS 24 PRECEDING..1 PRECEDING), so both engines "
+    "evaluate the identical IEEE expression tree on identical integers — "
+    "bit-identical doubles, deliberately unrounded, and the |z|>2.5 gate "
+    "can't flip (no stddev_samp implementation drift). Scale shape: ONE "
+    "(event_type, hour)-keyed partial agg collapses the corpus to "
+    "types x hours rows; the window runs on that fold, partitioned by "
+    "event_type — never a corpus-sized window.",
+)
+def q61_event_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    hourly = (
+        e.filter(F.col("ts").isNotNull())
+        .groupBy("event_type", F.date_trunc("hour", "ts").alias("hour"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(-24, -1)
+    )
+    framed = hourly.select(
+        "event_type",
+        "hour",
+        "n",
+        F.sum("n").over(w).alias("s"),
+        F.sum(F.col("n") * F.col("n")).over(w).alias("sq"),
+        F.count(F.lit(1)).over(w).alias("w_n"),
+    )
+    mu = F.col("s") / F.lit(24.0)
+    var = (F.col("sq") - F.col("s") * F.col("s") / F.lit(24.0)) / F.lit(23.0)
+    z = (F.col("n") - mu) / F.sqrt(var)
+    return (
+        framed.filter(
+            (F.col("w_n") == 24)
+            & ((F.col("sq") - F.col("s") * F.col("s") / F.lit(24.0)) > 0)
+            & (F.abs(z) > 2.5)
+        )
+        .select(
+            "event_type",
+            "hour",
+            "n",
+            mu.alias("trailing_mean"),
+            z.alias("zscore"),
+        )
+    )
+
+
+@register(
+    "q62_conversion_lag",
+    oracle="""
+    WITH first_ev AS (
+        SELECT user_id,
+               min(CASE WHEN event_type = 'signup' THEN ts END)   AS t_signup,
+               min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+        FROM events WHERE ts IS NOT NULL GROUP BY user_id
+    ), lags AS (
+        SELECT CAST(date_trunc('week', t_signup) AS TIMESTAMP) AS cohort_week,
+               epoch_us(t_purchase) - epoch_us(t_signup) AS lag_us,
+               (t_purchase IS NOT NULL AND t_purchase >= t_signup) AS converted
+        FROM first_ev WHERE t_signup IS NOT NULL
+    )
+    SELECT cohort_week,
+           CAST(count(*) AS BIGINT) AS n_signups,
+           CAST(count(*) FILTER (WHERE converted) AS BIGINT) AS n_converted,
+           count(*) FILTER (WHERE converted) / count(*) AS conversion_rate,
+           round(median(CASE WHEN converted THEN lag_us END) / 1000000.0, 4)
+               AS median_lag_s,
+           round(quantile_cont(CASE WHEN converted THEN lag_us END, 0.9)
+                 / 1000000.0, 4) AS p90_lag_s
+    FROM lags GROUP BY cohort_week
+    """,
+    description="Signup->first-purchase conversion lag by weekly cohort: "
+    "conversion rate (exact-integer division, unrounded) plus median/p90 "
+    "time-to-convert. Lags are EXACT integer microseconds (unix_micros/"
+    "epoch_us) so the quantile interpolation sees identical inputs on both "
+    "engines; the interpolated results are rounded to 4 dp (engines may "
+    "differ in last-ulp interpolation arithmetic). Scale shape: ONE "
+    "user-keyed partial agg (min-per-type via conditional min, no "
+    "self-join), then a tiny weekly fold; exact median is the one holistic "
+    "step — at 100 TB swap approx_percentile into the same shape.",
+)
+def q62_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    fe = (
+        e.filter(F.col("ts").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias(
+                "t_signup"
+            ),
+            F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+                "t_purchase"
+            ),
+        )
+        .filter(F.col("t_signup").isNotNull())
+    )
+    lag_us = F.unix_micros("t_purchase") - F.unix_micros("t_signup")
+    converted = F.col("t_purchase").isNotNull() & (
+        F.col("t_purchase") >= F.col("t_signup")
+    )
+    lags = fe.select(
+        F.date_trunc("week", "t_signup").alias("cohort_week"),
+        F.when(converted, lag_us).alias("conv_lag_us"),
+        converted.cast("long").alias("conv"),
+    )
+    return lags.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).alias("n_signups"),
+        F.sum("conv").alias("n_converted"),
+        (F.sum("conv") / F.count(F.lit(1))).alias("conversion_rate"),
+        F.round(F.median("conv_lag_us") / F.lit(1000000.0), 4).alias(
+            "median_lag_s"
+        ),
+        F.round(F.percentile("conv_lag_us", 0.9) / F.lit(1000000.0), 4).alias(
+            "p90_lag_s"
+        ),
+    )

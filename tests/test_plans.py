@@ -5,6 +5,8 @@ would not survive 100 TB, even though results stay correct."""
 
 from __future__ import annotations
 
+import re
+
 import pytest
 
 from duckdb_cloudflare_spark import queries as Q
@@ -802,3 +804,89 @@ def test_p103_shard_manifest_single_partial_agg(spark, registry):
     assert shuffle_count(df) == 1
     assert "Join" not in plan and "Window" not in plan
     assert "Python" not in plan
+
+
+def test_p104_html_extract_map_only(spark, registry):
+    """p104 is a pure map: regex chain + replaces in JVM codegen — zero
+    exchanges, joins, windows, aggregates, or Python nodes. At crawl
+    scale this must fuse into the scan."""
+    from duckdb_cloudflare_spark.plans.introspect import (
+        formatted_plan,
+        shuffle_count,
+    )
+
+    df = registry["p104_html_extract"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    # the only exchange allowed is ensure_parallelism's round-robin split
+    # of the single-file scan (a no-op at real scale where data arrives in
+    # many files); no hash/range exchange may appear
+    assert shuffle_count(df) <= 1
+    assert "ENSURE_REQUIREMENTS" not in plan
+    for node in ("Join", "Window", "Aggregate", "Python"):
+        assert node not in plan, node
+
+
+def test_p105_bpe_pairs_vocab_bounded_two_aggs(spark, registry):
+    """p105's pair expansion must run on the aggregated VOCAB, not the
+    corpus: plan order is corpus-explode -> partial word agg -> pair
+    explode -> pair agg (the second Generate sits ABOVE the first
+    HashAggregate pair), plus the deterministic top-50 sort. No joins,
+    no Python."""
+    from duckdb_cloudflare_spark.plans.introspect import formatted_plan
+
+    df = registry["p105_bpe_pair_stats"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert "Join" not in plan and "Python" not in plan
+    assert "partial_count" in plan  # map-side combine on the word agg
+    # vocab-bounded: the pair-explode Generate consumes the AGGREGATED
+    # (w, freq) vocabulary, not the corpus tokens — its detail block
+    # lists freq as an input attribute
+    assert re.search(r"Generate\nInput \[2\]: \[w#\d+, freq#\d+L\]", plan), (
+        "pair explode runs corpus-side (its input is not the aggregated "
+        "(w, freq) vocab)"
+    )
+    assert "TakeOrderedAndProject" in plan  # deterministic top-50, no global sort
+
+
+def test_p106_confusion_tiny_fold_window(spark, registry):
+    """p106 scores map-side (same codegen as p04) and aggregates to a
+    <=|langs|^2 fold; the share window runs on that fold (partitioned by
+    lang_true — never a corpus window), no joins, no Python."""
+    from duckdb_cloudflare_spark.plans.introspect import formatted_plan
+
+    df = registry["p106_langid_confusion"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert "Join" not in plan and "Python" not in plan
+    # the window must sit ABOVE the aggregate (formatted plans print
+    # root-first, so Window appears before HashAggregate)
+    assert plan.index("Window") < plan.index("HashAggregate")
+    assert "partial_count" in plan
+
+
+def test_q61_anomaly_fold_then_window(spark, registry):
+    """q61 collapses the corpus with ONE (event_type, hour) partial agg;
+    the trailing-stats window runs on the types x hours fold, partitioned
+    by event_type. No corpus-sized window, no joins, no Python."""
+    from duckdb_cloudflare_spark.plans.introspect import formatted_plan
+
+    df = registry["q61_event_anomaly"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert "Join" not in plan and "Python" not in plan
+    assert "partial_count" in plan  # map-side combine before the shuffle
+    # window ABOVE the (event_type, hour) fold (root-first print order),
+    # and the ts IS NOT NULL filter reaches the parquet scan
+    assert plan.index("Window") < plan.index("HashAggregate")
+    assert "PushedFilters: [IsNotNull(ts)]" in plan
+
+
+def test_q62_conversion_lag_single_user_agg(spark, registry):
+    """q62 derives both first-event timestamps in ONE user-keyed
+    aggregation (conditional mins — no per-type self-join), then folds to
+    weekly cohorts: exactly two aggregate exchanges, no joins, no Python.
+    ObjectHashAggregate is expected (exact median is typed)."""
+    from duckdb_cloudflare_spark.plans.introspect import formatted_plan
+
+    df = registry["q62_conversion_lag"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert "Join" not in plan and "Python" not in plan
+    assert "partial_min" in plan

@@ -25,13 +25,12 @@ def test_graded_window_is_exactly_the_r12_rotation():
     names = list(Q.all_queries())
     window = names[:50]
     expected = (
-        # the 50 stalest-driver-history entries (continuing the VERDICT r10
-        # rotation plan): q12/q13 (last graded r8, below the r11 window's
-        # cut) lead, then the 48 entries last driver-graded in r9 in
-        # CORRECTNESS_r09 record order. 2 + 48 = exactly 50. No r11/r12
-        # addition is oracle-bearing (HLL twins are rows-only), so nothing
-        # preempts.
-        ["p102_", "p103_"]  # new r12 ops: no driver history, must lead
+        # the seven new r12 oracle-bearing ops (no driver history) lead,
+        # then the stalest-driver-history entries (continuing the VERDICT
+        # r10 rotation plan): q12/q13 (last graded r8, below the r11
+        # window's cut), then the r9 cohort in CORRECTNESS_r09 record
+        # order; the [:50] cut pushes p62..p68 (green r9 history) to r13.
+        ["p102_", "p103_", "p104_", "p105_", "p106_", "q61_", "q62_"]
         + ["q12_", "q13_"]
         + [
             "p85_", "p86_", "p87_", "p88_", "p83_", "p79_", "p81_",

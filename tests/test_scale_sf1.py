@@ -60,6 +60,12 @@ SWEEP = [
     "p79_hll_source_distinct",
     "p81_domain_pagerank",
     "q01_pricing_summary",
+    # r12: HTML extraction (regex parity over 10x synthesized HTML), BPE
+    # pair stats (vocab-bounded expansion — the ~520k-word sf1 vocab is
+    # the data-dependent part), lang-ID confusion fold
+    "p104_html_extract",
+    "p105_bpe_pair_stats",
+    "p106_langid_confusion",
 ]
 
 
