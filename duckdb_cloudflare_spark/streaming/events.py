@@ -373,3 +373,130 @@ def transition_stream(stream: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+ANOMALY_OUT_SCHEMA = StructType(
+    [
+        StructField("event_type", StringType()),
+        StructField("hour", TimestampNTZType()),
+        StructField("n", LongType()),
+        StructField("trailing_mean", DoubleType()),
+        StructField("zscore", DoubleType()),
+    ]
+)
+
+# trailing window of CLOSED observed hours (parallel arrays, ≤24 entries,
+# epoch-us hour keys) + the currently-OPEN hour's accumulator
+ANOMALY_STATE_SCHEMA = StructType(
+    [
+        StructField("hours", StringType()),  # csv epoch-us (≤24, tiny)
+        StructField("counts", StringType()),  # csv counts, parallel
+        StructField("cur_hour", LongType()),
+        StructField("cur_n", LongType()),
+    ]
+)
+
+_HOUR_US = 3_600_000_000
+
+
+def _anomaly_fn(
+    key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Per-event_type anomaly monitor: accumulate the OPEN hour's count;
+    when arrivals move past it the hour CLOSES — score it against the 24
+    stored trailing closed hours (exact integer sums, the same IEEE tree
+    as batch q61) and slide it into the window. State is ≤24 (hour, n)
+    pairs + one accumulator per event_type — constant per key, regardless
+    of stream length or event rate."""
+    pdf = pd.concat(list(batches), ignore_index=True)
+    hours_us = (pdf["ts"].astype("int64") // 1000 // _HOUR_US) * _HOUR_US
+    per_hour = hours_us.value_counts().sort_index()
+
+    if state.exists:
+        h_csv, c_csv, cur_hour, cur_n = state.get
+        hs = [int(x) for x in h_csv.split(",")] if h_csv else []
+        cs = [int(x) for x in c_csv.split(",")] if c_csv else []
+    else:
+        hs, cs, cur_hour, cur_n = [], [], None, None
+
+    out_hour, out_n, out_mu, out_z = [], [], [], []
+
+    def close_hour(h, n):
+        # score against the stored trailing window, then slide
+        if len(hs) == 24:
+            s = sum(cs)
+            sq = sum(c * c for c in cs)
+            var = (sq - s * s / 24.0) / 23.0
+            mu = s / 24.0
+            if var > 0:
+                z = (n - mu) / (var**0.5)
+                if abs(z) > 2.5:
+                    out_hour.append(h)
+                    out_n.append(n)
+                    out_mu.append(mu)
+                    out_z.append(z)
+        hs.append(h)
+        cs.append(n)
+        if len(hs) > 24:
+            hs.pop(0)
+            cs.pop(0)
+
+    for h, n in per_hour.items():
+        h, n = int(h), int(n)
+        if cur_hour is not None and h < cur_hour:
+            continue  # late hour behind the open frontier — dropped (doc'd)
+        if cur_hour is None:
+            cur_hour, cur_n = h, 0
+        if h == cur_hour:
+            cur_n += n
+            continue
+        close_hour(cur_hour, cur_n)
+        cur_hour, cur_n = h, n
+
+    state.update(
+        (
+            ",".join(str(x) for x in hs),
+            ",".join(str(x) for x in cs),
+            cur_hour if cur_hour is None else int(cur_hour),
+            cur_n if cur_n is None else int(cur_n),
+        )
+    )
+    yield pd.DataFrame(
+        {
+            "event_type": [key[0]] * len(out_hour),
+            "hour": pd.to_datetime(pd.Series(out_hour, dtype="int64"), unit="us"),
+            "n": pd.Series(out_n, dtype="int64"),
+            "trailing_mean": pd.Series(out_mu, dtype="float64"),
+            "zscore": pd.Series(out_z, dtype="float64"),
+        }
+    )
+
+
+def anomaly_stream(stream: DataFrame) -> DataFrame:
+    """Streaming twin of batch q61: trailing-24h z-score anomaly flags per
+    event_type, emitted incrementally as hours CLOSE (an hour closes when
+    a later-hour event for the same type arrives — the at-ingest ordering
+    contract, same as transition_stream; replays/backfills should use the
+    batch q61). The final, still-open hour is never scored: its count is
+    not yet total — batch equivalence therefore holds over closed hours.
+
+    Scale shape: state per event_type is ≤24 (hour, count) pairs + one
+    open-hour accumulator — CONSTANT per key no matter the event rate, the
+    register-bounded property that makes this the dashboard-serving form
+    (the batch q61 re-folds all history every run). Emission matches batch
+    q61 bit-for-bit on the z arithmetic: exact integer sums into the
+    identical IEEE expression tree.
+
+    NULL-ts rows are dropped up front (batch q61 filters them too)."""
+    return (
+        stream.filter(F.col("ts").isNotNull())
+        .select("event_type", F.col("ts").cast("timestamp_ntz").alias("ts"))
+        .groupBy("event_type")
+        .applyInPandasWithState(
+            _anomaly_fn,
+            outputStructType=ANOMALY_OUT_SCHEMA,
+            stateStructType=ANOMALY_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

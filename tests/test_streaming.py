@@ -279,3 +279,94 @@ def test_dau_registers_stream_null_contract_matches_batch(spark, tmp_path):
         ).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_anomaly_stream_matches_batch_q61_on_closed_hours(spark, tmp_path):
+    """The stateful anomaly monitor drained over micro-batches (with a file
+    boundary landing MID-hour, so the open-hour accumulator must carry
+    partial counts across batches) reproduces batch q61 on every CLOSED
+    hour; the final still-open hour is never scored."""
+    import datetime as dt
+
+    import duckdb_cloudflare_spark.queries as Qm
+    from duckdb_cloudflare_spark.queries import all_queries
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for h in range(32):  # jittered baseline, spike at h=30, h=31 closes it
+        n = 300 if h == 30 else (11 if h % 2 else 10)
+        for i in range(n):
+            rows.append(
+                (eid, base + dt.timedelta(hours=h, seconds=i), 7, "click", 1.0, "{}")
+            )
+            eid += 1
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    # split MID-spike-hour: file 1 carries hours 0..29 + half the spike,
+    # file 2 the rest of the spike + hour 31
+    cut = next(
+        i for i, r in enumerate(rows) if r[1] >= base + dt.timedelta(hours=30, seconds=150)
+    )
+    src = str(tmp_path / "ev_anom")
+    spark.createDataFrame(rows[:cut], schema).coalesce(1).write.parquet(src + "/f1.parquet")
+    spark.createDataFrame(rows[cut:], schema).coalesce(1).write.parquet(src + "/f2.parquet")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    got = [
+        (r["event_type"], r["hour"], r["n"], r["trailing_mean"], r["zscore"])
+        for r in run_to_memory(S.anomaly_stream(stream), "anom_stream").collect()
+    ]
+
+    batch_df = spark.createDataFrame(rows, schema)
+    key = "/t-anom-stream/events"
+    Qm._TABLE_CACHE[key] = batch_df
+    try:
+        last_open = base + dt.timedelta(hours=31)
+        expected = [
+            (r["event_type"], r["hour"], r["n"], r["trailing_mean"], r["zscore"])
+            for r in all_queries()["q61_event_anomaly"](spark, "/t-anom-stream").collect()
+            if r["hour"] < last_open
+        ]
+    finally:
+        Qm._TABLE_CACHE.pop(key, None)
+    assert len(expected) == 1  # the planted spike
+    assert got == expected  # bit-for-bit: same integer sums, same IEEE tree
+
+
+def test_anomaly_stream_drops_late_hours_keeps_window(spark, tmp_path):
+    """An hour arriving behind the open frontier is dropped (no rescore, no
+    window corruption): the trailing window after the late row equals the
+    in-order window."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 3, 1)
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    rows1 = [
+        (i, base + dt.timedelta(hours=h), 1, "view", 0.0, "{}")
+        for i, h in enumerate(range(3))
+    ]
+    rows2 = [
+        (10, base + dt.timedelta(hours=0, minutes=30), 1, "view", 0.0, "{}"),  # late
+        (11, base + dt.timedelta(hours=3), 1, "view", 0.0, "{}"),
+    ]
+    src = str(tmp_path / "ev_anom_late")
+    spark.createDataFrame(rows1, schema).coalesce(1).write.parquet(src + "/f1.parquet")
+    spark.createDataFrame(rows2, schema).coalesce(1).write.parquet(src + "/f2.parquet")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    # too few hours for any score — the assertion is that the late row
+    # neither crashes the state machine nor emits anything
+    got = run_to_memory(S.anomaly_stream(stream), "anom_late").collect()
+    assert got == []
