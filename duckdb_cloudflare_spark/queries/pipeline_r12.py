@@ -451,3 +451,53 @@ def q62_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p90_lag_s"
         ),
     )
+
+
+@register(
+    "q63_conversion_lag_approx",
+    oracle=None,  # rows-only BY DESIGN: exact anchor is q62 (same shape)
+    description="q62's at-scale twin: conversion-lag cohorts with "
+    "MERGEABLE Greenwald-Khanna approximate quantiles (approx_percentile, "
+    "accuracy 10000) in place of the exact median/p90 — q62's one holistic "
+    "aggregate (exact median needs each cohort's full value multiset on "
+    "one reducer; GK sketches merge across partial aggregations, the same "
+    "exact→mergeable upgrade as q56/q57→q59/q60 and q31→p79). Identical "
+    "plan shape otherwise: ONE user-keyed conditional-min agg, tiny weekly "
+    "fold. Rank error ≤ n/accuracy, pinned against exact q62 by pytest. "
+    "Columns: cohort_week, n_signups, n_converted, conversion_rate, "
+    "median_lag_s_approx, p90_lag_s_approx.",
+)
+def q63_conversion_lag_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    fe = (
+        e.filter(F.col("ts").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias(
+                "t_signup"
+            ),
+            F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+                "t_purchase"
+            ),
+        )
+        .filter(F.col("t_signup").isNotNull())
+    )
+    lag_us = F.unix_micros("t_purchase") - F.unix_micros("t_signup")
+    converted = F.col("t_purchase").isNotNull() & (
+        F.col("t_purchase") >= F.col("t_signup")
+    )
+    lags = fe.select(
+        F.date_trunc("week", "t_signup").alias("cohort_week"),
+        F.when(converted, lag_us).alias("conv_lag_us"),
+        converted.cast("long").alias("conv"),
+    )
+    pct = F.percentile_approx(
+        "conv_lag_us", F.array(F.lit(0.5), F.lit(0.9)), F.lit(10000)
+    )
+    return lags.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).alias("n_signups"),
+        F.sum("conv").alias("n_converted"),
+        (F.sum("conv") / F.count(F.lit(1))).alias("conversion_rate"),
+        (pct[0] / F.lit(1000000.0)).alias("median_lag_s_approx"),
+        (pct[1] / F.lit(1000000.0)).alias("p90_lag_s_approx"),
+    )

@@ -8,6 +8,7 @@ expressed as incremental streaming plans with watermarks and state.
 
 from duckdb_cloudflare_spark.streaming.events import (  # noqa: F401
     anomaly_stream,
+    conversion_stream,
     dau_registers_stream,
     dedup_stream,
     read_event_stream,

@@ -500,3 +500,119 @@ def anomaly_stream(stream: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+CONVERSION_OUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("cohort_week", TimestampNTZType()),
+        StructField("lag_us", LongType()),
+    ]
+)
+
+CONVERSION_STATE_SCHEMA = StructType(
+    [
+        StructField("signup_us", LongType()),
+        StructField("purchase_us", LongType()),
+        StructField("emitted", LongType()),  # 0/1 (no BooleanType in state)
+    ]
+)
+
+
+def _week_floor_us(us: int) -> int:
+    """Monday-0:00 floor of an epoch-us instant (UTC) — the date_trunc
+    ('week') twin. 1970-01-01 was a Thursday: shift by 3 days so the
+    epoch of the modulo lands on a Monday."""
+    week_us = 7 * 24 * 3_600_000_000
+    day3 = 3 * 24 * 3_600_000_000
+    return ((us + day3) // week_us) * week_us - day3
+
+
+def _conversion_fn(
+    key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Per-user funnel state: earliest signup + earliest purchase seen so
+    far; the first batch where both exist with purchase >= signup emits
+    the conversion ONCE (exactly-once by the emitted flag), after which
+    the row is immutable (no retraction — late earlier purchases refine
+    nothing, the at-ingest contract)."""
+    pdf = pd.concat(list(batches), ignore_index=True)
+    us = pdf["ts"].astype("int64") // 1000
+    s_min = us[pdf["event_type"] == "signup"].min()
+    p_min = us[pdf["event_type"] == "purchase"].min()
+
+    if state.exists:
+        signup_us, purchase_us, emitted = state.get
+    else:
+        signup_us = purchase_us = None
+        emitted = 0
+
+    if not pd.isna(s_min):
+        signup_us = int(s_min) if signup_us is None else min(signup_us, int(s_min))
+    if not pd.isna(p_min):
+        purchase_us = (
+            int(p_min) if purchase_us is None else min(purchase_us, int(p_min))
+        )
+
+    out = {"user_id": [], "cohort_week": [], "lag_us": []}
+    if (
+        not emitted
+        and signup_us is not None
+        and purchase_us is not None
+        and purchase_us >= signup_us
+    ):
+        emitted = 1
+        out["user_id"].append(key[0])
+        out["cohort_week"].append(_week_floor_us(signup_us))
+        out["lag_us"].append(purchase_us - signup_us)
+
+    state.update((signup_us, purchase_us, int(emitted)))
+    yield pd.DataFrame(
+        {
+            "user_id": pd.Series(out["user_id"], dtype="int64"),
+            "cohort_week": pd.to_datetime(
+                pd.Series(out["cohort_week"], dtype="int64"), unit="us"
+            ),
+            "lag_us": pd.Series(out["lag_us"], dtype="int64"),
+        }
+    )
+
+
+def conversion_stream(stream: DataFrame) -> DataFrame:
+    """Streaming twin of the q62/q63 funnel core: emits each user's
+    signup→first-purchase conversion EXACTLY ONCE, as soon as both ends
+    of the funnel have been seen (purchase at-or-after signup). Downstream
+    cohort aggregation (count, rate, lag quantiles) is then a plain
+    streaming aggregation over an append-only stream — no retractions.
+
+    State is THREE longs per user (earliest signup, earliest purchase,
+    emitted flag) — constant per key; with a ProcessingTimeTimeout in
+    production, idle never-converting users are reclaimed. Under per-user
+    time-ordered arrival the emitted (cohort_week, lag_us) match batch
+    q62's converted rows exactly (pinned in test_streaming.py); late
+    earlier rows after emission refine nothing (documented no-retraction,
+    same contract as transition_stream).
+
+    Only signup/purchase rows with NULL-free (user_id, ts) participate;
+    other event types are filtered before the state operator so state
+    updates touch exactly the funnel rows."""
+    return (
+        stream.filter(
+            F.col("user_id").isNotNull()
+            & F.col("ts").isNotNull()
+            & F.col("event_type").isin("signup", "purchase")
+        )
+        .select(
+            "user_id",
+            F.col("ts").cast("timestamp_ntz").alias("ts"),
+            "event_type",
+        )
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _conversion_fn,
+            outputStructType=CONVERSION_OUT_SCHEMA,
+            stateStructType=CONVERSION_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -244,9 +244,9 @@ def test_bpe_pair_counts_top_n_boundary_deterministic(spark):
 
 
 def test_langid_confusion_shares_sum_to_one(spark):
-    from duckdb_cloudflare_spark.queries import REGISTRY
+    from duckdb_cloudflare_spark.queries import all_queries
 
-    q = REGISTRY["p106_langid_confusion"].spark
+    q = all_queries()["p106_langid_confusion"]
     pdf = q(spark, "/root/testdata/sf0.001").toPandas()
     # every labeled language row's shares sum to 1 and cells are positive
     sums = pdf.groupby("lang_true")["share_of_true"].sum()
@@ -257,7 +257,7 @@ def test_langid_confusion_shares_sum_to_one(spark):
 def test_event_anomaly_flags_planted_spike(spark):
     import datetime as dt
 
-    from duckdb_cloudflare_spark.queries import REGISTRY
+    from duckdb_cloudflare_spark.queries import all_queries
     import duckdb_cloudflare_spark.queries as Qm
 
     # 30 steady hours at 10 events/hour, then one 300-event spike hour
@@ -279,7 +279,7 @@ def test_event_anomaly_flags_planted_spike(spark):
     key = "/t-anomaly/events"
     Qm._TABLE_CACHE[key] = df
     try:
-        out = REGISTRY["q61_event_anomaly"].spark(spark, "/t-anomaly").collect()
+        out = all_queries()["q61_event_anomaly"](spark, "/t-anomaly").collect()
     finally:
         Qm._TABLE_CACHE.pop(key, None)
     # steady hours: sd == 0 -> excluded by the var>0 guard; only the spike
@@ -292,7 +292,7 @@ def test_event_anomaly_flags_planted_spike(spark):
 def test_event_anomaly_flags_spike_with_jittered_baseline(spark):
     import datetime as dt
 
-    from duckdb_cloudflare_spark.queries import REGISTRY
+    from duckdb_cloudflare_spark.queries import all_queries
     import duckdb_cloudflare_spark.queries as Qm
 
     base = dt.datetime(2024, 1, 1)
@@ -312,7 +312,7 @@ def test_event_anomaly_flags_spike_with_jittered_baseline(spark):
     key = "/t-anomaly2/events"
     Qm._TABLE_CACHE[key] = df
     try:
-        out = REGISTRY["q61_event_anomaly"].spark(spark, "/t-anomaly2").collect()
+        out = all_queries()["q61_event_anomaly"](spark, "/t-anomaly2").collect()
     finally:
         Qm._TABLE_CACHE.pop(key, None)
     assert len(out) == 1
@@ -325,7 +325,7 @@ def test_event_anomaly_flags_spike_with_jittered_baseline(spark):
 def test_conversion_lag_fixture(spark):
     import datetime as dt
 
-    from duckdb_cloudflare_spark.queries import REGISTRY
+    from duckdb_cloudflare_spark.queries import all_queries
     import duckdb_cloudflare_spark.queries as Qm
 
     mon = dt.datetime(2024, 1, 1)  # a Monday
@@ -354,7 +354,7 @@ def test_conversion_lag_fixture(spark):
     try:
         out = {
             r["cohort_week"]: r
-            for r in REGISTRY["q62_conversion_lag"].spark(spark, "/t-convlag").collect()
+            for r in all_queries()["q62_conversion_lag"](spark, "/t-convlag").collect()
         }
     finally:
         Qm._TABLE_CACHE.pop(key, None)
@@ -367,3 +367,39 @@ def test_conversion_lag_fixture(spark):
     r2 = out[w2]
     assert r2["n_signups"] == 1 and r2["n_converted"] == 1
     assert r2["median_lag_s"] == 200.0  # first purchase, not the later one
+
+
+def test_q63_approx_twin_tracks_exact_q62(spark):
+    """q63's GK-sketch quantiles must agree with q62's exact median/p90
+    within the rank-error bound (accuracy=10000 → ≤ n/10000 ranks ≈ exact
+    at sf0.01 cohort sizes), and the integer columns must be identical."""
+    from duckdb_cloudflare_spark.queries import all_queries
+
+    sf = "/root/testdata/sf0.01"
+    exact = {
+        r["cohort_week"]: r
+        for r in all_queries()["q62_conversion_lag"](spark, sf).collect()
+    }
+    approx = {
+        r["cohort_week"]: r
+        for r in all_queries()["q63_conversion_lag_approx"](spark, sf).collect()
+    }
+    assert set(exact) == set(approx)
+    for week, e in exact.items():
+        a = approx[week]
+        assert a["n_signups"] == e["n_signups"]
+        assert a["n_converted"] == e["n_converted"]
+        assert a["conversion_rate"] == e["conversion_rate"]
+        if e["median_lag_s"] is None:
+            assert a["median_lag_s_approx"] is None
+            continue
+        # GK returns an OBSERVED value at most n/accuracy ranks away from
+        # the true quantile; exact q62 interpolates between observed
+        # values — allow the neighbor gap (here lags are seconds apart,
+        # so 10% relative is a generous envelope)
+        assert abs(a["median_lag_s_approx"] - e["median_lag_s"]) <= max(
+            0.1 * e["median_lag_s"], 1.0
+        )
+        assert abs(a["p90_lag_s_approx"] - e["p90_lag_s"]) <= max(
+            0.1 * e["p90_lag_s"], 1.0
+        )

@@ -370,3 +370,45 @@ def test_anomaly_stream_drops_late_hours_keeps_window(spark, tmp_path):
     # neither crashes the state machine nor emits anything
     got = run_to_memory(S.anomaly_stream(stream), "anom_late").collect()
     assert got == []
+
+
+def test_conversion_stream_matches_batch_q62_converted_set(spark, tmp_path):
+    """Each converted user emits exactly once with the batch-identical
+    (cohort_week, lag_us) — including the funnel split across a
+    micro-batch boundary (signup in file 1, purchase in file 2) — and
+    never-converting / purchase-before-signup users emit nothing."""
+    import datetime as dt
+
+    mon = dt.datetime(2024, 1, 1)  # a Monday
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    rows1 = [
+        (0, mon + dt.timedelta(hours=1), 1, "signup", 0.0, "{}"),
+        (1, mon + dt.timedelta(hours=1, seconds=100), 1, "purchase", 0.0, "{}"),
+        (2, mon + dt.timedelta(hours=2), 2, "purchase", 0.0, "{}"),  # pre-signup
+        (3, mon + dt.timedelta(hours=3), 2, "signup", 0.0, "{}"),
+        (4, mon + dt.timedelta(days=8), 3, "signup", 0.0, "{}"),  # week 2
+    ]
+    rows2 = [
+        (5, mon + dt.timedelta(days=8, seconds=250), 3, "purchase", 0.0, "{}"),
+        (6, mon + dt.timedelta(hours=6), 4, "signup", 0.0, "{}"),  # never converts
+        (7, mon + dt.timedelta(hours=1), 1, "view", 0.0, "{}"),  # non-funnel noise
+    ]
+    src = str(tmp_path / "ev_conv")
+    spark.createDataFrame(rows1, schema).coalesce(1).write.parquet(src + "/f1.parquet")
+    spark.createDataFrame(rows2, schema).coalesce(1).write.parquet(src + "/f2.parquet")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    got = sorted(
+        (r["user_id"], r["cohort_week"], r["lag_us"])
+        for r in run_to_memory(S.conversion_stream(stream), "conv_stream").collect()
+    )
+    assert got == [
+        (1, mon, 100_000_000),
+        (3, mon + dt.timedelta(days=7), 250_000_000),
+    ]
