@@ -382,6 +382,12 @@ def main() -> None:
         "p105_bpe_pair_stats",
         "q61_event_anomaly",
         "q62_conversion_lag",
+        # p107 (LSH-triage precision/recall vs exact truth) runs p34+p91
+        # back to back; it rides the sf0.1 headline but is deliberately NOT
+        # in the sf1 lane — both constituents already are, and re-running
+        # the two heaviest DuckDB oracles (~46 s at sf1) would double-
+        # charge the lane for work it already measures.
+        "p107_neardup_eval",
     ]
     registry = Q.all_queries()
 

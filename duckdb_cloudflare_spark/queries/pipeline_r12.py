@@ -501,3 +501,116 @@ def q63_conversion_lag_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         (pct[0] / F.lit(1000000.0)).alias("median_lag_s_approx"),
         (pct[1] / F.lit(1000000.0)).alias("p90_lag_s_approx"),
     )
+
+
+@register(
+    "p107_neardup_eval",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_transform(string_split_regex(trim(text), '\s+'),
+                              x -> lower(x)) AS ts
+        FROM documents
+    ), shins AS (
+        SELECT doc_id,
+               list_distinct(list_transform(range(1, len(ts) - 1),
+                   i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS sh
+        FROM toks WHERE len(ts) >= 3
+    ), sizes AS (SELECT doc_id, len(sh) AS n FROM shins),
+    inv AS (SELECT doc_id, unnest(sh) AS shingle FROM shins),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+        FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ), truth AS (
+        SELECT id_a, id_b
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5
+    ), sig AS (
+        SELECT doc_id,
+               min(('0x' || substr(md5('0:' || s), 1, 15))::BIGINT) AS s0,
+               min(('0x' || substr(md5('1:' || s), 1, 15))::BIGINT) AS s1,
+               min(('0x' || substr(md5('2:' || s), 1, 15))::BIGINT) AS s2,
+               min(('0x' || substr(md5('3:' || s), 1, 15))::BIGINT) AS s3,
+               min(('0x' || substr(md5('4:' || s), 1, 15))::BIGINT) AS s4,
+               min(('0x' || substr(md5('5:' || s), 1, 15))::BIGINT) AS s5,
+               min(('0x' || substr(md5('6:' || s), 1, 15))::BIGINT) AS s6,
+               min(('0x' || substr(md5('7:' || s), 1, 15))::BIGINT) AS s7
+        FROM (SELECT doc_id, unnest(sh) AS s FROM shins) GROUP BY doc_id
+    ), banded AS (
+        SELECT doc_id, s0, s1, s2, s3, s4, s5, s6, s7, band_idx,
+               CASE band_idx
+                   WHEN 0 THEN md5(s0 || ',' || s1)
+                   WHEN 1 THEN md5(s2 || ',' || s3)
+                   WHEN 2 THEN md5(s4 || ',' || s5)
+                   ELSE md5(s6 || ',' || s7)
+               END AS band_key
+        FROM sig, (SELECT unnest(range(4)) AS band_idx)
+    ), cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM banded a JOIN banded b
+          ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+         AND a.doc_id < b.doc_id
+        WHERE (a.s0 = b.s0)::INT + (a.s1 = b.s1)::INT
+            + (a.s2 = b.s2)::INT + (a.s3 = b.s3)::INT
+            + (a.s4 = b.s4)::INT + (a.s5 = b.s5)::INT
+            + (a.s6 = b.s6)::INT + (a.s7 = b.s7)::INT >= 4
+    ), joined AS (
+        SELECT coalesce(t.t, 0) AS t, coalesce(c.c, 0) AS c
+        FROM (SELECT id_a, id_b, 1 AS t FROM truth) t
+        FULL OUTER JOIN (SELECT id_a, id_b, 1 AS c FROM cand) c
+        USING (id_a, id_b)
+    )
+    SELECT CAST(sum(t) AS BIGINT) AS n_truth,
+           CAST(sum(c) AS BIGINT) AS n_candidates,
+           CAST(sum(t * c) AS BIGINT) AS tp,
+           CAST(sum(c * (1 - t)) AS BIGINT) AS fp,
+           CAST(sum(t * (1 - c)) AS BIGINT) AS fn,
+           CASE WHEN sum(c) > 0 THEN sum(t * c) / sum(c) END AS precision,
+           CASE WHEN sum(t) > 0 THEN sum(t * c) / sum(t) END AS recall
+    FROM joined
+    """,
+    description="Near-dup pipeline evaluation report: precision/recall of "
+    "the MinHash-LSH triage (p91's banded candidates, estimate >= 0.5 i.e. "
+    ">= 4/8 signature agreements) against exact Jaccard >= 0.5 ground "
+    "truth (p34's inverted-index engine) — the audit a pipeline publishes "
+    "before REPLACING exact verification with the sketch at scale "
+    "(completes the evaluate-before-trusting family p106 started for "
+    "lang-ID). One row: pair counts, TP/FP/FN, precision/recall as exact "
+    "integer divisions (unrounded, bit-identical; NULL-guarded when a side "
+    "is empty). Scale shape: both pair tables are bucket-bounded (p34 "
+    "shingle-inverted-index, p91 band-bucket join — never all-pairs); the "
+    "eval adds one (id_a, id_b)-keyed full outer join over pair-scale "
+    "(not corpus-scale) data + a 1-row fold.",
+)
+def p107_neardup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duckdb_cloudflare_spark.operators.dedup import (
+        ensure_parallelism,
+        exact_jaccard_pairs,
+        minhash_est_jaccard_pairs,
+    )
+
+    d = ensure_parallelism(load(spark, sf_dir, "documents"))
+    truth = exact_jaccard_pairs(d).select("id_a", "id_b", F.lit(1).alias("t"))
+    cand = (
+        minhash_est_jaccard_pairs(d)
+        .filter(F.col("n_agree") >= 4)
+        .select("id_a", "id_b", F.lit(1).alias("c"))
+    )
+    j = truth.join(cand, ["id_a", "id_b"], "full").select(
+        F.coalesce("t", F.lit(0)).alias("t"),
+        F.coalesce("c", F.lit(0)).alias("c"),
+    )
+    tsum, csum = F.sum("t"), F.sum("c")
+    tp = F.sum(F.col("t") * F.col("c"))
+    return j.agg(
+        tsum.alias("n_truth"),
+        csum.alias("n_candidates"),
+        tp.alias("tp"),
+        F.sum(F.col("c") * (1 - F.col("t"))).alias("fp"),
+        F.sum(F.col("t") * (1 - F.col("c"))).alias("fn"),
+        F.when(csum > 0, tp / csum).alias("precision"),
+        F.when(tsum > 0, tp / tsum).alias("recall"),
+    )

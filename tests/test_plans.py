@@ -890,3 +890,18 @@ def test_q62_conversion_lag_single_user_agg(spark, registry):
     plan = formatted_plan(df)
     assert "Join" not in plan and "Python" not in plan
     assert "partial_min" in plan
+
+
+def test_p107_neardup_eval_pair_scale_join(spark, registry):
+    """p107's eval join runs over PAIR-scale data: both inputs are the
+    bucket-bounded pair engines (one shingle-keyed self-join from p34, one
+    band-bucket self-join from p91), the eval adds ONE more equi-join
+    (full outer on the pair key) and a 1-row fold. No cartesian products,
+    no Python, no corpus-sized window."""
+    from duckdb_cloudflare_spark.plans.introspect import formatted_plan
+
+    df = registry["p107_neardup_eval"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan and "Python" not in plan
+    assert "FullOuter" in plan  # the eval join reached the plan as an equi-join
+    assert "partial_sum" in plan  # the 1-row fold partial-aggregates map-side

@@ -403,3 +403,29 @@ def test_q63_approx_twin_tracks_exact_q62(spark):
         assert abs(a["p90_lag_s_approx"] - e["p90_lag_s"]) <= max(
             0.1 * e["p90_lag_s"], 1.0
         )
+
+
+def test_neardup_eval_internal_consistency_and_identical_docs(spark):
+    """TP+FP = candidates, TP+FN = truth; a corpus of verbatim duplicates
+    is caught by BOTH engines (identical signatures collide in every
+    band), so P = R = 1 there."""
+    import duckdb_cloudflare_spark.queries as Qm
+    from duckdb_cloudflare_spark.queries import all_queries
+
+    dup = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [(i, dup, "en", "s", len(dup)) for i in range(4)] + [
+        (10, "one completely unrelated document body here now", "en", "s", 48)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    key = "/t-ndeval/documents"
+    Qm._TABLE_CACHE[key] = df
+    try:
+        r = all_queries()["p107_neardup_eval"](spark, "/t-ndeval").collect()[0]
+    finally:
+        Qm._TABLE_CACHE.pop(key, None)
+    assert r["tp"] + r["fp"] == r["n_candidates"]
+    assert r["tp"] + r["fn"] == r["n_truth"]
+    assert r["n_truth"] == 6  # C(4,2) verbatim-dup pairs
+    assert r["precision"] == 1.0 and r["recall"] == 1.0

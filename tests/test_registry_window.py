@@ -29,8 +29,8 @@ def test_graded_window_is_exactly_the_r12_rotation():
         # then the stalest-driver-history entries (continuing the VERDICT
         # r10 rotation plan): q12/q13 (last graded r8, below the r11
         # window's cut), then the r9 cohort in CORRECTNESS_r09 record
-        # order; the [:50] cut pushes p62..p68 (green r9 history) to r13.
-        ["p102_", "p103_", "p104_", "p105_", "p106_", "q61_", "q62_"]
+        # order; the [:50] cut pushes p48/p62..p68 (green r9 history) to r13.
+        ["p102_", "p103_", "p104_", "p105_", "p106_", "q61_", "q62_", "p107_"]
         + ["q12_", "q13_"]
         + [
             "p85_", "p86_", "p87_", "p88_", "p83_", "p79_", "p81_",

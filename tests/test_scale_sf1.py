@@ -66,6 +66,9 @@ SWEEP = [
     "p104_html_extract",
     "p105_bpe_pair_stats",
     "p106_langid_confusion",
+    # composes p34 (exact truth) + p91 (LSH candidates) + the eval join;
+    # sf1's 519k-shingle vocab is where banding precision actually moves
+    "p107_neardup_eval",
 ]
 
 
