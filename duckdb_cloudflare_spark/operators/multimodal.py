@@ -567,3 +567,107 @@ def synth_assets_with_meta(
 
     need = list(dict.fromkeys(cols + [id_col, text_col]))
     return df.select(*need).mapInPandas(gen, schema=out_schema)
+
+
+# ---------------------------------------------------------------------------
+# Perceptual near-dup over the binary image column (r12): difference hash
+# ---------------------------------------------------------------------------
+
+
+def image_dhash_bytes(data: Optional[bytes]) -> Optional[int]:
+    """64-bit difference hash (dHash) of an image blob: decode to
+    grayscale, nearest-neighbor downsample to 9×8, emit one bit per
+    horizontal gradient sign (Krawetz's perceptual hash — identical for
+    brightness/contrast-shifted or re-scaled copies of the same image,
+    because only gradient SIGNS survive). Returns a signed int64 (bit 63
+    wraps negative) or None for undecodable/non-image input.
+
+    Decode paths: the real PNG/BMP/JPEG codecs in util/ (grayscale =
+    integer channel mean), plus the synthetic FIMG container (payload
+    bytes as a 1-channel image, byte-stride resample — same convention as
+    ``_resize_bytes``)."""
+    if data is None:
+        return None
+    data = bytes(data)
+    import numpy as np
+
+    gray = w = h = None
+    try:
+        if data[:8] == png.PNG_SIGNATURE:
+            w, h, c, px = png.decode_png(data)
+            a = np.frombuffer(px, dtype=np.uint8).reshape(h, w, c)
+            gray = (a.sum(axis=2, dtype=np.uint32) // c).astype(np.uint8)
+        elif data[:2] == bmp.BMP_MAGIC:
+            w, h, px = bmp.decode_bmp(data)
+            a = np.frombuffer(px, dtype=np.uint8).reshape(h, w, 3)
+            gray = (a.sum(axis=2, dtype=np.uint32) // 3).astype(np.uint8)
+        elif data[:2] == jpeg.SOI:
+            w, h, px = jpeg.decode_jpeg(data)
+            gray = np.frombuffer(px, dtype=np.uint8).reshape(h, w)
+        elif data[:4] == IMG_MAGIC and len(data) >= _IMG_HDR.size:
+            _, w, h, _c = _IMG_HDR.unpack_from(data)
+            if w < 1 or h < 1:
+                return None
+            payload = data[_IMG_HDR.size :]
+            target = w * h
+            if len(payload) == 0:
+                payload = bytes(target)
+            else:
+                step = max(len(payload) // target, 1)
+                payload = payload[::step][:target].ljust(target, b"\0")
+            gray = np.frombuffer(payload, dtype=np.uint8).reshape(h, w)
+        else:
+            return None
+    except (png.PngFormatError, bmp.BmpFormatError, jpeg.JpegFormatError, ValueError):
+        return None
+    if w < 2 or h < 1:
+        return None  # no horizontal gradient exists
+    ys = (np.arange(8) * h) // 8
+    xs = (np.arange(9) * w) // 9
+    small = gray[ys][:, xs]  # 8 rows × 9 cols
+    bits = (small[:, 1:] > small[:, :-1]).flatten()  # 64 gradient signs
+    val = 0
+    for i, b in enumerate(bits):
+        if b:
+            val |= 1 << i
+    return val - (1 << 64) if val >= (1 << 63) else val
+
+
+def image_dhash_dedup(
+    df: DataFrame, asset_col: str = "asset", id_col: str = "doc_id"
+) -> DataFrame:
+    """Perceptual image near-dup report: dHash every decodable image blob,
+    group identical hashes into clusters, keep the lowest-id exemplar —
+    the image-side twin of the text fingerprint dedup (p01/p03). Output:
+    one row per cluster, (dhash, cluster_size, keep_id).
+
+    Output is CLUSTER-level (the p01/p03 fingerprint-dedup precedent):
+    per-image keep flags would require either a join back against the
+    hashed rows — which re-evaluates the Python decode subtree on both
+    sides (this Spark build fires no ReuseExchange on shared DataFrame
+    subtrees, the q59-measured constraint; decoding every image TWICE is
+    the exact anti-pattern to avoid at 100 TB) — or a per-hash window (a
+    viral image funnels one task). The cluster table IS the dedup
+    decision; consumers anti-join their own copy against it.
+
+    Scale shape: ONE Arrow-batched Python decode pass (the irreducible
+    cost of touching pixels — same stage shape as p13/p61), then ONE
+    64-bit-keyed partial agg to ≤distinct-hash rows. Undecodable blobs
+    drop out (NULL hash), mirroring the error-as-row decode contract
+    upstream."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import LongType as _Long
+
+    @pandas_udf(_Long())
+    def dhash(blobs: pd.Series) -> pd.Series:
+        return pd.Series(
+            [image_dhash_bytes(b) for b in blobs], dtype="object"
+        ).astype("Int64")
+
+    hashed = df.select(
+        F.col(id_col).alias("id"), dhash(F.col(asset_col)).alias("dhash")
+    ).filter(F.col("dhash").isNotNull())
+    return hashed.groupBy("dhash").agg(
+        F.count(F.lit(1)).alias("cluster_size"),
+        F.min("id").alias("keep_id"),
+    )

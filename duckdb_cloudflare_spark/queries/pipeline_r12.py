@@ -614,3 +614,31 @@ def p107_neardup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(csum > 0, tp / csum).alias("precision"),
         F.when(tsum > 0, tp / tsum).alias("recall"),
     )
+
+
+@register(
+    "p108_image_dhash_dedup",
+    oracle=None,  # rows-only: no SQL engine decodes pixels; anchors below
+    description="Perceptual image near-dup over the binary asset column: "
+    "64-bit difference hash (dHash — gradient signs survive brightness/"
+    "contrast shifts and re-encodes that byte-level fingerprints miss), "
+    "identical-hash clustering, lowest-id exemplar kept — the image-side "
+    "twin of text dedup p01/p03. Decode via the repo's real PNG/BMP/JPEG "
+    "codecs + the synthetic FIMG container. Rows-only BY DESIGN (the "
+    "documented policy: no SQL oracle can decode pixels); its exact "
+    "oracle-bearing anchors are p13 (image feature extraction, same "
+    "decode stage) and p61/p62/p69 (codec round-trips), and the hash "
+    "semantics are pinned by pytest (brightness-shift invariance, "
+    "PNG-vs-BMP cross-format agreement, error-as-NULL decode contract). "
+    "Scale shape: one Arrow decode pass, one 64-bit-keyed partial agg, "
+    "one broadcast-eligible join — groupBy+join, never a corpus window. "
+    "Columns: id, dhash, cluster_size, keep.",
+)
+def p108_image_dhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duckdb_cloudflare_spark.operators import multimodal as M
+    from duckdb_cloudflare_spark.operators.dedup import ensure_parallelism
+
+    d = ensure_parallelism(load(spark, sf_dir, "documents")).filter(
+        F.col("doc_id") % 3 == 0  # the image modality slice (p13 convention)
+    )
+    return M.image_dhash_dedup(M.attach_fake_assets(d))

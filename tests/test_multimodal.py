@@ -158,3 +158,65 @@ def test_synth_assets_with_meta_matches_composed_path(spark, assets_df):
 def test_with_asset_meta_keep_prunes_output_columns(assets_df):
     out = M.with_asset_meta(assets_df, keep=["doc_id"])
     assert out.columns == ["doc_id", "meta"]
+
+
+class TestImageDhash:
+    def test_brightness_shift_and_cross_format_invariance(self):
+        import numpy as np
+
+        from duckdb_cloudflare_spark.operators.multimodal import image_dhash_bytes
+        from duckdb_cloudflare_spark.util import bmp, png
+
+        rng = np.random.RandomState(7)
+        pix = (rng.rand(16, 20) * 200).astype(np.uint8)
+        base = png.encode_png(pix.tobytes(), 20, 16, 1)
+        shifted = png.encode_png(
+            (pix.astype(int) + 40).clip(0, 255).astype(np.uint8).tobytes(), 20, 16, 1
+        )
+        # same pixels as 3-channel BMP (r=g=b): the channel mean reproduces
+        # the grayscale, so the hash must agree across FORMATS too
+        rgb = np.repeat(pix[:, :, None], 3, axis=2)
+        as_bmp = bmp.encode_bmp(rgb.tobytes(), 20, 16)
+        h = image_dhash_bytes(base)
+        assert h is not None
+        assert image_dhash_bytes(shifted) == h  # gradients survive +40
+        assert image_dhash_bytes(as_bmp) == h  # format-independent
+        other = png.encode_png(
+            (rng.rand(16, 20) * 200).astype(np.uint8).tobytes(), 20, 16, 1
+        )
+        assert image_dhash_bytes(other) != h
+
+    def test_decode_error_contract(self):
+        from duckdb_cloudflare_spark.operators.multimodal import (
+            encode_fake_audio,
+            image_dhash_bytes,
+        )
+
+        assert image_dhash_bytes(None) is None
+        assert image_dhash_bytes(b"garbage") is None
+        assert image_dhash_bytes(b"\x89PNG\r\n\x1a\ntruncated") is None
+        # non-image modality is not an image: NULL, not an exception
+        assert image_dhash_bytes(encode_fake_audio(8000, 100, b"x" * 100)) is None
+
+    def test_dedup_clusters_and_keep_rule(self, spark):
+        import numpy as np
+
+        from duckdb_cloudflare_spark.operators.multimodal import image_dhash_dedup
+        from duckdb_cloudflare_spark.util import png
+
+        rng = np.random.RandomState(11)
+        pix_a = (rng.rand(8, 12) * 200).astype(np.uint8)
+        pix_b = (rng.rand(8, 12) * 200).astype(np.uint8)
+        blob_a = png.encode_png(pix_a.tobytes(), 12, 8, 1)
+        bright_a = png.encode_png(
+            (pix_a.astype(int) + 30).clip(0, 255).astype(np.uint8).tobytes(), 12, 8, 1
+        )
+        blob_b = png.encode_png(pix_b.tobytes(), 12, 8, 1)
+        rows = [(5, blob_a), (2, bright_a), (9, blob_b), (1, None), (4, b"junk")]
+        df = spark.createDataFrame(rows, "doc_id long, asset binary")
+        out = {r["keep_id"]: r for r in image_dhash_dedup(df).collect()}
+        # undecodables dropped; the {5, 2} near-dup cluster keeps the
+        # LOWEST id as exemplar; one row per cluster (the p01 precedent)
+        assert set(out) == {2, 9}
+        assert out[2]["cluster_size"] == 2
+        assert out[9]["cluster_size"] == 1

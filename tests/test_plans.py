@@ -905,3 +905,23 @@ def test_p107_neardup_eval_pair_scale_join(spark, registry):
     assert "CartesianProduct" not in plan and "Python" not in plan
     assert "FullOuter" in plan  # the eval join reached the plan as an equi-join
     assert "partial_sum" in plan  # the 1-row fold partial-aggregates map-side
+
+
+def test_p108_dhash_single_decode_pass_single_agg(spark, registry):
+    """p108 decodes each image EXACTLY ONCE: one linear pipeline of two
+    Arrow stages (synthesize + dhash — a real deployment has only the
+    dhash one) into ONE partial-agg fold. Any Join or Window would mean
+    the decode subtree got duplicated (no ReuseExchange in this build) or
+    a viral image funnels one task — both scale defects."""
+    from duckdb_cloudflare_spark.plans.introspect import (
+        formatted_plan,
+        shuffle_count,
+    )
+
+    df = registry["p108_image_dhash_dedup"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert "Window" not in plan and "Join" not in plan
+    # 2 Arrow stages × (tree line + detail header) = 4 mentions max
+    assert plan.count("ArrowEvalPython") <= 4
+    assert "partial_count" in plan and "partial_min" in plan
+    assert shuffle_count(df) <= 2  # ensure_parallelism split + the agg
