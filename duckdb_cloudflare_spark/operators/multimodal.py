@@ -671,3 +671,92 @@ def image_dhash_dedup(
         F.count(F.lit(1)).alias("cluster_size"),
         F.min("id").alias("keep_id"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Audio feature extraction (r12): loudness / silence / zero-crossing profile
+# ---------------------------------------------------------------------------
+
+AUDIO_FEATURES_SCHEMA = StructType(
+    [
+        StructField("rms", DoubleType()),
+        StructField("peak", IntegerType()),
+        StructField("silence_frac", DoubleType()),
+        StructField("zero_cross_rate", DoubleType()),
+        StructField("duration_ms", DoubleType()),
+        StructField("clipped_frac", DoubleType()),
+    ]
+)
+
+
+def audio_features_bytes(
+    data: Optional[bytes], silence_threshold: int = 8
+) -> Optional[dict]:
+    """Loudness/quality profile of a FAUD blob's payload interpreted as
+    unsigned 8-bit PCM centered at 128 (the synthetic container's sample
+    convention): RMS and peak amplitude, silence fraction (|s| <=
+    ``silence_threshold``), zero-crossing rate (sign changes between
+    consecutive non-zero samples / (n-1) — the classic voiced/unvoiced
+    discriminator), duration, and clipped-sample fraction (|s| >= 127 —
+    the recording-quality red flag). None for non-audio/undecodable input;
+    a payload shorter than n_samples profiles the bytes present (truncated
+    uploads still get a row — the error-as-row contract)."""
+    if data is None:
+        return None
+    data = bytes(data)
+    if data[:4] != AUD_MAGIC or len(data) < _AUD_HDR.size:
+        return None
+    import numpy as np
+
+    _, rate, n_samples = _AUD_HDR.unpack_from(data)
+    payload = data[_AUD_HDR.size :]
+    if len(payload) == 0 or rate == 0:
+        return {
+            "rms": 0.0, "peak": 0, "silence_frac": 1.0,
+            "zero_cross_rate": 0.0,
+            "duration_ms": (1000.0 * n_samples / rate) if rate else None,
+            "clipped_frac": 0.0,
+        }
+    s = np.frombuffer(payload, dtype=np.uint8).astype(np.int32) - 128
+    n = len(s)
+    rms = float(np.sqrt((s * s).mean()))
+    nz = s[s != 0]
+    crossings = int((np.signbit(nz[1:]) != np.signbit(nz[:-1])).sum()) if len(nz) > 1 else 0
+    return {
+        "rms": rms,
+        "peak": int(np.abs(s).max()),
+        "silence_frac": float((np.abs(s) <= silence_threshold).mean()),
+        "zero_cross_rate": crossings / (n - 1) if n > 1 else 0.0,
+        "duration_ms": 1000.0 * n_samples / rate,
+        "clipped_frac": float((np.abs(s) >= 127).mean()),
+    }
+
+
+def with_audio_features(
+    df: DataFrame, asset_col: str = "asset", keep: tuple[str, ...] = ("doc_id",)
+) -> DataFrame:
+    """Per-asset audio profile: (keep..., rms, peak, silence_frac,
+    zero_cross_rate, duration_ms, clipped_frac); non-audio rows are
+    dropped (modality filter belongs upstream, but a mixed column must
+    not poison the stage). Map-only ``mapInPandas`` — the p11/p13 stage
+    shape: no shuffle, Arrow-bounded, linear in asset bytes; the quality
+    gates a speech-corpus pipeline filters on (silence-heavy, clipped, or
+    degenerate-tone uploads) before paying for transcription."""
+    cols = list(keep)
+    out_schema = StructType(
+        [df.schema[c] for c in cols] + list(AUDIO_FEATURES_SCHEMA)
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in range(len(pdf)):
+                feats = audio_features_bytes(pdf[asset_col].iloc[i])
+                if feats is None:
+                    continue
+                rows.append(
+                    {**{c: pdf[c].iloc[i] for c in cols}, **feats}
+                )
+            yield pd.DataFrame(rows, columns=cols + [f.name for f in AUDIO_FEATURES_SCHEMA])
+
+    return df.mapInPandas(gen, out_schema)

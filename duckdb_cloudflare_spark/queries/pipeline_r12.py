@@ -642,3 +642,31 @@ def p108_image_dhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id") % 3 == 0  # the image modality slice (p13 convention)
     )
     return M.image_dhash_dedup(M.attach_fake_assets(d))
+
+
+@register(
+    "p109_audio_features",
+    oracle=None,  # rows-only: SQL cannot decode PCM bytes (policy: p108)
+    description="Audio quality profile over the binary asset column: RMS "
+    "loudness, peak amplitude, silence fraction, zero-crossing rate "
+    "(the classic voiced/unvoiced discriminator), duration, clipped-sample "
+    "fraction — the gates a speech-corpus pipeline filters on "
+    "(silence-heavy, clipped, degenerate-tone uploads) BEFORE paying for "
+    "transcription. Completes per-modality feature extraction: image has "
+    "p13 (histogram) + p108 (dHash), video has p12 (frame sample), audio "
+    "had only p11's metadata until now. Rows-only BY DESIGN (no SQL "
+    "engine decodes PCM); anchor p11 (oracle-bearing closed-form audio "
+    "meta), semantics pinned by pytest against a numpy reference plus "
+    "closed-form square/silent/clipped fixtures. Scale shape: map-only "
+    "mapInPandas (the p11/p13 stage shape) — no shuffle, Arrow-bounded, "
+    "linear in asset bytes. Columns: doc_id, rms, peak, silence_frac, "
+    "zero_cross_rate, duration_ms, clipped_frac.",
+)
+def p109_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duckdb_cloudflare_spark.operators import multimodal as M
+    from duckdb_cloudflare_spark.operators.dedup import ensure_parallelism
+
+    d = ensure_parallelism(load(spark, sf_dir, "documents")).filter(
+        F.col("doc_id") % 3 == 1  # the audio modality slice (p11 convention)
+    )
+    return M.with_audio_features(M.attach_fake_assets(d))

@@ -220,3 +220,79 @@ class TestImageDhash:
         assert set(out) == {2, 9}
         assert out[2]["cluster_size"] == 2
         assert out[9]["cluster_size"] == 1
+
+
+class TestAudioFeatures:
+    def test_closed_form_fixtures(self):
+        from duckdb_cloudflare_spark.operators.multimodal import (
+            audio_features_bytes,
+            encode_fake_audio,
+        )
+
+        # square wave at +/-100: rms == peak == 100, never silent/clipped
+        sq = bytes([228 if (i // 10) % 2 else 28 for i in range(1000)])
+        f = audio_features_bytes(encode_fake_audio(8000, 1000, sq))
+        assert f["rms"] == 100.0 and f["peak"] == 100
+        assert f["silence_frac"] == 0.0 and f["clipped_frac"] == 0.0
+        assert f["duration_ms"] == 125.0
+        # digital silence
+        s = audio_features_bytes(encode_fake_audio(16000, 500, bytes([128] * 500)))
+        assert s["rms"] == 0.0 and s["silence_frac"] == 1.0
+        assert s["zero_cross_rate"] == 0.0
+        # full-scale clipping
+        c = audio_features_bytes(encode_fake_audio(8000, 100, bytes([255, 0] * 50)))
+        assert c["clipped_frac"] == 1.0 and c["peak"] == 128
+        # alternating-sign samples cross at every step
+        alt = audio_features_bytes(
+            encode_fake_audio(8000, 100, bytes([188, 68] * 50))
+        )
+        assert alt["zero_cross_rate"] == 1.0
+        # error contract
+        assert audio_features_bytes(None) is None
+        assert audio_features_bytes(b"FIMGxxxx") is None
+        # empty payload (header-only truncated upload): a silent row, not a drop
+        e = audio_features_bytes(encode_fake_audio(8000, 100, b""))
+        assert e["silence_frac"] == 1.0 and e["rms"] == 0.0
+
+    def test_matches_numpy_reference_on_random_payloads(self):
+        import numpy as np
+
+        from duckdb_cloudflare_spark.operators.multimodal import (
+            audio_features_bytes,
+            encode_fake_audio,
+        )
+
+        rng = np.random.RandomState(109)
+        for _ in range(50):
+            payload = rng.randint(0, 256, size=rng.randint(2, 400)).astype(
+                np.uint8
+            ).tobytes()
+            f = audio_features_bytes(encode_fake_audio(8000, len(payload), payload))
+            s = np.frombuffer(payload, dtype=np.uint8).astype(np.int32) - 128
+            assert f["rms"] == float(np.sqrt((s.astype(np.float64) ** 2).mean()))
+            assert f["peak"] == int(np.abs(s).max())
+            assert f["silence_frac"] == float((np.abs(s) <= 8).mean())
+            nz = s[s != 0]
+            want_zc = (
+                int((np.signbit(nz[1:]) != np.signbit(nz[:-1])).sum()) / (len(s) - 1)
+                if len(nz) > 1
+                else 0.0
+            )
+            assert f["zero_cross_rate"] == want_zc
+
+    def test_mixed_column_drops_non_audio(self, spark):
+        from duckdb_cloudflare_spark.operators.multimodal import (
+            encode_fake_audio,
+            encode_fake_image,
+            with_audio_features,
+        )
+
+        rows = [
+            (1, encode_fake_audio(8000, 4, bytes([128, 228, 28, 128]))),
+            (2, encode_fake_image(4, 4, 1, bytes(16))),
+            (3, None),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, asset binary")
+        out = with_audio_features(df).collect()
+        assert [r["doc_id"] for r in out] == [1]
+        assert out[0]["peak"] == 100

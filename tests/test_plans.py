@@ -925,3 +925,19 @@ def test_p108_dhash_single_decode_pass_single_agg(spark, registry):
     assert plan.count("ArrowEvalPython") <= 4
     assert "partial_count" in plan and "partial_min" in plan
     assert shuffle_count(df) <= 2  # ensure_parallelism split + the agg
+
+
+def test_p109_audio_features_map_only(spark, registry):
+    """p109 is the p11/p13 stage shape: one mapInPandas decode pass, zero
+    shuffles beyond the parallelism split, no joins/windows/aggregates."""
+    from duckdb_cloudflare_spark.plans.introspect import (
+        formatted_plan,
+        shuffle_count,
+    )
+
+    df = registry["p109_audio_features"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert shuffle_count(df) <= 1  # ensure_parallelism split only
+    assert "ENSURE_REQUIREMENTS" not in plan
+    for node in ("Join", "Window", "HashAggregate"):
+        assert node not in plan, node
