@@ -10,6 +10,12 @@ remaining everyday gaps with source-level rewrites:
   ``list``→``collect_list``, ... — only drop-in-compatible mappings).
 - Direct file queries — ``FROM 'x.parquet'`` / ``read_parquet('x')`` /
   ``read_csv('x')`` → Spark's ``FROM parquet.`x``` syntax.
+- ``UNION [ALL|DISTINCT] BY NAME`` — Spark SQL has no name-aligned union
+  syntax; top-level occurrences split the statement and route through
+  ``DataFrame.unionByName(allowMissingColumns=True)`` (missing columns
+  NULL-filled, non-ALL deduplicates — DuckDB's semantics exactly); each
+  branch still gets the full dialect rewrite. A trailing ORDER BY/LIMIT
+  is rejected loudly (wrap the union in a subquery).
 - Federated-scan LIMIT/TopN pushdown (``rewrite_scan_limit``): the
   reference's optimizer-extension behavior, recovered at the SQL layer —
   a LIMIT sitting directly above a bare ``common_crawl_index`` /
@@ -1089,8 +1095,77 @@ def rewrite_scan_limit(sql: str) -> str:
     return sql
 
 
+
+
+_UNION_BY_NAME = re.compile(
+    r"\bUNION(\s+ALL|\s+DISTINCT)?\s+BY\s+NAME\b", re.IGNORECASE
+)
+
+
+def _split_union_by_name(sql: str) -> tuple[list[str], list[bool]] | None:
+    """Split ``sql`` on TOP-LEVEL ``UNION [ALL|DISTINCT] BY NAME`` operators.
+    Returns (branches, is_all_flags) — flags[i] describes the operator
+    between branch i and i+1 — or None when the statement has none."""
+    positions = []
+    # locate candidate UNION keywords at depth 0 outside strings/comments
+    tops = {i for i, c, d in _scan_top_level(sql) if d == 0}
+    for m in _UNION_BY_NAME.finditer(sql):
+        if m.start() in tops:
+            positions.append(m)
+    if not positions:
+        return None
+    branches, flags, prev = [], [], 0
+    for m in positions:
+        branches.append(sql[prev : m.start()].strip())
+        # only ALL keeps duplicates; bare/DISTINCT BY NAME dedups like UNION
+        flags.append((m.group(1) or "").strip().upper() == "ALL")
+        prev = m.end()
+    branches.append(sql[prev:].strip())
+    return branches, flags
+
+
+def union_by_name_df(spark: SparkSession, sql: str) -> DataFrame | None:
+    """DuckDB's ``UNION [ALL] BY NAME`` (align columns by NAME, missing
+    columns become NULL — the schema-evolution union), which Spark SQL has
+    no syntax for. Each top-level branch is evaluated through ``duck_sql``
+    recursively and the results combine with
+    ``DataFrame.unionByName(allowMissingColumns=True)`` — exactly DuckDB's
+    semantics; a non-ALL variant deduplicates the result like plain UNION.
+    Returns None when the statement contains no top-level UNION BY NAME.
+
+    Restrictions (loud, not silent): a trailing ORDER BY / LIMIT after the
+    last branch would need its own parse-out and is rejected — wrap the
+    whole union in a subquery and apply the tail outside (the same guidance
+    DuckDB's own docs give for set-operation tails)."""
+    parts = _split_union_by_name(sql)
+    if parts is None:
+        return None
+    branches, flags = parts
+    last = branches[-1]
+    for kw in ("ORDER", "LIMIT", "OFFSET"):
+        pos = _find_keyword(last, kw)
+        # an ORDER/LIMIT inside the final branch's own subquery parens is
+        # fine (depth > 0 never matches _find_keyword); top-level is the
+        # ambiguous case SQL grammars attach to the whole set op
+        if pos != -1:
+            raise ValueError(
+                "UNION BY NAME with a trailing ORDER BY/LIMIT/OFFSET is "
+                "ambiguous at the source level; wrap the union in a "
+                "subquery and apply the tail outside"
+            )
+    out = duck_sql(spark, branches[0])
+    saw_distinct = False
+    for branch, is_all in zip(branches[1:], flags):
+        out = out.unionByName(duck_sql(spark, branch), allowMissingColumns=True)
+        saw_distinct = saw_distinct or not is_all
+    return out.distinct() if saw_distinct else out
+
+
 def duck_sql(spark: SparkSession, sql: str) -> DataFrame:
     """``spark.sql`` accepting the DuckDB dialect idioms above."""
+    ubn = union_by_name_df(spark, sql)
+    if ubn is not None:
+        return ubn
     _reject_unsupported_joins(sql)
     sql = rewrite_named_args(sql)
     sql = rewrite_scan_limit(sql)

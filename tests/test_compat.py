@@ -1134,3 +1134,77 @@ class TestScanLimitPushdown:
             "fast_latest => false) ORDER BY timestamp DESC LIMIT 8"
         )
         assert self._r(sql) == sql
+
+
+class TestUnionByName:
+    """DuckDB ``UNION [ALL] BY NAME`` — Spark SQL has no syntax for
+    name-aligned union; duck_sql routes it through
+    DataFrame.unionByName(allowMissingColumns=True). Cross-checked
+    against DuckDB executing the identical statement."""
+
+    def _duck(self, sql):
+        import duckdb
+
+        con = duckdb.connect()
+        con.execute("CREATE TABLE a AS SELECT * FROM (VALUES (1, 'x'), (2, 'y')) t(id, s)")
+        con.execute("CREATE TABLE b AS SELECT * FROM (VALUES ('z', 3), ('y', 2)) t(s, id)")
+        con.execute("CREATE TABLE c AS SELECT * FROM (VALUES (7,)) t(id)")
+        try:
+            return sorted(map(tuple, con.execute(sql).fetchall()))
+        finally:
+            con.close()
+
+    def _spark_tables(self, spark):
+        spark.createDataFrame([(1, "x"), (2, "y")], "id long, s string").createOrReplaceTempView("a")
+        spark.createDataFrame([("z", 3), ("y", 2)], "s string, id long").createOrReplaceTempView("b")
+        spark.createDataFrame([(7,)], "id long").createOrReplaceTempView("c")
+
+    def test_all_by_name_aligns_swapped_columns(self, spark):
+        self._spark_tables(spark)
+        sql = "SELECT id, s FROM a UNION ALL BY NAME SELECT s, id FROM b"
+        got = sorted(tuple(r) for r in duck_sql(spark, sql).select("id", "s").collect())
+        assert got == self._duck(sql.replace("SELECT id, s FROM", "SELECT id, s FROM"))
+        assert got == [(1, "x"), (2, "y"), (2, "y"), (3, "z")]
+
+    def test_by_name_missing_columns_null_and_dedup(self, spark):
+        self._spark_tables(spark)
+        sql = "SELECT id, s FROM a UNION BY NAME SELECT id FROM c UNION BY NAME SELECT id, s FROM a"
+        df = duck_sql(spark, sql)
+        got = sorted(
+            tuple(r) for r in df.select("id", "s").collect()
+        )
+        want = self._duck(sql)
+        assert got == want == [(1, "x"), (2, "y"), (7, None)]
+
+    def test_branches_still_get_dialect_rewrites(self, spark):
+        self._spark_tables(spark)
+        # arg_max is a DuckDB spelling the function-alias rewrite maps; it
+        # must still fire inside each branch
+        sql = (
+            "SELECT arg_max(s, id) AS top_s FROM a "
+            "UNION ALL BY NAME SELECT s AS top_s FROM b WHERE id = 3"
+        )
+        got = sorted(r["top_s"] for r in duck_sql(spark, sql).collect())
+        assert got == ["y", "z"]
+
+    def test_trailing_tail_rejected_loudly(self, spark):
+        self._spark_tables(spark)
+        with pytest.raises(ValueError, match="wrap the union in a subquery"):
+            duck_sql(
+                spark,
+                "SELECT id FROM a UNION ALL BY NAME SELECT id FROM c ORDER BY id",
+            )
+
+    def test_union_by_name_inside_string_untouched(self, spark):
+        self._spark_tables(spark)
+        rows = duck_sql(
+            spark, "SELECT 'UNION ALL BY NAME' AS lit FROM a"
+        ).collect()
+        assert [r["lit"] for r in rows] == ["UNION ALL BY NAME"] * 2
+
+    def test_plain_union_all_not_intercepted(self, spark):
+        self._spark_tables(spark)
+        rows = duck_sql(
+            spark, "SELECT id FROM a UNION ALL SELECT id FROM c"
+        ).collect()
+        assert sorted(r["id"] for r in rows) == [1, 2, 7]
