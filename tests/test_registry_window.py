@@ -25,7 +25,7 @@ def test_graded_window_is_exactly_the_r12_rotation():
     names = list(Q.all_queries())
     window = names[:50]
     expected = (
-        # the seven new r12 oracle-bearing ops (no driver history) lead,
+        # the eight new r12 oracle-bearing ops (no driver history) lead,
         # then the stalest-driver-history entries (continuing the VERDICT
         # r10 rotation plan): q12/q13 (last graded r8, below the r11
         # window's cut), then the r9 cohort in CORRECTNESS_r09 record
