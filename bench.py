@@ -388,6 +388,12 @@ def main() -> None:
         # the two heaviest DuckDB oracles (~46 s at sf1) would double-
         # charge the lane for work it already measures.
         "p107_neardup_eval",
+        # rows-only r12 additions tracked for Spark absolutes (the q59/q60
+        # precedent — no DuckDB column): the GK conversion-lag twin and
+        # the two binary-asset decode ops (image dHash, audio profile)
+        "q63_conversion_lag_approx",
+        "p108_image_dhash_dedup",
+        "p109_audio_features",
     ]
     registry = Q.all_queries()
 
