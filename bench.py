@@ -394,6 +394,7 @@ def main() -> None:
         "q63_conversion_lag_approx",
         "p108_image_dhash_dedup",
         "p109_audio_features",
+        "p110_video_scene_stats",
     ]
     registry = Q.all_queries()
 

@@ -760,3 +760,100 @@ def with_audio_features(
             yield pd.DataFrame(rows, columns=cols + [f.name for f in AUDIO_FEATURES_SCHEMA])
 
     return df.mapInPandas(gen, out_schema)
+
+
+# ---------------------------------------------------------------------------
+# Video scene-change statistics (r12): frame-delta profile
+# ---------------------------------------------------------------------------
+
+VIDEO_SCENE_SCHEMA = StructType(
+    [
+        StructField("n_frames", IntegerType()),
+        StructField("n_scene_changes", IntegerType()),
+        StructField("mean_frame_delta", DoubleType()),
+        StructField("max_frame_delta", DoubleType()),
+        StructField("scene_rate_per_s", DoubleType()),
+    ]
+)
+
+
+def video_scene_stats_bytes(
+    data: Optional[bytes], threshold: float = 48.0
+) -> Optional[dict]:
+    """Scene-change profile of a FVID blob: mean absolute byte delta
+    between consecutive frames (the classic content-difference detector —
+    a real pipeline computes it on downsampled luma; the synthetic
+    container's fixed-size frame chunks stand in for that plane), frames
+    whose delta exceeds ``threshold`` count as scene CHANGES, and the
+    change rate is normalized by duration. The numbers a video-curation
+    pipeline keys on: sample at scene boundaries instead of uniformly
+    (p12), and drop static/slideshow uploads (rate ≈ 0) or strobe
+    garbage (rate ≈ fps) before paying for captioning. None for
+    non-video/undecodable input."""
+    if data is None:
+        return None
+    data = bytes(data)
+    if data[:4] != VID_MAGIC or len(data) < _VID_HDR.size:
+        return None
+    import numpy as np
+
+    _, w, h, fps, nf = _VID_HDR.unpack_from(data)
+    payload = data[_VID_HDR.size :]
+    have = min(nf, len(payload) // VIDEO_FRAME_BYTES)
+    if have == 0 or fps == 0:
+        return {
+            "n_frames": int(have), "n_scene_changes": 0,
+            "mean_frame_delta": 0.0, "max_frame_delta": 0.0,
+            "scene_rate_per_s": 0.0,
+        }
+    frames = np.frombuffer(
+        payload[: have * VIDEO_FRAME_BYTES], dtype=np.uint8
+    ).reshape(have, VIDEO_FRAME_BYTES).astype(np.int32)
+    if have == 1:
+        return {
+            "n_frames": 1, "n_scene_changes": 0,
+            "mean_frame_delta": 0.0, "max_frame_delta": 0.0,
+            "scene_rate_per_s": 0.0,
+        }
+    deltas = np.abs(frames[1:] - frames[:-1]).mean(axis=1)
+    changes = int((deltas > threshold).sum())
+    duration_s = have / fps
+    return {
+        "n_frames": int(have),
+        "n_scene_changes": changes,
+        "mean_frame_delta": float(deltas.mean()),
+        "max_frame_delta": float(deltas.max()),
+        "scene_rate_per_s": changes / duration_s,
+    }
+
+
+def with_video_scene_stats(
+    df: DataFrame,
+    asset_col: str = "asset",
+    keep: tuple[str, ...] = ("doc_id",),
+    threshold: float = 48.0,
+) -> DataFrame:
+    """Per-video scene profile: (keep..., n_frames, n_scene_changes,
+    mean_frame_delta, max_frame_delta, scene_rate_per_s); non-video rows
+    drop. Map-only ``mapInPandas`` — the p12 stage shape: no shuffle,
+    Arrow-bounded, linear in asset bytes."""
+    cols = list(keep)
+    out_schema = StructType(
+        [df.schema[c] for c in cols] + list(VIDEO_SCENE_SCHEMA)
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in range(len(pdf)):
+                stats = video_scene_stats_bytes(
+                    pdf[asset_col].iloc[i], threshold=threshold
+                )
+                if stats is None:
+                    continue
+                rows.append({**{c: pdf[c].iloc[i] for c in cols}, **stats})
+            yield pd.DataFrame(
+                rows, columns=cols + [f.name for f in VIDEO_SCENE_SCHEMA]
+            )
+
+    return df.mapInPandas(gen, out_schema)

@@ -670,3 +670,32 @@ def p109_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id") % 3 == 1  # the audio modality slice (p11 convention)
     )
     return M.with_audio_features(M.attach_fake_assets(d))
+
+
+@register(
+    "p110_video_scene_stats",
+    oracle=None,  # rows-only: SQL cannot decode frame bytes (policy: p108)
+    description="Video scene-change profile over the binary asset column: "
+    "mean/max absolute byte delta between consecutive frames (the classic "
+    "content-difference detector, on the synthetic container's fixed-size "
+    "frame chunks standing in for a downsampled luma plane), frames above "
+    "threshold counted as scene CHANGES, rate normalized by duration — "
+    "what a video-curation pipeline keys on to sample at scene boundaries "
+    "instead of uniformly (p12) and to drop static/slideshow (rate≈0) or "
+    "strobe-garbage (rate≈fps) uploads before paying for captioning. "
+    "Completes per-modality analysis: image p13/p108, audio p11/p109, "
+    "video p12 + this. Rows-only BY DESIGN (no SQL engine decodes frames; "
+    "anchor p12's oracle-verified frame plumbing); semantics pinned by "
+    "closed-form fixtures (planted scene cut, constant-delta synthetic "
+    "payload, truncated container). Scale shape: map-only mapInPandas, "
+    "no shuffle, linear in asset bytes. Columns: doc_id, n_frames, "
+    "n_scene_changes, mean_frame_delta, max_frame_delta, scene_rate_per_s.",
+)
+def p110_video_scene_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duckdb_cloudflare_spark.operators import multimodal as M
+    from duckdb_cloudflare_spark.operators.dedup import ensure_parallelism
+
+    d = ensure_parallelism(load(spark, sf_dir, "documents")).filter(
+        F.col("doc_id") % 3 == 2  # the video modality slice (p12 convention)
+    )
+    return M.with_video_scene_stats(M.attach_fake_assets(d))

@@ -296,3 +296,71 @@ class TestAudioFeatures:
         out = with_audio_features(df).collect()
         assert [r["doc_id"] for r in out] == [1]
         assert out[0]["peak"] == 100
+
+
+class TestVideoSceneStats:
+    def test_planted_scene_cut_closed_form(self):
+        from duckdb_cloudflare_spark.operators.multimodal import (
+            VIDEO_FRAME_BYTES,
+            VID_MAGIC,
+            _VID_HDR,
+            video_scene_stats_bytes,
+        )
+
+        still = bytes([10] * VIDEO_FRAME_BYTES)
+        jump = bytes([200] * VIDEO_FRAME_BYTES)
+        blob = _VID_HDR.pack(VID_MAGIC, 320, 240, 10, 4) + still * 3 + jump
+        s = video_scene_stats_bytes(blob)
+        assert s["n_frames"] == 4 and s["n_scene_changes"] == 1
+        assert s["max_frame_delta"] == 190.0
+        assert s["mean_frame_delta"] == 190.0 / 3
+        assert s["scene_rate_per_s"] == 1 / 0.4  # 1 cut / (4 frames @ 10fps)
+
+    def test_synthetic_container_is_constant_drift_no_scenes(self):
+        from duckdb_cloudflare_spark.operators.multimodal import (
+            encode_fake_video,
+            video_scene_stats_bytes,
+        )
+
+        # encode_fake_video frames differ by exactly +7 per byte (mod 256,
+        # no wrap below 256-7*n_frames): constant drift, zero scene cuts
+        s = video_scene_stats_bytes(encode_fake_video(320, 240, 12, 8))
+        assert s["n_frames"] == 8 and s["n_scene_changes"] == 0
+        assert s["mean_frame_delta"] == 7.0 == s["max_frame_delta"]
+
+    def test_truncated_and_degenerate_containers(self):
+        from duckdb_cloudflare_spark.operators.multimodal import (
+            VIDEO_FRAME_BYTES,
+            VID_MAGIC,
+            _VID_HDR,
+            encode_fake_audio,
+            video_scene_stats_bytes,
+        )
+
+        # header claims 10 frames, payload carries 1.5: profile the ONE
+        # complete frame present (error-as-row, not a crash)
+        blob = _VID_HDR.pack(VID_MAGIC, 320, 240, 10, 10) + bytes(
+            VIDEO_FRAME_BYTES + VIDEO_FRAME_BYTES // 2
+        )
+        s = video_scene_stats_bytes(blob)
+        assert s["n_frames"] == 1 and s["n_scene_changes"] == 0
+        assert video_scene_stats_bytes(None) is None
+        assert video_scene_stats_bytes(b"FVID") is None  # short header
+        assert video_scene_stats_bytes(encode_fake_audio(8000, 4, b"abcd")) is None
+
+    def test_mixed_column_drops_non_video(self, spark):
+        from duckdb_cloudflare_spark.operators.multimodal import (
+            encode_fake_image,
+            encode_fake_video,
+            with_video_scene_stats,
+        )
+
+        rows = [
+            (1, encode_fake_video(320, 240, 10, 5)),
+            (2, encode_fake_image(4, 4, 1, bytes(16))),
+            (3, None),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, asset binary")
+        out = with_video_scene_stats(df).collect()
+        assert [r["doc_id"] for r in out] == [1]
+        assert out[0]["n_frames"] == 5

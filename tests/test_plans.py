@@ -941,3 +941,19 @@ def test_p109_audio_features_map_only(spark, registry):
     assert "ENSURE_REQUIREMENTS" not in plan
     for node in ("Join", "Window", "HashAggregate"):
         assert node not in plan, node
+
+
+def test_p110_video_scene_stats_map_only(spark, registry):
+    """p110 is the p12 stage shape: one mapInPandas decode pass, no
+    shuffle beyond the parallelism split, no joins/windows/aggregates."""
+    from duckdb_cloudflare_spark.plans.introspect import (
+        formatted_plan,
+        shuffle_count,
+    )
+
+    df = registry["p110_video_scene_stats"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert shuffle_count(df) <= 1
+    assert "ENSURE_REQUIREMENTS" not in plan
+    for node in ("Join", "Window", "HashAggregate"):
+        assert node not in plan, node
