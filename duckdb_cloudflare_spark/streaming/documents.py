@@ -290,3 +290,68 @@ def hll_stream(stream: DataFrame, value_col: str = "text") -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+IMAGE_DEDUP_OUT_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("dhash", LongType()),
+        StructField("is_dup", BooleanType()),
+    ]
+)
+
+IMAGE_DEDUP_STATE_SCHEMA = StructType([StructField("seen", LongType())])
+
+
+def _image_dedup_fn(
+    key, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    rows = pd.concat(list(pdfs)).sort_values("doc_id")
+    dup = [True] * len(rows)
+    if not state.exists:
+        dup[0] = False  # first arrival of this perceptual hash keeps
+        state.update((1,))
+    rows = rows.assign(is_dup=dup)
+    yield rows[["doc_id", "dhash", "is_dup"]]
+
+
+def image_dedup_stream(
+    stream: DataFrame, asset_col: str = "asset", id_col: str = "doc_id"
+) -> DataFrame:
+    """Streaming perceptual image dedup (batch twin: p108 /
+    ``multimodal.image_dhash_dedup``): each arriving image decodes
+    map-side to its 64-bit dHash (one Arrow stage — the same single-decode
+    contract as batch); keyed state per HASH remembers whether any
+    brightness/format-variant of the image has ever been seen, so later
+    copies — including copies in LATER micro-batches — are marked
+    ``is_dup`` at ingest, before they reach storage. Undecodable blobs
+    drop (NULL hash), the upstream error-as-row contract.
+
+    Survivor-rule divergence from batch, documented: batch p108 elects the
+    global MIN-id exemplar per cluster; at ingest the future minimum is
+    unknowable, so the FIRST ARRIVAL keeps (doc_id-ordered within a
+    micro-batch — delivery in doc_id order makes output identical to the
+    batch keeper). Same contract as ``chunk_dedup_stream``. State is one
+    long per distinct perceptual hash — bounded by distinct image CONTENT,
+    not stream length; TTL/watermark routing applies at scale as with
+    chunk state."""
+    from pyspark.sql.functions import pandas_udf
+
+    from duckdb_cloudflare_spark.operators.multimodal import image_dhash_bytes
+
+    @pandas_udf(LongType())
+    def dhash(blobs: pd.Series) -> pd.Series:
+        return pd.Series(
+            [image_dhash_bytes(b) for b in blobs], dtype="object"
+        ).astype("Int64")
+
+    hashed = stream.select(
+        F.col(id_col).alias("doc_id"), dhash(F.col(asset_col)).alias("dhash")
+    ).filter(F.col("dhash").isNotNull())
+    return hashed.groupBy("dhash").applyInPandasWithState(
+        _image_dedup_fn,
+        outputStructType=IMAGE_DEDUP_OUT_SCHEMA,
+        stateStructType=IMAGE_DEDUP_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

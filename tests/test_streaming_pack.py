@@ -279,3 +279,59 @@ def test_hll_stream_final_estimates_match_batch_p79(spark, split_docs_dir):
     assert set(stream_est) == set(batch)
     for s in batch:
         assert stream_est[s] == batch[s], (s, stream_est[s], batch[s])
+
+
+def test_image_dedup_stream_matches_batch_p108_clusters(spark, tmp_path):
+    """The hash-keyed first-occurrence state must carry ACROSS
+    micro-batches: a brightness-shifted copy of a batch-1 image arriving
+    in batch 2 must flag as duplicate; per-hash totals must equal batch
+    p108's cluster table. Delivery is doc_id-ordered, so the streaming
+    first-arrival keeper IS the batch min-id keeper here."""
+    import numpy as np
+
+    from duckdb_cloudflare_spark.operators.multimodal import image_dhash_dedup
+    from duckdb_cloudflare_spark.streaming.documents import image_dedup_stream
+    from duckdb_cloudflare_spark.streaming.events import run_to_memory
+    from duckdb_cloudflare_spark.util import png
+
+    rng = np.random.RandomState(21)
+    pix_a = (rng.rand(8, 12) * 200).astype(np.uint8)
+    pix_b = (rng.rand(8, 12) * 200).astype(np.uint8)
+    blob_a = png.encode_png(pix_a.tobytes(), 12, 8, 1)
+    bright_a = png.encode_png(
+        (pix_a.astype(int) + 30).clip(0, 255).astype(np.uint8).tobytes(), 12, 8, 1
+    )
+    blob_b = png.encode_png(pix_b.tobytes(), 12, 8, 1)
+    rows1 = [(1, blob_a), (2, blob_b), (3, None)]
+    rows2 = [(4, bright_a), (5, b"junk")]  # batch-2 near-dup of batch-1's image
+    schema = "doc_id long, asset binary"
+    src = str(tmp_path / "img_stream")
+    spark.createDataFrame(rows1, schema).coalesce(1).write.parquet(src + "/f1.parquet")
+    spark.createDataFrame(rows2, schema).coalesce(1).write.parquet(src + "/f2.parquet")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    got = {
+        r["doc_id"]: r for r in run_to_memory(image_dedup_stream(stream), "img_dedup").collect()
+    }
+    # undecodables dropped; cross-batch near-dup flagged
+    assert set(got) == {1, 2, 4}
+    assert not got[1]["is_dup"] and not got[2]["is_dup"]
+    assert got[4]["is_dup"] and got[4]["dhash"] == got[1]["dhash"]
+
+    # cluster reconciliation against batch p108
+    batch = spark.createDataFrame(rows1 + rows2, schema)
+    clusters = {
+        r["dhash"]: (r["cluster_size"], r["keep_id"])
+        for r in image_dhash_dedup(batch).collect()
+    }
+    from collections import Counter
+
+    stream_sizes = Counter(r["dhash"] for r in got.values())
+    stream_keepers = {r["dhash"]: r["doc_id"] for r in got.values() if not r["is_dup"]}
+    assert {h: c for h, c in stream_sizes.items()} == {
+        h: c for h, (c, _) in clusters.items()
+    }
+    assert stream_keepers == {h: k for h, (_, k) in clusters.items()}
