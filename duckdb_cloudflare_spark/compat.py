@@ -1105,14 +1105,28 @@ _UNION_BY_NAME = re.compile(
 def _split_union_by_name(sql: str) -> tuple[list[str], list[bool]] | None:
     """Split ``sql`` on TOP-LEVEL ``UNION [ALL|DISTINCT] BY NAME`` operators.
     Returns (branches, is_all_flags) — flags[i] describes the operator
-    between branch i and i+1 — or None when the statement has none."""
+    between branch i and i+1 — or None when the statement has none.
+
+    A ``UNION BY NAME`` nested inside a subquery/CTE (regex hit outside
+    strings/comments but at paren depth > 0) cannot be handled by this
+    top-level split and would otherwise fall through to ``spark.sql`` and
+    die with an opaque Spark parse error — raise the shim's loud
+    ValueError instead (ADVICE r12)."""
     positions = []
     # locate candidate UNION keywords at depth 0 outside strings/comments
-    tops = {i for i, c, d in _scan_top_level(sql) if d == 0}
+    depth_at = {i: d for i, c, d in _scan_top_level(sql)}
     for m in _UNION_BY_NAME.finditer(sql):
-        if m.start() in tops:
+        if depth_at.get(m.start()) == 0:
             positions.append(m)
     if not positions:
+        if any(depth_at.get(m.start(), -1) > 0 for m in _UNION_BY_NAME.finditer(sql)):
+            raise ValueError(
+                "UNION BY NAME inside a subquery/CTE is not supported by "
+                "the dialect shim (top-level only); hoist the BY NAME "
+                "union to the top level, or materialize the subquery with "
+                "duck_sql(...).createOrReplaceTempView(...) and reference "
+                "the view instead"
+            )
         return None
     branches, flags, prev = [], [], 0
     for m in positions:
@@ -1130,7 +1144,12 @@ def union_by_name_df(spark: SparkSession, sql: str) -> DataFrame | None:
     no syntax for. Each top-level branch is evaluated through ``duck_sql``
     recursively and the results combine with
     ``DataFrame.unionByName(allowMissingColumns=True)`` — exactly DuckDB's
-    semantics; a non-ALL variant deduplicates the result like plain UNION.
+    semantics. Set operators are LEFT-ASSOCIATIVE, so each non-ALL
+    operator deduplicates the accumulated result at ITS position in the
+    fold (``a UNION BY NAME b UNION ALL BY NAME c`` dedups (a,b) then
+    appends all of c's rows, duplicates intact — verified against DuckDB
+    in TestUnionByName's mixed-chain case; a single trailing distinct
+    would wrongly collapse c, the r12 ADVICE bug).
     Returns None when the statement contains no top-level UNION BY NAME.
 
     Restrictions (loud, not silent): a trailing ORDER BY / LIMIT after the
@@ -1154,11 +1173,13 @@ def union_by_name_df(spark: SparkSession, sql: str) -> DataFrame | None:
                 "subquery and apply the tail outside"
             )
     out = duck_sql(spark, branches[0])
-    saw_distinct = False
     for branch, is_all in zip(branches[1:], flags):
         out = out.unionByName(duck_sql(spark, branch), allowMissingColumns=True)
-        saw_distinct = saw_distinct or not is_all
-    return out.distinct() if saw_distinct else out
+        if not is_all:
+            # left-associative: dedup applies to the fold-so-far, before
+            # later ALL branches append their duplicates
+            out = out.distinct()
+    return out
 
 
 def duck_sql(spark: SparkSession, sql: str) -> DataFrame:

@@ -630,9 +630,11 @@ def p107_neardup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     "decode stage) and p61/p62/p69 (codec round-trips), and the hash "
     "semantics are pinned by pytest (brightness-shift invariance, "
     "PNG-vs-BMP cross-format agreement, error-as-NULL decode contract). "
-    "Scale shape: one Arrow decode pass, one 64-bit-keyed partial agg, "
-    "one broadcast-eligible join — groupBy+join, never a corpus window. "
-    "Columns: id, dhash, cluster_size, keep.",
+    "Scale shape: one Arrow decode pass, then ONE 64-bit-keyed partial "
+    "agg to a cluster-level table — no join, no corpus window (a keep "
+    "join back would re-run the Python decode subtree; no ReuseExchange "
+    "in this build). Consumers anti-join their own copy against it. "
+    "Columns: dhash, cluster_size, keep_id.",
 )
 def p108_image_dhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from duckdb_cloudflare_spark.operators import multimodal as M

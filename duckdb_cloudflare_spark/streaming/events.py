@@ -30,6 +30,7 @@ from pyspark.sql.types import (
     StructField,
     StructType,
     TimestampNTZType,
+    TimestampType,
 )
 
 def _event_schema(ts_type) -> StructType:
@@ -378,7 +379,11 @@ def transition_stream(stream: DataFrame) -> DataFrame:
 ANOMALY_OUT_SCHEMA = StructType(
     [
         StructField("event_type", StringType()),
-        StructField("hour", TimestampNTZType()),
+        # TimestampType, not NTZ: batch q61 emits TIMESTAMP (date_trunc
+        # over the UTC-pinned ts), and the documented twins must share one
+        # output schema (ADVICE r12). The pandas values below are
+        # tz-localized UTC, so the stored instant is session-tz-proof.
+        StructField("hour", TimestampType()),
         StructField("n", LongType()),
         StructField("trailing_mean", DoubleType()),
         StructField("zscore", DoubleType()),
@@ -464,7 +469,9 @@ def _anomaly_fn(
     yield pd.DataFrame(
         {
             "event_type": [key[0]] * len(out_hour),
-            "hour": pd.to_datetime(pd.Series(out_hour, dtype="int64"), unit="us"),
+            "hour": pd.to_datetime(
+                pd.Series(out_hour, dtype="int64"), unit="us", utc=True
+            ),
             "n": pd.Series(out_n, dtype="int64"),
             "trailing_mean": pd.Series(out_mu, dtype="float64"),
             "zscore": pd.Series(out_z, dtype="float64"),
@@ -505,7 +512,9 @@ def anomaly_stream(stream: DataFrame) -> DataFrame:
 CONVERSION_OUT_SCHEMA = StructType(
     [
         StructField("user_id", LongType()),
-        StructField("cohort_week", TimestampNTZType()),
+        # TimestampType for the same twin-schema reason as ANOMALY_OUT_SCHEMA:
+        # batch q62's cohort_week is date_trunc('week', ts) = TIMESTAMP
+        StructField("cohort_week", TimestampType()),
         StructField("lag_us", LongType()),
     ]
 )
@@ -571,7 +580,7 @@ def _conversion_fn(
         {
             "user_id": pd.Series(out["user_id"], dtype="int64"),
             "cohort_week": pd.to_datetime(
-                pd.Series(out["cohort_week"], dtype="int64"), unit="us"
+                pd.Series(out["cohort_week"], dtype="int64"), unit="us", utc=True
             ),
             "lag_us": pd.Series(out["lag_us"], dtype="int64"),
         }

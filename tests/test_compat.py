@@ -1176,6 +1176,46 @@ class TestUnionByName:
         want = self._duck(sql)
         assert got == want == [(1, "x"), (2, "y"), (7, None)]
 
+    def test_mixed_all_distinct_chain_is_left_associative(self, spark):
+        # r12 ADVICE (medium): 'a UNION BY NAME b UNION ALL BY NAME a'
+        # dedups only (a,b), then appends ALL of the third branch's rows —
+        # a single trailing distinct would collapse them. DuckDB is the
+        # semantics oracle for the identical statement.
+        self._spark_tables(spark)
+        sql = (
+            "SELECT id, s FROM a UNION BY NAME SELECT id, s FROM a "
+            "UNION ALL BY NAME SELECT id, s FROM a"
+        )
+        got = sorted(tuple(r) for r in duck_sql(spark, sql).select("id", "s").collect())
+        want = self._duck(sql)
+        assert got == want
+        # distinct(a ∪ a) = 2 rows, plus a's 2 duplicate rows appended
+        assert len(got) == 4
+
+    def test_mixed_chain_all_then_distinct(self, spark):
+        # the other associativity direction: ALL first keeps duplicates,
+        # the later bare (DISTINCT) operator then collapses everything
+        self._spark_tables(spark)
+        sql = (
+            "SELECT id, s FROM a UNION ALL BY NAME SELECT id, s FROM a "
+            "UNION BY NAME SELECT id, s FROM a"
+        )
+        got = sorted(tuple(r) for r in duck_sql(spark, sql).select("id", "s").collect())
+        want = self._duck(sql)
+        assert got == want == [(1, "x"), (2, "y")]
+
+    def test_nested_union_by_name_rejected_loudly(self, spark):
+        # r12 ADVICE (low): a BY NAME union inside a subquery/CTE used to
+        # fall through to spark.sql and die with an opaque parse error;
+        # the shim now refuses with guidance instead.
+        self._spark_tables(spark)
+        with pytest.raises(ValueError, match="top-level only"):
+            duck_sql(
+                spark,
+                "SELECT * FROM (SELECT id FROM a UNION BY NAME "
+                "SELECT id FROM c) t",
+            )
+
     def test_branches_still_get_dialect_rewrites(self, spark):
         self._spark_tables(spark)
         # arg_max is a DuckDB spelling the function-alias rewrite maps; it

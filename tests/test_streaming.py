@@ -318,9 +318,13 @@ def test_anomaly_stream_matches_batch_q61_on_closed_hours(spark, tmp_path):
         .option("maxFilesPerTrigger", 1)
         .parquet(src + "/*")
     )
+    out_stream = S.anomaly_stream(stream)
+    # twin-schema contract (ADVICE r12): hour is TIMESTAMP, exactly like
+    # batch q61's date_trunc output — not NTZ
+    assert out_stream.schema["hour"].dataType.typeName() == "timestamp"
     got = [
         (r["event_type"], r["hour"], r["n"], r["trailing_mean"], r["zscore"])
-        for r in run_to_memory(S.anomaly_stream(stream), "anom_stream").collect()
+        for r in run_to_memory(out_stream, "anom_stream").collect()
     ]
 
     batch_df = spark.createDataFrame(rows, schema)
