@@ -96,6 +96,10 @@ _SF1_HEADLINE = [
     "p105_bpe_pair_stats",
     "q61_event_anomaly",
     "q62_conversion_lag",
+    # r13: the full iterative BPE merge loop — per-iteration vocab-bounded
+    # argmax + broadcast rewrite; the sf1 vocab is ~100× (suffix recipe),
+    # so the lane measures the iteration machinery, not the corpus explode
+    "p111_bpe_merges",
 ]
 
 
@@ -395,6 +399,11 @@ def main() -> None:
         "p108_image_dhash_dedup",
         "p109_audio_features",
         "p110_video_scene_stats",
+        # r13: the iterative BPE loop (same-work pair — both engines run
+        # the unrolled 3-merge trajectory) and the multimodal curation
+        # capstone (rows-only; single-decode gate→dedup→report)
+        "p111_bpe_merges",
+        "p112_multimodal_curation",
     ]
     registry = Q.all_queries()
 

@@ -857,3 +857,184 @@ def with_video_scene_stats(
             )
 
     return df.mapInPandas(gen, out_schema)
+
+
+# ---------------------------------------------------------------------------
+# Single-pass multimodal profile (r13): every modality's curation features
+# in ONE decode stage — the input to the p112 gate→dedup→report capstone
+# ---------------------------------------------------------------------------
+
+MULTIMODAL_PROFILE_SCHEMA = StructType(
+    [
+        StructField("modality", StringType()),  # image|audio|video|undecodable
+        StructField("dhash", LongType()),  # image only (NULL = undecodable)
+        StructField("silence_frac", DoubleType()),  # audio only
+        StructField("clipped_frac", DoubleType()),  # audio only
+        StructField("rms", DoubleType()),  # audio only
+        StructField("n_frames", LongType()),  # video only
+        StructField("scene_rate_per_s", DoubleType()),  # video only
+    ]
+)
+
+
+def multimodal_profile(
+    df: DataFrame, asset_col: str = "asset", keep: tuple[str, ...] = ("doc_id",)
+) -> DataFrame:
+    """Decode every asset ONCE and emit the union of all per-modality
+    curation features as nullable columns: (keep..., modality, dhash,
+    silence_frac, clipped_frac, rms, n_frames, scene_rate_per_s).
+
+    This exists because composing the per-modality operators
+    (image_dhash_dedup + with_audio_features + with_video_scene_stats) as
+    separate branches over one asset column re-runs the Python decode
+    stage per branch — this Spark build fires no ReuseExchange on shared
+    DataFrame subtrees (the q59-measured constraint), and decoding 100 TB
+    of media three times is the exact anti-pattern to avoid. One
+    ``mapInPandas`` pass dispatches on the container magic and computes
+    each asset's OWN modality's features; everything downstream of this
+    operator is JVM-side column logic on the small feature columns (prune
+    ``asset`` immediately — this operator already drops it).
+
+    Modality is decided by the decoded container (not an external label):
+    FIMG/PNG/JPEG/BMP → image (dhash NULL when pixel decode fails),
+    FAUD → audio, FVID → video, anything else → 'undecodable' with every
+    feature NULL (the error-as-row contract — corrupt uploads survive to
+    be counted, not dropped silently)."""
+    cols = list(keep)
+    out_schema = StructType(
+        [df.schema[c] for c in cols] + list(MULTIMODAL_PROFILE_SCHEMA)
+    )
+    feat_names = [f.name for f in MULTIMODAL_PROFILE_SCHEMA]
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in range(len(pdf)):
+                data = pdf[asset_col].iloc[i]
+                row = {c: pdf[c].iloc[i] for c in cols}
+                row.update({n: None for n in feat_names})
+                magic = bytes(data[:4]) if data is not None and len(data) >= 4 else b""
+                if magic == AUD_MAGIC:
+                    a = audio_features_bytes(data)
+                    row["modality"] = "audio"
+                    if a is not None:
+                        row["silence_frac"] = a["silence_frac"]
+                        row["clipped_frac"] = a["clipped_frac"]
+                        row["rms"] = a["rms"]
+                elif magic == VID_MAGIC:
+                    v = video_scene_stats_bytes(data)
+                    row["modality"] = "video"
+                    if v is not None:
+                        row["n_frames"] = v["n_frames"]
+                        row["scene_rate_per_s"] = v["scene_rate_per_s"]
+                elif (
+                    magic == IMG_MAGIC
+                    or (data is not None and bytes(data[:8]) == png.PNG_SIGNATURE)
+                    or magic[:2] in (b"\xff\xd8", b"BM")
+                ):
+                    row["modality"] = "image"
+                    row["dhash"] = image_dhash_bytes(data)
+                else:
+                    row["modality"] = "undecodable"
+                rows.append(row)
+            out = pd.DataFrame(rows, columns=cols + feat_names)
+            out["dhash"] = out["dhash"].astype("object")
+            out["n_frames"] = out["n_frames"].astype("object")
+            yield out
+
+    return df.mapInPandas(gen, out_schema)
+
+
+def multimodal_curation_report(
+    df: DataFrame,
+    asset_col: str = "asset",
+    id_col: str = "doc_id",
+    max_silence: float = 0.8,
+    max_clipped: float = 0.05,
+    min_frames: int = 2,
+    max_scene_rate: float = 15.0,
+) -> DataFrame:
+    """Multimodal curation capstone (p54's twin for the asset column):
+    gate → dedup → report over a mixed image/audio/video binary column,
+    composed from the per-modality operators' semantics but executed as
+    ONE linear pipeline with ONE decode pass.
+
+    Stages (each the already-anchored operator's rule):
+      1. decode+profile — ``multimodal_profile`` (p11/p13/p108/p109/p110's
+         shared decode stage, run once);
+      2. gate — audio: silence_frac > max_silence OR clipped_frac >
+         max_clipped (p109's quality gates); video: n_frames < min_frames
+         OR scene_rate_per_s > max_scene_rate (p110's strobe-garbage
+         rule); image: pixel decode failure (dhash NULL) counts as
+         undecodable, like any unparseable container;
+      3. dedup — surviving images cluster by identical dHash, lowest-id
+         exemplar kept (p108's rule); audio/video pass through (their
+         near-dup story needs content hashing not yet defined for the
+         synthetic containers — documented non-goal);
+      4. report — per modality: (modality, n_assets, n_undecodable,
+         n_gated, n_dup_removed, n_kept), reconciling exactly:
+         n_assets = n_undecodable + n_gated + n_dup_removed + n_kept.
+
+    Scale shape: one Arrow decode pass (bytes never leave the map stage),
+    then TWO partial-agg shuffles over small feature rows — first keyed by
+    (modality, cluster key) to collapse image clusters map-side (a
+    10^6-copy viral image ships one partial row per task), then by
+    modality to the ≤4-row report. No joins, no windows, no branch over
+    the decode subtree (no ReuseExchange in this build), no collect."""
+    prof = multimodal_profile(df, asset_col=asset_col, keep=(id_col,))
+    live_img = (F.col("modality") == "image") & F.col("dhash").isNotNull()
+    undec = (F.col("modality") == "undecodable") | (
+        (F.col("modality") == "image") & F.col("dhash").isNull()
+    )
+    gated = ~undec & (
+        (
+            (F.col("modality") == "audio")
+            & (
+                (F.col("silence_frac") > max_silence)
+                | (F.col("clipped_frac") > max_clipped)
+            )
+        )
+        | (
+            (F.col("modality") == "video")
+            & (
+                (F.col("n_frames") < min_frames)
+                | (F.col("scene_rate_per_s") > max_scene_rate)
+            )
+        )
+    )
+    flagged = prof.select(
+        F.col(id_col).alias("id"),
+        "modality",
+        undec.cast("int").alias("is_undec"),
+        gated.cast("int").alias("is_gated"),
+        (~undec & ~gated).cast("int").alias("is_live"),
+        # cluster key: live images share by dHash; everything else is its
+        # own singleton (string-prefixed so a small dhash value can never
+        # collide with a doc id)
+        F.when(
+            live_img & ~gated, F.concat(F.lit("h:"), F.col("dhash"))
+        )
+        .otherwise(F.concat(F.lit("d:"), F.col(id_col)))
+        .alias("gkey"),
+    )
+    groups = flagged.groupBy("modality", "gkey").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("is_undec").alias("n_undec"),
+        F.sum("is_gated").alias("n_gated"),
+        F.sum("is_live").alias("n_live"),
+    )
+    return (
+        groups.groupBy("modality")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_assets"),
+            F.sum("n_undec").cast("bigint").alias("n_undecodable"),
+            F.sum("n_gated").cast("bigint").alias("n_gated"),
+            F.sum(F.greatest(F.col("n_live") - 1, F.lit(0)))
+            .cast("bigint")
+            .alias("n_dup_removed"),
+            F.sum((F.col("n_live") > 0).cast("int"))
+            .cast("bigint")
+            .alias("n_kept"),
+        )
+        .orderBy("modality")
+    )

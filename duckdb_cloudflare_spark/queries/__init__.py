@@ -147,25 +147,23 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 # The external driver grades a bounded prefix (first 50) of the registry,
 # so ordering IS the rotation policy: least-recently-driver-graded first.
 #
-# r12 window (the first 50 entries this list selects) — continuing the
-# stalest-first rotation plan (VERDICT r10 item 1): with the surface complete
-# and 150/150 oracle-bearing entries driver-green, freshness of driver
-# evidence IS the product. The r12 window is the 50 entries with the stalest
-# driver history, computed programmatically from the checked-in
-# CORRECTNESS_r*.json files:
-#   - the eight new r12 oracle-bearing operators lead (zero driver history
-#     — the q44/p70 stranding invariant): p102/p103, then p104–p107 and
-#     q61/q62;
-#   - then q12/q13 (last driver-graded in r8 — they sat below the 50-cut of
-#     the r11 window, exactly as the r11 rotation documented);
-#   - then the entries last driver-graded in r9 (green in CORRECTNESS_r09
-#     and in none of r10/r11), in CORRECTNESS_r09 record order (the driver's
-#     own emission order is the documented within-round tie-break).
-# 8 + 2 + 48 = 58 named: the [:50] cut pushes p48/p62..p68 (green r9
-# history) below the boundary — they lead the r13 rotation.
-# The r11/r12 HLL and GK twins (q59/q60/q63) never preempt: rows-only by
-# design, pinned by pytest accuracy tests against their exact oracle-bearing
-# anchors (q56/q57/q62).
+# r13 window (the first 50 entries this list selects) — continuing the
+# stalest-first rotation plan (VERDICT r12 item 1): with the surface
+# complete and 158/158 oracle-bearing entries driver-green, freshness of
+# driver evidence IS the product. Composition:
+#   - the new r13 oracle-bearing operator p111 leads (zero driver history
+#     — the q44/p70 stranding invariant);
+#   - then p48 + p62..p68 (green r9 history; the r12 [:50] cut pushed
+#     them out, with exactly this r13 destiny documented at r12 close);
+#   - then the entries last driver-graded in r10, in CORRECTNESS_r10
+#     record order (the driver's own emission order is the documented
+#     within-round tie-break).
+# 1 + 8 + 42 = 51 named: the [:50] cut lands after q37 — q51 (green r10
+# history) plus q01/p01–p05/p11/p12 rotate in r14.
+# The r11/r12 HLL and GK twins (q59/q60/q63) and the r13 multimodal
+# capstone p112 never preempt: rows-only by design, pinned by pytest
+# accuracy/reconciliation tests against their exact oracle-bearing
+# anchors (q56/q57/q62; p11/p13/p61/p62/p69 for p112).
 # This list may name MORE than 50 prefixes — only the first 50 of the
 # reordered registry are graded; listing the full rotation keeps the
 # bookkeeping monotone as new operators are prepended.
@@ -179,20 +177,21 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 # driver-replica gate (tests/test_oracle_parity.py) and the sf0.1 scale
 # sweep (tests/test_scale_parity.py).
 _WINDOW_PRIORITY = [
-    # new r12 oracle-bearing operators: zero driver history, so they MUST
-    # lead (the q44/p70 stranding invariant); they preempt the last seven
-    # stale-cohort entries (p62..p68, green r9 history — lead r13 instead)
-    "p102_", "p103_", "p104_", "p105_", "p106_", "q61_", "q62_", "p107_",
-    # last driver-graded in r8 (below the r11 window's 50-cut)
-    "q12_", "q13_",
-    # last driver-graded in r9 (green in CORRECTNESS_r09, absent from
-    # r10/r11), CORRECTNESS_r09 record order
-    "p85_", "p86_", "p87_", "p88_", "p83_", "p79_", "p81_", "p52_",
-    "p74_", "p28_", "p50_", "q14_", "q15_", "q16_", "q17_", "q18_",
-    "q19_", "q20_", "q21_", "q22_", "q23_", "q24_", "q25_", "q26_",
-    "q27_", "q28_", "p34_", "p35_", "p36_", "p37_", "p38_", "p39_",
-    "p40_", "p41_", "p42_", "p43_", "p44_", "p45_", "p46_", "p47_",
+    # r13 window (VERDICT r12 item 1 + the stranding invariant):
+    # the new r13 oracle-bearing operator (zero driver history) MUST lead
+    "p111_",
+    # then the eight green-r9-history entries the r12 cut pushed out
+    # (p48 + p62..p68, exactly as documented at r12 close)
     "p48_", "p62_", "p63_", "p64_", "p65_", "p66_", "p67_", "p68_",
+    # then the r10-graded cohort in CORRECTNESS_r10 record order; the
+    # [:50] cut lands after q37 — q51 (green r10 history) plus q01/
+    # p01-p05/p11/p12 rotate in r14
+    "p101_", "q58_", "p99_", "p100_", "p94_", "p95_", "p96_", "p97_",
+    "p98_", "p91_", "p92_", "p93_", "q56_", "q57_", "p89_", "p90_",
+    "p69_", "q44_", "p49_", "p51_", "p53_", "p54_", "q54_", "q55_",
+    "q36_", "q39_", "q52_", "p55_", "p56_", "p57_", "p58_", "p59_",
+    "p60_", "p61_", "q29_", "q30_", "q32_", "q33_", "q34_", "q35_",
+    "q37_", "q51_",
 ]
 
 
@@ -228,6 +227,7 @@ def _import_all() -> None:
     from duckdb_cloudflare_spark.queries import pipeline_r10  # noqa: F401
     from duckdb_cloudflare_spark.queries import pipeline_r11  # noqa: F401
     from duckdb_cloudflare_spark.queries import pipeline_r12  # noqa: F401
+    from duckdb_cloudflare_spark.queries import pipeline_r13  # noqa: F401
 
     _reorder_registry()
 

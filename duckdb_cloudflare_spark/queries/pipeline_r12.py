@@ -338,7 +338,16 @@ def p106_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     "squares, count over ROWS 24 PRECEDING..1 PRECEDING), so both engines "
     "evaluate the identical IEEE expression tree on identical integers — "
     "bit-identical doubles, deliberately unrounded, and the |z|>2.5 gate "
-    "can't flip (no stddev_samp implementation drift). Scale shape: ONE "
+    "can't flip (no stddev_samp implementation drift). Window semantics "
+    "(pinned, VERDICT r12): trailing-24-OBSERVED-hours — hours with zero "
+    "events are absent from the hourly fold, so the ROWS frame spans "
+    "quiet gaps and the baseline is 'the last 24 hours WITH traffic'; "
+    "the oracle mirrors the shape (parity never depended on the choice), "
+    "the streaming twin anomaly_stream closes hours by arrival under the "
+    "same contract, and a gap-hour fixture encodes it in "
+    "tests/test_r13_ops.py. Densify both sides with an hour spine "
+    "(sequence()/generate_series) if calendar-hours monitoring is ever "
+    "wanted. Scale shape: ONE "
     "(event_type, hour)-keyed partial agg collapses the corpus to "
     "types x hours rows; the window runs on that fold, partitioned by "
     "event_type — never a corpus-sized window.",

@@ -21,25 +21,24 @@ from duckdb_cloudflare_spark import queries as Q
 _ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def test_graded_window_is_exactly_the_r12_rotation():
+def test_graded_window_is_exactly_the_r13_rotation():
     names = list(Q.all_queries())
     window = names[:50]
     expected = (
-        # the eight new r12 oracle-bearing ops (no driver history) lead,
-        # then the stalest-driver-history entries (continuing the VERDICT
-        # r10 rotation plan): q12/q13 (last graded r8, below the r11
-        # window's cut), then the r9 cohort in CORRECTNESS_r09 record
-        # order; the [:50] cut pushes p48/p62..p68 (green r9 history) to r13.
-        ["p102_", "p103_", "p104_", "p105_", "p106_", "q61_", "q62_", "p107_"]
-        + ["q12_", "q13_"]
+        # the new r13 oracle-bearing op (no driver history) leads, then
+        # p48+p62..p68 (green r9 history, pushed below the r12 cut with
+        # exactly this destiny documented), then the r10-graded cohort in
+        # CORRECTNESS_r10 record order; the [:50] cut lands after q37 —
+        # q51 plus q01/p01-p05/p11/p12 rotate in r14.
+        ["p111_"]
+        + ["p48_", "p62_", "p63_", "p64_", "p65_", "p66_", "p67_", "p68_"]
         + [
-            "p85_", "p86_", "p87_", "p88_", "p83_", "p79_", "p81_",
-            "p52_", "p74_", "p28_", "p50_", "q14_", "q15_", "q16_",
-            "q17_", "q18_", "q19_", "q20_", "q21_", "q22_", "q23_",
-            "q24_", "q25_", "q26_", "q27_", "q28_", "p34_", "p35_",
-            "p36_", "p37_", "p38_", "p39_", "p40_", "p41_", "p42_",
-            "p43_", "p44_", "p45_", "p46_", "p47_", "p48_", "p62_",
-            "p63_", "p64_", "p65_", "p66_", "p67_", "p68_",
+            "p101_", "q58_", "p99_", "p100_", "p94_", "p95_", "p96_",
+            "p97_", "p98_", "p91_", "p92_", "p93_", "q56_", "q57_",
+            "p89_", "p90_", "p69_", "q44_", "p49_", "p51_", "p53_",
+            "p54_", "q54_", "q55_", "q36_", "q39_", "q52_", "p55_",
+            "p56_", "p57_", "p58_", "p59_", "p60_", "p61_", "q29_",
+            "q30_", "q32_", "q33_", "q34_", "q35_", "q37_", "q51_",
         ]
     )[:50]
     assert len(window) == len(expected) == 50
