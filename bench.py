@@ -399,10 +399,15 @@ def main() -> None:
         "p108_image_dhash_dedup",
         "p109_audio_features",
         "p110_video_scene_stats",
-        # r13: the iterative BPE loop (same-work pair — both engines run
-        # the unrolled 3-merge trajectory) and the multimodal curation
-        # capstone (rows-only; single-decode gate→dedup→report)
+        # r13: the iterative BPE loop + its tokenize/apply side (same-work
+        # pairs — both engines run the unrolled 3-merge trajectory; p113
+        # adds the final rewrite + weighted vocab explode) and the
+        # multimodal curation capstone (rows-only; single-decode
+        # gate→dedup→report). p113 rides the sf0.1 headline only — p111
+        # already carries the family in the sf1 lane, and the two share
+        # ~the whole chain.
         "p111_bpe_merges",
+        "p113_bpe_token_counts",
         "p112_multimodal_curation",
     ]
     registry = Q.all_queries()

@@ -1000,3 +1000,81 @@ def bpe_train_reference(
             merged_vocab[key] = merged_vocab.get(key, 0) + f
         vocab = merged_vocab
     return out
+
+
+def bpe_token_counts(
+    df: DataFrame, text_col: str = "text", n_merges: int = 3, top_n: int = 50
+) -> DataFrame:
+    """The consumer side of BPE training: tokenize the corpus with the
+    merges ``bpe_train`` learns and report the resulting token
+    frequencies (top ``top_n``, count DESC then token ASC — the
+    deterministic-boundary convention of p105). This is the operator a
+    pipeline runs to size a tokenizer: after N merges, what does the
+    corpus actually look like in tokens?
+
+    Entirely vocab-bounded past the first shuffle, because tokenization
+    of a WORD is deterministic: corpus token counts = Σ_w freq(w) ×
+    tokens(w). The loop therefore re-runs bpe_train's per-iteration
+    (argmax → broadcast → replace) INCLUDING the final step's rewrite,
+    then splits the merged encoding once and folds a frequency-weighted
+    token count — one extra vocab-bounded shuffle after the loop, no
+    corpus re-walk, no Python. The SQL oracle extends p111's unrolled
+    CTE chain with the same final explode (the engines share every
+    intermediate bit, so the token table cannot drift).
+
+    Contract: ``n_merges`` must be achievable on the corpus (a step with
+    no remaining pairs yields an empty argmax, and the crossJoin-driven
+    rewrite empties the encoded vocab — on BOTH engines identically, so
+    parity holds, but the useful output is gone). ``bpe_train`` is the
+    probe for how many merges a corpus supports; real corpora support
+    orders of magnitude more than any configured depth."""
+    if n_merges < 1:
+        raise ValueError(f"bpe_token_counts needs n_merges >= 1 (got {n_merges})")
+    sep = _BPE_SEP
+    enc = bpe_word_vocab(df, text_col).select(
+        F.regexp_replace("w", "(.)", f"{sep}$1{sep}").alias("enc"), "freq"
+    )
+    for _ in range(n_merges):
+        syms = enc.select(
+            F.split(F.expr("substring(enc, 2, length(enc) - 2)"), sep + sep).alias(
+                "syms"
+            ),
+            "freq",
+        ).filter(F.size("syms") >= 2)
+        best = (
+            syms.select(
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(syms) - 1), "
+                        "i -> struct(element_at(syms, i) AS lhs, "
+                        "element_at(syms, i + 1) AS rhs))"
+                    )
+                ).alias("p"),
+                "freq",
+            )
+            .groupBy("p.lhs", "p.rhs")
+            .agg(F.sum("freq").alias("pair_count"))
+            .orderBy(F.col("pair_count").desc(), "lhs", "rhs")
+            .limit(1)
+            .select("lhs", "rhs")
+        )
+        enc = enc.crossJoin(F.broadcast(best)).select(
+            F.replace(
+                F.col("enc"),
+                F.concat(F.lit(sep), "lhs", F.lit(sep + sep), "rhs", F.lit(sep)),
+                F.concat(F.lit(sep), "lhs", "rhs", F.lit(sep)),
+            ).alias("enc"),
+            "freq",
+        )
+    return (
+        enc.select(
+            F.explode(
+                F.split(F.expr("substring(enc, 2, length(enc) - 2)"), sep + sep)
+            ).alias("token"),
+            "freq",
+        )
+        .groupBy("token")
+        .agg(F.sum("freq").cast("bigint").alias("token_count"))
+        .orderBy(F.col("token_count").desc(), "token")
+        .limit(top_n)
+    )

@@ -151,15 +151,15 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 # stalest-first rotation plan (VERDICT r12 item 1): with the surface
 # complete and 158/158 oracle-bearing entries driver-green, freshness of
 # driver evidence IS the product. Composition:
-#   - the new r13 oracle-bearing operator p111 leads (zero driver history
-#     — the q44/p70 stranding invariant);
+#   - the new r13 oracle-bearing operators p111 + p113 lead (zero driver
+#     history — the q44/p70 stranding invariant);
 #   - then p48 + p62..p68 (green r9 history; the r12 [:50] cut pushed
 #     them out, with exactly this r13 destiny documented at r12 close);
 #   - then the entries last driver-graded in r10, in CORRECTNESS_r10
 #     record order (the driver's own emission order is the documented
 #     within-round tie-break).
-# 1 + 8 + 42 = 51 named: the [:50] cut lands after q37 — q51 (green r10
-# history) plus q01/p01–p05/p11/p12 rotate in r14.
+# 2 + 8 + 42 = 52 named: the [:50] cut lands after q35 — q37 + q51
+# (green r10 history) plus q01/p01–p05/p11/p12 rotate in r14.
 # The r11/r12 HLL and GK twins (q59/q60/q63) and the r13 multimodal
 # capstone p112 never preempt: rows-only by design, pinned by pytest
 # accuracy/reconciliation tests against their exact oracle-bearing
@@ -178,8 +178,8 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 # sweep (tests/test_scale_parity.py).
 _WINDOW_PRIORITY = [
     # r13 window (VERDICT r12 item 1 + the stranding invariant):
-    # the new r13 oracle-bearing operator (zero driver history) MUST lead
-    "p111_",
+    # the new r13 oracle-bearing operators (zero driver history) MUST lead
+    "p111_", "p113_",
     # then the eight green-r9-history entries the r12 cut pushed out
     # (p48 + p62..p68, exactly as documented at r12 close)
     "p48_", "p62_", "p63_", "p64_", "p65_", "p66_", "p67_", "p68_",

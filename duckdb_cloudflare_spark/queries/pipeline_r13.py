@@ -38,14 +38,14 @@ from pyspark.sql import functions as F
 from duckdb_cloudflare_spark.queries import load, register
 
 _BPE_MERGES = 3  # graded depth; the operator takes any n (pytest runs 8)
+_BPE_TOP_TOKENS = 50
 
 
-def _bpe_oracle(n_merges: int) -> str:
-    """Unrolled-CTE DuckDB twin of operators/text_analysis.py::bpe_train —
-    same word vocab, same 0x1f boundary-marked encoding, same per-step
-    (argmax → replace) loop; generated per depth so the SQL and the Spark
-    loop can never drift on iteration count. Non-overlapping left-to-right
-    ``replace`` is the greedy BPE merge pass in both engines."""
+def _bpe_chain(n_merges: int, rewrite_last: bool) -> list[str]:
+    """Shared unrolled-CTE chain for the BPE oracles: words → enc0 →
+    (p{k} pair counts, b{k} argmax[, enc{k} rewrite])×N. ``rewrite_last``
+    controls whether the final merge is also APPLIED (the tokenize path
+    needs enc{N}; the merge-table path stops at b{N})."""
     parts = [
         r"""WITH words AS (
         SELECT w, count(*) AS freq
@@ -74,7 +74,7 @@ def _bpe_oracle(n_merges: int) -> str:
         ORDER BY pair_count DESC, lhs, rhs LIMIT 1
     )"""
         )
-        if k < n_merges:
+        if k < n_merges or rewrite_last:
             parts.append(
                 f""", enc{k} AS (
         SELECT replace(enc,
@@ -83,6 +83,16 @@ def _bpe_oracle(n_merges: int) -> str:
         FROM enc{k - 1} CROSS JOIN b{k}
     )"""
             )
+    return parts
+
+
+def _bpe_oracle(n_merges: int) -> str:
+    """Unrolled-CTE DuckDB twin of operators/text_analysis.py::bpe_train —
+    same word vocab, same 0x1f boundary-marked encoding, same per-step
+    (argmax → replace) loop; generated per depth so the SQL and the Spark
+    loop can never drift on iteration count. Non-overlapping left-to-right
+    ``replace`` is the greedy BPE merge pass in both engines."""
+    parts = _bpe_chain(n_merges, rewrite_last=False)
     sels = " UNION ALL ".join(
         f"SELECT CAST({k} AS BIGINT) AS merge_rank, lhs, rhs, "
         f"lhs || rhs AS merged, CAST(pair_count AS BIGINT) AS pair_count "
@@ -90,6 +100,24 @@ def _bpe_oracle(n_merges: int) -> str:
         for k in range(1, n_merges + 1)
     )
     parts.append(f"\n    SELECT * FROM ({sels}) ORDER BY merge_rank")
+    return "".join(parts)
+
+
+def _bpe_tokens_oracle(n_merges: int, top_n: int) -> str:
+    """Unrolled-CTE twin of bpe_token_counts: p111's chain INCLUDING the
+    final rewrite, then one weighted explode of the merged vocab —
+    corpus token counts = Σ_w freq(w) × tokens(w), never a corpus
+    re-walk."""
+    parts = _bpe_chain(n_merges, rewrite_last=True)
+    parts.append(
+        f"""
+    SELECT token, CAST(sum(freq) AS BIGINT) AS token_count
+    FROM (SELECT unnest(string_split(substr(enc, 2, length(enc) - 2),
+                                     chr(31) || chr(31))) AS token, freq
+          FROM enc{n_merges})
+    GROUP BY token
+    ORDER BY token_count DESC, token LIMIT {top_n}"""
+    )
     return "".join(parts)
 
 
@@ -117,6 +145,33 @@ def p111_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_train(
         ensure_parallelism(load(spark, sf_dir, "documents")),
         n_merges=_BPE_MERGES,
+    )
+
+
+@register(
+    "p113_bpe_token_counts",
+    oracle=_bpe_tokens_oracle(_BPE_MERGES, _BPE_TOP_TOKENS),
+    description="BPE tokenization of the corpus with the learned merges — "
+    "the consumer side of p111's training, completing the tokenizer "
+    "family (p105 pair stats -> p111 trainer -> p113 apply): after 3 "
+    "merges, the corpus token-frequency table (top-50, count DESC / token "
+    "ASC deterministic boundary). operators/text_analysis.py::"
+    "bpe_token_counts. Key scale property: tokenization of a WORD is "
+    "deterministic, so corpus counts = sum over vocab of freq(w) x "
+    "tokens(w) — the merge application and the final explode are both "
+    "VOCAB-bounded; the corpus is touched exactly once (the word-freq "
+    "shuffle). The oracle extends p111's unrolled CTE chain with the "
+    "identical final rewrite + weighted explode, so both engines share "
+    "every intermediate bit.",
+)
+def p113_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duckdb_cloudflare_spark.operators.dedup import ensure_parallelism
+    from duckdb_cloudflare_spark.operators.text_analysis import bpe_token_counts
+
+    return bpe_token_counts(
+        ensure_parallelism(load(spark, sf_dir, "documents")),
+        n_merges=_BPE_MERGES,
+        top_n=_BPE_TOP_TOKENS,
     )
 
 

@@ -1,6 +1,6 @@
-"""r13 operator pins: the full iterative BPE merge loop (p111), the
-multimodal curation capstone (p112), and the q61 window-semantics
-contract (observed hours, VERDICT r12 item 5)."""
+"""r13 operator pins: the full iterative BPE merge loop (p111), its
+tokenize/apply side (p113), the multimodal curation capstone (p112), and
+the q61 window-semantics contract (observed hours, VERDICT r12 item 5)."""
 
 from __future__ import annotations
 
@@ -310,3 +310,84 @@ def test_q61_trailing_window_is_observed_hours_not_calendar(spark):
     # the baseline is exactly the 24 observed pre-gap hours
     assert r["trailing_mean"] == sum(counts[h] for h in range(24)) / 24.0
     assert r["n"] == 300
+
+
+# ---------------------------------------------------------------------------
+# p113 — BPE tokenization with the learned merges
+# ---------------------------------------------------------------------------
+
+
+def _apply_merges(word, merges):
+    syms = list(word)
+    for _, lhs, rhs, merged, _ in merges:
+        ns, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == lhs and syms[i + 1] == rhs:
+                ns.append(merged)
+                i += 2
+            else:
+                ns.append(syms[i])
+                i += 1
+        syms = ns
+    return syms
+
+
+def test_bpe_token_counts_matches_python_reference(spark):
+    from duckdb_cloudflare_spark.operators.text_analysis import bpe_token_counts
+
+    texts = [
+        "low low low lower lowest newer newest new",
+        "wider wide widest low newer er er",
+        "banana bandana ananas",
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = [tuple(r) for r in bpe_token_counts(df, n_merges=4, top_n=20).collect()]
+    wf = _word_freqs(texts)
+    merges = bpe_train_reference(wf, 4)
+    counts = {}
+    for w, f in wf.items():
+        for t in _apply_merges(w, merges):
+            counts[t] = counts.get(t, 0) + f
+    want = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    assert got == want
+    # the learned merges actually appear as corpus tokens
+    merged_syms = {m[3] for m in merges}
+    assert merged_syms & {t for t, _ in got}
+
+
+def test_bpe_token_counts_tokens_are_consistent_with_trainer(spark):
+    # every multi-character token the tokenizer emits must be derivable
+    # from the trainer's merge table (a token is a chain of merges)
+    from duckdb_cloudflare_spark.operators.text_analysis import (
+        bpe_token_counts,
+        bpe_train,
+    )
+
+    df = spark.createDataFrame(
+        [("low low low lower lowest newer newest new",)], "text string"
+    )
+    merges = {r["merged"] for r in bpe_train(df, n_merges=4).collect()}
+    tokens = {r["token"] for r in bpe_token_counts(df, n_merges=4, top_n=50).collect()}
+    for t in tokens:
+        if len(t) > 1:
+            assert t in merges, t
+
+
+def test_bpe_token_counts_plan_is_pure_jvm(spark):
+    from duckdb_cloudflare_spark.plans.introspect import formatted_plan
+
+    from duckdb_cloudflare_spark.operators.text_analysis import bpe_token_counts
+
+    df = spark.createDataFrame([("low lower",)], "text string")
+    plan = formatted_plan(bpe_token_counts(df, n_merges=2))
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_bpe_token_counts_rejects_bad_n_merges(spark):
+    from duckdb_cloudflare_spark.operators.text_analysis import bpe_token_counts
+
+    df = spark.createDataFrame([("ab",)], "text string")
+    with pytest.raises(ValueError, match="n_merges >= 1"):
+        bpe_token_counts(df, n_merges=0)

@@ -25,12 +25,12 @@ def test_graded_window_is_exactly_the_r13_rotation():
     names = list(Q.all_queries())
     window = names[:50]
     expected = (
-        # the new r13 oracle-bearing op (no driver history) leads, then
+        # the new r13 oracle-bearing ops (no driver history) lead, then
         # p48+p62..p68 (green r9 history, pushed below the r12 cut with
         # exactly this destiny documented), then the r10-graded cohort in
-        # CORRECTNESS_r10 record order; the [:50] cut lands after q37 —
-        # q51 plus q01/p01-p05/p11/p12 rotate in r14.
-        ["p111_"]
+        # CORRECTNESS_r10 record order; the [:50] cut lands after q35 —
+        # q37 + q51 plus q01/p01-p05/p11/p12 rotate in r14.
+        ["p111_", "p113_"]
         + ["p48_", "p62_", "p63_", "p64_", "p65_", "p66_", "p67_", "p68_"]
         + [
             "p101_", "q58_", "p99_", "p100_", "p94_", "p95_", "p96_",
