@@ -100,6 +100,21 @@ _SF1_HEADLINE = [
     # argmax + broadcast rewrite; the sf1 vocab is ~100× (suffix recipe),
     # so the lane measures the iteration machinery, not the corpus explode
     "p111_bpe_merges",
+    # r13 second wave: UNPIVOT over the 6M-row lineitem (Expand + one
+    # partial agg), the densified events anomaly window, the target-
+    # trained bucketed bigram LM gate (broadcast model vs p50's shuffle-
+    # joined vocab tables), the two embedding passes (SQ8 audit, JL
+    # projection — posexplode + broadcast stats/matrix + one partial
+    # agg), and the split-leakage shingle join (the p95 family's
+    # between-splits form)
+    "q64_unpivot_measures",
+    "q65_event_anomaly_dense",
+    "q66_pivot_status_counts",
+    "p114_bigram_lm_quality",
+    "p115_sq8_quantization",
+    "p116_jl_projection",
+    "p117_split_leakage",
+    "p118_mix_plan",
 ]
 
 
@@ -409,6 +424,18 @@ def main() -> None:
         "p111_bpe_merges",
         "p113_bpe_token_counts",
         "p112_multimodal_curation",
+        # r13 second wave: all oracle-bearing same-work pairs — UNPIVOT
+        # aggregate, calendar-densified anomaly window, target-trained
+        # bucketed bigram LM gate, SQ8 quantization audit, JL sign
+        # projection, and the split-leakage shingle join
+        "q64_unpivot_measures",
+        "q65_event_anomaly_dense",
+        "q66_pivot_status_counts",
+        "p114_bigram_lm_quality",
+        "p115_sq8_quantization",
+        "p116_jl_projection",
+        "p117_split_leakage",
+        "p118_mix_plan",
     ]
     registry = Q.all_queries()
 

@@ -995,6 +995,174 @@ def _reject_unsupported_joins(sql: str) -> None:
         )
 
 
+_UNPIVOT_STMT = re.compile(
+    r"^\s*UNPIVOT\s+(?P<tbl>[A-Za-z_][\w.]*)"
+    r"\s+ON\s+(?P<cols>.+?)"
+    r"\s+INTO\s+NAME\s+(?P<name>[A-Za-z_]\w*)"
+    r"\s+VALUE\s+(?P<val>.+?)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+_IDENT = re.compile(r"^[A-Za-z_]\w*$")
+
+
+def rewrite_unpivot_statement(sql: str) -> str | None:
+    """DuckDB's UNPIVOT *statement* form
+
+        UNPIVOT tbl ON c1, c2, ... INTO NAME n VALUE v
+
+    → the SQL-standard relational form both engines parse natively
+    (Spark since 3.4):
+
+        SELECT * FROM tbl UNPIVOT (v FOR n IN (c1, c2, ...))
+
+    Returns None when the statement is not the UNPIVOT form (the common
+    case — callers fall through to the normal rewrite chain). The
+    standard form itself needs NO rewrite: Spark's parser accepts it,
+    with the same EXCLUDE-NULLS default as DuckDB, so duck_sql passes it
+    straight through. Only the simple statement shape is rewritten;
+    DuckDB-only elaborations (``ON COLUMNS(* EXCLUDE ...)``, per-column
+    aliases, multi-column ``VALUE v1, v2``) raise a loud bind-time
+    ValueError pointing at the standard form instead of dying in Spark's
+    parser."""
+    if not re.match(r"^\s*UNPIVOT\b", sql, re.IGNORECASE):
+        return None
+    m = _UNPIVOT_STMT.match(sql)
+    if not m:
+        raise ValueError(
+            "unsupported UNPIVOT statement shape; supported: "
+            "UNPIVOT <table> ON <col>[, <col>...] INTO NAME <name> "
+            "VALUE <value> — or use the SQL-standard form "
+            "SELECT ... FROM t UNPIVOT (v FOR n IN (c1, c2, ...)), "
+            "which runs unrewritten on both engines"
+        )
+    cols = [c.strip() for c in m.group("cols").split(",")]
+    bad = [c for c in cols if not _IDENT.match(c)]
+    if bad or re.match(r"(?i)^\s*COLUMNS\s*\(", m.group("cols")):
+        raise ValueError(
+            f"UNPIVOT ON supports plain column identifiers only "
+            f"(got {bad or [m.group('cols').strip()]}); COLUMNS(...) "
+            "expressions and per-column aliases have no Spark twin — "
+            "list the columns explicitly"
+        )
+    val = m.group("val").strip()
+    if not _IDENT.match(val):
+        raise ValueError(
+            "UNPIVOT INTO ... VALUE supports exactly one value column "
+            f"(got {val!r}); multi-column unpivot has no Spark twin — "
+            "run one UNPIVOT per value column and join on the NAME column"
+        )
+    return (
+        f"SELECT * FROM {m.group('tbl')} UNPIVOT "
+        f"({val} FOR {m.group('name')} IN ({', '.join(cols)}))"
+    )
+
+
+_PIVOT_STMT = re.compile(
+    r"^\s*PIVOT\s+(?P<tbl>[A-Za-z_][\w.]*)"
+    r"\s+ON\s+(?P<col>[A-Za-z_]\w*)"
+    r"(?:\s+IN\s*\((?P<vals>[^()]*)\))?"
+    r"\s+USING\s+(?P<agg>[A-Za-z_]\w*\s*\([^()]*\))"
+    r"(?:\s+GROUP\s+BY\s+(?P<grp>[^()]+?))?\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+_PIVOT_AUTODETECT_CAP = 10_000
+
+
+def _pivot_alias(raw: str) -> str:
+    """DuckDB names a pivoted column after the VALUE itself (quotes
+    stripped); Spark needs an explicit alias to reproduce that."""
+    v = raw.strip()
+    if len(v) >= 2 and v[0] == v[-1] and v[0] in ("'", '"'):
+        v = v[1:-1]
+    return v.replace("`", "")
+
+
+def rewrite_pivot_statement(spark: SparkSession | None, sql: str) -> str | None:
+    """DuckDB's PIVOT *statement* form
+
+        PIVOT tbl ON col [IN (v1, v2, ...)] USING agg(x) [GROUP BY g, ...]
+
+    → the SQL-standard relational form Spark parses natively:
+
+        SELECT * FROM tbl PIVOT (agg(x) FOR col IN (v1 AS `v1`, ...))
+
+    Returns None when the statement is not the PIVOT form. Semantics
+    parity: with no GROUP BY, BOTH engines group by every remaining
+    column; with GROUP BY, the input is pre-projected to exactly the
+    group columns + pivot column + the aggregate's argument (so Spark's
+    implicit all-remaining-columns rule sees only the DuckDB group
+    list); pivoted columns are named after the bare value on both
+    engines (the alias list). Without an IN list, DuckDB enumerates the
+    distinct values of the pivot column at bind time by scanning — this
+    rewrite does EXACTLY that (one driver-side DISTINCT, sorted, capped
+    at 10k values, NULL excluded), which is the reference semantics,
+    not a shortcut; pass IN (...) to avoid the scan. Multi-column ON,
+    multiple USING aggregates, and USING aliases raise loud bind-time
+    errors pointing at the supported shape."""
+    if not re.match(r"^\s*PIVOT\b", sql, re.IGNORECASE):
+        return None
+    m = _PIVOT_STMT.match(sql)
+    if not m:
+        raise ValueError(
+            "unsupported PIVOT statement shape; supported: "
+            "PIVOT <table> ON <col> [IN (v1, v2, ...)] USING <agg>(<arg>) "
+            "[GROUP BY <cols>] — one pivot column, one unaliased "
+            "aggregate; or use the SQL-standard form SELECT ... FROM t "
+            "PIVOT (agg(x) FOR col IN (...))"
+        )
+    tbl, col, agg = m.group("tbl"), m.group("col"), m.group("agg").strip()
+    if m.group("vals") is not None:
+        vals = [v.strip() for v in m.group("vals").split(",") if v.strip()]
+        if not vals:
+            raise ValueError("PIVOT ... IN () needs at least one value")
+    else:
+        if spark is None:
+            raise ValueError(
+                "PIVOT without an IN list needs a SparkSession to "
+                "enumerate distinct pivot values (the DuckDB bind-time "
+                "scan); pass IN (...) explicitly"
+            )
+        rows = (
+            spark.sql(
+                f"SELECT DISTINCT {col} FROM {tbl} WHERE {col} IS NOT NULL "
+                f"ORDER BY {col} LIMIT {_PIVOT_AUTODETECT_CAP + 1}"
+            ).collect()
+        )
+        if len(rows) > _PIVOT_AUTODETECT_CAP:
+            raise ValueError(
+                f"PIVOT auto-detect found more than {_PIVOT_AUTODETECT_CAP} "
+                f"distinct values in {col}; pass IN (...) explicitly"
+            )
+        vals = []
+        for r in rows:
+            v = r[0]
+            vals.append(f"'{v}'" if isinstance(v, str) else str(v))
+    in_list = ", ".join(f"{v} AS `{_pivot_alias(v)}`" for v in vals)
+    src = tbl
+    if m.group("grp"):
+        grp = [g.strip() for g in m.group("grp").split(",")]
+        bad = [g for g in grp if not _IDENT.match(g)]
+        if bad:
+            raise ValueError(
+                f"PIVOT GROUP BY supports plain column identifiers only "
+                f"(got {bad})"
+            )
+        arg = agg[agg.index("(") + 1 : agg.rindex(")")].strip()
+        keep = list(dict.fromkeys(grp + [col]))
+        if arg not in ("", "*") and _IDENT.match(arg) and arg not in keep:
+            keep.append(arg)
+        elif arg not in ("", "*") and not _IDENT.match(arg):
+            raise ValueError(
+                "PIVOT with GROUP BY supports a single plain-column "
+                f"aggregate argument (got {arg!r}) — pre-project the "
+                "expression in a view, or use the SQL-standard form"
+            )
+        src = f"(SELECT {', '.join(keep)} FROM {tbl})"
+    return f"SELECT * FROM {src} PIVOT ({agg} FOR {col} IN ({in_list}))"
+
+
 # table function → the reader option its LIMIT pushdown sets (the CDX
 # scans use max_results with per-crawl division; d1_scan re-serializes a
 # literal LIMIT into the remote SQL — src/d1_scan.cpp:325-393)
@@ -1188,6 +1356,12 @@ def duck_sql(spark: SparkSession, sql: str) -> DataFrame:
     if ubn is not None:
         return ubn
     _reject_unsupported_joins(sql)
+    unp = rewrite_unpivot_statement(sql)
+    if unp is not None:
+        sql = unp
+    piv = rewrite_pivot_statement(spark, sql)
+    if piv is not None:
+        sql = piv
     sql = rewrite_named_args(sql)
     sql = rewrite_scan_limit(sql)
     sql = rewrite_distinct_on(sql)

@@ -275,3 +275,184 @@ def shard_manifest(
             F.sum("_fp").cast("bigint").alias("fingerprint"),
         )
     )
+
+
+def assign_split(
+    id_col: str = "doc_id", train_pct: int = 80, valid_pct: int = 10
+) -> F.Column:
+    """Deterministic train/valid/test assignment: md5-bucket of the id
+    (first-8-hex mod 100 — the repo's cross-engine hash idiom) against
+    cumulative percentage cuts. Pure column expression: splits are a
+    FUNCTION of the id, so any worker (or any engine) recomputes the
+    same assignment with no split table to store, ship, or join — the
+    standard hash-split contract for 100 TB corpora."""
+    b = (
+        F.conv(
+            F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
+        ).cast("long")
+        % 100
+    )
+    return (
+        F.when(b < train_pct, F.lit("train"))
+        .when(b < train_pct + valid_pct, F.lit("valid"))
+        .otherwise(F.lit("test"))
+    )
+
+
+def split_leakage_report(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 5,
+    train_pct: int = 80,
+    valid_pct: int = 10,
+) -> DataFrame:
+    """Deterministic corpus split + cross-split contamination audit — the
+    check a training pipeline runs BEFORE publishing an eval split: a
+    held-out document that shares verbatim word-``shingle_k``-grams with
+    the train split is compromised (the decontamination literature's
+    n-gram-overlap definition, Brown et al. 2020 App. C / Lee et al.
+    2022 — here applied BETWEEN a corpus's own splits rather than
+    against an external benchmark, the leakage mode hash splits do NOT
+    prevent when near-duplicate documents land on opposite sides of the
+    cut). Returns one row per eval split: ``(split, n_docs,
+    n_contaminated, contamination_rate, n_shared_shingles)``.
+
+    Scale shape: the split is a map-side expression (``assign_split`` —
+    no split table); each doc explodes its DISTINCT shingles once; the
+    train-side shingle vocabulary is collapsed by a partial-agg DISTINCT
+    and met by the eval side in ONE shingle-keyed equi-join (hot
+    boilerplate shingles are bounded by the per-doc array_distinct and
+    the train-side distinct); the report is a ≤2-row fold. At real
+    scale the train vocabulary is itself sharded by the same join key —
+    never broadcast, never collected (the bloom-filter variant of this
+    gate is ``decontaminate_bloom``; this is the exact path that sizes
+    it). ``contamination_rate`` is ONE exact-integer division, unrounded
+    (q48 rule); every other output is an exact count."""
+    d = df.select(
+        F.col(id_col),
+        assign_split(id_col, train_pct, valid_pct).alias("split"),
+        D.lowered_tokens(text_col).alias("ts"),
+    )
+    sh = d.select(
+        id_col,
+        "split",
+        F.explode(D.word_shingle_strings(shingle_k)).alias("sh"),
+    )
+    train_sh = (
+        sh.filter(F.col("split") == "train").select("sh").distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    ev = (
+        sh.filter(F.col("split") != "train")
+        .join(train_sh, "sh", "left")
+        .groupBy("split")
+        .agg(
+            F.count_distinct(
+                F.when(F.col("__hit").isNotNull(), F.col(id_col))
+            ).alias("n_contaminated"),
+            F.count_distinct(
+                F.when(F.col("__hit").isNotNull(), F.col("sh"))
+            ).alias("n_shared_shingles"),
+        )
+    )
+    per_split = (
+        d.filter(F.col("split") != "train")
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    return (
+        per_split.join(ev, "split", "left")
+        .select(
+            "split",
+            "n_docs",
+            F.coalesce("n_contaminated", F.lit(0)).alias("n_contaminated"),
+            (
+                F.coalesce("n_contaminated", F.lit(0)).cast("double")
+                / F.col("n_docs").cast("double")
+            ).alias("contamination_rate"),
+            F.coalesce("n_shared_shingles", F.lit(0)).alias("n_shared_shingles"),
+        )
+    )
+
+
+def mix_plan(
+    df: DataFrame,
+    budget_frac: float = 0.5,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Token-budget mixture plan — the per-source sampling table a
+    pretraining run publishes in its data card (The Pile's Table 1,
+    LLaMA's sampling proportions): given the corpus's per-source token
+    counts and a total token budget (``budget_frac`` of the corpus),
+    temperature-flatten the source distribution at tau = 0.5 (the
+    sqrt-smoothing convention of multilingual sampling, XLM-R/mT5 —
+    and of ``temperature_resample``, which draws DOCS; this plans
+    TOKENS) and report, per source: tokens available, mixture weight,
+    target tokens, sampling rate, and the oversampling epoch count
+    (rate > 1 means the source repeats — the small-source upweighting
+    temperature sampling exists to produce). The actual draw is
+    ``dsir_resample``/``priority_sample``'s machinery (p80/p86); this
+    is the plan that sizes it.
+
+    Determinism: tau = 0.5 means sqrt — a single IEEE operation, bit-
+    identical everywhere (the reason tau is fixed rather than a free
+    pow(), whose libm varies); sqrt weights are canonicalized as
+    micro-unit bigints, so their sum is exact and every downstream
+    number is either an exact integer (target = floor(T·w) of an
+    exact-integer-double product, epochs = integer ceiling division)
+    or ONE unrounded division of exact-integer doubles (q48 rule).
+    Scale shape: ONE source-keyed partial agg collapses the corpus to
+    |sources| rows; a 1-row totals fold broadcast back onto them; the
+    corpus is touched exactly once, nothing else leaves the fold."""
+    ts = D.lowered_tokens(text_col)
+    n_tok = F.when(
+        F.length(F.trim(F.col(text_col))) == 0, F.lit(0)
+    ).otherwise(F.size(ts)).cast("long")
+    per = (
+        df.filter(F.col(text_col).isNotNull())
+        .groupBy(source_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(n_tok).alias("tokens_available"),
+        )
+        .filter(F.col("tokens_available") > 0)
+        .withColumn(
+            "a_nm",
+            F.round(F.sqrt(F.col("tokens_available").cast("double")) * 1e6, 0)
+            .cast("long"),
+        )
+    )
+    tot = per.agg(
+        F.sum("tokens_available").alias("total_tokens"),
+        F.sum("a_nm").alias("a_sum"),
+    )
+    # floor() on both engines — a bare double->bigint CAST would truncate
+    # in Spark but round in DuckDB (cross-engine trap)
+    T = F.floor(
+        F.col("total_tokens").cast("double") * F.lit(budget_frac)
+    ).cast("long")
+    w = F.col("a_nm").cast("double") / F.col("a_sum").cast("double")
+    target = F.floor(T.cast("double") * w).cast("long")
+    base = per.crossJoin(broadcast(tot)).select(
+        source_col,
+        "n_docs",
+        "tokens_available",
+        w.alias("mix_weight"),
+        target.alias("target_tokens"),
+    )
+    return base.select(
+        source_col,
+        "n_docs",
+        "tokens_available",
+        "mix_weight",
+        "target_tokens",
+        (
+            F.col("target_tokens").cast("double")
+            / F.col("tokens_available").cast("double")
+        ).alias("sampling_rate"),
+        F.expr(
+            "(target_tokens + tokens_available - 1) div tokens_available"
+        ).alias("n_epochs"),
+    )

@@ -531,3 +531,154 @@ def embedding_norm_qa(
     if cluster_col:
         out = out.withColumnRenamed(cluster_col, "cluster")
     return out
+
+
+def sq8_audit(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    levels: int = 255,
+) -> DataFrame:
+    """Int8 scalar quantization (SQ8) of an embedding column with a
+    per-vector reconstruction-error audit — the 4×-memory compression an
+    ANN serving tier applies before indexing 100 TB of vectors (FAISS
+    ``SQ8`` / Milvus ``SQ8``), and the audit that says whether the
+    distortion is tolerable BEFORE the index is built. Per dimension the
+    corpus min/max define a linear [0, ``levels``] code; each element is
+    quantized, dequantized, and the per-vector mean-squared error and
+    max absolute error are reported: ``(id, n_dims, mse, max_abs_err)``.
+
+    Determinism: per-dim min/max of floats involve no summation (exact,
+    order-free on both engines). The quantization code uses
+    ``floor(v + 0.5)`` — NOT round() — because a linear code hits exact
+    decimal halves by construction (that is the q48 round()-divergence
+    trap, avoided structurally: floor is bit-deterministic everywhere).
+    Per-element squared error is canonicalized as a pico-unit bigint
+    (round(e²·1e12): divisions by 255 make exact halves unreachable);
+    the per-vector sum of bigints is exact; mse is ONE unrounded
+    division of exact-integer doubles (q48 rule); max_abs_err takes an
+    integer max over nano-unit bigints then ONE division.
+
+    Scale shape: one posexplode → per-dim partial agg to ``dims`` rows
+    (broadcast-sized at any corpus); stats broadcast back onto a second
+    map-side pass; ONE id-keyed partial agg. Vectors never shuffle; no
+    windows; the two scans are the price of not collecting stats to the
+    driver (a production run persists the 64-row stats table)."""
+    el = df.filter(F.col(id_col).isNotNull()).select(
+        F.col(id_col),
+        F.posexplode(F.transform(F.col(vec_col), lambda x: x.cast("double"))),
+    ).select(id_col, F.col("pos").alias("dim"), F.col("col").alias("x"))
+    stats = el.groupBy("dim").agg(
+        F.min("x").alias("dmin"), F.max("x").alias("dmax")
+    )
+    lv = F.lit(float(levels))
+    rng = F.col("dmax") - F.col("dmin")
+    q = F.when(rng == 0, F.lit(0)).otherwise(
+        F.least(
+            lv,
+            F.greatest(
+                F.lit(0.0),
+                F.floor((F.col("x") - F.col("dmin")) * lv / rng + F.lit(0.5))
+                .cast("double"),
+            ),
+        )
+    )
+    xhat = F.col("dmin") + q * rng / lv
+    e = F.col("x") - xhat
+    joined = el.join(broadcast(stats), "dim").select(
+        id_col,
+        F.round(e * e * F.lit(1e12), 0).cast("long").alias("e2_pico"),
+        F.round(F.abs(e) * F.lit(1e9), 0).cast("long").alias("ae_nano"),
+    )
+    return joined.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_dims"),
+        (
+            F.sum("e2_pico").cast("double")
+            / (F.count(F.lit(1)).cast("double") * F.lit(1e12))
+        ).alias("mse"),
+        (F.max("ae_nano").cast("double") / F.lit(1e9)).alias("max_abs_err"),
+    )
+
+
+def jl_project(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    out_dims: int = 16,
+    in_dims: int = 64,
+) -> DataFrame:
+    """Johnson-Lindenstrauss random projection with a DETERMINISTIC sign
+    matrix (Achlioptas 2003: entries +/-1 preserve pairwise distances in
+    expectation like Gaussians do): ``y_k = SUM_j x_j * s(k,j) / sqrt(K)``
+    with ``s(k,j) = +/-1`` from the parity of the first-8-hex md5 of
+    ``k || '_' || j`` — the repo's cross-engine hash idiom, so the matrix
+    is reproducible anywhere (no RNG state to ship). The 4x
+    dimensionality cut (64->16) is what makes a brute-force or IVF pass
+    over 100 TB of vectors 4x cheaper; the JL bound says pairwise
+    geometry survives. Output is LONG FORM ``(id, k, y)``.
+
+    The sign matrix is a PLAN-TIME CONSTANT: it depends only on (k, j),
+    so it is materialized here as literal arrays (1024 ints for 64->16 —
+    hashlib.md5 == every engine's md5, pinned by the SQL oracle, which
+    re-derives the matrix from md5 in-database, and by the numpy
+    reference test). That makes the whole projection MAP-ONLY: K array
+    folds per row inside whole-stage codegen, a 16-element posexplode,
+    ZERO shuffles, zero joins — nothing at all crosses the wire at any
+    corpus size (the r13 bench rewrite: the first cut exploded to N*D
+    rows and broadcast-joined the matrix, paying an N*K-row shuffle for
+    numbers a per-row fold computes in place).
+
+    Determinism: elements are canonicalized as micro-unit bigints
+    (round(x*1e6) of float-exact doubles — no arithmetic before the
+    round); each output coordinate is an exact +/--signed INTEGER fold
+    (integer addition commutes — any evaluation order agrees);
+    ``y = sum / 1e6 / sqrt(K)`` is two divisions of an exact-integer
+    double by exact constants (sqrt(K) a single IEEE sqrt), deliberately
+    unrounded (q48 rule).
+
+    ``in_dims`` must equal the embedding dimensionality (shorter vectors
+    zip to fewer terms; longer ones are truncated by the zip)."""
+    import hashlib
+
+    signs = [
+        [
+            1
+            if int(hashlib.md5(f"{k}_{j}".encode()).hexdigest()[:8], 16) % 2
+            == 0
+            else -1
+            for j in range(in_dims)
+        ]
+        for k in range(out_dims)
+    ]
+    xm = F.transform(
+        F.col(vec_col),
+        lambda x: F.round(x.cast("double") * F.lit(1e6), 0).cast("long"),
+    )
+    folds = F.array(
+        *[
+            F.aggregate(
+                F.zip_with(
+                    F.col("__xm"),
+                    F.array(*[F.lit(s) for s in signs[k]]),
+                    lambda x, s: x * s.cast("long"),
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            )
+            for k in range(out_dims)
+        ]
+    )
+    return (
+        df.filter(F.col(id_col).isNotNull())
+        .select(F.col(id_col), xm.alias("__xm"))
+        .select(F.col(id_col), F.posexplode(folds))
+        .select(
+            id_col,
+            F.col("pos").cast("int").alias("k"),
+            (
+                F.col("col").cast("double")
+                / F.lit(1e6)
+                / F.sqrt(F.lit(float(out_dims)))
+            ).alias("y"),
+        )
+    )

@@ -10,6 +10,8 @@ no shuffle, scales linearly with executors.
 from __future__ import annotations
 
 import pandas as pd  # module-scope: pandas_udf resolves string type hints from globals
+from decimal import Decimal as _Decimal
+from decimal import ROUND_HALF_UP as _ROUND_HALF_UP
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -1078,3 +1080,177 @@ def bpe_token_counts(
         .orderBy(F.col("token_count").desc(), "token")
         .limit(top_n)
     )
+
+
+def bigram_xent(
+    df: DataFrame,
+    target: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 256,
+    round_dp: int = 6,
+) -> DataFrame:
+    """CCNet-style language-model quality score (Wenzek et al. 2020 filter
+    Common Crawl with a wiki-trained KenLM and gate on perplexity; this is
+    the same evaluate-against-a-reference-slice gate with a bucketed
+    bigram model instead of a 5-gram KenLM): train add-one-smoothed
+    bigram statistics on the TARGET slice (rows where ``target`` is
+    true), score EVERY document by its per-bigram cross-entropy under
+    that model, return ``(id, n_bigrams, bigram_xent)`` — low cross-
+    entropy = looks like the reference domain; the downstream gate keeps
+    the head/middle of the distribution (CCNet's head/middle/tail split).
+
+    Tokens are hashed to ``n_buckets`` buckets (first-8-hex md5 mod B —
+    the p57/p70/p83 cross-engine idiom), so the model is AT MOST B²
+    bigram rows + B context rows — broadcast-sized by construction at
+    any corpus size, the same boundedness argument as dsir_weights.
+    p(h2|h1) = (c(h1,h2) + 1) / (c(h1,·) + B); unseen contexts fall back
+    to 1/B exactly (coalesce both counts to 0).
+
+    Scale shape: bigrams are built MAP-SIDE per document (zip of the
+    bucket array with its own tail — no positional self-join, no window),
+    exploded once; the model is two partial-aggregated groupBys bounded
+    at B²/B rows; scoring is two BROADCAST joins of that model onto the
+    bigram stream and ONE doc-keyed aggregation — the corpus crosses the
+    wire exactly once (the per-doc agg), hot buckets collapse map-side.
+
+    Determinism (the p83 convention): each scored bigram's log-prob is
+    canonicalized as an exact micro-unit bigint ``lp_micro =
+    round(ln((cb+1)/(cu+B)) · 10^round_dp)`` — the ln argument is a
+    single division of exact-integer-valued doubles, so both engines
+    evaluate the identical IEEE tree and the 6-dp rounding buries any
+    last-ulp libm drift; per-doc sums of bigints are order-independent;
+    ``bigram_xent = -sum / (n · 10^round_dp)`` is ONE exact-integer
+    division, deliberately unrounded (the q48 rule)."""
+    micro = float(10**round_dp)
+    bk = F.transform(
+        tokens(F.col(text_col)),
+        lambda t: F.conv(F.substring(F.md5(F.lower(t)), 1, 8), 16, 10).cast(
+            "long"
+        )
+        % n_buckets,
+    )
+    d = df.select(
+        F.col(id_col), target.cast("boolean").alias("__t"), bk.alias("bk")
+    ).filter(F.size("bk") >= 2)
+    n1 = F.size(F.col("bk")) - 1
+    pairs = d.select(
+        id_col,
+        "__t",
+        F.explode(
+            F.zip_with(
+                F.slice("bk", 1, n1),
+                F.slice("bk", 2, n1),
+                lambda a, b: F.struct(a.alias("h1"), b.alias("h2")),
+            )
+        ).alias("pr"),
+    ).select(id_col, "__t", F.col("pr.h1").alias("h1"), F.col("pr.h2").alias("h2"))
+    cb = (
+        pairs.filter("__t")
+        .groupBy("h1", "h2")
+        .agg(F.count(F.lit(1)).alias("cb"))
+    )
+    cu = pairs.filter("__t").groupBy("h1").agg(F.count(F.lit(1)).alias("cu"))
+    lp = F.round(
+        F.log(
+            (F.coalesce(F.col("cb"), F.lit(0)) + 1).cast("double")
+            / (F.coalesce(F.col("cu"), F.lit(0)) + n_buckets).cast("double")
+        )
+        * micro,
+        0,
+    ).cast("long")
+    scored = (
+        pairs.join(F.broadcast(cb), ["h1", "h2"], "left")
+        .join(F.broadcast(cu), ["h1"], "left")
+        .select(id_col, lp.alias("lp_micro"))
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        (
+            -F.sum("lp_micro").cast("double")
+            / (F.count(F.lit(1)).cast("double") * F.lit(micro))
+        ).alias("bigram_xent"),
+    )
+
+
+def bigram_model(
+    df: DataFrame,
+    target: Column,
+    text_col: str = "text",
+    n_buckets: int = 256,
+    round_dp: int = 6,
+) -> tuple[DataFrame, DataFrame, int]:
+    """The FIT side of ``bigram_xent``, exported for serving: returns
+    ``(pair_lp, ctx_lp, default_lp_micro)`` — the per-bigram log-prob
+    table (h1, h2, lp_micro), the per-context unseen-bigram fallback
+    (h1, lp0_micro = ln(1/(c(h1,·)+B)) in micro units), and the
+    unseen-CONTEXT fallback ln(1/B). All three derive from the SAME
+    Spark expressions as ``bigram_xent``'s inline scoring — identical
+    counts through the identical IEEE tree into the identical micro-int
+    rounding — so a scorer using this model reproduces the batch
+    operator bit-for-bit (the streaming twin's equality pin).
+
+    Boundedness: both tables are capped by construction at B² and B
+    rows (the broadcast/bounded-collect contract ``quality_stream``
+    relies on), regardless of corpus size."""
+    import math as _math
+
+    micro = float(10**round_dp)
+    bk = F.transform(
+        tokens(F.col(text_col)),
+        lambda t: F.conv(F.substring(F.md5(F.lower(t)), 1, 8), 16, 10).cast(
+            "long"
+        )
+        % n_buckets,
+    )
+    d = df.select(target.cast("boolean").alias("__t"), bk.alias("bk")).filter(
+        F.col("__t") & (F.size("bk") >= 2)
+    )
+    n1 = F.size(F.col("bk")) - 1
+    pairs = d.select(
+        F.explode(
+            F.zip_with(
+                F.slice("bk", 1, n1),
+                F.slice("bk", 2, n1),
+                lambda a, b: F.struct(a.alias("h1"), b.alias("h2")),
+            )
+        ).alias("pr")
+    ).select(F.col("pr.h1").alias("h1"), F.col("pr.h2").alias("h2"))
+    cu = pairs.groupBy("h1").agg(F.count(F.lit(1)).alias("cu"))
+    pair_lp = (
+        pairs.groupBy("h1", "h2")
+        .agg(F.count(F.lit(1)).alias("cb"))
+        .join(F.broadcast(cu), "h1")
+        .select(
+            "h1",
+            "h2",
+            F.round(
+                F.log(
+                    (F.col("cb") + 1).cast("double")
+                    / (F.col("cu") + n_buckets).cast("double")
+                )
+                * micro,
+                0,
+            )
+            .cast("long")
+            .alias("lp_micro"),
+        )
+    )
+    ctx_lp = cu.select(
+        "h1",
+        F.round(
+            F.log(
+                F.lit(1.0) / (F.col("cu") + n_buckets).cast("double")
+            )
+            * micro,
+            0,
+        )
+        .cast("long")
+        .alias("lp0_micro"),
+    )
+    default_lp = int(
+        _Decimal(_math.log(1.0 / n_buckets) * micro).to_integral_value(
+            rounding=_ROUND_HALF_UP
+        )
+    )
+    return pair_lp, ctx_lp, default_lp

@@ -179,13 +179,14 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 _WINDOW_PRIORITY = [
     # r13 window (VERDICT r12 item 1 + the stranding invariant):
     # the new r13 oracle-bearing operators (zero driver history) MUST lead
-    "p111_", "p113_",
+    "p111_", "p113_", "p114_", "p115_", "p116_", "p117_", "p118_",
+    "q64_", "q65_", "q66_",
     # then the eight green-r9-history entries the r12 cut pushed out
     # (p48 + p62..p68, exactly as documented at r12 close)
     "p48_", "p62_", "p63_", "p64_", "p65_", "p66_", "p67_", "p68_",
     # then the r10-graded cohort in CORRECTNESS_r10 record order; the
-    # [:50] cut lands after q37 — q51 (green r10 history) plus q01/
-    # p01-p05/p11/p12 rotate in r14
+    # [:50] cut lands after p61 — q29..q51 (green r10 history) plus
+    # q01/p01-p05/p11/p12 rotate in r14
     "p101_", "q58_", "p99_", "p100_", "p94_", "p95_", "p96_", "p97_",
     "p98_", "p91_", "p92_", "p93_", "q56_", "q57_", "p89_", "p90_",
     "p69_", "q44_", "p49_", "p51_", "p53_", "p54_", "q54_", "q55_",

@@ -216,3 +216,479 @@ def p112_multimodal_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal_curation_report(
         a, max_silence=0.022, max_clipped=0.05, min_frames=10
     )
+
+
+from pyspark.sql.window import Window  # noqa: E402
+
+
+@register(
+    "q64_unpivot_measures",
+    oracle="""
+    SELECT measure,
+           round(sum(v), 4) AS total,
+           CAST(count(*) AS BIGINT) AS n_rows
+    FROM lineitem UNPIVOT (v FOR measure IN (l_quantity, l_extendedprice,
+                                             l_discount, l_tax))
+    GROUP BY measure
+    """,
+    description="UNPIVOT (wide measures -> long form) + per-measure "
+    "aggregate: the SQL-standard relational UNPIVOT form, which duck_sql "
+    "passes through UNREWRITTEN because Spark (3.4+) and DuckDB both "
+    "parse it natively with the same EXCLUDE-NULLS default — the oracle "
+    "is the IDENTICAL SQL string. DuckDB's statement form (UNPIVOT t ON "
+    "cols INTO NAME n VALUE v) is rewritten to this form by "
+    "compat.rewrite_unpivot_statement (cross-engine pytest in "
+    "test_compat.py); DuckDB-only elaborations (COLUMNS(*), multi-VALUE) "
+    "raise loud bind-time errors. Float sums rounded 4dp on both sides "
+    "(summation-order convention). Scale shape: UNPIVOT is a map-side "
+    "Expand (4x rows, no shuffle) feeding ONE partial-agg groupBy to 4 "
+    "rows — the same plan family as ROLLUP/CUBE (q14/q15).",
+)
+def q64_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duckdb_cloudflare_spark.compat import duck_sql
+
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("__q64_lineitem")
+    return duck_sql(
+        spark,
+        """
+        SELECT measure,
+               round(sum(v), 4) AS total,
+               CAST(count(*) AS BIGINT) AS n_rows
+        FROM __q64_lineitem UNPIVOT (v FOR measure IN (l_quantity,
+                l_extendedprice, l_discount, l_tax))
+        GROUP BY measure
+        """,
+    )
+
+
+@register(
+    "q65_event_anomaly_dense",
+    oracle="""
+    WITH hourly AS (
+        SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+               count(*) AS n
+        FROM events WHERE ts IS NOT NULL
+        GROUP BY 1, 2
+    ), bounds AS (
+        SELECT min(hour) AS mn, max(hour) AS mx FROM hourly
+    ), spine AS (
+        SELECT t.event_type, u.h AS hour
+        FROM (SELECT DISTINCT event_type FROM hourly) t
+        CROSS JOIN (SELECT unnest(generate_series((SELECT mn FROM bounds),
+                                                  (SELECT mx FROM bounds),
+                                                  INTERVAL 1 HOUR)) AS h) u
+    ), dense AS (
+        SELECT s.event_type, s.hour, COALESCE(h.n, 0) AS n
+        FROM spine s LEFT JOIN hourly h
+          ON s.event_type = h.event_type AND s.hour = h.hour
+    ), framed AS (
+        SELECT event_type, hour, n,
+               sum(n)     OVER w AS s,
+               sum(n * n) OVER w AS sq,
+               count(*)   OVER w AS w_n
+        FROM dense
+        WINDOW w AS (PARTITION BY event_type ORDER BY hour
+                     ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_type, hour, CAST(n AS BIGINT) AS n,
+           s / 24.0 AS trailing_mean,
+           (n - s / 24.0) / sqrt((sq - s * s / 24.0) / 23.0) AS zscore
+    FROM framed
+    WHERE w_n = 24 AND (sq - s * s / 24.0) > 0
+      AND abs((n - s / 24.0) / sqrt((sq - s * s / 24.0) / 23.0)) > 2.5
+    """,
+    description="q61's CALENDAR-hours twin — the densified variant q61's "
+    "module doc points at: the hourly fold is left-joined onto an hour "
+    "SPINE (sequence/generate_series between the corpus's min and max "
+    "hour, crossed with the observed event types), zero-event hours "
+    "scored as n=0, so the trailing-24 window always spans exactly 24 "
+    "CALENDAR hours and a quiet night no longer stretches the baseline "
+    "(the monitoring semantic; q61 pins the observed-hours one). Same "
+    "exact-integer-sum IEEE z-score tree as q61 — gate can't flip. "
+    "Scale shape: the spine is types x hours rows built from a 1-row "
+    "broadcast bounds fold and joined against the ALREADY-FOLDED hourly "
+    "table (never the corpus); the corpus still crosses the wire exactly "
+    "once (the q61 partial agg). The streaming twin anomaly_stream "
+    "keeps observed-hours semantics (a gap hour never closes a state "
+    "window at ingest) — documented divergence.",
+)
+def q65_event_anomaly_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    hourly = (
+        e.filter(F.col("ts").isNotNull())
+        .groupBy("event_type", F.date_trunc("hour", "ts").alias("hour"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    bounds = hourly.agg(F.min("hour").alias("mn"), F.max("hour").alias("mx"))
+    types = hourly.select("event_type").distinct()
+    spine = types.crossJoin(F.broadcast(bounds)).select(
+        "event_type",
+        F.explode(F.expr("sequence(mn, mx, interval 1 hour)")).alias("hour"),
+    )
+    dense = spine.join(hourly, ["event_type", "hour"], "left").select(
+        "event_type", "hour", F.coalesce("n", F.lit(0)).alias("n")
+    )
+    w = Window.partitionBy("event_type").orderBy("hour").rowsBetween(-24, -1)
+    framed = dense.select(
+        "event_type",
+        "hour",
+        "n",
+        F.sum("n").over(w).alias("s"),
+        F.sum(F.col("n") * F.col("n")).over(w).alias("sq"),
+        F.count(F.lit(1)).over(w).alias("w_n"),
+    )
+    mu = F.col("s") / F.lit(24.0)
+    var = (F.col("sq") - F.col("s") * F.col("s") / F.lit(24.0)) / F.lit(23.0)
+    z = (F.col("n") - mu) / F.sqrt(var)
+    return (
+        framed.filter(
+            (F.col("w_n") == 24)
+            & ((F.col("sq") - F.col("s") * F.col("s") / F.lit(24.0)) > 0)
+            & (F.abs(z) > 2.5)
+        )
+        .select(
+            "event_type",
+            "hour",
+            "n",
+            mu.alias("trailing_mean"),
+            z.alias("zscore"),
+        )
+    )
+
+
+@register(
+    "p114_bigram_lm_quality",
+    oracle=r"""
+    WITH docs AS (
+        SELECT doc_id, lang = 'en' AS t,
+               list_transform(string_split_regex(trim(text), '\s+'),
+                   tok -> CAST(('0x' || substr(md5(lower(tok)), 1, 8))
+                               AS BIGINT) % 256) AS bk
+        FROM documents
+        WHERE length(trim(text)) > 0
+    ), pairs AS (
+        SELECT doc_id, t, bk[i] AS h1, bk[i + 1] AS h2
+        FROM (SELECT doc_id, t, bk,
+                     unnest(generate_series(1, len(bk) - 1)) AS i
+              FROM docs WHERE len(bk) >= 2)
+    ), cb AS (
+        SELECT h1, h2, count(*) AS cb FROM pairs WHERE t GROUP BY 1, 2
+    ), cu AS (
+        SELECT h1, count(*) AS cu FROM pairs WHERE t GROUP BY 1
+    ), scored AS (
+        SELECT p.doc_id,
+               CAST(round(ln(CAST(COALESCE(cb.cb, 0) + 1 AS DOUBLE)
+                             / CAST(COALESCE(cu.cu, 0) + 256 AS DOUBLE))
+                          * 1000000.0) AS BIGINT) AS lp_micro
+        FROM pairs p
+        LEFT JOIN cb ON p.h1 = cb.h1 AND p.h2 = cb.h2
+        LEFT JOIN cu ON p.h1 = cu.h1
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           -CAST(sum(lp_micro) AS DOUBLE)
+               / (CAST(count(*) AS DOUBLE) * 1000000.0) AS bigram_xent
+    FROM scored GROUP BY doc_id
+    """,
+    description="CCNet-style LM quality gate (Wenzek et al. 2020): "
+    "add-one-smoothed BIGRAM statistics trained on the lang='en' target "
+    "slice over md5-mod-256 token buckets (the p57/p70/p83 hash idiom), "
+    "every document scored by per-bigram cross-entropy under that model "
+    "— low = looks like the reference domain (CCNet gates on exactly "
+    "this number from a wiki-trained KenLM; the operator takes any "
+    "target predicate). Distinct from p50's SELF-trained word-level "
+    "bigram logprob in both pieces that matter at scale: the model is "
+    "trained on a CHOSEN reference slice (domain gate, not fluency "
+    "self-score), and bucketing caps it at B²+B rows so it BROADCASTS "
+    "at any corpus size where p50's vocab-sized tables must shuffle-"
+    "join. operators/text_analysis.py::bigram_xent. Scale "
+    "shape: bigrams built MAP-SIDE (zip of the bucket array with its own "
+    "tail — no positional join, no window), model bounded at B²+B rows "
+    "by construction (broadcast at any corpus size), scoring = two "
+    "broadcast joins + ONE doc-keyed agg; the corpus shuffles once. "
+    "Determinism: per-bigram log-prob canonicalized as micro-unit bigint "
+    "(p83's convention — 6dp rounding buries libm last-ulp drift), "
+    "per-doc exact integer sums, final xent = ONE unrounded exact-"
+    "integer division (q48 rule).",
+)
+def p114_bigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duckdb_cloudflare_spark.operators.dedup import ensure_parallelism
+    from duckdb_cloudflare_spark.operators.text_analysis import bigram_xent
+
+    d = ensure_parallelism(load(spark, sf_dir, "documents"))
+    return bigram_xent(d, target=F.col("lang") == F.lit("en"))
+
+
+@register(
+    "p115_sq8_quantization",
+    oracle="""
+    WITH el AS (
+        SELECT vec_id, i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS x
+        FROM (SELECT vec_id, embedding,
+                     unnest(generate_series(1, len(embedding))) AS i
+              FROM embeddings WHERE vec_id IS NOT NULL)
+    ), stats AS (
+        SELECT dim, min(x) AS dmin, max(x) AS dmax FROM el GROUP BY dim
+    ), errs AS (
+        SELECT vec_id,
+               CAST(round((x - xhat) * (x - xhat) * 1e12) AS BIGINT) AS e2_pico,
+               CAST(round(abs(x - xhat) * 1e9) AS BIGINT) AS ae_nano
+        FROM (
+            SELECT e.vec_id, e.x,
+                   s.dmin + (CASE WHEN s.dmax - s.dmin = 0 THEN 0
+                             ELSE least(255.0, greatest(0.0,
+                                  floor((e.x - s.dmin) * 255.0
+                                        / (s.dmax - s.dmin) + 0.5)))
+                             END) * (s.dmax - s.dmin) / 255.0 AS xhat
+            FROM el e JOIN stats s ON e.dim = s.dim)
+    )
+    SELECT vec_id, CAST(count(*) AS BIGINT) AS n_dims,
+           CAST(sum(e2_pico) AS DOUBLE) / (CAST(count(*) AS DOUBLE) * 1e12)
+               AS mse,
+           CAST(max(ae_nano) AS DOUBLE) / 1e9 AS max_abs_err
+    FROM errs GROUP BY vec_id
+    """,
+    description="Int8 scalar quantization (SQ8) audit over the embedding "
+    "column — the 4x-memory compression an ANN tier applies before "
+    "indexing (FAISS/Milvus SQ8) plus the per-vector reconstruction-"
+    "error report that says whether the distortion is tolerable BEFORE "
+    "the index is built: per-dim corpus min/max -> linear 0..255 code -> "
+    "dequantize -> (vec_id, n_dims, mse, max_abs_err). operators/"
+    "similarity.py::sq8_audit. Determinism: min/max involve no "
+    "summation; the code uses floor(v + 0.5), NOT round() — a linear "
+    "code hits exact decimal halves by construction, the q48 round()-"
+    "divergence trap, dodged structurally; squared errors canonicalized "
+    "as pico-unit bigints (/255 divisions make halves unreachable), "
+    "exact integer sums, ONE unrounded division. Scale shape: one "
+    "posexplode -> per-dim partial agg to 64 broadcast-sized rows -> "
+    "stats broadcast onto a second map pass -> ONE id-keyed partial "
+    "agg; vectors never shuffle, no windows.",
+)
+def p115_sq8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duckdb_cloudflare_spark.operators.dedup import ensure_parallelism
+    from duckdb_cloudflare_spark.operators.similarity import sq8_audit
+
+    return sq8_audit(ensure_parallelism(load(spark, sf_dir, "embeddings")))
+
+
+@register(
+    "p116_jl_projection",
+    oracle="""
+    WITH el AS (
+        SELECT vec_id, i - 1 AS dim,
+               CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000.0)
+                    AS BIGINT) AS x_micro
+        FROM (SELECT vec_id, embedding,
+                     unnest(generate_series(1, len(embedding))) AS i
+              FROM embeddings WHERE vec_id IS NOT NULL)
+    ), mat AS (
+        SELECT k, dim,
+               CASE WHEN CAST(('0x' || substr(md5(CAST(k AS VARCHAR) || '_'
+                         || CAST(dim AS VARCHAR)), 1, 8)) AS BIGINT) % 2 = 0
+                    THEN 1 ELSE -1 END AS s
+        FROM (SELECT unnest(generate_series(0, 15)) AS k),
+             (SELECT unnest(generate_series(0, 63)) AS dim)
+    )
+    SELECT e.vec_id, CAST(m.k AS INT) AS k,
+           CAST(sum(m.s * e.x_micro) AS DOUBLE) / 1000000.0 / sqrt(16.0) AS y
+    FROM el e JOIN mat m ON e.dim = m.dim
+    GROUP BY e.vec_id, m.k
+    """,
+    description="Johnson-Lindenstrauss sign projection 64 -> 16 dims "
+    "(Achlioptas 2003: +/-1 entries preserve pairwise geometry like "
+    "Gaussians) with a DETERMINISTIC matrix — s(k,j) from md5(k||'_'||j) "
+    "parity, the repo's cross-engine hash idiom, so the matrix needs no "
+    "RNG state, no driver materialization, no collect, and any engine "
+    "reproduces it bit-for-bit. The 4x dimensionality cut is what makes "
+    "a brute-force/IVF pass over 100 TB of vectors 4x cheaper (JL bound: "
+    "pairwise distances survive — distortion audit pinned vs numpy in "
+    "tests/test_r13_ops.py). operators/similarity.py::jl_project; "
+    "long-form output (vec_id, k, y). Determinism: elements "
+    "canonicalized as micro-unit bigints BEFORE any arithmetic, each "
+    "coordinate an exact +/--signed integer FOLD (integer addition "
+    "commutes — any order agrees), y = two divisions by exact "
+    "constants, unrounded (q48 rule). Scale shape: the sign matrix is "
+    "a PLAN-TIME CONSTANT (deterministic in (k,j)), materialized as "
+    "literal arrays — the projection is MAP-ONLY: K codegen array "
+    "folds per row + a 16-element posexplode, zero joins, zero "
+    "shuffles; nothing crosses the wire at any corpus size. The SQL "
+    "oracle re-derives the matrix from md5 IN-DATABASE, pinning the "
+    "literal constants to the hash derivation.",
+)
+def p116_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duckdb_cloudflare_spark.operators.dedup import ensure_parallelism
+    from duckdb_cloudflare_spark.operators.similarity import jl_project
+
+    return jl_project(
+        ensure_parallelism(load(spark, sf_dir, "embeddings")),
+        out_dims=16,
+        in_dims=64,
+    )
+
+
+@register(
+    "p117_split_leakage",
+    oracle=r"""
+    WITH d AS (
+        SELECT doc_id,
+               CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                              1, 8)) AS BIGINT) % 100 < 80 THEN 'train'
+                    WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                              1, 8)) AS BIGINT) % 100 < 90 THEN 'valid'
+                    ELSE 'test' END AS split,
+               string_split_regex(trim(lower(text)), '\s+') AS ts
+        FROM documents
+    ), sh AS (
+        SELECT doc_id, split,
+               unnest(list_distinct(
+                   CASE WHEN len(ts) >= 5 THEN
+                       list_transform(generate_series(1, len(ts) - 4),
+                           i -> ts[i] || ' ' || ts[i + 1] || ' ' || ts[i + 2]
+                                || ' ' || ts[i + 3] || ' ' || ts[i + 4])
+                   ELSE CAST([] AS VARCHAR[]) END)) AS sh
+        FROM d
+    ), tr AS (
+        SELECT DISTINCT sh FROM sh WHERE split = 'train'
+    ), ev AS (
+        SELECT s.split,
+               count(DISTINCT CASE WHEN t.sh IS NOT NULL THEN s.doc_id END)
+                   AS n_contaminated,
+               count(DISTINCT CASE WHEN t.sh IS NOT NULL THEN s.sh END)
+                   AS n_shared_shingles
+        FROM sh s LEFT JOIN tr t ON s.sh = t.sh
+        WHERE s.split <> 'train'
+        GROUP BY s.split
+    ), per_split AS (
+        SELECT split, count(*) AS n_docs
+        FROM d WHERE split <> 'train' GROUP BY split
+    )
+    SELECT p.split, CAST(p.n_docs AS BIGINT) AS n_docs,
+           CAST(COALESCE(e.n_contaminated, 0) AS BIGINT) AS n_contaminated,
+           CAST(COALESCE(e.n_contaminated, 0) AS DOUBLE)
+               / CAST(p.n_docs AS DOUBLE) AS contamination_rate,
+           CAST(COALESCE(e.n_shared_shingles, 0) AS BIGINT)
+               AS n_shared_shingles
+    FROM per_split p LEFT JOIN ev e ON p.split = e.split
+    """,
+    description="Deterministic train/valid/test hash split (md5 of "
+    "doc_id mod 100: 80/10/10 — a map-side FUNCTION of the id, no split "
+    "table to store or join) + the cross-split contamination audit a "
+    "pipeline runs BEFORE publishing an eval split: held-out docs "
+    "sharing verbatim word-5-grams with train are compromised (the "
+    "n-gram-overlap decontamination definition, Brown et al. 2020 App. "
+    "C / Lee et al. 2022 — applied BETWEEN the corpus's own splits, the "
+    "leakage mode hash splits do NOT prevent when near-dups land on "
+    "opposite sides of the cut; run dedup FIRST, this measures what's "
+    "left). operators/curation.py::assign_split + split_leakage_report. "
+    "Output per eval split: n_docs, n_contaminated, contamination_rate "
+    "(ONE exact-integer division, unrounded), n_shared_shingles. Scale "
+    "shape: one distinct-shingle explode, train vocabulary collapsed by "
+    "partial-agg DISTINCT, ONE shingle-keyed equi-join (sharded by the "
+    "join key at scale — never broadcast, never collected; "
+    "decontaminate_bloom is the approximate twin this exact path "
+    "sizes), <=2-row fold.",
+)
+def p117_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duckdb_cloudflare_spark.operators.curation import split_leakage_report
+    from duckdb_cloudflare_spark.operators.dedup import ensure_parallelism
+
+    return split_leakage_report(
+        ensure_parallelism(load(spark, sf_dir, "documents")), shingle_k=5
+    )
+
+
+@register(
+    "q66_pivot_status_counts",
+    oracle="""
+    PIVOT orders ON o_orderstatus IN ('O', 'F', 'P')
+    USING count(o_orderkey) GROUP BY o_orderpriority
+    """,
+    description="PIVOT (long -> wide) via DuckDB's PIVOT statement form: "
+    "order counts by priority x status. duck_sql rewrites the statement "
+    "(compat.rewrite_pivot_statement) to the SQL-standard relational "
+    "PIVOT Spark parses natively, pre-projecting the input so DuckDB's "
+    "explicit GROUP BY list wins over Spark's implicit all-remaining-"
+    "columns rule, and aliasing each pivot value to its bare-value "
+    "column name (DuckDB's naming). The oracle is the UNREWRITTEN "
+    "statement — DuckDB runs its native PIVOT. Without an IN list the "
+    "rewrite enumerates distinct values with one driver-side bind-time "
+    "DISTINCT scan, which is DuckDB's own documented PIVOT binding "
+    "behavior (capped 10k, NULL excluded; cross-engine pytest) — the "
+    "graded form passes IN explicitly. Scale shape: pivot plans as ONE "
+    "partial-agg groupBy with conditional aggregates (no Expand on the "
+    "pivot path, no joins, no window); the wide row set is "
+    "|priorities| rows.",
+)
+def q66_pivot_status_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duckdb_cloudflare_spark.compat import duck_sql
+
+    load(spark, sf_dir, "orders").createOrReplaceTempView("__q66_orders")
+    return duck_sql(
+        spark,
+        """
+        PIVOT __q66_orders ON o_orderstatus IN ('O', 'F', 'P')
+        USING count(o_orderkey) GROUP BY o_orderpriority
+        """,
+    )
+
+
+@register(
+    "p118_mix_plan",
+    oracle=r"""
+    WITH per AS (
+        SELECT source, count(*) AS n_docs,
+               sum(CASE WHEN length(trim(text)) = 0 THEN 0
+                   ELSE len(string_split_regex(trim(lower(text)), '\s+'))
+                   END) AS tokens_available
+        FROM documents WHERE text IS NOT NULL
+        GROUP BY source
+        HAVING tokens_available > 0
+    ), pa AS (
+        SELECT *, CAST(round(sqrt(CAST(tokens_available AS DOUBLE))
+                             * 1000000.0) AS BIGINT) AS a_nm
+        FROM per
+    ), tot AS (
+        SELECT sum(tokens_available) AS total_tokens, sum(a_nm) AS a_sum
+        FROM pa
+    ), base AS (
+        SELECT source, n_docs, tokens_available,
+               CAST(a_nm AS DOUBLE) / CAST(a_sum AS DOUBLE) AS mix_weight,
+               CAST(floor(CAST(CAST(floor(CAST(total_tokens AS DOUBLE) * 0.5)
+                               AS BIGINT) AS DOUBLE)
+                          * (CAST(a_nm AS DOUBLE) / CAST(a_sum AS DOUBLE)))
+                    AS BIGINT) AS target_tokens
+        FROM pa CROSS JOIN tot
+    )
+    SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(tokens_available AS BIGINT) AS tokens_available,
+           mix_weight, target_tokens,
+           CAST(target_tokens AS DOUBLE) / CAST(tokens_available AS DOUBLE)
+               AS sampling_rate,
+           CAST((target_tokens + tokens_available - 1) // tokens_available
+                AS BIGINT) AS n_epochs
+    FROM base
+    """,
+    description="Token-budget mixture plan — the per-source sampling "
+    "table a pretraining run publishes in its data card (The Pile Table "
+    "1, LLaMA's sampling proportions): per-source token counts, tau=0.5 "
+    "temperature-flattened mixture weights (sqrt smoothing — the "
+    "XLM-R/mT5 multilingual convention, and exactly ONE IEEE sqrt, "
+    "bit-identical everywhere; a free pow() would drift across libms), "
+    "target tokens against a 50%%-of-corpus budget, sampling rate, and "
+    "the oversampling epoch count (rate > 1 = the small-source repeat "
+    "temperature sampling exists to produce). operators/curation.py::"
+    "mix_plan. Companions: temperature_resample draws DOCS at tau=0.5; "
+    "p80/p86 execute weighted draws — this PLANS the token draw. "
+    "Determinism: sqrt weights canonicalized as micro-unit bigints "
+    "(exact sums), target = floor of an exact-integer-double product "
+    "(floor on BOTH engines — a bare double->bigint CAST truncates in "
+    "Spark but rounds in DuckDB, a cross-engine trap), epochs = integer "
+    "ceiling division, rates = unrounded exact divisions (q48). Scale "
+    "shape: ONE source-keyed partial agg collapses the corpus; a 1-row "
+    "totals fold broadcasts back onto |sources| rows; nothing else "
+    "moves.",
+)
+def p118_mix_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duckdb_cloudflare_spark.operators.curation import mix_plan
+    from duckdb_cloudflare_spark.operators.dedup import ensure_parallelism
+
+    return mix_plan(ensure_parallelism(load(spark, sf_dir, "documents")))

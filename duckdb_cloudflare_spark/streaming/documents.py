@@ -355,3 +355,85 @@ def image_dedup_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def quality_stream(
+    stream: DataFrame,
+    pair_lp: "DataFrame",
+    ctx_lp: "DataFrame",
+    default_lp_micro: int,
+    text_col: str = "text",
+    n_buckets: int = 256,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Streaming twin of batch p114 (``bigram_xent``): score ARRIVING
+    documents against a pre-trained bigram LM — the CCNet gate applied
+    at ingest, so off-domain documents are tagged (or dropped
+    downstream) before they land in the corpus, instead of swept after.
+
+    The model tables come from ``bigram_model`` and are BOUNDED BY
+    CONSTRUCTION at B² + B rows (B=256 → ≤65,792), so collecting them
+    to the driver here is the same bounded-by-contract collect as the
+    ANN query side (similarity.py) — never corpus-scale. Scoring is
+    then MAP-ONLY per micro-batch (an Arrow-batched pandas stage): no
+    stream-side state, no shuffle, no watermark needed; model updates
+    are picked up by restarting the query with a re-fit model
+    (documented contract — the static-side-rebroadcast shape of
+    decontaminate_stream does not apply because per-doc scoring is an
+    aggregation over the doc's OWN bigrams, not a row-level join).
+
+    Equality contract (pinned in tests/test_streaming_pack.py): the
+    emitted (n_bigrams, bigram_xent) are BIT-FOR-BIT equal to batch
+    ``bigram_xent`` on the same documents — the model ships the SAME
+    micro-int log-probs the batch operator derives, per-doc sums are
+    exact integer arithmetic in both paths, and the final division is
+    the same two exact-integer doubles. Documents with fewer than two
+    tokens (which the batch operator excludes) pass through with NULL
+    score columns — an ingest stream must stay total."""
+    import hashlib
+    import re as _re
+
+    pairs = {
+        (r["h1"], r["h2"]): r["lp_micro"] for r in pair_lp.collect()
+    }
+    ctx = {r["h1"]: r["lp0_micro"] for r in ctx_lp.collect()}
+    micro = float(10**round_dp)
+
+    def _score(pdfs):
+        for pdf in pdfs:
+            n_out, x_out = [], []
+            for text in pdf[text_col]:
+                t = (text or "").strip()
+                toks = _re.split(r"\s+", t) if t else []
+                if len(toks) < 2:
+                    n_out.append(None)
+                    x_out.append(None)
+                    continue
+                bk = [
+                    int(
+                        hashlib.md5(w.lower().encode("utf-8")).hexdigest()[:8],
+                        16,
+                    )
+                    % n_buckets
+                    for w in toks
+                ]
+                s = 0
+                for a, b in zip(bk, bk[1:]):
+                    lp = pairs.get((a, b))
+                    if lp is None:
+                        lp = ctx.get(a, default_lp_micro)
+                    s += lp
+                n = len(bk) - 1
+                n_out.append(n)
+                x_out.append(-float(s) / (float(n) * micro))
+            out = pdf.copy()
+            out["n_bigrams"] = pd.Series(n_out, dtype="object")
+            out["bigram_xent"] = pd.Series(x_out, dtype="object")
+            yield out
+
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in stream.schema.fields
+    )
+    return stream.mapInPandas(
+        _score, schema=f"{schema}, n_bigrams long, bigram_xent double"
+    )

@@ -1248,3 +1248,144 @@ class TestUnionByName:
             spark, "SELECT id FROM a UNION ALL SELECT id FROM c"
         ).collect()
         assert sorted(r["id"] for r in rows) == [1, 2, 7]
+
+
+class TestUnpivotStatement:
+    """DuckDB's UNPIVOT statement form -> the SQL-standard relational form
+    (which Spark 3.4+ parses natively with the same EXCLUDE-NULLS
+    default, so the standard form passes through duck_sql unrewritten)."""
+
+    def _tables(self, spark, duck):
+        spark.createDataFrame(
+            [(1, 10.0, 20.0, None), (2, 1.5, None, 3.25)],
+            "id int, a double, b double, c double",
+        ).createOrReplaceTempView("__unp")
+        duck.sql("CREATE OR REPLACE TABLE __unp AS SELECT * FROM (VALUES "
+                 "(1, 10.0::DOUBLE, 20.0::DOUBLE, NULL::DOUBLE), "
+                 "(2, 1.5::DOUBLE, NULL::DOUBLE, 3.25::DOUBLE)) "
+                 "AS v(id, a, b, c)")
+
+    def test_rewrite_shape(self):
+        from duckdb_cloudflare_spark.compat import rewrite_unpivot_statement
+
+        out = rewrite_unpivot_statement(
+            "UNPIVOT __unp ON a, b, c INTO NAME m VALUE v;"
+        )
+        assert out == (
+            "SELECT * FROM __unp UNPIVOT (v FOR m IN (a, b, c))"
+        )
+        # non-UNPIVOT statements fall through untouched
+        assert rewrite_unpivot_statement("SELECT 1") is None
+        # a table merely NAMED unpivot is not the statement form
+        assert rewrite_unpivot_statement("SELECT * FROM unpivot_log") is None
+
+    def test_statement_form_cross_engine(self, t, duck):
+        self._tables(t, duck)
+        stmt = "UNPIVOT __unp ON a, b, c INTO NAME m VALUE v"
+        srows = sorted(tuple(r) for r in duck_sql(t, stmt).collect())
+        drows = sorted(tuple(r) for r in duck.sql(stmt).fetchall())
+        # NULL measures excluded on both engines (EXCLUDE NULLS default)
+        assert srows == drows
+        assert len(srows) == 4
+
+    def test_standard_form_cross_engine_unrewritten(self, t, duck):
+        self._tables(t, duck)
+        body = (
+            "SELECT m, round(sum(v), 4) AS s, CAST(count(*) AS BIGINT) AS n "
+            "FROM __unp UNPIVOT (v FOR m IN (a, b, c)) GROUP BY m"
+        )
+        srows = sorted(tuple(r) for r in duck_sql(t, body).collect())
+        drows = sorted(tuple(r) for r in duck.sql(body).fetchall())
+        assert srows == drows
+
+    def test_loud_errors_on_duckdb_only_shapes(self):
+        from duckdb_cloudflare_spark.compat import rewrite_unpivot_statement
+
+        with pytest.raises(ValueError, match="COLUMNS"):
+            rewrite_unpivot_statement(
+                "UNPIVOT t ON COLUMNS(* EXCLUDE (id)) INTO NAME m VALUE v"
+            )
+        with pytest.raises(ValueError, match="one value column"):
+            rewrite_unpivot_statement(
+                "UNPIVOT t ON a, b INTO NAME m VALUE v1, v2"
+            )
+        with pytest.raises(ValueError, match="unsupported UNPIVOT"):
+            rewrite_unpivot_statement("UNPIVOT t USING weird syntax")
+        with pytest.raises(ValueError, match="plain column identifiers"):
+            rewrite_unpivot_statement(
+                "UNPIVOT t ON a AS 'x', b INTO NAME m VALUE v"
+            )
+
+
+class TestPivotStatement:
+    """DuckDB's PIVOT statement form -> the SQL-standard relational form.
+    GROUP BY pre-projection makes DuckDB's explicit group list win over
+    Spark's implicit all-remaining-columns rule; auto-detect (no IN list)
+    reproduces DuckDB's own bind-time distinct scan."""
+
+    def _tables(self, spark, duck):
+        rows = [
+            ("a", "x", 1, 9), ("a", "y", 2, 9), ("b", "x", 3, 9),
+            ("b", "y", 4, 9), ("b", "y", 5, 9),
+        ]
+        spark.createDataFrame(
+            rows, "g string, p string, v int, noise int"
+        ).createOrReplaceTempView("__piv")
+        duck.sql(
+            "CREATE OR REPLACE TABLE __piv AS SELECT * FROM (VALUES "
+            + ", ".join(str(r) for r in rows)
+            + ") AS t(g, p, v, noise)"
+        )
+
+    def test_rewrite_shape(self):
+        from duckdb_cloudflare_spark.compat import rewrite_pivot_statement
+
+        out = rewrite_pivot_statement(
+            None, "PIVOT t ON p IN ('x', 'y') USING sum(v) GROUP BY g;"
+        )
+        assert out == (
+            "SELECT * FROM (SELECT g, p, v FROM t) "
+            "PIVOT (sum(v) FOR p IN ('x' AS `x`, 'y' AS `y`))"
+        )
+        # no GROUP BY -> both engines group by all remaining columns;
+        # no pre-projection needed
+        out = rewrite_pivot_statement(
+            None, "PIVOT t ON p IN (1, 2) USING count(v)"
+        )
+        assert out == (
+            "SELECT * FROM t PIVOT (count(v) FOR p IN (1 AS `1`, 2 AS `2`))"
+        )
+        assert rewrite_pivot_statement(None, "SELECT 1") is None
+        assert rewrite_pivot_statement(None, "SELECT * FROM pivot_log") is None
+
+    def test_explicit_in_cross_engine(self, t, duck):
+        self._tables(t, duck)
+        stmt = "PIVOT __piv ON p IN ('x', 'y') USING sum(v) GROUP BY g"
+        srows = sorted(tuple(r) for r in duck_sql(t, stmt).collect())
+        drows = sorted(tuple(r) for r in duck.sql(stmt).fetchall())
+        assert srows == drows
+        cols = duck_sql(t, stmt).columns
+        assert cols == ["g", "x", "y"]  # bare-value column names, no noise
+
+    def test_autodetect_matches_duckdb(self, t, duck):
+        self._tables(t, duck)
+        stmt = "PIVOT __piv ON p USING sum(v) GROUP BY g"
+        srows = sorted(tuple(r) for r in duck_sql(t, stmt).collect())
+        drows = sorted(tuple(r) for r in duck.sql(stmt).fetchall())
+        assert srows == drows
+
+    def test_loud_errors(self):
+        from duckdb_cloudflare_spark.compat import rewrite_pivot_statement
+
+        with pytest.raises(ValueError, match="unsupported PIVOT"):
+            rewrite_pivot_statement(
+                None, "PIVOT t ON a, b USING sum(v), max(v)"
+            )
+        with pytest.raises(ValueError, match="at least one value"):
+            rewrite_pivot_statement(None, "PIVOT t ON p IN () USING sum(v)")
+        with pytest.raises(ValueError, match="SparkSession"):
+            rewrite_pivot_statement(None, "PIVOT t ON p USING sum(v)")
+        with pytest.raises(ValueError, match="plain-column"):
+            rewrite_pivot_statement(
+                None, "PIVOT t ON p IN (1) USING sum(v + 1) GROUP BY g"
+            )

@@ -957,3 +957,126 @@ def test_p110_video_scene_stats_map_only(spark, registry):
     assert "ENSURE_REQUIREMENTS" not in plan
     for node in ("Join", "Window", "HashAggregate"):
         assert node not in plan, node
+
+
+def test_q64_unpivot_is_expand_plus_single_agg(spark, registry):
+    """UNPIVOT plans as a map-side Expand (4x rows, no shuffle) feeding
+    ONE partial-aggregated groupBy — the ROLLUP/CUBE plan family. Only
+    the 4 measure columns are read from the 11-column lineitem scan."""
+    from duckdb_cloudflare_spark.plans.introspect import formatted_plan
+
+    df = registry["q64_unpivot_measures"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert "Expand" in plan
+    assert "Join" not in plan and "Window" not in plan
+    assert shuffle_count(df) == 1
+    li = [s for s in read_schemas(df) if "l_quantity" in s]
+    assert li and all(s.count(":") <= 4 for s in li)
+
+
+def test_q65_dense_anomaly_spine_join_on_fold(spark, registry):
+    """q65's hour spine is built from a 1-row broadcast bounds fold and
+    joined against the ALREADY-FOLDED hourly table — never the corpus:
+    no CartesianProduct (the crossJoin side is 1 broadcast row), the
+    corpus crosses the wire exactly once (the partial-agg fold), and the
+    window runs above the dense fold."""
+    from duckdb_cloudflare_spark.plans.introspect import formatted_plan
+
+    df = registry["q65_event_anomaly_dense"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan and "Python" not in plan
+    assert "partial_count" in plan  # the corpus fold combines map-side
+    assert "PushedFilters: [IsNotNull(ts)]" in plan
+    assert plan.index("Window") < plan.index("HashAggregate")
+
+
+def test_p114_bigram_model_broadcast_single_corpus_shuffle(spark, registry):
+    """p114's bigrams are built map-side (array zip — no positional join,
+    no window); the B²-bounded model meets the corpus bigram stream
+    through BROADCAST joins only; the corpus-scale side shuffles once
+    (the doc-keyed agg). A SortMergeJoin would mean the model stopped
+    being treated as broadcast-sized."""
+    from duckdb_cloudflare_spark.plans.introspect import formatted_plan
+
+    df = registry["p114_bigram_lm_quality"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert "Window" not in plan and "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan and "Python" not in plan
+    assert broadcast_join_count(df) >= 2
+    assert "partial_count" in plan
+
+
+def test_p115_sq8_stats_broadcast_no_window(spark, registry):
+    """p115: per-dim stats fold to 64 rows and come back as a BROADCAST
+    join onto the element stream; one id-keyed partial agg; vectors
+    never shuffle, no windows, no Python."""
+    from duckdb_cloudflare_spark.plans.introspect import formatted_plan
+
+    df = registry["p115_sq8_quantization"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert "Window" not in plan and "SortMergeJoin" not in plan
+    assert "Python" not in plan
+    assert broadcast_join_count(df) >= 1
+    assert "partial_count" in plan
+
+
+def test_p116_jl_projection_map_only(spark, registry):
+    """p116: the sign matrix is a PLAN-TIME CONSTANT (literal arrays), so
+    the projection is MAP-ONLY — K integer array folds per row inside
+    codegen plus a 16-element posexplode. No joins of any kind, no
+    window, no Python, and zero shuffles beyond the parallelism split:
+    nothing crosses the wire at any corpus size."""
+    from duckdb_cloudflare_spark.plans.introspect import formatted_plan
+
+    df = registry["p116_jl_projection"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert "Window" not in plan and "Join" not in plan
+    assert "Python" not in plan
+    assert shuffle_count(df) <= 1  # the ensure_parallelism split only
+    assert "Generate" in plan  # the 16-element posexplode
+
+
+def test_p117_leakage_shingle_join_never_broadcast_corpus(spark, registry):
+    """p117's train-vocabulary join is keyed by shingle and may shuffle
+    (that IS the 100 TB plan — the vocabulary is corpus-sized and must
+    shard by the join key, never broadcast); what the plan must NOT
+    contain: a cartesian, a window over the corpus, or Python. The
+    distinct on the train side partial-aggregates map-side."""
+    from duckdb_cloudflare_spark.plans.introspect import formatted_plan
+
+    df = registry["p117_split_leakage"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan and "Python" not in plan
+    assert "Window" not in plan
+    assert "partial_count" in plan
+
+
+def test_q66_pivot_single_agg_no_expand(spark, registry):
+    """The PIVOT rewrite plans as ONE partial-agg groupBy with
+    conditional aggregates over the pre-projected input — no joins, no
+    window, no Expand (pivot is not the UNPIVOT path), one shuffle."""
+    from duckdb_cloudflare_spark.plans.introspect import formatted_plan
+
+    df = registry["q66_pivot_status_counts"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert "Join" not in plan and "Window" not in plan
+    # Spark plans PIVOT as two aggregates (pre-agg on (grp, pivot), then
+    # the pivot agg) — two exchanges, both over tiny grouped data
+    assert shuffle_count(df) <= 2
+    # only the three projected columns reach the orders scan
+    oschemas = [s for s in read_schemas(df) if "o_orderpriority" in s]
+    assert oschemas and all(s.count(":") <= 3 for s in oschemas)
+
+
+def test_p118_mix_plan_fold_only(spark, registry):
+    """p118 touches the corpus once (the source-keyed partial agg); the
+    totals fold is 1 row and comes back as a broadcast; nothing else
+    shuffles — no window, no Python, no cartesian blowup (the crossJoin
+    side is the 1-row totals)."""
+    from duckdb_cloudflare_spark.plans.introspect import formatted_plan
+
+    df = registry["p118_mix_plan"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert "Window" not in plan and "Python" not in plan
+    assert "CartesianProduct" not in plan
+    assert "partial_count" in plan or "partial_sum" in plan

@@ -391,3 +391,407 @@ def test_bpe_token_counts_rejects_bad_n_merges(spark):
     df = spark.createDataFrame([("ab",)], "text string")
     with pytest.raises(ValueError, match="n_merges >= 1"):
         bpe_token_counts(df, n_merges=0)
+
+
+# ---------------------------------------------------------------------------
+# q65 — calendar-hours densified anomaly twin
+# ---------------------------------------------------------------------------
+
+
+def _half_up(x: float) -> int:
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return int(Decimal(x).to_integral_value(rounding=ROUND_HALF_UP))
+
+
+def test_q65_dense_window_is_calendar_hours(spark):
+    """q65 densifies with an hour spine: the same spike-after-a-gap
+    fixture q61's observed-hours pin uses now scores the spike against
+    24 CALENDAR hours (14 observed + 10 zero-filled), AND the drop to
+    zero at the gap's first hours is itself flagged (|z| huge vs the
+    jittered baseline) — the monitoring behavior densification buys."""
+    import datetime as dt
+    import math
+
+    import duckdb_cloudflare_spark.queries as Qm
+    from duckdb_cloudflare_spark.queries import all_queries
+
+    base = dt.datetime(2024, 1, 1)
+    rows, eid, counts = [], 0, {}
+    for h in range(24):
+        counts[h] = 11 if h % 2 else 10
+    counts[34] = 300  # spike after a 10-hour silent gap (hours 24..33)
+    for h, n in counts.items():
+        for i in range(n):
+            rows.append(
+                (eid, base + dt.timedelta(hours=h, seconds=i), 7, "click", 1.0, "{}")
+            )
+            eid += 1
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    key = "/t-q65-gap/events"
+    Qm._TABLE_CACHE[key] = df
+    try:
+        out = {
+            r["hour"]: r
+            for r in all_queries()["q65_event_anomaly_dense"](
+                spark, "/t-q65-gap"
+            ).collect()
+        }
+    finally:
+        Qm._TABLE_CACHE.pop(key, None)
+
+    # python reference over the DENSE series 0..34
+    dense = [counts.get(h, 0) for h in range(35)]
+    expect = {}
+    for h in range(35):
+        w = dense[max(0, h - 24):h]
+        if len(w) < 24:
+            continue
+        s, sq = sum(w), sum(v * v for v in w)
+        var = (sq - s * s / 24.0) / 23.0
+        if (sq - s * s / 24.0) <= 0:
+            continue
+        z = (dense[h] - s / 24.0) / math.sqrt(var)
+        if abs(z) > 2.5:
+            expect[base + dt.timedelta(hours=h)] = (dense[h], s / 24.0, z)
+    assert set(out) == set(expect) and len(expect) >= 2
+    for hour, (n, mu, z) in expect.items():
+        assert out[hour]["n"] == n
+        assert out[hour]["trailing_mean"] == mu
+        assert abs(out[hour]["zscore"] - z) < 1e-9
+    # the spike AND the drop-to-zero are both flagged (q61 flags only the
+    # spike — the observed-hours pin next door)
+    assert base + dt.timedelta(hours=34) in out
+    assert base + dt.timedelta(hours=24) in out
+    assert out[base + dt.timedelta(hours=24)]["zscore"] < -2.5
+
+
+# ---------------------------------------------------------------------------
+# p114 — bigram LM cross-entropy (CCNet-style quality gate)
+# ---------------------------------------------------------------------------
+
+
+def _bigram_reference(docs, n_buckets=256):
+    """(id, text, is_target) -> {id: (n_bigrams, xent)} — mirrors
+    bigram_xent bit-for-bit (md5 buckets, half-up micro rounding)."""
+    import hashlib
+    import math
+
+    def bucket(tok):
+        return (
+            int(hashlib.md5(tok.lower().encode()).hexdigest()[:8], 16) % n_buckets
+        )
+
+    import re as _re
+
+    def toks(text):
+        t = (text or "").strip()
+        return _re.split(r"\s+", t) if t else []
+
+    cb, cu = {}, {}
+    for _, text, tgt in docs:
+        bk = [bucket(t) for t in toks(text)]
+        if tgt and len(bk) >= 2:
+            for a, b in zip(bk, bk[1:]):
+                cb[(a, b)] = cb.get((a, b), 0) + 1
+                cu[a] = cu.get(a, 0) + 1
+    out = {}
+    for did, text, _ in docs:
+        bk = [bucket(t) for t in toks(text)]
+        if len(bk) < 2:
+            continue
+        lps = [
+            _half_up(
+                math.log(
+                    (cb.get((a, b), 0) + 1) / (cu.get(a, 0) + n_buckets)
+                )
+                * 1e6
+            )
+            for a, b in zip(bk, bk[1:])
+        ]
+        out[did] = (len(lps), -sum(lps) / (len(lps) * 1e6))
+    return out
+
+
+def test_p114_bigram_xent_matches_python_reference(spark):
+    from duckdb_cloudflare_spark.operators.text_analysis import bigram_xent
+
+    docs = [
+        (1, "the cat sat on the mat", True),
+        (2, "the cat sat", True),
+        (3, "zq zq xv xv zq", False),   # off-model: high xent
+        (4, "the cat sat on the mat", False),  # on-model but non-target
+        (5, "one", False),              # < 2 tokens: excluded
+        (6, "", True),                  # blank: excluded
+    ]
+    df = spark.createDataFrame(
+        [(i, t, tg) for i, t, tg in docs], "doc_id long, text string, tgt boolean"
+    )
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["bigram_xent"])
+        for r in bigram_xent(df, target=F.col("tgt")).collect()
+    }
+    want = _bigram_reference(docs)
+    assert set(got) == set(want)
+    for did in want:
+        assert got[did][0] == want[did][0]
+        assert abs(got[did][1] - want[did][1]) < 1e-12, did
+    # the gate's point: on-model text scores LOWER than off-model text
+    assert got[4][1] < got[3][1]
+    # identical text scores identically regardless of target membership
+    assert got[1] == got[4]
+
+
+def test_p114_target_language_scores_lower_on_testdata(spark, sf_dir):
+    from duckdb_cloudflare_spark.queries import all_queries
+
+    out = all_queries()["p114_bigram_lm_quality"](spark, sf_dir)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang"
+    )
+    j = out.join(docs, "doc_id").groupBy(F.col("lang") == "en").agg(
+        F.avg("bigram_xent").alias("m")
+    )
+    m = {r[0]: r["m"] for r in j.collect()}
+    assert m[True] < m[False]
+
+
+# ---------------------------------------------------------------------------
+# p115 — SQ8 quantization audit
+# ---------------------------------------------------------------------------
+
+
+def test_p115_sq8_matches_python_reference(spark):
+    import math
+
+    from duckdb_cloudflare_spark.operators.similarity import sq8_audit
+
+    vecs = {
+        1: [0.0, 10.0, 5.0, 1.0],
+        2: [1.0, 20.0, 5.0, 1.0],
+        3: [0.25, 13.37, 5.0, 1.0],   # dims 2,3 constant: rng=0 -> err 0
+        4: [0.777, 15.5, 5.0, 1.0],
+    }
+    df = spark.createDataFrame(
+        [(k, [float(x) for x in v]) for k, v in vecs.items()],
+        "vec_id long, embedding array<float>",
+    )
+    got = {
+        r["vec_id"]: (r["n_dims"], r["mse"], r["max_abs_err"])
+        for r in sq8_audit(df).collect()
+    }
+    import numpy as np
+
+    arr = {k: np.array(v, dtype=np.float32).astype(np.float64) for k, v in vecs.items()}
+    dmin = np.min(np.stack(list(arr.values())), axis=0)
+    dmax = np.max(np.stack(list(arr.values())), axis=0)
+    for k, v in arr.items():
+        e2s, aes = [], []
+        for j, x in enumerate(v):
+            rng = dmax[j] - dmin[j]
+            if rng == 0:
+                q = 0.0
+            else:
+                q = min(255.0, max(0.0, math.floor((x - dmin[j]) * 255.0 / rng + 0.5)))
+            xhat = dmin[j] + q * rng / 255.0
+            e = x - xhat
+            e2s.append(_half_up(e * e * 1e12))
+            aes.append(_half_up(abs(e) * 1e9))
+        n, mse, mae = got[k]
+        assert n == len(v)
+        assert abs(mse - sum(e2s) / (len(v) * 1e12)) < 1e-15
+        assert abs(mae - max(aes) / 1e9) < 1e-12
+        # linear-code guarantee: error never exceeds half a step
+        step = max((dmax - dmin) / 255.0)
+        assert mae <= step / 2 + 1e-9
+    # constant dims reconstruct exactly: vector 1 has err only on dims 0,1
+    assert got[1][2] >= 0.0
+
+
+# ---------------------------------------------------------------------------
+# p116 — JL sign projection
+# ---------------------------------------------------------------------------
+
+
+def _jl_reference(vecs, out_dims=16, in_dims=64):
+    import hashlib
+    import math
+
+    import numpy as np
+
+    S = np.zeros((out_dims, in_dims))
+    for k in range(out_dims):
+        for j in range(in_dims):
+            h = int(hashlib.md5(f"{k}_{j}".encode()).hexdigest()[:8], 16)
+            S[k, j] = 1.0 if h % 2 == 0 else -1.0
+    out = {}
+    for vid, v in vecs.items():
+        xm = np.array([_half_up(float(x) * 1e6) for x in v], dtype=np.int64)
+        ssum = (S[:, : len(xm)] * xm).sum(axis=1)
+        out[vid] = ssum / 1e6 / math.sqrt(out_dims)
+    return out
+
+
+def test_p116_jl_matches_numpy_reference(spark, sf_dir):
+    from duckdb_cloudflare_spark.operators.similarity import jl_project
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(20)
+    vecs = {
+        r["vec_id"]: [float(np.float64(x)) for x in r["embedding"]]
+        for r in emb.collect()
+    }
+    got = {}
+    for r in jl_project(emb).collect():
+        got.setdefault(r["vec_id"], {})[r["k"]] = r["y"]
+    want = _jl_reference(vecs)
+    assert set(got) == set(want)
+    for vid in want:
+        for k in range(16):
+            assert abs(got[vid][k] - want[vid][k]) < 1e-12, (vid, k)
+
+
+import numpy as np  # noqa: E402
+
+
+def test_p116_jl_preserves_pairwise_distance(spark, sf_dir):
+    """The JL point: E[||y_i - y_j||²] = ||x_i - x_j||² for the ±1/√K
+    sign matrix. Averaged over all pairs of the sf0.001 embeddings the
+    squared-distance ratio must concentrate near 1."""
+    from duckdb_cloudflare_spark.operators.similarity import jl_project
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    X, ids = [], []
+    for r in emb.collect():
+        ids.append(r["vec_id"])
+        X.append(np.array(r["embedding"], dtype=np.float64))
+    X = np.stack(X)
+    proj = {}
+    for r in jl_project(emb).collect():
+        proj.setdefault(r["vec_id"], [0.0] * 16)[r["k"]] = r["y"]
+    Y = np.stack([np.array(proj[i]) for i in ids])
+    ratios = []
+    n = len(ids)
+    for i in range(n):
+        for j in range(i + 1, n):
+            dx = ((X[i] - X[j]) ** 2).sum()
+            if dx == 0:
+                continue
+            dy = ((Y[i] - Y[j]) ** 2).sum()
+            ratios.append(dy / dx)
+    m = float(np.mean(ratios))
+    assert 0.7 < m < 1.3, m
+    # and individual pairs stay within a loose JL band for K=16
+    assert float(np.quantile(ratios, 0.99)) < 3.0
+
+
+# ---------------------------------------------------------------------------
+# p117 — split assignment + cross-split leakage audit
+# ---------------------------------------------------------------------------
+
+
+def _py_split(doc_id, train_pct=80, valid_pct=10):
+    import hashlib
+
+    b = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:8], 16) % 100
+    return "train" if b < train_pct else ("valid" if b < train_pct + valid_pct else "test")
+
+
+def test_p117_split_proportions_and_determinism(spark):
+    from duckdb_cloudflare_spark.operators.curation import assign_split
+
+    df = spark.range(10_000).select(F.col("id").alias("doc_id"))
+    counts = {
+        r["split"]: r["count"]
+        for r in df.select(assign_split().alias("split")).groupBy("split").count().collect()
+    }
+    assert abs(counts["train"] / 10_000 - 0.80) < 0.02
+    assert abs(counts["valid"] / 10_000 - 0.10) < 0.01
+    assert abs(counts["test"] / 10_000 - 0.10) < 0.01
+    # cross-engine / cross-run determinism: matches the python mirror
+    sample = df.select("doc_id", assign_split().alias("split")).limit(200).collect()
+    for r in sample:
+        assert r["split"] == _py_split(r["doc_id"])
+
+
+def test_p117_planted_leak_is_counted(spark):
+    from duckdb_cloudflare_spark.operators.curation import split_leakage_report
+
+    # find concrete ids in each split with the python mirror
+    train_ids = [i for i in range(1000) if _py_split(i) == "train"]
+    test_ids = [i for i in range(1000) if _py_split(i) == "test"]
+    valid_ids = [i for i in range(1000) if _py_split(i) == "valid"]
+    leak = "alpha bravo charlie delta echo foxtrot"  # shared 5-grams
+    docs = [
+        (train_ids[0], f"{leak} golf hotel india"),
+        (test_ids[0], f"prefix words {leak}"),            # leaked from train
+        (test_ids[1], "completely novel text with unique tokens here"),
+        (valid_ids[0], "another fully unique validation document text"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r["split"]: r for r in split_leakage_report(df, shingle_k=5).collect()}
+    assert out["test"]["n_docs"] == 2
+    assert out["test"]["n_contaminated"] == 1
+    assert out["test"]["contamination_rate"] == 0.5
+    # "alpha..foxtrot" has two 5-grams; both appear in the test doc
+    assert out["test"]["n_shared_shingles"] == 2
+    assert out["valid"]["n_docs"] == 1
+    assert out["valid"]["n_contaminated"] == 0
+    assert out["valid"]["n_shared_shingles"] == 0
+
+
+# ---------------------------------------------------------------------------
+# p118 — token-budget mixture plan
+# ---------------------------------------------------------------------------
+
+
+def test_p118_mix_plan_closed_form(spark):
+    import math
+
+    from duckdb_cloudflare_spark.operators.curation import mix_plan
+
+    # big source: 4 docs x 100 tokens; small source: 1 doc x 4 tokens
+    docs = [(i, "w " * 99 + "w", "big") for i in range(4)]
+    docs.append((99, "a b c d", "small"))
+    df = spark.createDataFrame(docs, "doc_id long, text string, source string")
+    out = {r["source"]: r for r in mix_plan(df, budget_frac=0.5).collect()}
+
+    t_big, t_small = 400, 4
+    a_big = _half_up(math.sqrt(t_big) * 1e6)      # 20_000_000
+    a_small = _half_up(math.sqrt(t_small) * 1e6)  # 2_000_000
+    a_sum = a_big + a_small
+    T = math.floor((t_big + t_small) * 0.5)       # 202
+    for src, t_s, a_s in (("big", t_big, a_big), ("small", t_small, a_small)):
+        r = out[src]
+        assert r["tokens_available"] == t_s
+        assert r["mix_weight"] == a_s / a_sum
+        assert r["target_tokens"] == math.floor(T * (a_s / a_sum))
+        assert r["sampling_rate"] == r["target_tokens"] / t_s
+        assert r["n_epochs"] == -(-r["target_tokens"] // t_s)  # ceil div
+    # sqrt flattening upweights the small source past its token share:
+    # proportional share would be 4/404 ~ 1%; sqrt mixing gives ~9%
+    assert out["small"]["mix_weight"] > 0.05
+    # the small source oversamples (rate > 1 -> several epochs), the big
+    # one subsamples (rate < 1, one epoch)
+    assert out["small"]["sampling_rate"] > 1 and out["small"]["n_epochs"] >= 2
+    assert out["big"]["sampling_rate"] < 1 and out["big"]["n_epochs"] == 1
+    # budget respected: total target within T (floor slack < n_sources)
+    assert T - 2 < sum(r["target_tokens"] for r in out.values()) <= T
+
+
+def test_p118_blank_and_null_text_excluded(spark):
+    from duckdb_cloudflare_spark.operators.curation import mix_plan
+
+    df = spark.createDataFrame(
+        [(1, "a b", "s1"), (2, "   ", "s1"), (3, None, "s1"), (4, "", "s2")],
+        "doc_id long, text string, source string",
+    )
+    out = {r["source"]: r for r in mix_plan(df).collect()}
+    # s2 has zero tokens -> excluded entirely; s1 counts the blank doc's
+    # zero tokens but not the NULL row
+    assert set(out) == {"s1"}
+    assert out["s1"]["n_docs"] == 2
+    assert out["s1"]["tokens_available"] == 2

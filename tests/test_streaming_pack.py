@@ -335,3 +335,45 @@ def test_image_dedup_stream_matches_batch_p108_clusters(spark, tmp_path):
         h: c for h, (c, _) in clusters.items()
     }
     assert stream_keepers == {h: k for h, (_, k) in clusters.items()}
+
+
+def test_quality_stream_matches_batch_p114_bit_for_bit(spark, split_docs_dir):
+    """The ingest-time bigram-LM gate must reproduce batch bigram_xent
+    EXACTLY on scored docs (the model ships the batch operator's own
+    micro-int log-probs; per-doc sums are exact integers in both paths),
+    and must stay TOTAL: sub-2-token docs pass through with NULL score."""
+    from duckdb_cloudflare_spark.operators.text_analysis import (
+        bigram_model,
+        bigram_xent,
+    )
+    from duckdb_cloudflare_spark.streaming.documents import (
+        quality_stream,
+        read_document_stream,
+    )
+    from duckdb_cloudflare_spark.streaming.events import run_to_memory
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    target = F.col("lang") == "en"
+    pair_lp, ctx_lp, default_lp = bigram_model(docs, target)
+
+    stream = read_document_stream(spark, split_docs_dir)
+    got = run_to_memory(
+        quality_stream(stream, pair_lp, ctx_lp, default_lp), "quality_out"
+    )
+    stream_scores = {
+        r["doc_id"]: (r["n_bigrams"], r["bigram_xent"])
+        for r in got.select("doc_id", "n_bigrams", "bigram_xent").collect()
+    }
+    batch_scores = {
+        r["doc_id"]: (r["n_bigrams"], r["bigram_xent"])
+        for r in bigram_xent(docs, target=target).collect()
+    }
+    # totality: every source doc came through the stream
+    assert len(stream_scores) == docs.count()
+    # bit-for-bit on every batch-scored doc
+    for did, (n, x) in batch_scores.items():
+        assert stream_scores[did] == (n, x), did
+    # unscorable docs (if any) are NULL, not dropped / not fabricated
+    for did, (n, x) in stream_scores.items():
+        if did not in batch_scores:
+            assert n is None and x is None
