@@ -115,6 +115,7 @@ _SF1_HEADLINE = [
     "p116_jl_projection",
     "p117_split_leakage",
     "p118_mix_plan",
+    "p119_triplet_mining",
 ]
 
 
@@ -436,6 +437,7 @@ def main() -> None:
         "p116_jl_projection",
         "p117_split_leakage",
         "p118_mix_plan",
+        "p119_triplet_mining",
     ]
     registry = Q.all_queries()
 

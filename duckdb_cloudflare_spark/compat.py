@@ -962,6 +962,28 @@ _UNSUPPORTED_JOINS = re.compile(
 )
 
 
+_GROUPS_FRAME = re.compile(r"\bGROUPS\s+BETWEEN\b|\bGROUPS\s+\d+\s+PRECEDING\b"
+                           r"|\bGROUPS\s+CURRENT\s+ROW\b|\bGROUPS\s+UNBOUNDED\b",
+                           re.IGNORECASE)
+
+
+def _reject_groups_frames(sql: str) -> None:
+    """DuckDB supports SQL:2011 GROUPS window frames; Spark only ROWS and
+    RANGE. No textual rewrite is faithful (a GROUPS frame counts PEER
+    GROUPS, which needs a dense_rank pre-pass keyed by the window's own
+    ordering). Raise a clear bind-time error with the manual recipe
+    instead of Spark's parse error."""
+    real = {i for i, _, _ in _scan_top_level(sql)}
+    for m in _GROUPS_FRAME.finditer(sql):
+        if m.start() in real:
+            raise ValueError(
+                "GROUPS window frames are DuckDB/SQL:2011 syntax Spark "
+                "does not implement; rewrite as a dense_rank() pre-pass "
+                "over the window ordering, then a RANGE frame on that "
+                "rank (exact GROUPS semantics, one extra window column)"
+            )
+
+
 def _reject_unsupported_joins(sql: str) -> None:
     """DuckDB's ASOF JOIN / POSITIONAL JOIN have no Spark SQL spelling and
     no safe TEXTUAL rewrite (an asof rewrite needs a per-left-row identity
@@ -1356,6 +1378,7 @@ def duck_sql(spark: SparkSession, sql: str) -> DataFrame:
     if ubn is not None:
         return ubn
     _reject_unsupported_joins(sql)
+    _reject_groups_frames(sql)
     unp = rewrite_unpivot_statement(sql)
     if unp is not None:
         sql = unp

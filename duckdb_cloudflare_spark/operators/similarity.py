@@ -682,3 +682,79 @@ def jl_project(
             ).alias("y"),
         )
     )
+
+
+def mine_triplets(
+    corpus: DataFrame,
+    anchors: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Hard triplet mining over a labeled embedding corpus (FaceNet,
+    Schroff et al. 2015 — the batch-hard recipe contrastive/metric
+    training data is built from): for every ANCHOR vector, the hardest
+    POSITIVE (same label, LOWEST cosine — the far-away true match) and
+    the hardest NEGATIVE (different label, HIGHEST cosine — the
+    confusable impostor), plus the margin between them. Anchors with no
+    same-label (or no other-label) partner report NULLs, not dropped.
+
+    Returns (anchor_id, label, pos_id, pos_sim, neg_id, neg_sim,
+    margin).
+
+    Scale shape: the anchors side is BROADCAST (bounded by contract —
+    the mining slice; at 100 TB you mine per-batch slices or feed an
+    ANN shortlist, the brute_force_topk/lsh_topk trade); the corpus
+    never shuffles — every (anchor, candidate) cosine is scored where
+    the candidate row lives and collapsed MAP-SIDE by the per-anchor
+    min/max struct partial agg, so the only exchange carries ≤|anchors|
+    rows. Argmin/argmax via struct ordering, not max_by (which is
+    nondeterministic on ties): positive = min(sim, id) — lowest sim
+    then lowest id; negative = max(sim, -id) — highest sim then lowest
+    id. Cosine is the batched float64 Arrow einsum (p35's operator),
+    canonicalized at 6 dp as micro-unit bigints, so sims/margins are
+    exact-integer-derived doubles (unrounded final divisions, q48)."""
+    a = anchors.select(
+        F.col(id_col).alias("anchor_id"),
+        F.col(label_col).alias("label"),
+        F.col(vec_col).alias("__ea"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("cand_id"),
+        F.col(label_col).alias("__cl"),
+        F.col(vec_col).alias("__ec"),
+    )
+    sim_nm = F.round(
+        cosine_similarity(F.col("__ea"), F.col("__ec")) * F.lit(1e6), 0
+    ).cast("long")
+    scored = (
+        ensure_parallelism(c)
+        .join(broadcast(a), F.col("anchor_id") != F.col("cand_id"))
+        .select(
+            "anchor_id",
+            "label",
+            "cand_id",
+            (F.col("__cl") == F.col("label")).alias("__same"),
+            sim_nm.alias("__nm"),
+        )
+    )
+    pos = F.min(F.when(F.col("__same"), F.struct(F.col("__nm"), F.col("cand_id"))))
+    neg = F.max(
+        F.when(~F.col("__same"), F.struct(F.col("__nm"), (-F.col("cand_id")).alias("nid")))
+    )
+    g = scored.groupBy("anchor_id").agg(
+        F.first("label").alias("label"),
+        pos.alias("__p"),
+        neg.alias("__n"),
+    )
+    return g.select(
+        "anchor_id",
+        "label",
+        F.col("__p.cand_id").alias("pos_id"),
+        (F.col("__p.__nm").cast("double") / F.lit(1e6)).alias("pos_sim"),
+        (-F.col("__n.nid")).alias("neg_id"),
+        (F.col("__n.__nm").cast("double") / F.lit(1e6)).alias("neg_sim"),
+        (
+            (F.col("__p.__nm") - F.col("__n.__nm")).cast("double") / F.lit(1e6)
+        ).alias("margin"),
+    )

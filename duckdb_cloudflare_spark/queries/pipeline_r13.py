@@ -692,3 +692,60 @@ def p118_mix_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     from duckdb_cloudflare_spark.operators.dedup import ensure_parallelism
 
     return mix_plan(ensure_parallelism(load(spark, sf_dir, "documents")))
+
+
+@register(
+    "p119_triplet_mining",
+    oracle="""
+    WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+               FROM embeddings),
+    a AS (SELECT vec_id AS anchor_id, label, e FROM v WHERE vec_id % 50 = 0),
+    scored AS (
+        SELECT a.anchor_id, a.label, c.vec_id AS cand_id,
+               (c.label = a.label) AS same,
+               CAST(round(list_dot_product(a.e, c.e)
+                    / (sqrt(list_dot_product(a.e, a.e))
+                       * sqrt(list_dot_product(c.e, c.e))) * 1000000.0)
+                    AS BIGINT) AS nm
+        FROM v c JOIN a ON a.anchor_id <> c.vec_id
+    ), pos AS (
+        SELECT anchor_id, cand_id AS pos_id, nm AS pos_nm,
+               row_number() OVER (PARTITION BY anchor_id
+                                  ORDER BY nm ASC, cand_id ASC) AS rn
+        FROM scored WHERE same
+    ), neg AS (
+        SELECT anchor_id, cand_id AS neg_id, nm AS neg_nm,
+               row_number() OVER (PARTITION BY anchor_id
+                                  ORDER BY nm DESC, cand_id ASC) AS rn
+        FROM scored WHERE NOT same
+    )
+    SELECT a.anchor_id, a.label,
+           p.pos_id, CAST(p.pos_nm AS DOUBLE) / 1000000.0 AS pos_sim,
+           n.neg_id, CAST(n.neg_nm AS DOUBLE) / 1000000.0 AS neg_sim,
+           CAST(p.pos_nm - n.neg_nm AS DOUBLE) / 1000000.0 AS margin
+    FROM a
+    LEFT JOIN (SELECT * FROM pos WHERE rn = 1) p USING (anchor_id)
+    LEFT JOIN (SELECT * FROM neg WHERE rn = 1) n USING (anchor_id)
+    """,
+    description="Hard triplet mining (FaceNet batch-hard, Schroff et al. "
+    "2015 — the recipe contrastive/metric training data is built from): "
+    "for each anchor of a deterministic slice (vec_id %% 50 = 0), the "
+    "hardest POSITIVE (same label, lowest cosine) and hardest NEGATIVE "
+    "(different label, highest cosine) with the margin between them; "
+    "anchors lacking a partner class report NULLs, not dropped. "
+    "operators/similarity.py::mine_triplets. Scale shape: anchors "
+    "BROADCAST (bounded mining slice by contract; at 100 TB feed an ANN "
+    "shortlist — the brute/lsh_topk trade), corpus never shuffles, "
+    "per-anchor argmin/argmax collapse MAP-SIDE via struct-ordered "
+    "min/max partial aggs (never max_by — nondeterministic on ties); "
+    "the one exchange carries <=|anchors| rows. Cosine = the batched "
+    "float64 Arrow einsum (p35's operator + oracle-parity precedent), "
+    "canonicalized at 6dp as micro-int bigints; sims and margin are "
+    "exact-integer-derived doubles, unrounded (q48).",
+)
+def p119_triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duckdb_cloudflare_spark.operators.similarity import mine_triplets
+
+    emb = load(spark, sf_dir, "embeddings")
+    anchors = emb.filter(F.col("vec_id") % 50 == 0)
+    return mine_triplets(emb, anchors)

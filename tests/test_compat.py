@@ -1389,3 +1389,26 @@ class TestPivotStatement:
             rewrite_pivot_statement(
                 None, "PIVOT t ON p IN (1) USING sum(v + 1) GROUP BY g"
             )
+
+
+class TestGroupsFrameReject:
+    def test_groups_frame_loud_error(self, t):
+        with pytest.raises(ValueError, match="GROUPS window frames"):
+            duck_sql(
+                t,
+                "SELECT sum(x) OVER (ORDER BY x GROUPS BETWEEN 1 PRECEDING "
+                "AND CURRENT ROW) FROM (SELECT 1 AS x)",
+            )
+
+    def test_groups_as_identifier_untouched(self, t):
+        # a column/table merely named "groups" must not trip the reject
+        rows = duck_sql(
+            t, "SELECT groups FROM (SELECT 2 AS groups)"
+        ).collect()
+        assert rows[0]["groups"] == 2
+
+    def test_groups_in_string_untouched(self, t):
+        rows = duck_sql(
+            t, "SELECT 'GROUPS BETWEEN 1 PRECEDING' AS s"
+        ).collect()
+        assert rows[0]["s"] == "GROUPS BETWEEN 1 PRECEDING"

@@ -1080,3 +1080,19 @@ def test_p118_mix_plan_fold_only(spark, registry):
     assert "Window" not in plan and "Python" not in plan
     assert "CartesianProduct" not in plan
     assert "partial_count" in plan or "partial_sum" in plan
+
+
+def test_p119_triplet_mining_broadcast_anchors_map_side_argminmax(spark, registry):
+    """p119: anchors broadcast; the corpus never shuffles — the per-anchor
+    argmin/argmax collapse map-side via struct-ordered partial min/max,
+    so the single exchange carries anchor-count rows. No window, no
+    SortMergeJoin, no cartesian (the join is broadcast-nested-loop over
+    the bounded anchor slice by design)."""
+    from duckdb_cloudflare_spark.plans.introspect import formatted_plan
+
+    df = registry["p119_triplet_mining"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert "Window" not in plan and "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "partial_min" in plan and "partial_max" in plan
+    assert "BroadcastNestedLoopJoin" in plan

@@ -795,3 +795,61 @@ def test_p118_blank_and_null_text_excluded(spark):
     assert set(out) == {"s1"}
     assert out["s1"]["n_docs"] == 2
     assert out["s1"]["tokens_available"] == 2
+
+
+# ---------------------------------------------------------------------------
+# p119 — hard triplet mining
+# ---------------------------------------------------------------------------
+
+
+def test_p119_triplet_mining_planted_geometry(spark):
+    from duckdb_cloudflare_spark.operators.similarity import mine_triplets
+
+    # 2-D geometry with hand-checkable cosines. Anchor 0 (label 1) at
+    # (1,0); same-label partners at (1,0.1) [close] and (0,1)-ish (0.1,1)
+    # [far -> hardest positive]; different-label at (1,0.05) [confusable
+    # -> hardest negative] and (-1,0) [easy negative].
+    rows = [
+        (0, [1.0, 0.0], 1),
+        (1, [1.0, 0.1], 1),
+        (2, [0.1, 1.0], 1),
+        (3, [1.0, 0.05], 2),
+        (4, [-1.0, 0.0], 2),
+        (5, [0.0, -1.0], None),  # NULL label: never a positive or negative
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    anchors = df.filter(F.col("vec_id") == 0)
+    out = mine_triplets(df, anchors).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["anchor_id"], r["label"]) == (0, 1)
+    assert r["pos_id"] == 2          # the far same-label vector
+    assert r["neg_id"] == 3          # the confusable impostor
+    import math
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return d / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b)))
+
+    assert abs(r["pos_sim"] - round(cos([1, 0], [0.1, 1.0]), 6)) < 1e-9
+    assert abs(r["neg_sim"] - round(cos([1, 0], [1.0, 0.05]), 6)) < 1e-9
+    assert abs(r["margin"] - (r["pos_sim"] - r["neg_sim"])) < 1e-12
+    # a hard margin is negative here: the impostor is closer than the
+    # hardest positive — exactly the triplet a metric learner needs
+    assert r["margin"] < 0
+
+
+def test_p119_no_partner_classes_reports_nulls(spark):
+    from duckdb_cloudflare_spark.operators.similarity import mine_triplets
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0], 1), (1, [0.0, 1.0], 1)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    out = mine_triplets(df, df.filter(F.col("vec_id") == 0)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["pos_id"] == 1 and r["neg_id"] is None and r["neg_sim"] is None
+    assert r["margin"] is None
