@@ -432,6 +432,7 @@ def main() -> None:
         "q64_unpivot_measures",
         "q65_event_anomaly_dense",
         "q66_pivot_status_counts",
+        "q67_summarize",
         "p114_bigram_lm_quality",
         "p115_sq8_quantization",
         "p116_jl_projection",

@@ -1377,6 +1377,9 @@ def duck_sql(spark: SparkSession, sql: str) -> DataFrame:
     ubn = union_by_name_df(spark, sql)
     if ubn is not None:
         return ubn
+    summ = rewrite_summarize_statement(spark, sql)
+    if summ is not None:
+        return summ
     _reject_unsupported_joins(sql)
     _reject_groups_frames(sql)
     unp = rewrite_unpivot_statement(sql)
@@ -1398,3 +1401,167 @@ def duck_sql(spark: SparkSession, sql: str) -> DataFrame:
     sql = rewrite_function_names(sql)
     sql = rewrite_replace(sql)
     return spark.sql(rewrite_qualify(rewrite_exclude(sql)))
+
+
+_DUCK_TYPE_NAMES = {
+    "bigint": "BIGINT", "int": "INTEGER", "smallint": "SMALLINT",
+    "tinyint": "TINYINT", "double": "DOUBLE", "float": "FLOAT",
+    "string": "VARCHAR", "boolean": "BOOLEAN", "date": "DATE",
+    "timestamp": "TIMESTAMP", "timestamp_ntz": "TIMESTAMP",
+    "binary": "BLOB",
+}
+
+_SUMMARIZE_STMT = re.compile(
+    r"^\s*SUMMARIZE\s+([A-Za-z_][\w.]*)\s*;?\s*$", re.IGNORECASE
+)
+
+
+def _duck_type_name(t: str) -> str:
+    """Spark simpleString -> DuckDB type spelling (FLOAT[] for arrays)."""
+    if t.startswith("array<") and t.endswith(">"):
+        return _duck_type_name(t[6:-1]) + "[]"
+    return _DUCK_TYPE_NAMES.get(t, t.upper())
+
+
+def summarize_table(df: DataFrame) -> DataFrame:
+    """DuckDB's ``SUMMARIZE`` statement for Spark DataFrames: one row per
+    column with DuckDB's exact column set — (column_name, column_type,
+    min, max, approx_unique, avg, std, q25, q50, q75, count,
+    null_percentage) — computed in ONE aggregation pass over the table
+    (all columns' stats partial-aggregate together; the per-column rows
+    are carved out of the single 1-row fold, so the corpus is scanned
+    once and nothing but that fold moves).
+
+    Documented strictness upgrades vs DuckDB's native SUMMARIZE (which
+    is approximate by design): ``approx_unique`` holds the EXACT
+    distinct count; q25/q50/q75 are EXACT interpolated quantiles
+    (percentile ↔ quantile_cont, the q62 cross-engine pairing); numeric
+    stats are rounded to 6 dp before VARCHAR formatting so both
+    engines' shortest-roundtrip printers agree. For INTEGRAL columns,
+    avg/std derive from exact decimal sums through a fixed expression
+    tree (order-free — the embedding_norm_qa convention); for
+    fractional columns they are engine aggregates rounded 6 dp (last-
+    ulp summation-order noise buried by the rounding, not eliminated —
+    don't hash-grade double columns). Unorderable types (arrays, maps,
+    structs) report NULL min/max and no numeric stats, like DuckDB."""
+    from pyspark.sql import functions as F
+
+    num_int = ("bigint", "int", "smallint", "tinyint")
+    num_frac = ("double", "float")
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    fields = df.schema.fields
+    for i, f in enumerate(fields):
+        t = f.dataType.simpleString()
+        c = F.col(f.name)
+        orderable = not (
+            t.startswith("array") or t.startswith("map") or t.startswith("struct")
+        )
+        countable = not (t.startswith("map"))
+        if orderable:
+            aggs += [
+                F.min(c).cast("string").alias(f"mn_{i}"),
+                F.max(c).cast("string").alias(f"mx_{i}"),
+            ]
+        if countable:
+            aggs += [
+                F.count_distinct(c).alias(f"uq_{i}"),
+                F.count(c).alias(f"nn_{i}"),
+            ]
+        if t in num_int:
+            d = c.cast("decimal(38,0)")
+            aggs += [F.sum(d).alias(f"s_{i}"), F.sum(d * d).alias(f"ss_{i}")]
+        elif t in num_frac:
+            aggs += [
+                F.round(F.avg(c), 6).alias(f"avg_{i}"),
+                F.round(F.stddev_samp(c), 6).alias(f"std_{i}"),
+            ]
+        if t in num_int + num_frac:
+            aggs += [
+                F.round(F.percentile(c.cast("double"), 0.25), 6).alias(f"q25_{i}"),
+                F.round(F.percentile(c.cast("double"), 0.50), 6).alias(f"q50_{i}"),
+                F.round(F.percentile(c.cast("double"), 0.75), 6).alias(f"q75_{i}"),
+            ]
+    one = df.agg(*aggs)
+    null_s = F.lit(None).cast("string")
+    structs = []
+    for i, f in enumerate(fields):
+        t = f.dataType.simpleString()
+        orderable = not (
+            t.startswith("array") or t.startswith("map") or t.startswith("struct")
+        )
+        countable = not (t.startswith("map"))
+        nn = F.col(f"nn_{i}")
+        if t in num_int:
+            mean = F.col(f"s_{i}").cast("double") / nn.cast("double")
+            var = F.greatest(
+                (
+                    F.col(f"ss_{i}").cast("double") / nn.cast("double")
+                    - mean * mean
+                )
+                * (nn.cast("double") / (nn - 1).cast("double")),
+                F.lit(0.0),
+            )
+            avg_c = F.round(mean, 6).cast("string")
+            std_c = F.when(nn > 1, F.round(F.sqrt(var), 6)).cast("string")
+        elif t in num_frac:
+            avg_c = F.col(f"avg_{i}").cast("string")
+            std_c = F.col(f"std_{i}").cast("string")
+        else:
+            avg_c = null_s
+            std_c = null_s
+        qs = (
+            [F.col(f"q{q}_{i}").cast("string") for q in (25, 50, 75)]
+            if t in num_int + num_frac
+            else [null_s, null_s, null_s]
+        )
+        structs.append(
+            F.struct(
+                F.lit(f.name).alias("column_name"),
+                F.lit(_duck_type_name(t)).alias("column_type"),
+                (F.col(f"mn_{i}") if orderable else null_s).alias("min"),
+                (F.col(f"mx_{i}") if orderable else null_s).alias("max"),
+                (
+                    F.col(f"uq_{i}")
+                    if countable
+                    else F.lit(None).cast("long")
+                ).alias("approx_unique"),
+                avg_c.alias("avg"),
+                std_c.alias("std"),
+                qs[0].alias("q25"),
+                qs[1].alias("q50"),
+                qs[2].alias("q75"),
+                F.col("__n").alias("count"),
+                F.round(
+                    F.lit(100.0)
+                    * (
+                        F.col("__n") - (nn if countable else F.col("__n"))
+                    ).cast("double")
+                    / F.col("__n").cast("double"),
+                    2,
+                ).alias("null_percentage"),
+            )
+        )
+    # ONE row per column carved from the SINGLE 1-row fold via an
+    # explode of per-column structs — a unionByName of per-column
+    # selects would re-run the aggregate subtree once per column (no
+    # ReuseExchange in this build): C scans instead of one.
+    return one.select(F.explode(F.array(*structs)).alias("r")).select("r.*")
+
+
+def rewrite_summarize_statement(
+    spark: SparkSession, sql: str
+) -> DataFrame | None:
+    """DuckDB's ``SUMMARIZE <table>`` statement → ``summarize_table`` over
+    the registered table/view. Only the bare-table form is supported;
+    ``SUMMARIZE SELECT ...`` raises with guidance (register a temp view
+    first)."""
+    if not re.match(r"^\s*SUMMARIZE\b", sql, re.IGNORECASE):
+        return None
+    m = _SUMMARIZE_STMT.match(sql)
+    if not m:
+        raise ValueError(
+            "only 'SUMMARIZE <table>' is supported; for SUMMARIZE over a "
+            "query, register it as a temp view first "
+            "(df.createOrReplaceTempView) and summarize that"
+        )
+    return summarize_table(spark.table(m.group(1)))

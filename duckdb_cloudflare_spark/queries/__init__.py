@@ -180,7 +180,7 @@ _WINDOW_PRIORITY = [
     # r13 window (VERDICT r12 item 1 + the stranding invariant):
     # the new r13 oracle-bearing operators (zero driver history) MUST lead
     "p111_", "p113_", "p114_", "p115_", "p116_", "p117_", "p118_",
-    "p119_", "q64_", "q65_", "q66_",
+    "p119_", "q64_", "q65_", "q66_", "q67_",
     # then the eight green-r9-history entries the r12 cut pushed out
     # (p48 + p62..p68, exactly as documented at r12 close)
     "p48_", "p62_", "p63_", "p64_", "p65_", "p66_", "p67_", "p68_",

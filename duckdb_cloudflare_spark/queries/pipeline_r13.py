@@ -749,3 +749,88 @@ def p119_triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     anchors = emb.filter(F.col("vec_id") % 50 == 0)
     return mine_triplets(emb, anchors)
+
+
+def _summarize_int_block(col: str, typ: str) -> str:
+    """One SUMMARIZE oracle row for an integral column — mirrors
+    compat.summarize_table's exact expression trees (HUGEINT sums ↔
+    Spark's decimal(38,0); identical division/multiplication order)."""
+    mean = (
+        f"(CAST(sum(CAST({col} AS HUGEINT)) AS DOUBLE)"
+        f" / CAST(count({col}) AS DOUBLE))"
+    )
+    var = (
+        f"greatest((CAST(sum(CAST({col} AS HUGEINT) * CAST({col} AS HUGEINT))"
+        f" AS DOUBLE) / CAST(count({col}) AS DOUBLE)"
+        f" - {mean} * {mean})"
+        f" * (CAST(count({col}) AS DOUBLE)"
+        f" / CAST(count({col}) - 1 AS DOUBLE)), 0.0)"
+    )
+    qs = ", ".join(
+        f"CAST(round(quantile_cont(CAST({col} AS DOUBLE), {p}), 6) AS VARCHAR)"
+        f" AS q{n}"
+        for p, n in ((0.25, 25), (0.50, 50), (0.75, 75))
+    )
+    return f"""
+    SELECT '{col}' AS column_name, '{typ}' AS column_type,
+           CAST(min({col}) AS VARCHAR) AS min,
+           CAST(max({col}) AS VARCHAR) AS max,
+           CAST(count(DISTINCT {col}) AS BIGINT) AS approx_unique,
+           CAST(round({mean}, 6) AS VARCHAR) AS avg,
+           CASE WHEN count({col}) > 1
+                THEN CAST(round(sqrt({var}), 6) AS VARCHAR) END AS std,
+           {qs},
+           CAST(count(*) AS BIGINT) AS count,
+           round(100.0 * CAST(count(*) - count({col}) AS DOUBLE)
+                 / CAST(count(*) AS DOUBLE), 2) AS null_percentage
+    FROM nation"""
+
+
+def _summarize_varchar_block(col: str) -> str:
+    return f"""
+    SELECT '{col}' AS column_name, 'VARCHAR' AS column_type,
+           CAST(min({col}) AS VARCHAR) AS min,
+           CAST(max({col}) AS VARCHAR) AS max,
+           CAST(count(DISTINCT {col}) AS BIGINT) AS approx_unique,
+           CAST(NULL AS VARCHAR) AS avg, CAST(NULL AS VARCHAR) AS std,
+           CAST(NULL AS VARCHAR) AS q25, CAST(NULL AS VARCHAR) AS q50,
+           CAST(NULL AS VARCHAR) AS q75,
+           CAST(count(*) AS BIGINT) AS count,
+           round(100.0 * CAST(count(*) - count({col}) AS DOUBLE)
+                 / CAST(count(*) AS DOUBLE), 2) AS null_percentage
+    FROM nation"""
+
+
+@register(
+    "q67_summarize",
+    oracle=" UNION ALL ".join(
+        [
+            _summarize_int_block("n_nationkey", "INTEGER"),
+            _summarize_varchar_block("n_name"),
+            _summarize_int_block("n_regionkey", "INTEGER"),
+        ]
+    ),
+    description="DuckDB's SUMMARIZE statement (the exploration surface "
+    "reference users run constantly): duck_sql('SUMMARIZE nation') -> "
+    "one row per column with DuckDB's exact column set (column_name, "
+    "column_type, min, max, approx_unique, avg, std, q25/q50/q75, "
+    "count, null_percentage). compat.summarize_table — ONE aggregation "
+    "pass computes every column's stats together (all partial-agg "
+    "map-side; the per-column rows are carved from the single 1-row "
+    "fold, so the corpus is scanned once). Documented strictness "
+    "upgrades vs DuckDB's native (approximate-by-design) SUMMARIZE: "
+    "exact distinct under the approx_unique name, EXACT interpolated "
+    "quantiles (percentile <-> quantile_cont, the q62 pairing), "
+    "6dp-rounded-then-VARCHAR numeric stats so both engines' shortest-"
+    "roundtrip printers agree; integral avg/std derive from exact "
+    "HUGEINT/decimal(38,0) sums through a fixed expression tree "
+    "(order-free). The oracle is the handcrafted exact-stat program "
+    "(native SUMMARIZE's approx values can't hash-match by design); a "
+    "pytest additionally reconciles shape + exact fields against "
+    "DuckDB's NATIVE SUMMARIZE output.",
+)
+def q67_summarize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duckdb_cloudflare_spark.compat import duck_sql
+
+    load(spark, sf_dir, "nation").createOrReplaceTempView("__q67_nation")
+    return duck_sql(spark, "SUMMARIZE __q67_nation")

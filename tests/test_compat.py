@@ -1412,3 +1412,53 @@ class TestGroupsFrameReject:
             t, "SELECT 'GROUPS BETWEEN 1 PRECEDING' AS s"
         ).collect()
         assert rows[0]["s"] == "GROUPS BETWEEN 1 PRECEDING"
+
+
+class TestSummarize:
+    """SUMMARIZE statement: same column set as DuckDB's native SUMMARIZE,
+    exact fields equal, approximate fields reconciled within tolerance
+    (ours are the exact versions — a documented strictness upgrade)."""
+
+    def test_matches_native_duckdb_shape_and_exact_fields(self, t, duck):
+        import math
+
+        t.createDataFrame(
+            [(1, "a", 2.5), (2, "b", 3.5), (3, None, None), (4, "d", 10.0)],
+            "k int, s string, v double",
+        ).createOrReplaceTempView("__sum_t")
+        duck.sql(
+            "CREATE OR REPLACE TABLE __sum_t AS SELECT * FROM (VALUES "
+            "(1, 'a', 2.5::DOUBLE), (2, 'b', 3.5::DOUBLE), "
+            "(3, NULL, NULL::DOUBLE), (4, 'd', 10.0::DOUBLE)) AS x(k, s, v)"
+        )
+        ours = {r["column_name"]: r for r in duck_sql(t, "SUMMARIZE __sum_t").collect()}
+        native = duck.sql("SUMMARIZE __sum_t").df()
+        assert list(native.columns) == [
+            "column_name", "column_type", "min", "max", "approx_unique",
+            "avg", "std", "q25", "q50", "q75", "count", "null_percentage",
+        ]
+        dn = {r["column_name"]: r for _, r in native.iterrows()}
+        assert set(ours) == set(dn)
+        for col in ours:
+            o, d = ours[col], dn[col]
+            assert o["column_type"] == d["column_type"], col
+            assert o["min"] == d["min"] and o["max"] == d["max"], col
+            assert o["count"] == d["count"], col
+            assert abs(o["null_percentage"] - float(d["null_percentage"])) < 0.01
+            # ours is EXACT distinct; native is approximate — reconcile
+            assert abs(o["approx_unique"] - int(d["approx_unique"])) <= 1, col
+            if o["avg"] is not None and d["avg"] is not None:
+                assert math.isclose(float(o["avg"]), float(d["avg"]), rel_tol=1e-6)
+
+    def test_summarize_query_form_loud_error(self, t):
+        with pytest.raises(ValueError, match="register it as a temp view"):
+            duck_sql(t, "SUMMARIZE SELECT 1 AS x")
+
+    def test_non_summarize_untouched(self):
+        from duckdb_cloudflare_spark.compat import rewrite_summarize_statement
+
+        assert rewrite_summarize_statement(None, "SELECT 1") is None
+        assert (
+            rewrite_summarize_statement(None, "SELECT * FROM summarize_log")
+            is None
+        )

@@ -1096,3 +1096,20 @@ def test_p119_triplet_mining_broadcast_anchors_map_side_argminmax(spark, registr
     assert "CartesianProduct" not in plan
     assert "partial_min" in plan and "partial_max" in plan
     assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_q67_summarize_single_scan_single_agg(spark, registry):
+    """SUMMARIZE computes every column's stats in ONE aggregation pass:
+    one nation scan, one (object-hash) aggregate, the per-column rows
+    carved from the 1-row fold by an explode — never a per-column
+    union re-running the aggregate (C scans; no ReuseExchange in this
+    build)."""
+    from duckdb_cloudflare_spark.plans.introspect import formatted_plan
+
+    df = registry["q67_summarize"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    # exactly one scan: read_schemas returns one entry per parquet scan
+    assert len(read_schemas(df)) == 1
+    assert "Union" not in plan
+    assert "Expand" in plan  # the single-scan multi-distinct shape
+    assert "Generate" in plan  # the per-column struct explode
