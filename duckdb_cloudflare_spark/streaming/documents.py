@@ -437,3 +437,80 @@ def quality_stream(
     return stream.mapInPandas(
         _score, schema=f"{schema}, n_bigrams long, bigram_xent double"
     )
+
+
+MIX_OUT_SCHEMA = StructType(
+    [
+        StructField("source", StringType()),
+        StructField("batch_tokens", LongType()),
+        StructField("tokens_seen", LongType()),
+        StructField("target_tokens", LongType()),
+        StructField("progress_frac", DoubleType()),
+        StructField("over_budget", BooleanType()),
+    ]
+)
+
+MIX_STATE_SCHEMA = StructType([StructField("seen", LongType())])
+
+
+def _mix_monitor_fn(targets: dict):
+    def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        seen = state.get[0] if state.exists else 0
+        batch = 0
+        for pdf in pdfs:
+            batch += int(pdf["n_tok"].sum())
+        seen += batch
+        state.update((seen,))
+        tgt = targets.get(key[0])
+        yield pd.DataFrame(
+            {
+                "source": [key[0]],
+                "batch_tokens": [batch],
+                "tokens_seen": [seen],
+                "target_tokens": [tgt],
+                "progress_frac": [
+                    (seen / tgt) if tgt else None
+                ],
+                "over_budget": [bool(tgt is not None and seen > tgt)],
+            }
+        )
+
+    return fn
+
+
+def mix_monitor_stream(stream: DataFrame, plan: DataFrame) -> DataFrame:
+    """Streaming twin of the p118 mixture plan: as documents arrive, fold
+    each source's running TOKEN count in keyed state and append its
+    progress against the plan's ``target_tokens`` — the ingest dashboard
+    that says which sources have filled their budget (stop sampling) and
+    which still need data, without re-scanning landed data. Sources
+    absent from the plan report NULL target/progress (monitored, not
+    budgeted — they still count tokens).
+
+    The plan side is ≤|sources| rows BY CONSTRUCTION (``mix_plan``
+    collapses the corpus before anything leaves the fold), so collecting
+    it here is the bounded-by-contract collect (the quality_stream /
+    ANN-query precedent). Token counting is the batch operator's exact
+    semantics (whitespace split of trimmed text; blank → 0), evaluated
+    with Spark expressions BEFORE the stateful fold, so the stream's
+    final per-source totals equal mix_plan's ``tokens_available``
+    bit-for-bit (pinned in test_streaming_pack.py). State per source is
+    ONE long — constant at any stream length."""
+    from duckdb_cloudflare_spark.operators.dedup import lowered_tokens
+
+    targets = {
+        r["source"]: int(r["target_tokens"]) for r in plan.collect()
+    }
+    n_tok = F.when(
+        F.length(F.trim(F.col("text"))) == 0, F.lit(0)
+    ).otherwise(F.size(lowered_tokens("text"))).cast("long")
+    counted = stream.filter(F.col("text").isNotNull()).select(
+        "source", n_tok.alias("n_tok")
+    )
+    return counted.groupBy("source").applyInPandasWithState(
+        _mix_monitor_fn(targets),
+        outputStructType=MIX_OUT_SCHEMA,
+        stateStructType=MIX_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -377,3 +377,45 @@ def test_quality_stream_matches_batch_p114_bit_for_bit(spark, split_docs_dir):
     for did, (n, x) in stream_scores.items():
         if did not in batch_scores:
             assert n is None and x is None
+
+
+def test_mix_monitor_stream_totals_match_batch_plan(spark, split_docs_dir):
+    """The per-source running token counts must equal mix_plan's
+    tokens_available bit-for-bit once the whole corpus has streamed
+    through (identical token expressions evaluated pre-fold), and
+    progress_frac must be tokens_seen / target_tokens from the SAME
+    plan the monitor was launched with."""
+    from duckdb_cloudflare_spark.operators.curation import mix_plan
+    from duckdb_cloudflare_spark.streaming.documents import (
+        mix_monitor_stream,
+        read_document_stream,
+    )
+    from duckdb_cloudflare_spark.streaming.events import run_to_memory
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = mix_plan(docs)
+    plan_rows = {r["source"]: r for r in plan.collect()}
+
+    stream = read_document_stream(spark, split_docs_dir)
+    got = run_to_memory(mix_monitor_stream(stream, plan), "mix_monitor_out")
+    # latest row per source = the final running state
+    import pandas as pd
+
+    pdf = got.toPandas()
+    final = (
+        pdf.groupby("source", as_index=False).last()
+        if not pdf.empty
+        else pdf
+    )
+    assert set(final["source"]) == set(plan_rows)
+    for _, r in final.iterrows():
+        p = plan_rows[r["source"]]
+        assert r["tokens_seen"] == p["tokens_available"], r["source"]
+        assert r["target_tokens"] == p["target_tokens"]
+        assert r["progress_frac"] == r["tokens_seen"] / r["target_tokens"]
+        # this corpus runs each source past its 50%-budget target
+        assert bool(r["over_budget"]) == (r["tokens_seen"] > r["target_tokens"])
+    # batch_tokens column sums to the full corpus total per source
+    sums = pdf.groupby("source")["batch_tokens"].sum()
+    for src, p in plan_rows.items():
+        assert sums[src] == p["tokens_available"]
