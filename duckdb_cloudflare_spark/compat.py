@@ -962,6 +962,51 @@ _UNSUPPORTED_JOINS = re.compile(
 )
 
 
+_USING_SAMPLE = re.compile(
+    r"\bUSING\s+SAMPLE\s+(?P<n>\d+(?:\.\d+)?)\s*"
+    r"(?P<unit>%|PERCENT\b|ROWS\b)?",
+    re.IGNORECASE,
+)
+_USING_SAMPLE_METHOD = re.compile(
+    r"\bUSING\s+SAMPLE\s+[A-Za-z_]+\s*\(", re.IGNORECASE
+)
+
+
+def rewrite_using_sample(sql: str) -> str:
+    """DuckDB's ``USING SAMPLE`` clause → Spark's ``TABLESAMPLE``:
+    ``USING SAMPLE 10%``/``10 PERCENT`` → ``TABLESAMPLE (10 PERCENT)``
+    (both engines' percentage sampling is per-row bernoulli-style);
+    ``USING SAMPLE 50 [ROWS]`` → ``TABLESAMPLE (50 ROWS)`` (DuckDB's
+    bare number means rows). Both clauses sit in the same position
+    (after the table reference), so the rewrite is positional-safe.
+    Method forms (``reservoir(...)``, ``system(...)``, seeded
+    ``REPEATABLE``) have no faithful Spark twin → loud error. Sampling
+    is nondeterministic on BOTH engines by design — don't hash-compare
+    sampled results (pytest pins bounds, not values)."""
+    real = {i for i, _, _ in _scan_top_level(sql)}
+    m = _USING_SAMPLE_METHOD.search(sql)
+    if m and m.start() in real:
+        raise ValueError(
+            "USING SAMPLE method forms (reservoir/system/bernoulli(...)) "
+            "have no Spark TABLESAMPLE twin; supported: USING SAMPLE n% "
+            "/ n PERCENT / n [ROWS]"
+        )
+    out, prev = [], 0
+    for m in _USING_SAMPLE.finditer(sql):
+        if m.start() not in real:
+            continue
+        n, unit = m.group("n"), (m.group("unit") or "").upper()
+        if unit in ("%", "PERCENT"):
+            repl = f"TABLESAMPLE ({n} PERCENT)"
+        else:
+            repl = f"TABLESAMPLE ({int(float(n))} ROWS)"
+        out.append(sql[prev : m.start()])
+        out.append(repl)
+        prev = m.end()
+    out.append(sql[prev:])
+    return "".join(out)
+
+
 _GROUPS_FRAME = re.compile(r"\bGROUPS\s+BETWEEN\b|\bGROUPS\s+\d+\s+PRECEDING\b"
                            r"|\bGROUPS\s+CURRENT\s+ROW\b|\bGROUPS\s+UNBOUNDED\b",
                            re.IGNORECASE)
@@ -1389,6 +1434,7 @@ def duck_sql(spark: SparkSession, sql: str) -> DataFrame:
     if piv is not None:
         sql = piv
     sql = rewrite_named_args(sql)
+    sql = rewrite_using_sample(sql)
     sql = rewrite_scan_limit(sql)
     sql = rewrite_distinct_on(sql)
     sql = rewrite_file_tables(sql)

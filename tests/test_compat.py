@@ -1462,3 +1462,60 @@ class TestSummarize:
             rewrite_summarize_statement(None, "SELECT * FROM summarize_log")
             is None
         )
+
+
+class TestUsingSample:
+    def test_rewrite_shapes(self):
+        from duckdb_cloudflare_spark.compat import rewrite_using_sample as rw
+
+        assert rw("SELECT * FROM t USING SAMPLE 10%") == (
+            "SELECT * FROM t TABLESAMPLE (10 PERCENT)"
+        )
+        assert rw("SELECT * FROM t USING SAMPLE 10 PERCENT") == (
+            "SELECT * FROM t TABLESAMPLE (10 PERCENT)"
+        )
+        assert rw("SELECT * FROM t USING SAMPLE 50 ROWS") == (
+            "SELECT * FROM t TABLESAMPLE (50 ROWS)"
+        )
+        # DuckDB's bare number means rows
+        assert rw("SELECT * FROM t USING SAMPLE 50") == (
+            "SELECT * FROM t TABLESAMPLE (50 ROWS)"
+        )
+        # inside a string literal -> untouched
+        s = "SELECT 'USING SAMPLE 10%' AS x FROM t"
+        assert rw(s) == s
+        with pytest.raises(ValueError, match="method forms"):
+            rw("SELECT * FROM t USING SAMPLE reservoir(50 ROWS)")
+
+    def test_execute_bounds(self, t):
+        t.range(1000).createOrReplaceTempView("__samp")
+        n_all = len(duck_sql(t, "SELECT * FROM __samp USING SAMPLE 100%").collect())
+        assert n_all == 1000
+        n_none = len(duck_sql(t, "SELECT * FROM __samp USING SAMPLE 0%").collect())
+        assert n_none == 0
+        n_rows = len(duck_sql(t, "SELECT * FROM __samp USING SAMPLE 50 ROWS").collect())
+        assert n_rows == 50
+        n_half = len(duck_sql(t, "SELECT * FROM __samp USING SAMPLE 50%").collect())
+        assert 300 < n_half < 700  # bernoulli-style, bounds not values
+
+
+class TestGroupOrderByAllPassthrough:
+    """DuckDB's GROUP BY ALL / ORDER BY ALL parse natively in Spark 3.4+
+    — duck_sql passes them through unrewritten; pin the cross-engine
+    agreement so a Spark regression (or an accidental rewrite) is loud."""
+
+    def test_group_by_all_cross_engine(self, t, duck):
+        t.createDataFrame(
+            [("a", 1), ("a", 2), ("b", 5)], "g string, v int"
+        ).createOrReplaceTempView("__gba")
+        duck.sql(
+            "CREATE OR REPLACE TABLE __gba AS SELECT * FROM (VALUES "
+            "('a', 1), ('a', 2), ('b', 5)) AS x(g, v)"
+        )
+        body = (
+            "SELECT g, CAST(sum(v) AS BIGINT) AS s FROM __gba "
+            "GROUP BY ALL ORDER BY ALL"
+        )
+        srows = [tuple(r) for r in duck_sql(t, body).collect()]
+        drows = [tuple(r) for r in duck.sql(body).fetchall()]
+        assert srows == drows == [("a", 3), ("b", 5)]

@@ -25,12 +25,15 @@ def test_graded_window_is_exactly_the_r13_rotation():
     names = list(Q.all_queries())
     window = names[:50]
     expected = (
-        # the new r13 oracle-bearing ops (no driver history) lead, then
-        # p48+p62..p68 (green r9 history, pushed below the r12 cut with
-        # exactly this destiny documented), then the r10-graded cohort in
-        # CORRECTNESS_r10 record order; the [:50] cut lands after q35 —
-        # q37 + q51 plus q01/p01-p05/p11/p12 rotate in r14.
-        ["p111_", "p113_"]
+        # the new r13 oracle-bearing ops (no driver history) lead — the
+        # second wave (p114..p119, q64..q67) included — then p48+p62..p68
+        # (green r9 history, pushed below the r12 cut with exactly this
+        # destiny documented), then the r10-graded cohort in
+        # CORRECTNESS_r10 record order; the [:50] cut lands after p61 —
+        # q29..q51 (green r10 history) plus q01/p01-p05/p11/p12 rotate
+        # in r14.
+        ["p111_", "p113_", "p114_", "p115_", "p116_", "p117_", "p118_",
+         "p119_", "q64_", "q65_", "q66_", "q67_"]
         + ["p48_", "p62_", "p63_", "p64_", "p65_", "p66_", "p67_", "p68_"]
         + [
             "p101_", "q58_", "p99_", "p100_", "p94_", "p95_", "p96_",
