@@ -343,9 +343,16 @@ def split_leakage_report(
         sh.filter(F.col("split") == "train").select("sh").distinct()
         .withColumn("__hit", F.lit(1))
     )
+    # the train vocabulary is CORPUS-SIZED and must shard by the join
+    # key — but Spark's estimator prices a distinct's output near its
+    # input's column stats and happily BROADCASTS millions of shingle
+    # strings (measured: 45 s at 10× sf0.1 vs 25 s at 100×, where the
+    # estimate finally crossed the threshold and the plan flipped to a
+    # shuffle join). The hint forces the shuffle-hash plan at every
+    # scale; never remove it on "the estimate looks small".
     ev = (
         sh.filter(F.col("split") != "train")
-        .join(train_sh, "sh", "left")
+        .join(train_sh.hint("shuffle_hash"), "sh", "left")
         .groupBy("split")
         .agg(
             F.count_distinct(

@@ -1150,7 +1150,12 @@ def bigram_xent(
         .groupBy("h1", "h2")
         .agg(F.count(F.lit(1)).alias("cb"))
     )
-    cu = pairs.filter("__t").groupBy("h1").agg(F.count(F.lit(1)).alias("cu"))
+    # c(h1,·) = Σ_h2 c(h1,h2) EXACTLY — derive the context counts from
+    # the B²-bounded bigram table instead of a second corpus pass (the
+    # r13 100×-docs probe: each explode pass over the corpus is the
+    # dominant cost; this keeps the model fit at TWO corpus passes —
+    # one for cb, one for scoring — with identical counts)
+    cu = cb.groupBy("h1").agg(F.sum("cb").cast("long").alias("cu"))
     lp = F.round(
         F.log(
             (F.coalesce(F.col("cb"), F.lit(0)) + 1).cast("double")
@@ -1216,10 +1221,13 @@ def bigram_model(
             )
         ).alias("pr")
     ).select(F.col("pr.h1").alias("h1"), F.col("pr.h2").alias("h2"))
-    cu = pairs.groupBy("h1").agg(F.count(F.lit(1)).alias("cu"))
+    cb = pairs.groupBy("h1", "h2").agg(F.count(F.lit(1)).alias("cb"))
+    # c(h1,.) = sum_h2 c(h1,h2) exactly — derived from the B²-bounded
+    # bigram table, never a second corpus pass (bigram_xent's r13 probe
+    # fix; counts identical by construction)
+    cu = cb.groupBy("h1").agg(F.sum("cb").cast("long").alias("cu"))
     pair_lp = (
-        pairs.groupBy("h1", "h2")
-        .agg(F.count(F.lit(1)).alias("cb"))
+        cb
         .join(F.broadcast(cu), "h1")
         .select(
             "h1",

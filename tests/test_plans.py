@@ -1049,6 +1049,20 @@ def test_p117_leakage_shingle_join_never_broadcast_corpus(spark, registry):
     assert "CartesianProduct" not in plan and "Python" not in plan
     assert "Window" not in plan
     assert "partial_count" in plan
+    # the r13 100x-probe regression pin: Spark's estimator priced the
+    # DISTINCT train vocabulary near its column stats and BROADCAST
+    # millions of shingle strings (45 s at 10x sf0.1); the shuffle_hash
+    # hint must keep the vocabulary join sharded by the SHINGLE key at
+    # every scale (the tiny <=3-row report joins may broadcast freely)
+    assert "ShuffledHashJoin" in plan
+    # formatted explain puts join keys in the detail block under the
+    # "(n) BroadcastHashJoin" header — check each such block's key lines
+    for block in re.split(r"\n\s*\n", plan):
+        if "BroadcastHashJoin" in block and "keys" in block:
+            keys = " ".join(
+                l for l in block.splitlines() if "keys" in l.lower()
+            )
+            assert "sh#" not in keys, block
 
 
 def test_q66_pivot_single_agg_no_expand(spark, registry):
