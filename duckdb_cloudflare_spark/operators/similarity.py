@@ -702,45 +702,106 @@ def mine_triplets(
     Returns (anchor_id, label, pos_id, pos_sim, neg_id, neg_sim,
     margin).
 
-    Scale shape: the anchors side is BROADCAST (bounded by contract —
-    the mining slice; at 100 TB you mine per-batch slices or feed an
-    ANN shortlist, the brute_force_topk/lsh_topk trade); the corpus
-    never shuffles — every (anchor, candidate) cosine is scored where
-    the candidate row lives and collapsed MAP-SIDE by the per-anchor
-    min/max struct partial agg, so the only exchange carries ≤|anchors|
-    rows. Argmin/argmax via struct ordering, not max_by (which is
-    nondeterministic on ties): positive = min(sim, id) — lowest sim
-    then lowest id; negative = max(sim, -id) — highest sim then lowest
-    id. Cosine is the batched float64 Arrow einsum (p35's operator),
+    Scale shape (the brute_force_topk machinery — r13 rewrite after the
+    sf1 lane measured the first cut's per-pair cosine UDF at 63 s vs
+    6 s: a broadcast join fanning to |corpus|·|anchors| rows, each
+    paying a row-wise Python cosine): the anchors are COLLECTED
+    driver-side (bounded by contract — the mining slice; the same
+    bounded-collect as brute_force_topk, loud error past the cap), and
+    every corpus row scores against ALL anchors in ONE
+    (batch × d) @ (d × A) float64 matmul per Arrow batch. The corpus
+    never shuffles embeddings — the posexplode emits 3 scalar columns
+    per (row, anchor), collapsed MAP-SIDE by the per-anchor min/max
+    struct partial agg, so the single exchange carries ≤|anchors| rows.
+    Argmin/argmax via struct ordering, not max_by (tie-nondeterministic):
+    positive = min(sim, id); negative = max(sim, -id). Cosine is
+    dot/(|c|·|q|) in float64 — p05's oracle-parity formulation —
     canonicalized at 6 dp as micro-unit bigints, so sims/margins are
     exact-integer-derived doubles (unrounded final divisions, q48)."""
-    a = anchors.select(
-        F.col(id_col).alias("anchor_id"),
-        F.col(label_col).alias("label"),
-        F.col(vec_col).alias("__ea"),
+    import os as _os
+
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, DoubleType
+
+    max_a = int(_os.environ.get("SPARK_GRAFT_BRUTE_MAX_QUERIES", "100000"))
+    collected = (
+        anchors.select(id_col, label_col, vec_col).limit(max_a + 1).collect()
     )
-    c = corpus.select(
-        F.col(id_col).alias("cand_id"),
-        F.col(label_col).alias("__cl"),
-        F.col(vec_col).alias("__ec"),
-    )
-    sim_nm = F.round(
-        cosine_similarity(F.col("__ea"), F.col("__ec")) * F.lit(1e6), 0
-    ).cast("long")
-    scored = (
-        ensure_parallelism(c)
-        .join(broadcast(a), F.col("anchor_id") != F.col("cand_id"))
-        .select(
-            "anchor_id",
-            "label",
-            "cand_id",
-            (F.col("__cl") == F.col("label")).alias("__same"),
-            sim_nm.alias("__nm"),
+    if len(collected) > max_a:
+        raise ValueError(
+            f"mine_triplets: anchors side exceeds {max_a} rows; this exact "
+            "miner collects the anchor matrix to the driver — mine "
+            "per-batch slices or feed an ANN shortlist, or raise "
+            "SPARK_GRAFT_BRUTE_MAX_QUERIES"
         )
+    arows = sorted(
+        ((int(r[0]), r[1], r[2]) for r in collected if r[2] is not None),
+        key=lambda t: t[0],
     )
-    pos = F.min(F.when(F.col("__same"), F.struct(F.col("__nm"), F.col("cand_id"))))
+    spark = corpus.sparkSession
+    if not arows:
+        return spark.createDataFrame(
+            [],
+            "anchor_id long, label int, pos_id long, pos_sim double, "
+            "neg_id long, neg_sim double, margin double",
+        )
+    a_ids = [t[0] for t in arows]
+    a_labels = [t[1] for t in arows]
+    Am = np.asarray([t[2] for t in arows], dtype=np.float64)  # (A, d)
+    At = np.ascontiguousarray(Am.T)  # (d, A)
+    an = np.maximum(np.linalg.norm(Am, axis=1), 1e-12)  # (A,)
+
+    @pandas_udf(ArrayType(DoubleType()))
+    def anchor_sims(vecs: pd.Series) -> pd.Series:
+        vals = vecs.tolist()
+        n = len(vals)
+        out: list = [None] * n
+        ok = [
+            i
+            for i in range(n)
+            if vals[i] is not None and len(vals[i]) == At.shape[0]
+        ]
+        if ok:
+            M = np.vstack([np.asarray(vals[i], dtype=np.float64) for i in ok])
+            cn = np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+            S = (M @ At) / (cn * an[None, :])
+            for j, i in enumerate(ok):
+                out[i] = S[j].tolist()
+        return pd.Series(out)
+
+    lbl_arr = F.array(
+        *[
+            F.lit(x).cast("int") if x is not None else F.lit(None).cast("int")
+            for x in a_labels
+        ]
+    )
+    id_arr = F.array(*[F.lit(x) for x in a_ids])
+    scored = (
+        ensure_parallelism(corpus)
+        .filter(F.col(id_col).isNotNull())
+        .select(
+            F.col(id_col).alias("cand_id"),
+            F.col(label_col).alias("__cl"),
+            F.posexplode(anchor_sims(F.col(vec_col))).alias("apos", "sim"),
+        )
+        .select(
+            F.element_at(id_arr, F.col("apos") + 1).alias("anchor_id"),
+            F.element_at(lbl_arr, F.col("apos") + 1).alias("label"),
+            "cand_id",
+            "__cl",
+            F.round(F.col("sim") * F.lit(1e6), 0).cast("long").alias("__nm"),
+        )
+        .filter(F.col("anchor_id") != F.col("cand_id"))
+        .withColumn("__same", F.col("__cl") == F.col("label"))
+    )
+    pos = F.min(
+        F.when(F.col("__same"), F.struct(F.col("__nm"), F.col("cand_id")))
+    )
     neg = F.max(
-        F.when(~F.col("__same"), F.struct(F.col("__nm"), (-F.col("cand_id")).alias("nid")))
+        F.when(
+            ~F.col("__same"),
+            F.struct(F.col("__nm"), (-F.col("cand_id")).alias("nid")),
+        )
     )
     g = scored.groupBy("anchor_id").agg(
         F.first("label").alias("label"),

@@ -733,13 +733,18 @@ def p118_mix_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     "hardest POSITIVE (same label, lowest cosine) and hardest NEGATIVE "
     "(different label, highest cosine) with the margin between them; "
     "anchors lacking a partner class report NULLs, not dropped. "
-    "operators/similarity.py::mine_triplets. Scale shape: anchors "
-    "BROADCAST (bounded mining slice by contract; at 100 TB feed an ANN "
-    "shortlist — the brute/lsh_topk trade), corpus never shuffles, "
-    "per-anchor argmin/argmax collapse MAP-SIDE via struct-ordered "
-    "min/max partial aggs (never max_by — nondeterministic on ties); "
-    "the one exchange carries <=|anchors| rows. Cosine = the batched "
-    "float64 Arrow einsum (p35's operator + oracle-parity precedent), "
+    "operators/similarity.py::mine_triplets. Scale shape (the "
+    "brute_force_topk machinery — r13 sf1-lane rewrite: the first cut's "
+    "broadcast join fanned to |corpus|x|anchors| per-pair Python "
+    "cosines, 63 s vs 6 s at sf1): anchors COLLECTED driver-side "
+    "(bounded mining slice by contract, loud error past the cap; at "
+    "100 TB feed an ANN shortlist — the brute/lsh_topk trade), every "
+    "corpus row scores against ALL anchors in ONE float64 matmul per "
+    "Arrow batch, posexplode emits 3 scalar columns, per-anchor "
+    "argmin/argmax collapse MAP-SIDE via struct-ordered min/max partial "
+    "aggs (never max_by — nondeterministic on ties); embeddings never "
+    "shuffle, the one exchange carries <=|anchors| rows. Cosine = "
+    "dot/(|c|*|q|) float64 (p05's oracle-parity formulation), "
     "canonicalized at 6dp as micro-int bigints; sims and margin are "
     "exact-integer-derived doubles, unrounded (q48).",
 )

@@ -1096,20 +1096,22 @@ def test_p118_mix_plan_fold_only(spark, registry):
     assert "partial_count" in plan or "partial_sum" in plan
 
 
-def test_p119_triplet_mining_broadcast_anchors_map_side_argminmax(spark, registry):
-    """p119: anchors broadcast; the corpus never shuffles — the per-anchor
-    argmin/argmax collapse map-side via struct-ordered partial min/max,
-    so the single exchange carries anchor-count rows. No window, no
-    SortMergeJoin, no cartesian (the join is broadcast-nested-loop over
-    the bounded anchor slice by design)."""
+def test_p119_triplet_mining_matmul_no_join_map_side_argminmax(spark, registry):
+    """p119: NO join at all — every corpus row scores against the whole
+    collected anchor matrix in ONE Arrow matmul stage (the
+    brute_force_topk machinery; the first cut's broadcast join fanning
+    to |corpus|x|anchors| per-pair Python cosines measured 63 s vs 6 s
+    at sf1), then a posexplode of 3 scalar columns and struct-ordered
+    partial min/max collapse map-side — the single exchange carries
+    anchor-count rows. No window, no joins, embeddings never shuffle."""
     from duckdb_cloudflare_spark.plans.introspect import formatted_plan
 
     df = registry["p119_triplet_mining"](spark, SF_DIR)
     plan = formatted_plan(df)
-    assert "Window" not in plan and "SortMergeJoin" not in plan
-    assert "CartesianProduct" not in plan
+    assert "Window" not in plan and "Join" not in plan
+    assert "ArrowEvalPython" in plan  # the one matmul stage
     assert "partial_min" in plan and "partial_max" in plan
-    assert "BroadcastNestedLoopJoin" in plan
+    assert shuffle_count(df) <= 2  # parallelism split + the anchor agg
 
 
 def test_q67_summarize_single_scan_single_agg(spark, registry):
