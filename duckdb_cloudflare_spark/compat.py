@@ -1007,17 +1007,192 @@ def rewrite_using_sample(sql: str) -> str:
     return "".join(out)
 
 
+_SIMILAR_TO = re.compile(r"\b(?P<neg>NOT\s+)?SIMILAR\s+TO\b", re.IGNORECASE)
+_STRING_LIT = re.compile(r"\s*'(?P<pat>(?:[^']|'')*)'")
+
+
+def rewrite_similar_to(sql: str) -> str:
+    """DuckDB's ``x SIMILAR TO 'pat'`` / ``x NOT SIMILAR TO 'pat'`` →
+    Spark ``x [NOT] RLIKE '^(?:pat)$'``.
+
+    DuckDB's SIMILAR TO is a FULL-STRING regular-expression match
+    (regexp_full_match): the pattern is a plain regex, implicitly
+    anchored at both ends, and ``%``/``_`` are NOT wildcards — verified
+    empirically ('abc' SIMILAR TO 'a.c' → true, SIMILAR TO '%b%' →
+    false, SIMILAR TO 'a_c' → false, 'xabcx' SIMILAR TO 'abc' → false).
+    Spark's RLIKE is a substring search, so the rewrite anchors with a
+    non-capturing group (alternations keep full-match scope). NULL
+    propagation matches on both engines (NULL input → NULL → filtered).
+
+    The reference translates SIMILAR TO patterns into anchored Java
+    regexes for the CDX server filter at a DIFFERENT layer — the scan
+    pushdown (src/internet_archive.cpp:704-721 SqlRegexToJavaRegex,
+    src/common_crawl_index.cpp:1160-1197); that path also maps %/_/*
+    into regex wildcards because it receives LIKE-shaped patterns too.
+    This rewrite is the SQL-dialect half: plain DuckDB semantics over
+    any column, already covered on the scan path by ``url_regex=``.
+
+    Only string-LITERAL patterns rewrite (the overwhelmingly common
+    form); a non-literal right-hand side raises a loud bind-time error
+    with the manual recipe instead of Spark's cryptic parse failure."""
+    real = {i for i, _, _ in _scan_top_level(sql)}
+    ms = [m for m in _SIMILAR_TO.finditer(sql) if m.start() in real]
+    for m in reversed(ms):
+        lit = _STRING_LIT.match(sql, m.end())
+        if not lit:
+            raise ValueError(
+                "SIMILAR TO with a non-literal pattern has no textual "
+                "Spark rewrite; use rlike(col, concat('^(?:', pat_expr, "
+                "')$')) for DuckDB's full-string-match semantics"
+            )
+        neg = "NOT " if m.group("neg") else ""
+        repl = f"{neg}RLIKE '^(?:{lit.group('pat')})$'"
+        sql = sql[: m.start()] + repl + sql[lit.end():]
+    return sql
+
+
 _GROUPS_FRAME = re.compile(r"\bGROUPS\s+BETWEEN\b|\bGROUPS\s+\d+\s+PRECEDING\b"
                            r"|\bGROUPS\s+CURRENT\s+ROW\b|\bGROUPS\s+UNBOUNDED\b",
                            re.IGNORECASE)
 
 
+_OVER_PAREN = re.compile(r"\bOVER\s*\(", re.IGNORECASE)
+_GROUPS_BOUND = (
+    r"UNBOUNDED\s+PRECEDING|UNBOUNDED\s+FOLLOWING|CURRENT\s+ROW|"
+    r"\d+\s+PRECEDING|\d+\s+FOLLOWING"
+)
+_GROUPS_SPEC = re.compile(
+    r"GROUPS\s+(?:BETWEEN\s+(?P<lo>" + _GROUPS_BOUND + r")\s+AND\s+(?P<hi>"
+    + _GROUPS_BOUND
+    + r")|(?P<solo>UNBOUNDED\s+PRECEDING|CURRENT\s+ROW|\d+\s+PRECEDING))\s*$",
+    re.IGNORECASE,
+)
+_WINSPEC = re.compile(
+    r"^\s*(?:PARTITION\s+BY\s+(?P<part>.+?)\s+)?ORDER\s+BY\s+(?P<ord>.+?)"
+    r"\s*(?P<frame>\bGROUPS\b.*)$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def rewrite_groups_frames(sql: str) -> str | None:
+    """Auto-rewrite SIMPLE bounded GROUPS window frames — the exact
+    dense_rank+RANGE recipe the loud rejection prints, applied
+    mechanically: a GROUPS frame counts PEER GROUPS of the window's own
+    ordering, and dense_rank() over that ordering numbers the peer
+    groups 1..G consecutively, so
+
+        f(x) OVER (PARTITION BY p ORDER BY o GROUPS BETWEEN a AND b)
+      ≡ f(x) OVER (PARTITION BY p ORDER BY rk RANGE BETWEEN a AND b)
+        ... FROM (SELECT *, dense_rank() OVER (PARTITION BY p
+                                               ORDER BY o) AS rk ...)
+
+    (DESC / NULLS FIRST orderings are encoded IN the rank, so the RANGE
+    always runs ascending over rk; the shorthand ``GROUPS n PRECEDING``
+    means BETWEEN n PRECEDING AND CURRENT ROW, as in the standard).
+    Cross-engine byte-equality is pinned in tests — DuckDB runs native
+    GROUPS, Spark runs this rewrite.
+
+    Returns None (→ the existing loud rejection) for shapes where the
+    textual recipe is NOT faithful: EXCLUDE clauses, frames without
+    ORDER BY, DISTINCT selects, statements with top-level GROUP BY /
+    HAVING / set ops / QUALIFY / WINDOW clauses (the injected subquery
+    would change evaluation order), and GROUPS inside subqueries (the
+    rank column would be out of scope)."""
+    if not re.search(r"\bGROUPS\b", sql, re.IGNORECASE):
+        return None
+    stripped = sql.strip()
+    while stripped.endswith(";"):
+        stripped = stripped[:-1].rstrip()
+    m0 = re.match(r"\s*SELECT\s+", stripped, re.IGNORECASE)
+    if not m0:
+        return None
+    frm = _find_keyword(stripped, "FROM")
+    if frm == -1:
+        return None
+    sel = stripped[m0.end():frm]
+    if re.match(r"\s*DISTINCT\b", sel, re.IGNORECASE):
+        return None
+    tail = stripped[frm + len("FROM"):]
+    for kw in ("GROUP", "HAVING", "UNION", "INTERSECT", "EXCEPT",
+               "QUALIFY", "WINDOW"):
+        if _find_keyword(tail, kw) != -1:
+            return None
+    cut = len(tail)
+    for kw in ("ORDER", "LIMIT", "OFFSET"):
+        i = _find_keyword(tail, kw)
+        if i != -1:
+            cut = min(cut, i)
+    body, trailing = tail[:cut].strip(), tail[cut:].strip()
+    if not body:
+        return None
+
+    depth_at = {i: d for i, _, d in _scan_top_level(sel)}
+    ranks: dict[tuple[str, str], tuple[str, str, str]] = {}
+    spans: list[tuple[int, int, str]] = []
+    for m in _OVER_PAREN.finditer(sel):
+        if m.start() not in depth_at:
+            continue
+        open_idx = m.end() - 1
+        try:
+            close, _ = _call_args(sel, open_idx)
+        except ValueError:
+            return None
+        spec = sel[open_idx + 1: close]
+        if not re.search(r"\bGROUPS\b", spec, re.IGNORECASE):
+            continue
+        if depth_at[m.start()] != 0:
+            return None  # GROUPS inside a subquery — rank out of scope
+        wm = _WINSPEC.match(spec)
+        if not wm:
+            return None
+        fm = _GROUPS_SPEC.match(wm.group("frame"))
+        if not fm:
+            return None  # EXCLUDE / exotic bounds — keep the loud error
+        part = (wm.group("part") or "").strip()
+        order = wm.group("ord").strip()
+        key = (
+            re.sub(r"\s+", " ", part).lower(),
+            re.sub(r"\s+", " ", order).lower(),
+        )
+        if key not in ranks:
+            ranks[key] = (f"__grp_rk_{len(ranks)}", part, order)
+        name = ranks[key][0]
+        if fm.group("solo") is not None:
+            lo, hi = fm.group("solo"), "CURRENT ROW"
+        else:
+            lo, hi = fm.group("lo"), fm.group("hi")
+        pb = f"PARTITION BY {part} " if part else ""
+        spans.append((
+            m.start(), close + 1,
+            f"OVER ({pb}ORDER BY {name} RANGE BETWEEN {lo} AND {hi})",
+        ))
+    if not spans:
+        return None
+    new_sel = sel
+    for s, e, repl in reversed(spans):
+        new_sel = new_sel[:s] + repl + new_sel[e:]
+    rk_defs = ", ".join(
+        f"dense_rank() OVER ({('PARTITION BY ' + p + ' ') if p else ''}"
+        f"ORDER BY {o}) AS {nm}"
+        for nm, p, o in ranks.values()
+    )
+    out = (
+        f"SELECT {new_sel.strip()} FROM "
+        f"(SELECT *, {rk_defs} FROM {body}) __grp_src"
+    )
+    if trailing:
+        out += f" {trailing}"
+    return out
+
+
 def _reject_groups_frames(sql: str) -> None:
     """DuckDB supports SQL:2011 GROUPS window frames; Spark only ROWS and
-    RANGE. No textual rewrite is faithful (a GROUPS frame counts PEER
-    GROUPS, which needs a dense_rank pre-pass keyed by the window's own
-    ordering). Raise a clear bind-time error with the manual recipe
-    instead of Spark's parse error."""
+    RANGE. The SIMPLE bounded forms are auto-rewritten first
+    (rewrite_groups_frames — the dense_rank+RANGE recipe); whatever
+    reaches here (EXCLUDE clauses, GROUPS in subqueries, set-op /
+    GROUP BY statements) has no faithful textual rewrite. Raise a clear
+    bind-time error with the manual recipe instead of Spark's parse
+    error."""
     real = {i for i, _, _ in _scan_top_level(sql)}
     for m in _GROUPS_FRAME.finditer(sql):
         if m.start() in real:
@@ -1142,7 +1317,8 @@ def _pivot_alias(raw: str) -> str:
     stripped); Spark needs an explicit alias to reproduce that."""
     v = raw.strip()
     if len(v) >= 2 and v[0] == v[-1] and v[0] in ("'", '"'):
-        v = v[1:-1]
+        q = v[0]
+        v = v[1:-1].replace(q + q, q)  # un-double escaped quotes: '' → '
     return v.replace("`", "")
 
 
@@ -1205,7 +1381,19 @@ def rewrite_pivot_statement(spark: SparkSession | None, sql: str) -> str | None:
         vals = []
         for r in rows:
             v = r[0]
-            vals.append(f"'{v}'" if isinstance(v, str) else str(v))
+            # escape embedded quotes by doubling (O'Brien → 'O''Brien');
+            # non-literal-friendly types (dates, decimals, binary) would
+            # interpolate wrong — refuse loudly rather than emit bad SQL
+            if isinstance(v, str):
+                vals.append("'" + v.replace("'", "''") + "'")
+            elif isinstance(v, bool) or isinstance(v, (int, float)):
+                vals.append(str(v))
+            else:
+                raise ValueError(
+                    f"PIVOT auto-detect supports str/int/float/bool pivot "
+                    f"values only (got {type(v).__name__} in {col}); pass "
+                    f"IN (...) with explicit literals"
+                )
     in_list = ", ".join(f"{v} AS `{_pivot_alias(v)}`" for v in vals)
     src = tbl
     if m.group("grp"):
@@ -1227,7 +1415,19 @@ def rewrite_pivot_statement(spark: SparkSession | None, sql: str) -> str | None:
                 "expression in a view, or use the SQL-standard form"
             )
         src = f"(SELECT {', '.join(keep)} FROM {tbl})"
-    return f"SELECT * FROM {src} PIVOT ({agg} FOR {col} IN ({in_list}))"
+    out = f"SELECT * FROM {src} PIVOT ({agg} FOR {col} IN ({in_list}))"
+    # DuckDB fills empty (group, value) cells of a count aggregate with 0;
+    # Spark's PIVOT yields NULL (verified empirically on both engines).
+    # The pivoted column aliases are known, so wrap in an outer SELECT
+    # that coalesces each one — star-EXCEPT keeps the group columns (and
+    # their order) without needing the table schema at rewrite time.
+    if re.match(r"count\s*\(", agg, re.IGNORECASE):
+        aliases = [f"`{_pivot_alias(v)}`" for v in vals]
+        coal = ", ".join(f"COALESCE({a}, 0) AS {a}" for a in aliases)
+        out = (
+            f"SELECT * EXCEPT ({', '.join(aliases)}), {coal} FROM ({out})"
+        )
+    return out
 
 
 # table function → the reader option its LIMIT pushdown sets (the CDX
@@ -1426,6 +1626,9 @@ def duck_sql(spark: SparkSession, sql: str) -> DataFrame:
     if summ is not None:
         return summ
     _reject_unsupported_joins(sql)
+    grp = rewrite_groups_frames(sql)
+    if grp is not None:
+        sql = grp
     _reject_groups_frames(sql)
     unp = rewrite_unpivot_statement(sql)
     if unp is not None:
@@ -1434,6 +1637,7 @@ def duck_sql(spark: SparkSession, sql: str) -> DataFrame:
     if piv is not None:
         sql = piv
     sql = rewrite_named_args(sql)
+    sql = rewrite_similar_to(sql)
     sql = rewrite_using_sample(sql)
     sql = rewrite_scan_limit(sql)
     sql = rewrite_distinct_on(sql)
@@ -1486,7 +1690,9 @@ def summarize_table(df: DataFrame) -> DataFrame:
     engines' shortest-roundtrip printers agree. For INTEGRAL columns,
     avg/std derive from exact decimal sums through a fixed expression
     tree (order-free — the embedding_norm_qa convention); for
-    fractional columns they are engine aggregates rounded 6 dp (last-
+    fractional AND DECIMAL columns (TPC-H's core numeric type — e.g.
+    l_quantity) they are engine aggregates over the double cast,
+    rounded 6 dp (last-
     ulp summation-order noise buried by the rounding, not eliminated —
     don't hash-grade double columns). Unorderable types (arrays, maps,
     structs) report NULL min/max and no numeric stats, like DuckDB."""
@@ -1499,6 +1705,11 @@ def summarize_table(df: DataFrame) -> DataFrame:
     for i, f in enumerate(fields):
         t = f.dataType.simpleString()
         c = F.col(f.name)
+        # DECIMAL (TPC-H's core numeric type) rides the fractional branch:
+        # engine avg/std over the double cast, rounded 6 dp — the same
+        # last-ulp-buried-not-eliminated policy as double columns (DuckDB's
+        # native SUMMARIZE is approximate by design; don't hash-grade)
+        is_dec = t.startswith("decimal")
         orderable = not (
             t.startswith("array") or t.startswith("map") or t.startswith("struct")
         )
@@ -1516,12 +1727,12 @@ def summarize_table(df: DataFrame) -> DataFrame:
         if t in num_int:
             d = c.cast("decimal(38,0)")
             aggs += [F.sum(d).alias(f"s_{i}"), F.sum(d * d).alias(f"ss_{i}")]
-        elif t in num_frac:
+        elif t in num_frac or is_dec:
             aggs += [
-                F.round(F.avg(c), 6).alias(f"avg_{i}"),
-                F.round(F.stddev_samp(c), 6).alias(f"std_{i}"),
+                F.round(F.avg(c.cast("double")), 6).alias(f"avg_{i}"),
+                F.round(F.stddev_samp(c.cast("double")), 6).alias(f"std_{i}"),
             ]
-        if t in num_int + num_frac:
+        if t in num_int + num_frac or is_dec:
             aggs += [
                 F.round(F.percentile(c.cast("double"), 0.25), 6).alias(f"q25_{i}"),
                 F.round(F.percentile(c.cast("double"), 0.50), 6).alias(f"q50_{i}"),
@@ -1532,6 +1743,7 @@ def summarize_table(df: DataFrame) -> DataFrame:
     structs = []
     for i, f in enumerate(fields):
         t = f.dataType.simpleString()
+        is_dec = t.startswith("decimal")
         orderable = not (
             t.startswith("array") or t.startswith("map") or t.startswith("struct")
         )
@@ -1549,7 +1761,7 @@ def summarize_table(df: DataFrame) -> DataFrame:
             )
             avg_c = F.round(mean, 6).cast("string")
             std_c = F.when(nn > 1, F.round(F.sqrt(var), 6)).cast("string")
-        elif t in num_frac:
+        elif t in num_frac or is_dec:
             avg_c = F.col(f"avg_{i}").cast("string")
             std_c = F.col(f"std_{i}").cast("string")
         else:
@@ -1557,7 +1769,7 @@ def summarize_table(df: DataFrame) -> DataFrame:
             std_c = null_s
         qs = (
             [F.col(f"q{q}_{i}").cast("string") for q in (25, 50, 75)]
-            if t in num_int + num_frac
+            if t in num_int + num_frac or is_dec
             else [null_s, null_s, null_s]
         )
         structs.append(

@@ -636,8 +636,12 @@ def jl_project(
     double by exact constants (sqrt(K) a single IEEE sqrt), deliberately
     unrounded (q48 rule).
 
-    ``in_dims`` must equal the embedding dimensionality (shorter vectors
-    zip to fewer terms; longer ones are truncated by the zip)."""
+    ``in_dims`` should equal the embedding dimensionality. Mismatches
+    follow the numpy reference's truncation semantics (S[:, :len(x)]):
+    longer vectors are truncated to ``in_dims`` (an explicit F.slice —
+    zip_with alone would NULL-pad the shorter SIGNS side), and shorter
+    vectors contribute only their own terms (the missing dimensions'
+    NULL products coalesce to 0, never propagating NULL to the fold)."""
     import hashlib
 
     signs = [
@@ -651,7 +655,7 @@ def jl_project(
         for k in range(out_dims)
     ]
     xm = F.transform(
-        F.col(vec_col),
+        F.slice(F.col(vec_col), 1, in_dims),
         lambda x: F.round(x.cast("double") * F.lit(1e6), 0).cast("long"),
     )
     folds = F.array(
@@ -660,7 +664,7 @@ def jl_project(
                 F.zip_with(
                     F.col("__xm"),
                     F.array(*[F.lit(s) for s in signs[k]]),
-                    lambda x, s: x * s.cast("long"),
+                    lambda x, s: F.coalesce(x * s.cast("long"), F.lit(0).cast("long")),
                 ),
                 F.lit(0).cast("long"),
                 lambda acc, v: acc + v,

@@ -403,8 +403,13 @@ def quality_stream(
         for pdf in pdfs:
             n_out, x_out = [], []
             for text in pdf[text_col]:
-                t = (text or "").strip()
-                toks = _re.split(r"\s+", t) if t else []
+                # mirror batch tokens() EXACTLY (the bit-for-bit contract):
+                # F.trim strips only 0x20 → strip(' '); Java regex \s is the
+                # ASCII class [ \t\n\x0B\f\r] (U+00A0 etc. do NOT split) and
+                # Spark's split(limit=-1) keeps leading AND trailing empty
+                # tokens — Python re.split keeps both too, so no filtering
+                t = (text or "").strip(" ")
+                toks = _re.split(r"[ \t\n\x0b\f\r]+", t) if t else []
                 if len(toks) < 2:
                     n_out.append(None)
                     x_out.append(None)

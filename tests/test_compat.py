@@ -1348,15 +1348,52 @@ class TestPivotStatement:
             "PIVOT (sum(v) FOR p IN ('x' AS `x`, 'y' AS `y`))"
         )
         # no GROUP BY -> both engines group by all remaining columns;
-        # no pre-projection needed
+        # no pre-projection needed. count aggregates get the COALESCE
+        # wrapper: DuckDB fills empty cells with 0, Spark with NULL
         out = rewrite_pivot_statement(
             None, "PIVOT t ON p IN (1, 2) USING count(v)"
         )
         assert out == (
-            "SELECT * FROM t PIVOT (count(v) FOR p IN (1 AS `1`, 2 AS `2`))"
+            "SELECT * EXCEPT (`1`, `2`), COALESCE(`1`, 0) AS `1`, "
+            "COALESCE(`2`, 0) AS `2` FROM (SELECT * FROM t "
+            "PIVOT (count(v) FOR p IN (1 AS `1`, 2 AS `2`)))"
         )
         assert rewrite_pivot_statement(None, "SELECT 1") is None
         assert rewrite_pivot_statement(None, "SELECT * FROM pivot_log") is None
+
+    def test_count_sparse_cells_cross_engine(self, t, duck):
+        # ('a','y') and ('b','x') cells are EMPTY: DuckDB's PIVOT count
+        # reports 0 there, Spark's native PIVOT reports NULL — the
+        # COALESCE wrapper reconciles them (r13 advice item)
+        rows = [("a", "x", 1), ("b", "y", 2), ("b", "y", 3)]
+        t.createDataFrame(rows, "g string, p string, v int") \
+            .createOrReplaceTempView("__piv_sparse")
+        duck.sql(
+            "CREATE OR REPLACE TABLE __piv_sparse AS SELECT * FROM (VALUES "
+            + ", ".join(str(r) for r in rows) + ") AS t(g, p, v)"
+        )
+        stmt = "PIVOT __piv_sparse ON p IN ('x', 'y') USING count(v) GROUP BY g"
+        srows = sorted(tuple(r) for r in duck_sql(t, stmt).collect())
+        drows = sorted(tuple(r) for r in duck.sql(stmt).fetchall())
+        assert srows == drows
+        assert ("a", 1, 0) in srows and ("b", 0, 2) in srows
+
+    def test_autodetect_escapes_quoted_values(self, t, duck):
+        # a pivot value containing a single quote must not produce
+        # malformed SQL in the auto-detect interpolation (r13 advice item)
+        rows = [("g1", "O'Brien", 1), ("g1", "plain", 2), ("g2", "O'Brien", 3)]
+        t.createDataFrame(rows, "g string, p string, v int") \
+            .createOrReplaceTempView("__piv_q")
+        duck.sql(
+            "CREATE OR REPLACE TABLE __piv_q AS SELECT * FROM (VALUES "
+            "('g1', 'O''Brien', 1), ('g1', 'plain', 2), ('g2', 'O''Brien', 3)"
+            ") AS t(g, p, v)"
+        )
+        stmt = "PIVOT __piv_q ON p USING sum(v) GROUP BY g"
+        srows = sorted(tuple(r) for r in duck_sql(t, stmt).collect())
+        drows = sorted(tuple(r) for r in duck.sql(stmt).fetchall())
+        assert srows == drows
+        assert "O'Brien" in duck_sql(t, stmt).columns
 
     def test_explicit_in_cross_engine(self, t, duck):
         self._tables(t, duck)
@@ -1391,13 +1428,226 @@ class TestPivotStatement:
             )
 
 
-class TestGroupsFrameReject:
-    def test_groups_frame_loud_error(self, t):
+class TestSimilarTo:
+    """DuckDB's SIMILAR TO is regexp_full_match: plain regex, implicitly
+    anchored, %/_ NOT wildcards (empirically verified) — the rewrite maps
+    it to anchored RLIKE and must agree with DuckDB on every form."""
+
+    def test_rewrite_shape(self):
+        from duckdb_cloudflare_spark.compat import rewrite_similar_to as rw
+
+        assert rw("SELECT * FROM t WHERE x SIMILAR TO 'a.c'") == (
+            "SELECT * FROM t WHERE x RLIKE '^(?:a.c)$'"
+        )
+        assert rw("SELECT x NOT SIMILAR TO 'ab|cd' AS m FROM t") == (
+            "SELECT x NOT RLIKE '^(?:ab|cd)$' AS m FROM t"
+        )
+        # doubled-quote escapes survive inside the literal
+        assert rw("SELECT * FROM t WHERE x SIMILAR TO 'o''b.*'") == (
+            "SELECT * FROM t WHERE x RLIKE '^(?:o''b.*)$'"
+        )
+        # inside a string literal: untouched
+        s = "SELECT 'x SIMILAR TO y' AS s"
+        assert rw(s) == s
+        # two occurrences, both rewritten
+        two = rw("SELECT a SIMILAR TO 'x' AS p, b NOT SIMILAR TO 'y' AS q")
+        assert two.count("RLIKE") == 2 and "SIMILAR" not in two
+
+    def test_non_literal_pattern_loud_error(self):
+        from duckdb_cloudflare_spark.compat import rewrite_similar_to as rw
+
+        with pytest.raises(ValueError, match="non-literal"):
+            rw("SELECT * FROM t WHERE x SIMILAR TO y")
+
+    @pytest.mark.parametrize(
+        "pat",
+        [
+            "a.c",      # regex dot IS a metachar
+            "abc",      # full-string anchoring: 'xabcx' must NOT match
+            "%b%",      # % is NOT a wildcard in DuckDB SIMILAR TO
+            "a_c",      # _ is NOT a wildcard either
+            "a.*",      # explicit regex wildcard
+            "ab|cd",    # top-level alternation must anchor BOTH branches
+            "(a|x)bc",
+            "a[bx]c",
+        ],
+    )
+    def test_cross_engine_agreement(self, t, duck, pat):
+        vals = ["abc", "xabcx", "a.c", "a_c", "%b%", "cd", "xcd", "abx", None]
+        t.createDataFrame(
+            [(v,) for v in vals], "x string"
+        ).createOrReplaceTempView("__sim_t")
+        duck.sql(
+            "CREATE OR REPLACE TABLE __sim_t AS SELECT * FROM (VALUES "
+            + ", ".join("(%s)" % ("NULL" if v is None else f"'{v}'") for v in vals)
+            + ") AS t(x)"
+        )
+        for stmt in (
+            f"SELECT x FROM __sim_t WHERE x SIMILAR TO '{pat}'",
+            f"SELECT x FROM __sim_t WHERE x NOT SIMILAR TO '{pat}'",
+        ):
+            srows = sorted(r["x"] for r in duck_sql(t, stmt).collect())
+            drows = sorted(r[0] for r in duck.sql(stmt).fetchall())
+            assert srows == drows, (stmt, srows, drows)
+
+
+class TestGroupsFrameRewrite:
+    """Simple bounded GROUPS frames auto-rewrite to the dense_rank+RANGE
+    recipe. This environment's DuckDB (1.0.0) rejects GROUPS mode
+    outright ('not implemented yet' — verified), so the cross-engine
+    oracle is DuckDB running the EXPLICIT dense_rank+RANGE recipe (the
+    same semantics, independently executed), plus a hand-computed
+    expectation on the tie fixture. Ties in the ordering are the
+    distinguishing case (a GROUPS frame counts peer GROUPS, ROWS counts
+    rows, RANGE counts order-key distance)."""
+
+    @staticmethod
+    def _recipe(frame: str, agg: str, part: str, order: str) -> str:
+        """The DuckDB-side equivalent: explicit dense_rank + RANGE."""
+        rng = frame.replace("GROUPS", "RANGE")
+        if "BETWEEN" not in rng:
+            rng = rng.replace("RANGE ", "RANGE BETWEEN ") + " AND CURRENT ROW"
+        pb = f"PARTITION BY {part} " if part else ""
+        return (
+            f"SELECT g, o, v, {agg} OVER ({pb}ORDER BY rk {rng}) AS s "
+            f"FROM (SELECT *, dense_rank() OVER ({pb}ORDER BY {order}) "
+            f"AS rk FROM __grp_t) ORDER BY g, o, v"
+        )
+
+    @pytest.fixture()
+    def gtables(self, t, duck):
+        # duplicate order keys (ties) in every partition, plus a gap in
+        # the order values so RANGE-over-raw-key would differ too
+        rows = [
+            ("a", 1, 10), ("a", 1, 20), ("a", 2, 30), ("a", 5, 40),
+            ("a", 5, 50), ("b", 3, 60), ("b", 7, 70), ("b", 7, 80),
+        ]
+        t.createDataFrame(rows, "g string, o int, v int") \
+            .createOrReplaceTempView("__grp_t")
+        duck.sql(
+            "CREATE OR REPLACE TABLE __grp_t AS SELECT * FROM (VALUES "
+            + ", ".join(str(r) for r in rows) + ") AS t(g, o, v)"
+        )
+        return t, duck
+
+    @pytest.mark.parametrize(
+        "frame",
+        [
+            "GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW",
+            "GROUPS BETWEEN 1 PRECEDING AND 1 FOLLOWING",
+            "GROUPS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW",
+            "GROUPS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING",
+            "GROUPS 2 PRECEDING",  # shorthand = BETWEEN 2 PRECEDING AND CURRENT ROW
+        ],
+    )
+    def test_cross_engine_byte_equal(self, gtables, frame):
+        t, duck = gtables
+        stmt = (
+            f"SELECT g, o, v, sum(v) OVER (PARTITION BY g ORDER BY o "
+            f"{frame}) AS s FROM __grp_t ORDER BY g, o, v"
+        )
+        srows = [tuple(r) for r in duck_sql(t, stmt).collect()]
+        drows = [
+            tuple(r)
+            for r in duck.sql(self._recipe(frame, "sum(v)", "g", "o")).fetchall()
+        ]
+        assert srows == drows
+
+    def test_hand_computed_tie_case(self, gtables):
+        # independent of BOTH engines: partition a, order o with ties
+        # (1,1,2,5,5), GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW sums
+        # the current peer group plus the one before it
+        t, _ = gtables
+        stmt = (
+            "SELECT g, o, v, sum(v) OVER (PARTITION BY g ORDER BY o "
+            "GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW) AS s "
+            "FROM __grp_t WHERE g = 'a' ORDER BY o, v"
+        )
+        got = [tuple(r) for r in duck_sql(t, stmt).collect()]
+        assert got == [
+            ("a", 1, 10, 30),   # peer group {10,20}
+            ("a", 1, 20, 30),
+            ("a", 2, 30, 60),   # {30} + prev group {10,20}
+            ("a", 5, 40, 120),  # {40,50} + prev group {30}
+            ("a", 5, 50, 120),
+        ]
+
+    def test_desc_ordering_and_no_partition(self, gtables):
+        t, duck = gtables
+        stmt = (
+            "SELECT g, o, v, count(*) OVER (ORDER BY o DESC "
+            "GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW) AS c "
+            "FROM __grp_t ORDER BY g, o, v"
+        )
+        srows = [tuple(r) for r in duck_sql(t, stmt).collect()]
+        recipe = self._recipe(
+            "GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW",
+            "count(*)", "", "o DESC",
+        )
+        drows = [tuple(r) for r in duck.sql(recipe).fetchall()]
+        assert srows == drows
+
+    def test_two_windows_where_and_limit(self, gtables):
+        # WHERE moves inside the injected subquery (rank computed
+        # post-filter, DuckDB's evaluation order); trailing ORDER BY /
+        # LIMIT stay outside; two DIFFERENT window specs coexist
+        t, duck = gtables
+        stmt = (
+            "SELECT g, o, v, "
+            "sum(v) OVER (PARTITION BY g ORDER BY o "
+            "GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW) AS s1, "
+            "max(v) OVER (ORDER BY o GROUPS 1 PRECEDING) AS s2 "
+            "FROM __grp_t WHERE v <> 30 ORDER BY g, o, v LIMIT 5"
+        )
+        srows = [tuple(r) for r in duck_sql(t, stmt).collect()]
+        recipe = (
+            "SELECT g, o, v, "
+            "sum(v) OVER (PARTITION BY g ORDER BY rk1 "
+            "RANGE BETWEEN 1 PRECEDING AND CURRENT ROW) AS s1, "
+            "max(v) OVER (ORDER BY rk2 "
+            "RANGE BETWEEN 1 PRECEDING AND CURRENT ROW) AS s2 "
+            "FROM (SELECT *, "
+            "dense_rank() OVER (PARTITION BY g ORDER BY o) AS rk1, "
+            "dense_rank() OVER (ORDER BY o) AS rk2 "
+            "FROM __grp_t WHERE v <> 30) ORDER BY g, o, v LIMIT 5"
+        )
+        drows = [tuple(r) for r in duck.sql(recipe).fetchall()]
+        assert srows == drows
+
+    def test_mixed_groups_and_plain_windows(self, gtables):
+        t, duck = gtables
+        stmt = (
+            "SELECT v, sum(v) OVER (ORDER BY o GROUPS BETWEEN 1 PRECEDING "
+            "AND CURRENT ROW) AS s, "
+            "row_number() OVER (ORDER BY o, v) AS rn "
+            "FROM __grp_t ORDER BY rn"
+        )
+        srows = [tuple(r) for r in duck_sql(t, stmt).collect()]
+        recipe = (
+            "SELECT v, sum(v) OVER (ORDER BY rk "
+            "RANGE BETWEEN 1 PRECEDING AND CURRENT ROW) AS s, "
+            "row_number() OVER (ORDER BY o, v) AS rn "
+            "FROM (SELECT *, dense_rank() OVER (ORDER BY o) AS rk "
+            "FROM __grp_t) ORDER BY rn"
+        )
+        drows = [tuple(r) for r in duck.sql(recipe).fetchall()]
+        assert srows == drows
+
+    def test_groups_frame_exotic_still_loud_error(self, t):
+        # EXCLUDE has no recipe; GROUP BY statements can't take the
+        # injected subquery — both keep the loud rejection
         with pytest.raises(ValueError, match="GROUPS window frames"):
             duck_sql(
                 t,
                 "SELECT sum(x) OVER (ORDER BY x GROUPS BETWEEN 1 PRECEDING "
-                "AND CURRENT ROW) FROM (SELECT 1 AS x)",
+                "AND CURRENT ROW EXCLUDE TIES) FROM (SELECT 1 AS x)",
+            )
+        with pytest.raises(ValueError, match="GROUPS window frames"):
+            duck_sql(
+                t,
+                "SELECT g, sum(sum(x)) OVER (ORDER BY g GROUPS BETWEEN 1 "
+                "PRECEDING AND CURRENT ROW) FROM (SELECT 1 AS x, 'a' AS g) "
+                "GROUP BY g",
             )
 
     def test_groups_as_identifier_untouched(self, t):
@@ -1449,6 +1699,42 @@ class TestSummarize:
             assert abs(o["approx_unique"] - int(d["approx_unique"])) <= 1, col
             if o["avg"] is not None and d["avg"] is not None:
                 assert math.isclose(float(o["avg"]), float(d["avg"]), rel_tol=1e-6)
+
+    def test_summarize_decimal_columns(self, t, duck):
+        # DECIMAL (TPC-H's core numeric type) must report avg/std/quantiles
+        # like DuckDB's native SUMMARIZE, not fall through to NULL
+        # (r13 advice item)
+        import math
+        from decimal import Decimal
+
+        vals = [Decimal("1.50"), Decimal("2.25"), Decimal("10.00"), None]
+        t.createDataFrame(
+            [(i, v) for i, v in enumerate(vals)], "k int, d decimal(15,2)"
+        ).createOrReplaceTempView("__sum_dec")
+        duck.sql(
+            "CREATE OR REPLACE TABLE __sum_dec AS SELECT * FROM (VALUES "
+            "(0, 1.50::DECIMAL(15,2)), (1, 2.25::DECIMAL(15,2)), "
+            "(2, 10.00::DECIMAL(15,2)), (3, NULL::DECIMAL(15,2))) AS x(k, d)"
+        )
+        ours = {
+            r["column_name"]: r
+            for r in duck_sql(t, "SUMMARIZE __sum_dec").collect()
+        }
+        native = {
+            r["column_name"]: r
+            for _, r in duck.sql("SUMMARIZE __sum_dec").df().iterrows()
+        }
+        o, d = ours["d"], native["d"]
+        assert o["column_type"] == d["column_type"] == "DECIMAL(15,2)"
+        assert o["avg"] is not None and o["std"] is not None
+        assert math.isclose(float(o["avg"]), float(d["avg"]), rel_tol=1e-6)
+        assert math.isclose(float(o["std"]), float(d["std"]), rel_tol=1e-6)
+        # ours are exact interpolated quantiles; native are approximate —
+        # bounds-reconcile only
+        for q in ("q25", "q50", "q75"):
+            assert o[q] is not None
+            assert float(vals[0]) <= float(o[q]) <= float(vals[2])
+        assert float(o["min"]) == 1.50 and float(o["max"]) == 10.00
 
     def test_summarize_query_form_loud_error(self, t):
         with pytest.raises(ValueError, match="register it as a temp view"):

@@ -657,6 +657,32 @@ def test_p116_jl_matches_numpy_reference(spark, sf_dir):
 import numpy as np  # noqa: E402
 
 
+def test_p116_jl_length_mismatch_truncates_like_numpy(spark):
+    """r13 advice item: vectors whose length != in_dims must follow the
+    numpy reference's truncation semantics (S[:, :len(x)]) — longer
+    vectors truncated to in_dims, shorter ones contributing only their
+    own terms — NOT silently emitting NULL for every coordinate (the
+    zip_with NULL-pad trap)."""
+    from duckdb_cloudflare_spark.operators.similarity import jl_project
+
+    short = [0.5] * 10          # 10 < 64: 54 missing dims contribute 0
+    exact = [0.25] * 64
+    long_ = [0.125] * 80        # 80 > 64: truncated to the first 64
+    df = spark.createDataFrame(
+        [(1, short), (2, exact), (3, long_)],
+        "vec_id long, embedding array<double>",
+    )
+    got = {}
+    for r in jl_project(df).collect():
+        assert r["y"] is not None, (r["vec_id"], r["k"])
+        got.setdefault(r["vec_id"], {})[r["k"]] = r["y"]
+    assert set(got) == {1, 2, 3} and all(len(v) == 16 for v in got.values())
+    want = _jl_reference({1: short, 2: exact, 3: long_[:64]})
+    for vid in want:
+        for k in range(16):
+            assert abs(got[vid][k] - want[vid][k]) < 1e-12, (vid, k)
+
+
 def test_p116_jl_preserves_pairwise_distance(spark, sf_dir):
     """The JL point: E[||y_i - y_j||²] = ||x_i - x_j||² for the ±1/√K
     sign matrix. Averaged over all pairs of the sf0.001 embeddings the

@@ -379,6 +379,61 @@ def test_quality_stream_matches_batch_p114_bit_for_bit(spark, split_docs_dir):
             assert n is None and x is None
 
 
+def test_quality_stream_whitespace_edges_bit_for_bit(spark, tmp_path):
+    """The r13 advice fixture: the stream tokenizer must mirror Spark/Java
+    semantics EXACTLY — a leading \\n yields an empty first token (F.trim
+    strips only 0x20; Java split keeps the leading empty), U+00A0 does
+    NOT split (Java \\s is the ASCII class), and a trailing \\t yields an
+    empty last token (Spark split's limit=-1 keeps trailing empties)."""
+    from duckdb_cloudflare_spark.operators.text_analysis import (
+        bigram_model,
+        bigram_xent,
+    )
+    from duckdb_cloudflare_spark.streaming.documents import (
+        quality_stream,
+        read_document_stream,
+    )
+    from duckdb_cloudflare_spark.streaming.events import run_to_memory
+
+    rows = [
+        (1, "\nalpha beta gamma", "en", "s", 16),
+        (2, "alpha beta gamma\u00a0delta", "en", "s", 22),
+        (3, "alpha beta\t", "en", "s", 11),
+        (4, " plain alpha beta ", "en", "s", 18),
+        (5, "\u00a0", "en", "s", 1),  # one NBSP "token" — sub-2, NULL score
+    ]
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    docs = spark.createDataFrame(rows, schema)
+    docs.coalesce(1).write.parquet(str(tmp_path / "docs"))
+
+    target = F.col("lang") == "en"
+    pair_lp, ctx_lp, default_lp = bigram_model(docs, target)
+    stream = read_document_stream(spark, str(tmp_path / "docs"))
+    got = run_to_memory(
+        quality_stream(stream, pair_lp, ctx_lp, default_lp), "quality_ws_out"
+    )
+    stream_scores = {
+        r["doc_id"]: (r["n_bigrams"], r["bigram_xent"])
+        for r in got.select("doc_id", "n_bigrams", "bigram_xent").collect()
+    }
+    batch_scores = {
+        r["doc_id"]: (r["n_bigrams"], r["bigram_xent"])
+        for r in bigram_xent(docs, target=target).collect()
+    }
+    assert len(stream_scores) == len(rows)
+    for did, (n, x) in batch_scores.items():
+        assert stream_scores[did] == (n, x), did
+    # doc 1: leading \n → empty first token → 3 bigrams not 2
+    assert batch_scores[1][0] == 3
+    # doc 2: NBSP does NOT split → 3 tokens → 2 bigrams
+    assert batch_scores[2][0] == 2
+    # doc 3: trailing \t → empty last token → 2 bigrams
+    assert batch_scores[3][0] == 2
+    # doc 5: single token in batch too → excluded there, NULL in stream
+    assert 5 not in batch_scores
+    assert stream_scores[5] == (None, None)
+
+
 def test_mix_monitor_stream_totals_match_batch_plan(spark, split_docs_dir):
     """The per-source running token counts must equal mix_plan's
     tokens_available bit-for-bit once the whole corpus has streamed
