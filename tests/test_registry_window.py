@@ -21,27 +21,25 @@ from duckdb_cloudflare_spark import queries as Q
 _ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def test_graded_window_is_exactly_the_r13_rotation():
+def test_graded_window_is_exactly_the_r14_rotation():
     names = list(Q.all_queries())
     window = names[:50]
     expected = (
-        # the new r13 oracle-bearing ops (no driver history) lead — the
-        # second wave (p114..p119, q64..q67) included — then p48+p62..p68
-        # (green r9 history, pushed below the r12 cut with exactly this
-        # destiny documented), then the r10-graded cohort in
-        # CORRECTNESS_r10 record order; the [:50] cut lands after p61 —
-        # q29..q51 (green r10 history) plus q01/p01-p05/p11/p12 rotate
-        # in r14.
-        ["p111_", "p113_", "p114_", "p115_", "p116_", "p117_", "p118_",
-         "p119_", "q64_", "q65_", "q66_", "q67_"]
-        + ["p48_", "p62_", "p63_", "p64_", "p65_", "p66_", "p67_", "p68_"]
+        # the new r14 oracle-bearing ops (no driver history) lead, then
+        # the documented rotation cohort (q01/p01-p05/p11/p12 + the
+        # q29-q51 green-r10-history block + q53), then the
+        # oldest-history relational block q02-q17 fills to exactly 50.
+        ["q68_", "q69_", "p120_", "p121_", "p122_", "p123_"]
+        + ["q01_", "p01_", "p02_", "p03_", "p04_", "p05_", "p11_", "p12_"]
         + [
-            "p101_", "q58_", "p99_", "p100_", "p94_", "p95_", "p96_",
-            "p97_", "p98_", "p91_", "p92_", "p93_", "q56_", "q57_",
-            "p89_", "p90_", "p69_", "q44_", "p49_", "p51_", "p53_",
-            "p54_", "q54_", "q55_", "q36_", "q39_", "q52_", "p55_",
-            "p56_", "p57_", "p58_", "p59_", "p60_", "p61_", "q29_",
-            "q30_", "q32_", "q33_", "q34_", "q35_", "q37_", "q51_",
+            "q29_", "q30_", "q32_", "q33_", "q34_", "q35_", "q37_",
+            "q38_", "q40_", "q41_", "q42_", "q43_", "q45_", "q46_",
+            "q47_", "q48_", "q49_", "q50_", "q51_", "q53_",
+        ]
+        + [
+            "q02_", "q03_", "q04_", "q05_", "q06_", "q07_", "q08_",
+            "q09_", "q10_", "q11_", "q12_", "q13_", "q14_", "q15_",
+            "q16_", "q17_",
         ]
     )[:50]
     assert len(window) == len(expected) == 50
