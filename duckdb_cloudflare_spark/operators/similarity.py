@@ -867,6 +867,10 @@ def _pq_fit(
         .limit(k)
         .collect()  # bounded: k rows (the PQ seed set)
     )
+    if not seeds:
+        # empty input (empty shard, filter matched nothing) → empty
+        # codebook, never a crash; the oracle's CTE chain yields empty too
+        return base, {}
     if len(seeds) < k:
         raise ValueError(
             f"PQ training needs at least k={k} vectors with "
@@ -986,6 +990,7 @@ def pq_train(
         for s in range(m)
         for cid in range(k)
         for j in range(sub_dims)
+        if (s, cid) in code
     ]
     return spark.createDataFrame(
         rows, "subspace int, cid int, j int, c_micro long"
@@ -1016,6 +1021,10 @@ def pq_assign(
     shuffles; nothing crosses the wire at any corpus size. Determinism:
     identical to pq_train (exact bigint distances, (dist, cid) ties)."""
     base, code = _pq_fit(df, vec_col, id_col, m, sub_dims, k, n_iters)
+    if not code:  # empty input → empty encoding, never a crash
+        return base.sparkSession.createDataFrame(
+            [], "vec_id long, subspace int, cid int, sq_err_micro2 long"
+        )
 
     def _best(s: int):
         def _dist(cid: int):
