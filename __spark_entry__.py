@@ -12,10 +12,11 @@ first 50 entries) of ``queries()``. The registry implements the rotation
 policy explicitly (queries/__init__._WINDOW_PRIORITY): new oracle-bearing
 operators lead (zero driver history), then least-recently-driver-graded
 entries. The r14 window: the new r14 operators q68 (SIMILAR TO dialect),
-q69 (GROUPS frame rewrite), p120/p121 (product quantization), p122
+q69 (GROUPS frame rewrite), q70 (window EXCLUDE CURRENT ROW rewrite),
+p120/p121 (product quantization), p122
 (script profile), p123 (weighted interleave), then the documented
 rotation cohort q01/p01–p05/p11/p12 + the q29–q51 green-r10-history
-block + q53, then the oldest-history relational block q02–q17 filling
+block + q53, then the oldest-history relational block q02–q16 filling
 to exactly 50. All windowed entries are oracle-bearing. The approximate/media twins (q59/q60 HLL, q63 GK, p108–
 p110 and the r13 capstone p112) are rows-only BY DESIGN and never
 preempt the rotation — their gate is pytest accuracy/reconciliation pins

@@ -122,6 +122,7 @@ _SF1_HEADLINE = [
     # only the fuller p121 rides the lane), and the two document folds
     # (script composition; hash-priority interleave TakeOrdered)
     "q69_groups_frame_window",
+    "q70_window_exclude",
     "p121_pq_assign",
     "p122_script_profile",
     "p123_source_interleave",
@@ -455,6 +456,7 @@ def main() -> None:
         # composition fold, and the hash-priority weighted interleave
         "q68_similar_to_brands",
         "q69_groups_frame_window",
+        "q70_window_exclude",
         "p120_pq_codebooks",
         "p121_pq_assign",
         "p122_script_profile",

@@ -1086,6 +1086,128 @@ def rewrite_similar_to(sql: str) -> str:
     return sql
 
 
+_EXCL_CURRENT = re.compile(r"\s*EXCLUDE\s+CURRENT\s+ROW\s*$", re.IGNORECASE)
+_EXCL_OTHER = re.compile(r"\bEXCLUDE\s+(TIES|GROUP)\b", re.IGNORECASE)
+_EXCL_NOOP = re.compile(r"\s*EXCLUDE\s+NO\s+OTHERS\s*$", re.IGNORECASE)
+_EXCL_AGG = re.compile(r"\b(?P<agg>sum|count|avg)\s*\(", re.IGNORECASE)
+_FRAME_INCL = re.compile(
+    r"\b(?:ROWS|RANGE)\s+(?:BETWEEN\s+"
+    r"(?:UNBOUNDED\s+PRECEDING|\d+\s+PRECEDING|CURRENT\s+ROW)\s+AND\s+"
+    r"(?:UNBOUNDED\s+FOLLOWING|\d+\s+FOLLOWING|CURRENT\s+ROW)"
+    r"|(?:UNBOUNDED\s+PRECEDING|\d+\s+PRECEDING|CURRENT\s+ROW))\s*$",
+    re.IGNORECASE,
+)
+
+
+def rewrite_window_exclude(sql: str) -> str:
+    """SQL:2011 window ``EXCLUDE CURRENT ROW`` (DuckDB implements the
+    full EXCLUDE clause; Spark implements none of it) → frame arithmetic
+    for the three decomposable aggregates:
+
+        sum(e)   OVER (w EXCLUDE CURRENT ROW)
+          → CASE WHEN n_other = 0 THEN NULL
+                 ELSE sum(e) OVER (w) - COALESCE(e, 0) END
+        count(e) OVER (w EXCLUDE CURRENT ROW) → n_other
+        count(*) OVER (w EXCLUDE CURRENT ROW) → count(*) OVER (w) - 1
+        avg(e)   OVER (w EXCLUDE CURRENT ROW)
+          → CAST(sum_excl AS DOUBLE) / n_other   (NULL when n_other = 0)
+        with n_other = count(e) OVER (w)
+                       - CASE WHEN (e) IS NULL THEN 0 ELSE 1 END
+
+    Exact because EXCLUDE CURRENT ROW removes ONLY the current row (its
+    RANGE/ROWS peers stay — removing peers is EXCLUDE GROUP/TIES, which
+    keep a loud error: they need a peer-group aggregate, not one-row
+    arithmetic). The empty-after-exclusion case returns NULL, matching
+    both engines' empty-frame sum/avg. Only frames that contain the
+    current row qualify (default frame; BETWEEN bounds spanning it; the
+    n-PRECEDING shorthand) — anything else raises rather than silently
+    subtracting from a frame that never held the row. ``EXCLUDE NO
+    OTHERS`` (the no-op spelling) is simply dropped. The aggregate
+    argument is substituted textually (three references), so volatile
+    expressions (random()) are rejected loudly. avg emits DOUBLE (both
+    engines' avg over ints; decimal avg callers should cast
+    explicitly)."""
+    real = {i for i, _, _ in _scan_top_level(sql)}
+    out = sql
+    # scan aggregate calls from the end so replacements keep indices valid
+    for m in reversed(list(_EXCL_AGG.finditer(sql))):
+        if m.start() not in real:
+            continue
+        try:
+            close, args = _call_args(sql, m.end() - 1)
+        except ValueError:
+            continue
+        om = re.match(r"\s*OVER\s*\(", sql[close + 1:], re.IGNORECASE)
+        if not om:
+            continue
+        open_over = close + 1 + om.end() - 1
+        try:
+            over_close, _ = _call_args(sql, open_over)
+        except ValueError:
+            continue
+        spec = sql[open_over + 1: over_close]
+        if re.search(r"\bGROUPS\b", spec, re.IGNORECASE):
+            continue  # GROUPS machinery owns that path (incl. its rejects)
+        noop = _EXCL_NOOP.search(spec)
+        if noop:
+            # EXCLUDE NO OTHERS is the explicit default — drop it
+            out = out[: open_over + 1] + spec[: noop.start()] + out[over_close:]
+            continue
+        em = _EXCL_CURRENT.search(spec)
+        if not em:
+            if _EXCL_OTHER.search(spec):
+                raise ValueError(
+                    "EXCLUDE TIES / EXCLUDE GROUP have no Spark rewrite "
+                    "(they remove the current row's PEER GROUP, which "
+                    "needs a per-peer-group aggregate); restructure with "
+                    "a group-keyed aggregate join, or use EXCLUDE "
+                    "CURRENT ROW"
+                )
+            continue
+        agg = m.group("agg").lower()
+        arg = ", ".join(args).strip()
+        base_spec = spec[: em.start()].strip()
+        if base_spec and not (
+            _FRAME_INCL.search(base_spec)
+            or not re.search(r"\b(ROWS|RANGE)\b", base_spec, re.IGNORECASE)
+        ):
+            raise ValueError(
+                "EXCLUDE CURRENT ROW rewrite supports frames that "
+                "CONTAIN the current row (default frame, BETWEEN bounds "
+                "spanning it, or the n-PRECEDING shorthand); this frame "
+                f"does not provably contain it: {base_spec!r}"
+            )
+        if re.search(r"\bOVER\b|\brandom\s*\(|\buuid\s*\(", arg, re.IGNORECASE):
+            raise ValueError(
+                "EXCLUDE CURRENT ROW rewrite substitutes the aggregate "
+                "argument textually; nested windows or volatile "
+                f"expressions are not supported (got {arg!r})"
+            )
+        w = f"({base_spec})" if base_spec else "()"
+        if agg == "count" and arg == "*":
+            repl = f"(count(*) OVER {w} - 1)"
+        else:
+            n_other = (
+                f"(count({arg}) OVER {w} - "
+                f"(CASE WHEN ({arg}) IS NULL THEN 0 ELSE 1 END))"
+            )
+            if agg == "count":
+                repl = n_other
+            elif agg == "sum":
+                repl = (
+                    f"(CASE WHEN {n_other} = 0 THEN NULL ELSE "
+                    f"sum({arg}) OVER {w} - COALESCE({arg}, 0) END)"
+                )
+            else:  # avg
+                repl = (
+                    f"(CASE WHEN {n_other} = 0 THEN NULL ELSE "
+                    f"CAST(sum({arg}) OVER {w} - COALESCE({arg}, 0) "
+                    f"AS DOUBLE) / {n_other} END)"
+                )
+        out = out[: m.start()] + repl + out[over_close + 1:]
+    return out
+
+
 _GROUPS_FRAME = re.compile(r"\bGROUPS\s+BETWEEN\b|\bGROUPS\s+\d+\s+PRECEDING\b"
                            r"|\bGROUPS\s+CURRENT\s+ROW\b|\bGROUPS\s+UNBOUNDED\b",
                            re.IGNORECASE)
@@ -1675,6 +1797,7 @@ def duck_sql(spark: SparkSession, sql: str) -> DataFrame:
     if summ is not None:
         return summ
     _reject_unsupported_joins(sql)
+    sql = rewrite_window_exclude(sql)
     grp = rewrite_groups_frames(sql)
     if grp is not None:
         sql = grp

@@ -147,19 +147,18 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 # The external driver grades a bounded prefix (first 50) of the registry,
 # so ordering IS the rotation policy: least-recently-driver-graded first.
 #
-# r13 window (the first 50 entries this list selects) — continuing the
-# stalest-first rotation plan (VERDICT r12 item 1): with the surface
-# complete and 158/158 oracle-bearing entries driver-green, freshness of
-# driver evidence IS the product. Composition:
-#   - the new r13 oracle-bearing operators p111 + p113 lead (zero driver
-#     history — the q44/p70 stranding invariant);
-#   - then p48 + p62..p68 (green r9 history; the r12 [:50] cut pushed
-#     them out, with exactly this r13 destiny documented at r12 close);
-#   - then the entries last driver-graded in r10, in CORRECTNESS_r10
-#     record order (the driver's own emission order is the documented
-#     within-round tie-break).
-# 2 + 8 + 42 = 52 named: the [:50] cut lands after q35 — q37 + q51
-# (green r10 history) plus q01/p01–p05/p11/p12 rotate in r14.
+# r14 window (the first 50 entries this list selects) — continuing the
+# stalest-first rotation plan (VERDICT r13 item 2): with the surface
+# complete and 170/170 oracle-bearing entries driver-green through r13,
+# freshness of driver evidence IS the product. Composition:
+#   - the SEVEN new r14 oracle-bearing operators lead (zero driver
+#     history — the q44/p70 stranding invariant): q68 SIMILAR TO, q69
+#     GROUPS frame, q70 window EXCLUDE, p120/p121 product quantization,
+#     p122 script profile, p123 weighted interleave;
+#   - then the rotation cohort the r13 close documented: q01/p01–p05/
+#     p11/p12, the q29–q51 green-r10-history block plus q53;
+#   - then the oldest-history relational block q02–q16 filling the
+#     window to exactly 50 (q17 rotates next round).
 # The r11/r12 HLL and GK twins (q59/q60/q63) and the r13 multimodal
 # capstone p112 never preempt: rows-only by design, pinned by pytest
 # accuracy/reconciliation tests against their exact oracle-bearing
@@ -179,7 +178,7 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 _WINDOW_PRIORITY = [
     # r14 window (VERDICT r13 item 2 + the stranding invariant):
     # the new r14 oracle-bearing operators (zero driver history) MUST lead
-    "q68_", "q69_", "p120_", "p121_", "p122_", "p123_",
+    "q68_", "q69_", "q70_", "p120_", "p121_", "p122_", "p123_",
     # then the documented r14 rotation cohort: q01/p01-p05/p11/p12 ...
     "q01_", "p01_", "p02_", "p03_", "p04_", "p05_", "p11_", "p12_",
     # ... the q29-q51 green-r10-history cohort (q31 is rows-only and
@@ -190,7 +189,7 @@ _WINDOW_PRIORITY = [
     # ... and the oldest-history relational block (green since r1-r9,
     # last driver-graded furthest back) fills the window to exactly 50
     "q02_", "q03_", "q04_", "q05_", "q06_", "q07_", "q08_", "q09_",
-    "q10_", "q11_", "q12_", "q13_", "q14_", "q15_", "q16_", "q17_",
+    "q10_", "q11_", "q12_", "q13_", "q14_", "q15_", "q16_",
 ]
 
 

@@ -372,3 +372,45 @@ def p123_source_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
     from duckdb_cloudflare_spark.operators.curation import interleave_order
 
     return interleave_order(load(spark, sf_dir, "documents"), top_n=200)
+
+
+_Q70_STMT = """
+    SELECT o_orderkey,
+           CAST(count(*) OVER (
+               PARTITION BY o_orderpriority
+               ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING
+               EXCLUDE CURRENT ROW) AS BIGINT) AS n_neigh,
+           round(CAST(sum(o_totalprice) OVER (
+               PARTITION BY o_orderpriority
+               ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING
+               EXCLUDE CURRENT ROW) AS DOUBLE), 2) AS neigh_price
+    FROM {tbl}
+"""
+
+
+@register(
+    "q70_window_exclude",
+    oracle=_Q70_STMT.format(tbl="orders"),
+    description="SQL:2011 window EXCLUDE CURRENT ROW through duck_sql "
+    "(the dialect surface adjacent to q69's GROUPS — Spark implements "
+    "NO EXCLUDE clause at all): per-order neighbor count and neighbor "
+    "price mass over a 2-preceding/2-following frame, the "
+    "leave-one-out window a dedup/anomaly pass uses to score a row "
+    "against its surroundings WITHOUT itself. Spark runs "
+    "compat.rewrite_window_exclude's frame arithmetic (sum-minus-self "
+    "with the n_other=0→NULL empty-frame guard; count(*)-1); the "
+    "oracle is the IDENTICAL statement run natively by DuckDB 1.0. "
+    "Determinism: the window orders by the unique non-null "
+    "(o_orderdate, o_orderkey) pair so frames are identical on both "
+    "engines; the sum subtraction stays at 2-dp money points (the q69 "
+    "argument) and is rounded 2 dp. Scale shape: the rewrite adds ONE "
+    "extra window aggregate over the SAME partitioning — no second "
+    "shuffle, no joins, no self-join (the naive EXCLUDE emulation).",
+)
+def q70_window_exclude(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duckdb_cloudflare_spark.compat import duck_sql
+
+    load(spark, sf_dir, "orders").createOrReplaceTempView("__q70_orders")
+    return duck_sql(spark, _Q70_STMT.format(tbl="__q70_orders"))

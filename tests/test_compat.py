@@ -1491,6 +1491,112 @@ class TestSimilarTo:
             assert srows == drows, (stmt, srows, drows)
 
 
+class TestWindowExcludeRewrite:
+    """SQL:2011 EXCLUDE CURRENT ROW → frame arithmetic for sum/count/avg
+    (Spark has no EXCLUDE at all; DuckDB 1.0 runs it natively — the
+    cross-engine oracle). EXCLUDE TIES/GROUP and frames not containing
+    the current row stay loud errors."""
+
+    @pytest.fixture()
+    def etables(self, t, duck):
+        rows = [
+            ("a", 1, 10), ("a", 2, None), ("a", 2, 30), ("a", 5, 40),
+            ("b", 3, 60), ("b", 7, None),
+        ]
+        t.createDataFrame(rows, "g string, o int, v int") \
+            .createOrReplaceTempView("__exc_t")
+        duck.sql(
+            "CREATE OR REPLACE TABLE __exc_t AS SELECT * FROM (VALUES "
+            + ", ".join(
+                f"('{g}', {o}, {'NULL' if v is None else v})"
+                for g, o, v in rows
+            )
+            + ") AS t(g, o, v)"
+        )
+        return t, duck
+
+    @pytest.mark.parametrize(
+        "expr",
+        [
+            "sum(v) OVER (PARTITION BY g ORDER BY o, v NULLS LAST "
+            "ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE CURRENT ROW)",
+            "count(v) OVER (PARTITION BY g ORDER BY o, v NULLS LAST "
+            "ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE CURRENT ROW)",
+            "count(*) OVER (PARTITION BY g ORDER BY o, v NULLS LAST "
+            "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW EXCLUDE CURRENT ROW)",
+            "avg(v) OVER (PARTITION BY g ORDER BY o, v NULLS LAST "
+            "ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE CURRENT ROW)",
+            # whole-partition frame: the n_other=0 -> NULL case fires for
+            # partitions where only the current row is non-null
+            "sum(v) OVER (PARTITION BY g "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING "
+            "EXCLUDE CURRENT ROW)",
+            # RANGE: peers of the current row STAY in the frame
+            "sum(v) OVER (PARTITION BY g ORDER BY o "
+            "RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE CURRENT ROW)",
+            # EXCLUDE NO OTHERS is the explicit default -> dropped
+            "sum(v) OVER (PARTITION BY g ORDER BY o, v NULLS LAST "
+            "ROWS 1 PRECEDING EXCLUDE NO OTHERS)",
+        ],
+    )
+    def test_cross_engine_agreement(self, etables, expr):
+        t, duck = etables
+        stmt = f"SELECT g, o, v, {expr} AS s FROM __exc_t"
+        key = lambda r: tuple((x is None, x) for x in r)  # noqa: E731
+        srows = sorted((tuple(r) for r in duck_sql(t, stmt).collect()), key=key)
+        drows = sorted((tuple(r) for r in duck.sql(stmt).fetchall()), key=key)
+        # avg returns float on both; compare with exact equality still
+        assert srows == drows, (expr, srows, drows)
+
+    def test_single_nonnull_partition_yields_null(self, t, duck):
+        # one non-null row in the partition: excluding it empties the
+        # frame -> NULL (the case naive sum-minus-e gets wrong as 0)
+        t.createDataFrame([("x", 1, 7), ("x", 2, None)], "g string, o int, v int") \
+            .createOrReplaceTempView("__exc_one")
+        duck.sql(
+            "CREATE OR REPLACE TABLE __exc_one AS SELECT * FROM (VALUES "
+            "('x', 1, 7), ('x', 2, NULL)) AS t(g, o, v)"
+        )
+        stmt = (
+            "SELECT o, sum(v) OVER (PARTITION BY g ROWS BETWEEN UNBOUNDED "
+            "PRECEDING AND UNBOUNDED FOLLOWING EXCLUDE CURRENT ROW) AS s "
+            "FROM __exc_one ORDER BY o"
+        )
+        srows = [tuple(r) for r in duck_sql(t, stmt).collect()]
+        drows = [tuple(r) for r in duck.sql(stmt).fetchall()]
+        assert srows == drows == [(1, None), (2, 7)]
+
+    def test_loud_errors(self, t):
+        with pytest.raises(ValueError, match="EXCLUDE TIES"):
+            duck_sql(
+                t,
+                "SELECT sum(x) OVER (ORDER BY x RANGE BETWEEN 1 PRECEDING "
+                "AND 1 FOLLOWING EXCLUDE TIES) FROM (SELECT 1 AS x)",
+            )
+        with pytest.raises(ValueError, match="CONTAIN the current row"):
+            duck_sql(
+                t,
+                "SELECT sum(x) OVER (ORDER BY x ROWS BETWEEN 3 FOLLOWING "
+                "AND 5 FOLLOWING EXCLUDE CURRENT ROW) FROM (SELECT 1 AS x)",
+            )
+        with pytest.raises(ValueError, match="volatile"):
+            duck_sql(
+                t,
+                "SELECT sum(random()) OVER (ORDER BY x ROWS 1 PRECEDING "
+                "EXCLUDE CURRENT ROW) FROM (SELECT 1 AS x)",
+            )
+
+    def test_strings_and_min_max_untouched(self, t):
+        from duckdb_cloudflare_spark.compat import rewrite_window_exclude as rw
+
+        s = "SELECT 'EXCLUDE CURRENT ROW' AS s"
+        assert rw(s) == s
+        # min/max are not decomposable — left for Spark's parser to
+        # reject loudly rather than silently rewritten wrong
+        s2 = "SELECT min(v) OVER (ORDER BY v) FROM t"
+        assert rw(s2) == s2
+
+
 class TestGroupsFrameRewrite:
     """Simple bounded GROUPS frames auto-rewrite to the dense_rank+RANGE
     recipe. This environment's DuckDB (1.0.0) rejects GROUPS mode

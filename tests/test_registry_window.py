@@ -29,7 +29,7 @@ def test_graded_window_is_exactly_the_r14_rotation():
         # the documented rotation cohort (q01/p01-p05/p11/p12 + the
         # q29-q51 green-r10-history block + q53), then the
         # oldest-history relational block q02-q17 fills to exactly 50.
-        ["q68_", "q69_", "p120_", "p121_", "p122_", "p123_"]
+        ["q68_", "q69_", "q70_", "p120_", "p121_", "p122_", "p123_"]
         + ["q01_", "p01_", "p02_", "p03_", "p04_", "p05_", "p11_", "p12_"]
         + [
             "q29_", "q30_", "q32_", "q33_", "q34_", "q35_", "q37_",
@@ -39,7 +39,7 @@ def test_graded_window_is_exactly_the_r14_rotation():
         + [
             "q02_", "q03_", "q04_", "q05_", "q06_", "q07_", "q08_",
             "q09_", "q10_", "q11_", "q12_", "q13_", "q14_", "q15_",
-            "q16_", "q17_",
+            "q16_",
         ]
     )[:50]
     assert len(window) == len(expected) == 50
