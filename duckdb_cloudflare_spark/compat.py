@@ -1099,6 +1099,96 @@ _FRAME_INCL = re.compile(
 )
 
 
+def _rewrite_exclude_peers(
+    out: str,
+    sql: str,
+    m,
+    args: list[str],
+    open_over: int,
+    over_close: int,
+    spec: str,
+    em2,
+) -> str:
+    """EXCLUDE TIES / EXCLUDE GROUP for RANGE-mode (and default) frames:
+    the current row's PEER GROUP is exactly the window
+    ``RANGE BETWEEN CURRENT ROW AND CURRENT ROW`` over the same
+    partition/order, and a RANGE frame whose bounds span the current row
+    CONTAINS the whole peer group (peers share its order key), so
+
+        EXCLUDE GROUP: agg(frame) ⊖ agg(peer group)
+        EXCLUDE TIES:  agg(frame) ⊖ agg(peer group) ⊕ current row
+
+    — two window aggregates over the SAME sort order (one shuffle, no
+    self-join), with the n_other=0 → NULL empty-frame guard. ROWS-mode
+    frames raise loudly: peers can lie OUTSIDE a ROWS frame, making the
+    subtraction wrong (DuckDB's EXCLUDE there removes only the peers
+    inside the frame — not expressible as frame arithmetic). A missing
+    ORDER BY also raises (every partition row is then a peer; DuckDB
+    returns NULL/empty for GROUP — say so rather than emulate a
+    degenerate form)."""
+    kind = em2.group("kind").upper()
+    agg = m.group("agg").lower()
+    arg = ", ".join(args).strip()
+    base_spec = spec[: em2.start()].strip()
+    fm = re.search(r"\b(ROWS|RANGE)\b", base_spec, re.IGNORECASE)
+    mode = fm.group(1).upper() if fm else None
+    if mode == "ROWS":
+        raise ValueError(
+            f"EXCLUDE {kind} over a ROWS frame has no faithful frame-"
+            "arithmetic rewrite (peers of the current row can lie "
+            "OUTSIDE a ROWS frame); use a RANGE frame, or restructure "
+            "with a peer-group aggregate join"
+        )
+    if not re.search(r"\bORDER\s+BY\b", base_spec, re.IGNORECASE):
+        raise ValueError(
+            f"EXCLUDE {kind} without ORDER BY makes every partition row "
+            "a peer (a degenerate frame); add an ORDER BY"
+        )
+    if mode == "RANGE" and not _FRAME_INCL.search(base_spec):
+        raise ValueError(
+            f"EXCLUDE {kind} rewrite supports RANGE frames that CONTAIN "
+            f"the current row; this frame does not provably: {base_spec!r}"
+        )
+    if re.search(r"\bOVER\b|\brandom\s*\(|\buuid\s*\(", arg, re.IGNORECASE):
+        raise ValueError(
+            f"EXCLUDE {kind} rewrite substitutes the aggregate argument "
+            f"textually; nested windows or volatile expressions are not "
+            f"supported (got {arg!r})"
+        )
+    prefix = (base_spec[: fm.start()].strip() if fm else base_spec)
+    w = f"({base_spec})"
+    pw = f"({prefix} RANGE BETWEEN CURRENT ROW AND CURRENT ROW)"
+    keep_cur = kind == "TIES"
+    if agg == "count" and arg == "*":
+        repl = f"(count(*) OVER {w} - count(*) OVER {pw}"
+        repl += " + 1)" if keep_cur else ")"
+    else:
+        n_other = (
+            f"(count({arg}) OVER {w} - count({arg}) OVER {pw}"
+            + (
+                f" + (CASE WHEN ({arg}) IS NULL THEN 0 ELSE 1 END))"
+                if keep_cur
+                else ")"
+            )
+        )
+        s_excl = (
+            f"sum({arg}) OVER {w} - COALESCE(sum({arg}) OVER {pw}, 0)"
+            + (f" + COALESCE({arg}, 0)" if keep_cur else "")
+        )
+        if agg == "count":
+            repl = n_other
+        elif agg == "sum":
+            repl = (
+                f"(CASE WHEN {n_other} = 0 THEN NULL ELSE {s_excl} END)"
+            )
+        else:  # avg
+            repl = (
+                f"(CASE WHEN {n_other} = 0 THEN NULL ELSE "
+                f"CAST({s_excl} AS DOUBLE) / {n_other} END)"
+            )
+    return out[: m.start()] + repl + out[over_close + 1:]
+
+
 def rewrite_window_exclude(sql: str) -> str:
     """SQL:2011 window ``EXCLUDE CURRENT ROW`` (DuckDB implements the
     full EXCLUDE clause; Spark implements none of it) → frame arithmetic
@@ -1115,9 +1205,11 @@ def rewrite_window_exclude(sql: str) -> str:
                        - CASE WHEN (e) IS NULL THEN 0 ELSE 1 END
 
     Exact because EXCLUDE CURRENT ROW removes ONLY the current row (its
-    RANGE/ROWS peers stay — removing peers is EXCLUDE GROUP/TIES, which
-    keep a loud error: they need a peer-group aggregate, not one-row
-    arithmetic). The empty-after-exclusion case returns NULL, matching
+    RANGE/ROWS peers stay). EXCLUDE TIES / EXCLUDE GROUP rewrite too,
+    for RANGE-mode and default frames, via a second window aggregate
+    over the peer group (see _rewrite_exclude_peers; ROWS frames raise —
+    peers can lie outside a ROWS frame). The
+    empty-after-exclusion case returns NULL, matching
     both engines' empty-frame sum/avg. Only frames that contain the
     current row qualify (default frame; BETWEEN bounds spanning it; the
     n-PRECEDING shorthand) — anything else raises rather than silently
@@ -1155,13 +1247,19 @@ def rewrite_window_exclude(sql: str) -> str:
             continue
         em = _EXCL_CURRENT.search(spec)
         if not em:
+            em2 = re.search(
+                r"\s*EXCLUDE\s+(?P<kind>TIES|GROUP)\s*$", spec, re.IGNORECASE
+            )
+            if em2:
+                out = _rewrite_exclude_peers(
+                    out, sql, m, args, open_over, over_close,
+                    spec, em2,
+                )
+                continue
             if _EXCL_OTHER.search(spec):
                 raise ValueError(
-                    "EXCLUDE TIES / EXCLUDE GROUP have no Spark rewrite "
-                    "(they remove the current row's PEER GROUP, which "
-                    "needs a per-peer-group aggregate); restructure with "
-                    "a group-keyed aggregate join, or use EXCLUDE "
-                    "CURRENT ROW"
+                    "unsupported EXCLUDE placement — EXCLUDE must be the "
+                    "last clause of the window specification"
                 )
             continue
         agg = m.group("agg").lower()

@@ -1566,12 +1566,56 @@ class TestWindowExcludeRewrite:
         drows = [tuple(r) for r in duck.sql(stmt).fetchall()]
         assert srows == drows == [(1, None), (2, 7)]
 
+    @pytest.mark.parametrize(
+        "expr",
+        [
+            # RANGE frames with ties + NULL args: peer group is the
+            # whole order-key class; GROUP removes it, TIES keeps
+            # only the current row of it
+            "sum(v) OVER (PARTITION BY g ORDER BY o "
+            "RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE GROUP)",
+            "sum(v) OVER (PARTITION BY g ORDER BY o "
+            "RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE TIES)",
+            "count(v) OVER (PARTITION BY g ORDER BY o "
+            "RANGE BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING "
+            "EXCLUDE GROUP)",
+            "count(*) OVER (PARTITION BY g ORDER BY o "
+            "RANGE BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING "
+            "EXCLUDE TIES)",
+            "avg(v) OVER (PARTITION BY g ORDER BY o "
+            "RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE TIES)",
+            "avg(v) OVER (PARTITION BY g ORDER BY o "
+            "RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE GROUP)",
+            # the default frame spelled explicitly (DuckDB's parser
+            # requires a frame clause before EXCLUDE)
+            "sum(v) OVER (PARTITION BY g ORDER BY o "
+            "RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW "
+            "EXCLUDE GROUP)",
+            "sum(v) OVER (PARTITION BY g ORDER BY o "
+            "RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW "
+            "EXCLUDE TIES)",
+        ],
+    )
+    def test_ties_group_cross_engine(self, etables, expr):
+        t, duck = etables
+        stmt = f"SELECT g, o, v, {expr} AS s FROM __exc_t"
+        key = lambda r: tuple((x is None, x) for x in r)  # noqa: E731
+        srows = sorted((tuple(r) for r in duck_sql(t, stmt).collect()), key=key)
+        drows = sorted((tuple(r) for r in duck.sql(stmt).fetchall()), key=key)
+        assert srows == drows, (expr, srows, drows)
+
     def test_loud_errors(self, t):
-        with pytest.raises(ValueError, match="EXCLUDE TIES"):
+        with pytest.raises(ValueError, match="ROWS frame"):
             duck_sql(
                 t,
-                "SELECT sum(x) OVER (ORDER BY x RANGE BETWEEN 1 PRECEDING "
+                "SELECT sum(x) OVER (ORDER BY x ROWS BETWEEN 1 PRECEDING "
                 "AND 1 FOLLOWING EXCLUDE TIES) FROM (SELECT 1 AS x)",
+            )
+        with pytest.raises(ValueError, match="without ORDER BY"):
+            duck_sql(
+                t,
+                "SELECT sum(x) OVER (PARTITION BY x EXCLUDE GROUP) "
+                "FROM (SELECT 1 AS x)",
             )
         with pytest.raises(ValueError, match="CONTAIN the current row"):
             duck_sql(
