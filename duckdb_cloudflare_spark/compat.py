@@ -1046,7 +1046,7 @@ _SIMILAR_TO = re.compile(r"\b(?P<neg>NOT\s+)?SIMILAR\s+TO\b", re.IGNORECASE)
 _STRING_LIT = re.compile(r"\s*'(?P<pat>(?:[^']|'')*)'")
 
 
-def rewrite_similar_to(sql: str) -> str:
+def rewrite_similar_to(sql: str, escaped_literals: bool = False) -> str:
     """DuckDB's ``x SIMILAR TO 'pat'`` / ``x NOT SIMILAR TO 'pat'`` →
     Spark ``x [NOT] RLIKE '^(?:pat)$'``.
 
@@ -1069,7 +1069,19 @@ def rewrite_similar_to(sql: str) -> str:
 
     Only string-LITERAL patterns rewrite (the overwhelmingly common
     form); a non-literal right-hand side raises a loud bind-time error
-    with the manual recipe instead of Spark's cryptic parse failure."""
+    with the manual recipe instead of Spark's cryptic parse failure.
+
+    Backslash fidelity: DuckDB's standard single-quoted literals do NOT
+    process backslash escapes (the regex receives ``\\d`` verbatim), but
+    Spark's default parser (spark.sql.parser.escapedStringLiterals=
+    false) DOES — an emitted ``'[a-z]+\\d+'`` would reach RLIKE as
+    ``[a-z]+d+`` and silently mis-match (verified empirically, r15).
+    ``escaped_literals`` mirrors the session's parser conf: when False
+    (Spark default) every backslash in the pattern is doubled so the
+    regex engine sees exactly what DuckDB's would; when True (the
+    session pinned escapedStringLiterals=true, i.e. DuckDB literal
+    semantics) the pattern passes through verbatim. ``duck_sql`` reads
+    the conf and threads it here."""
     real = {i for i, _, _ in _scan_top_level(sql)}
     ms = [m for m in _SIMILAR_TO.finditer(sql) if m.start() in real]
     for m in reversed(ms):
@@ -1081,7 +1093,10 @@ def rewrite_similar_to(sql: str) -> str:
                 "')$')) for DuckDB's full-string-match semantics"
             )
         neg = "NOT " if m.group("neg") else ""
-        repl = f"{neg}RLIKE '^(?:{lit.group('pat')})$'"
+        pat = lit.group("pat")
+        if not escaped_literals:
+            pat = pat.replace("\\", "\\\\")
+        repl = f"{neg}RLIKE '^(?:{pat})$'"
         sql = sql[: m.start()] + repl + sql[lit.end():]
     return sql
 
@@ -1089,7 +1104,14 @@ def rewrite_similar_to(sql: str) -> str:
 _EXCL_CURRENT = re.compile(r"\s*EXCLUDE\s+CURRENT\s+ROW\s*$", re.IGNORECASE)
 _EXCL_OTHER = re.compile(r"\bEXCLUDE\s+(TIES|GROUP)\b", re.IGNORECASE)
 _EXCL_NOOP = re.compile(r"\s*EXCLUDE\s+NO\s+OTHERS\s*$", re.IGNORECASE)
-_EXCL_AGG = re.compile(r"\b(?P<agg>sum|count|avg)\s*\(", re.IGNORECASE)
+_EXCL_AGG = re.compile(r"\b(?P<agg>sum|count|avg|min|max)\s*\(", re.IGNORECASE)
+_ROWS_FRAME = re.compile(
+    r"\bROWS\s+(?:BETWEEN\s+"
+    r"(?P<lo>UNBOUNDED\s+PRECEDING|\d+\s+PRECEDING|CURRENT\s+ROW)\s+AND\s+"
+    r"(?P<hi>UNBOUNDED\s+FOLLOWING|\d+\s+FOLLOWING|CURRENT\s+ROW)"
+    r"|(?P<sh>UNBOUNDED\s+PRECEDING|\d+\s+PRECEDING|CURRENT\s+ROW))\s*$",
+    re.IGNORECASE,
+)
 _FRAME_INCL = re.compile(
     r"\b(?:ROWS|RANGE)\s+(?:BETWEEN\s+"
     r"(?:UNBOUNDED\s+PRECEDING|\d+\s+PRECEDING|CURRENT\s+ROW)\s+AND\s+"
@@ -1097,6 +1119,89 @@ _FRAME_INCL = re.compile(
     r"|(?:UNBOUNDED\s+PRECEDING|\d+\s+PRECEDING|CURRENT\s+ROW))\s*$",
     re.IGNORECASE,
 )
+
+
+def _strip_exclude_no_others(sql: str) -> str:
+    """``EXCLUDE NO OTHERS`` is the explicit spelling of the default
+    frame behavior for EVERY window function (not just the aggregates
+    the EXCLUDE rewrite handles) — drop it from any window spec, so
+    e.g. ``min(x) OVER (... EXCLUDE NO OTHERS)`` works as the no-op it
+    is instead of hitting Spark's parser."""
+    real = {i for i, _, _ in _scan_top_level(sql)}
+    for m in reversed(list(_OVER_PAREN.finditer(sql))):
+        if m.start() not in real:
+            continue
+        open_over = m.end() - 1
+        try:
+            over_close, _ = _call_args(sql, open_over)
+        except ValueError:
+            continue
+        spec = sql[open_over + 1: over_close]
+        nm = _EXCL_NOOP.search(spec)
+        if nm:
+            sql = sql[: open_over + 1] + spec[: nm.start()] + sql[over_close:]
+    return sql
+
+
+def _split_frame_minmax(agg: str, arg: str, base_spec: str) -> str:
+    """``min``/``max`` under ``EXCLUDE CURRENT ROW`` on an explicit ROWS
+    frame, via the split-frame recipe: the frame minus the current row
+    is exactly ``[lo, 1 PRECEDING] ⊎ [1 FOLLOWING, hi]`` (positional
+    bounds, so this is ONLY valid for ROWS mode — RANGE/GROUPS bounds
+    are value-based and do not split at the current row's position).
+
+        min(x) OVER (ROWS lo..hi EXCLUDE CURRENT ROW)
+          → least(min(x) OVER (ROWS lo..1 PRECEDING),
+                  min(x) OVER (ROWS 1 FOLLOWING..hi))
+
+    Two window aggregates over the SAME partition/sort (one shuffle, no
+    self-join — the q70 pattern). Spark's least/greatest skip NULLs
+    (empty side → NULL → the other side wins; both empty → NULL), which
+    is exactly DuckDB's min/max over the excluded frame. A frame bound
+    already excluding the neighbouring side (lo = CURRENT ROW, or
+    hi = CURRENT ROW) drops that branch structurally; the degenerate
+    ``ROWS CURRENT ROW EXCLUDE CURRENT ROW`` (always-empty frame)
+    constant-folds to NULL of the argument's type."""
+    fm = _ROWS_FRAME.search(base_spec)
+    prefix = base_spec[: fm.start()].strip()
+    lo = (fm.group("lo") or fm.group("sh")).upper()
+    hi = (fm.group("hi") or "CURRENT ROW").upper()
+
+    def _n(bound: str) -> int:
+        m = re.match(r"(\d+)", bound)
+        return int(m.group(1)) if m else -1
+
+    branches = []
+    if "UNBOUNDED" in lo:
+        branches.append(
+            f"{agg}({arg}) OVER ({prefix} ROWS BETWEEN UNBOUNDED "
+            f"PRECEDING AND 1 PRECEDING)"
+        )
+    elif "PRECEDING" in lo and _n(lo) >= 1:
+        branches.append(
+            f"{agg}({arg}) OVER ({prefix} ROWS BETWEEN {_n(lo)} "
+            f"PRECEDING AND 1 PRECEDING)"
+        )
+    if "UNBOUNDED" in hi:
+        branches.append(
+            f"{agg}({arg}) OVER ({prefix} ROWS BETWEEN 1 FOLLOWING "
+            f"AND UNBOUNDED FOLLOWING)"
+        )
+    elif "FOLLOWING" in hi and _n(hi) >= 1:
+        branches.append(
+            f"{agg}({arg}) OVER ({prefix} ROWS BETWEEN 1 FOLLOWING "
+            f"AND {_n(hi)} FOLLOWING)"
+        )
+    comb = "least" if agg == "min" else "greatest"
+    if len(branches) == 2:
+        return f"{comb}({branches[0]}, {branches[1]})"
+    if len(branches) == 1:
+        return f"({branches[0]})"
+    # always-empty frame: NULL, typed by the (never-evaluated) aggregate
+    return (
+        f"(CASE WHEN 1=0 THEN {agg}({arg}) OVER ({prefix} ROWS BETWEEN "
+        f"CURRENT ROW AND CURRENT ROW) END)"
+    )
 
 
 def _rewrite_exclude_peers(
@@ -1128,6 +1233,13 @@ def _rewrite_exclude_peers(
     degenerate form)."""
     kind = em2.group("kind").upper()
     agg = m.group("agg").lower()
+    if agg in ("min", "max"):
+        raise ValueError(
+            f"EXCLUDE {kind} with {agg}() has no frame-arithmetic "
+            "rewrite (min/max are not subtractable); supported: "
+            "sum/count/avg under EXCLUDE TIES/GROUP on RANGE frames, "
+            "min/max only under EXCLUDE CURRENT ROW on ROWS frames"
+        )
     arg = ", ".join(args).strip()
     base_spec = spec[: em2.start()].strip()
     fm = re.search(r"\b(ROWS|RANGE)\b", base_spec, re.IGNORECASE)
@@ -1218,7 +1330,13 @@ def rewrite_window_exclude(sql: str) -> str:
     argument is substituted textually (three references), so volatile
     expressions (random()) are rejected loudly. avg emits DOUBLE (both
     engines' avg over ints; decimal avg callers should cast
-    explicitly)."""
+    explicitly). min/max rewrite too, for EXCLUDE CURRENT ROW on
+    explicit ROWS frames, via the split-frame recipe (see
+    _split_frame_minmax); any OTHER surviving EXCLUDE — unsupported
+    aggregate, non-aggregate window function, or unqualifying frame —
+    raises a loud bind-time error after the rewrite pass instead of
+    falling through to Spark's cryptic parse failure."""
+    sql = _strip_exclude_no_others(sql)
     real = {i for i, _, _ in _scan_top_level(sql)}
     out = sql
     # scan aggregate calls from the end so replacements keep indices valid
@@ -1240,11 +1358,6 @@ def rewrite_window_exclude(sql: str) -> str:
         spec = sql[open_over + 1: over_close]
         if re.search(r"\bGROUPS\b", spec, re.IGNORECASE):
             continue  # GROUPS machinery owns that path (incl. its rejects)
-        noop = _EXCL_NOOP.search(spec)
-        if noop:
-            # EXCLUDE NO OTHERS is the explicit default — drop it
-            out = out[: open_over + 1] + spec[: noop.start()] + out[over_close:]
-            continue
         em = _EXCL_CURRENT.search(spec)
         if not em:
             em2 = re.search(
@@ -1281,6 +1394,18 @@ def rewrite_window_exclude(sql: str) -> str:
                 "argument textually; nested windows or volatile "
                 f"expressions are not supported (got {arg!r})"
             )
+        if agg in ("min", "max"):
+            if not _ROWS_FRAME.search(base_spec):
+                raise ValueError(
+                    f"EXCLUDE CURRENT ROW with {agg}() rewrites only "
+                    "for explicit ROWS frames (the split-frame recipe "
+                    "is positional; min/max are not subtractable from "
+                    "RANGE/default frames) — use a ROWS frame, or a "
+                    "peer-group aggregate join"
+                )
+            repl = _split_frame_minmax(agg, arg, base_spec)
+            out = out[: m.start()] + repl + out[over_close + 1:]
+            continue
         w = f"({base_spec})" if base_spec else "()"
         if agg == "count" and arg == "*":
             repl = f"(count(*) OVER {w} - 1)"
@@ -1303,6 +1428,34 @@ def rewrite_window_exclude(sql: str) -> str:
                     f"AS DOUBLE) / {n_other} END)"
                 )
         out = out[: m.start()] + repl + out[over_close + 1:]
+    # loud-bind-time-error policy: any EXCLUDE that survived the rewrite
+    # pass (unsupported aggregate, non-aggregate window function, or an
+    # unqualifying frame that slipped the per-aggregate checks) raises
+    # here with the supported matrix, instead of reaching Spark's parser.
+    # GROUPS-frame specs are exempt: rewrite_groups_frames owns them
+    # (including their own EXCLUDE rejects) downstream of this pass.
+    real_post = {i for i, _, _ in _scan_top_level(out)}
+    for pm in _OVER_PAREN.finditer(out):
+        if pm.start() not in real_post:
+            continue
+        p_open = pm.end() - 1
+        try:
+            p_close, _ = _call_args(out, p_open)
+        except ValueError:
+            continue
+        p_spec = out[p_open + 1: p_close]
+        if re.search(r"\bGROUPS\b", p_spec, re.IGNORECASE):
+            continue
+        ex = re.search(r"\bEXCLUDE\b", p_spec, re.IGNORECASE)
+        if ex and (p_open + 1 + ex.start()) in real_post:
+            raise ValueError(
+                "unsupported window EXCLUDE: rewrites exist for "
+                "sum/count/avg EXCLUDE CURRENT ROW (frames containing "
+                "the current row), sum/count/avg EXCLUDE TIES/GROUP on "
+                "RANGE frames, and min/max EXCLUDE CURRENT ROW on ROWS "
+                "frames; EXCLUDE NO OTHERS is dropped for every window "
+                f"function. Offending window spec: {p_spec.strip()!r}"
+            )
     return out
 
 
@@ -1471,6 +1624,224 @@ def _reject_groups_frames(sql: str) -> None:
                 "over the window ordering, then a RANGE frame on that "
                 "rank (exact GROUPS semantics, one extra window column)"
             )
+
+
+_ASOF_KEYWORD = re.compile(r"\bASOF\s+(?P<left>LEFT\s+)?JOIN\b", re.IGNORECASE)
+_ASOF_LTABLE = re.compile(
+    r"(?P<lt>[A-Za-z_][\w.]*)"
+    r"(?:\s+(?:AS\s+)?(?P<la>[A-Za-z_]\w*))?\s*$",
+    re.IGNORECASE,
+)
+_ASOF_RTABLE = re.compile(
+    r"\s*(?P<rt>[A-Za-z_][\w.]*)"
+    r"(?:\s+(?:AS\s+)?(?P<ra>(?!ON\b)[A-Za-z_]\w*))?"
+    r"\s+ON\s+(?P<on>(?:(?!\b(?:WHERE|GROUP|ORDER|LIMIT|HAVING|QUALIFY|"
+    r"WINDOW|UNION|INTERSECT|EXCEPT|JOIN|ASOF|POSITIONAL)\b)[^();])+)",
+    re.IGNORECASE,
+)
+_ASOF_COND = re.compile(
+    r"^\s*(?P<a>[A-Za-z_]\w*)\s*\.\s*(?P<ac>[A-Za-z_]\w*)\s*"
+    r"(?P<op>>=|<=|=|<|>)\s*"
+    r"(?P<b>[A-Za-z_]\w*)\s*\.\s*(?P<bc>[A-Za-z_]\w*)\s*$"
+)
+_ASOF_RECIPE = (
+    "the ASOF JOIN rewrite handles the simple form "
+    "'lhs [AS l] ASOF [LEFT] JOIN rhs [AS r] ON l.k = r.k [AND ...] "
+    "AND l.t >= r.t' over resolvable tables/views with "
+    "alias-qualified column conditions; for anything richer, compose "
+    "it as a union + last-carry-forward window (the q49 pattern in "
+    "queries/windows.py — exact ASOF semantics, one shuffle)"
+)
+_ASOF_N = [0]
+
+
+def _asof_flip(op: str) -> str:
+    return {">=": "<=", "<=": ">=", ">": "<", "<": ">", "=": "="}[op]
+
+
+def _rewrite_one_asof(spark, sql: str, m) -> str:
+    """Rewrite ONE simple-form ASOF JOIN (at keyword match ``m``) into
+    the q49 union + last-carry-forward window, as a derived table. See
+    rewrite_asof_join for the contract."""
+    lm = _ASOF_LTABLE.search(sql[: m.start()])
+    if not lm:
+        raise ValueError(
+            "ASOF JOIN left side is not a plain table reference; "
+            + _ASOF_RECIPE
+        )
+    head = sql[: lm.start()]
+    prev = re.search(r"([A-Za-z_]\w*|,)\s*$", head)
+    if not (prev and prev.group(1).upper() in ("FROM", ",")):
+        raise ValueError(
+            "ASOF JOIN rewrite requires the left table directly after "
+            "FROM (chained joins are not the simple form); " + _ASOF_RECIPE
+        )
+    rm = _ASOF_RTABLE.match(sql, m.end())
+    if not rm:
+        raise ValueError(
+            "could not parse the ASOF JOIN right side / ON clause; "
+            + _ASOF_RECIPE
+        )
+    if re.search(r"\bSELECT\s+\*", sql, re.IGNORECASE):
+        raise ValueError(
+            "bare SELECT * over an ASOF JOIN is not supported by the "
+            "rewrite (its derived table exposes struct aliases plus "
+            "unambiguous flat columns, not DuckDB's exact * order); "
+            "list the columns, or use l.*, r.*"
+        )
+    lt, la = lm.group("lt"), lm.group("la") or lm.group("lt").split(".")[-1]
+    rt, ra = rm.group("rt"), rm.group("ra") or rm.group("rt").split(".")[-1]
+    if la.lower() == ra.lower():
+        raise ValueError(
+            f"ASOF JOIN sides share the alias {la!r}; alias them apart"
+        )
+
+    def _schema(name):
+        try:
+            return spark.table(name).schema
+        except Exception as e:  # noqa: BLE001 — surface the recipe
+            raise ValueError(
+                f"ASOF JOIN rewrite needs a resolvable table/view for "
+                f"{name!r} (register a temp view first): {e}"
+            ) from None
+
+    ls, rs = _schema(lt), _schema(rt)
+    lcols = [f.name for f in ls.fields]
+    rcols = [f.name for f in rs.fields]
+    ltype, rtype = ls.simpleString(), rs.simpleString()
+
+    eqs: list[tuple[str, str]] = []
+    ineq = None
+    alias_map = {la.lower(): "l", ra.lower(): "r"}
+    for cond in re.split(r"\bAND\b", rm.group("on"), flags=re.IGNORECASE):
+        cm = _ASOF_COND.match(cond)
+        if not cm:
+            raise ValueError(
+                f"unsupported ASOF JOIN condition {cond.strip()!r} "
+                "(needs alias-qualified 'a.col OP b.col'); " + _ASOF_RECIPE
+            )
+        a_side = alias_map.get(cm.group("a").lower())
+        b_side = alias_map.get(cm.group("b").lower())
+        if a_side == "l" and b_side == "r":
+            lc, rc, op = cm.group("ac"), cm.group("bc"), cm.group("op")
+        elif a_side == "r" and b_side == "l":
+            lc, rc, op = cm.group("bc"), cm.group("ac"), _asof_flip(
+                cm.group("op")
+            )
+        else:
+            raise ValueError(
+                f"ASOF JOIN condition {cond.strip()!r} must compare the "
+                "two join sides; " + _ASOF_RECIPE
+            )
+        if op == "=":
+            eqs.append((lc, rc))
+        elif ineq is not None:
+            raise ValueError(
+                "ASOF JOIN needs exactly ONE inequality condition "
+                "(got several); " + _ASOF_RECIPE
+            )
+        else:
+            ineq = (lc, rc, op)
+    if ineq is None:
+        raise ValueError(
+            "ASOF JOIN needs an inequality condition on the ordering "
+            "column; " + _ASOF_RECIPE
+        )
+    lt_t, rt_t, op = ineq
+    tdir = "ASC" if op in (">=", ">") else "DESC"
+    sdir = "ASC" if op in (">=", "<=") else "DESC"
+
+    _ASOF_N[0] += 1
+    n = _ASOF_N[0]
+    l_struct = ", ".join(f"'{c}', {la}.{c}" for c in lcols)
+    r_struct = ", ".join(f"'{c}', {ra}.{c}" for c in rcols)
+    k_l = "".join(f", {la}.{c} AS __k{i}" for i, (c, _) in enumerate(eqs))
+    k_r = "".join(f", {ra}.{c} AS __k{i}" for i, (_, c) in enumerate(eqs))
+    r_notnull = " AND ".join(
+        [f"{ra}.{c} IS NOT NULL" for _, c in eqs] + [f"{ra}.{rt_t} IS NOT NULL"]
+    )
+    part = (
+        "PARTITION BY " + ", ".join(f"__k{i}" for i in range(len(eqs))) + " "
+        if eqs
+        else ""
+    )
+    union = (
+        f"SELECT named_struct({l_struct}) AS __l{k_l}, {la}.{lt_t} AS __t, "
+        f"1 AS __side, CAST(NULL AS {rtype}) AS __r FROM {lt} AS {la} "
+        f"UNION ALL "
+        f"SELECT CAST(NULL AS {ltype}){k_r}, {ra}.{rt_t}, 0, "
+        f"named_struct({r_struct}) FROM {rt} AS {ra} WHERE {r_notnull}"
+    )
+    mid = (
+        f"SELECT __l, __side, last(__r, true) OVER ({part}ORDER BY "
+        f"__t {tdir}, __side {sdir} ROWS BETWEEN UNBOUNDED PRECEDING AND "
+        f"CURRENT ROW) AS __m FROM ({union}) __asof_u{n}"
+    )
+    matched = (
+        f"SELECT __l, CASE WHEN __l.{lt_t} IS NULL THEN "
+        f"CAST(NULL AS {rtype}) ELSE __m END AS __match "
+        f"FROM ({mid}) __asof_m{n} WHERE __side = 1"
+    )
+    amb = set(lcols) & set(rcols)
+    flat = [f"__l.{c} AS {c}" for c in lcols if c not in amb] + [
+        f"__match.{c} AS {c}" for c in rcols if c not in amb
+    ]
+    inner_filter = "" if m.group("left") else " WHERE __match IS NOT NULL"
+    final = (
+        "SELECT "
+        + ", ".join(flat + [f"__l AS {la}", f"__match AS {ra}"])
+        + f" FROM ({matched}) __asof_f{n}{inner_filter}"
+    )
+    return sql[: lm.start()] + f"({final}) __asof_{n} " + sql[rm.end():]
+
+
+def rewrite_asof_join(spark, sql: str) -> str:
+    """DuckDB ``ASOF [LEFT] JOIN`` (simple form) → the q49 union +
+    last-carry-forward-window composition, emitted as a derived table.
+
+    The simple form is ``lhs [AS l] ASOF [LEFT] JOIN rhs [AS r] ON
+    <alias-qualified equalities> AND <ONE alias-qualified inequality>``
+    with both sides resolvable tables/views (their schemas type the
+    NULL half of each union branch). Semantics per DuckDB
+    (src/reference docs): for each left row, the matching right row is
+    the one with the LARGEST r.t satisfying ``l.t >= r.t`` (or ``>``
+    strict; symmetric SMALLEST for ``<=``/``<``), within the equality
+    group; inner drops unmatched left rows, LEFT keeps them with NULL
+    right columns. NULL equality keys and NULL ordering values never
+    match, as in a real join (right-side NULLs are filtered before the
+    union; left-side NULLs are guarded after the carry).
+
+    The derived table exposes BOTH side aliases as STRUCT columns (so
+    ``l.x`` / ``r.y`` and ``l.*`` / ``r.*`` resolve exactly as DuckDB
+    qualifies them) plus flat columns for every UNambiguous name (so
+    unqualified references work; ambiguous names require qualification,
+    as on DuckDB). Bare ``SELECT *`` is rejected loudly — its flat
+    expansion order is not reproducible through the struct form.
+
+    Scale shape (why this beats a range-join translation): ONE shuffle
+    on the equality keys, one window pass — no range-condition join
+    explosion, no broadcast-nested-loop; with NO equality key the
+    window is a single global sort, which is DuckDB's shape for that
+    query too. Ties among right rows equal on (keys, t) are unspecified
+    on BOTH engines (DuckDB docs call the pick arbitrary) — dedupe the
+    right side (the q49 groupBy-max idiom) for deterministic output.
+    POSITIONAL JOIN stays rejected: it pairs rows by physical scan
+    order, which a distributed engine cannot reproduce deterministically
+    (Spark has no stable global row order without an explicit key)."""
+    while True:
+        real = {i for i, _, _ in _scan_top_level(sql)}
+        target = None
+        for m in _ASOF_KEYWORD.finditer(sql):
+            if m.start() not in real:
+                continue
+            prev = re.search(r"([A-Za-z_]\w*|,)\s*$", sql[: m.start()])
+            if prev and prev.group(1).upper() in ("FROM", "JOIN", ","):
+                continue  # a table literally named "asof" in table position
+            target = m
+            break
+        if target is None:
+            return sql
+        sql = _rewrite_one_asof(spark, sql, target)
 
 
 def _reject_unsupported_joins(sql: str) -> None:
@@ -1894,6 +2265,7 @@ def duck_sql(spark: SparkSession, sql: str) -> DataFrame:
     summ = rewrite_summarize_statement(spark, sql)
     if summ is not None:
         return summ
+    sql = rewrite_asof_join(spark, sql)
     _reject_unsupported_joins(sql)
     sql = rewrite_window_exclude(sql)
     grp = rewrite_groups_frames(sql)
@@ -1907,7 +2279,15 @@ def duck_sql(spark: SparkSession, sql: str) -> DataFrame:
     if piv is not None:
         sql = piv
     sql = rewrite_named_args(sql)
-    sql = rewrite_similar_to(sql)
+    sql = rewrite_similar_to(
+        sql,
+        escaped_literals=(
+            spark.conf.get(
+                "spark.sql.parser.escapedStringLiterals", "false"
+            ).lower()
+            == "true"
+        ),
+    )
     sql = rewrite_using_sample(sql)
     sql = rewrite_scan_limit(sql)
     sql = rewrite_distinct_on(sql)

@@ -900,6 +900,11 @@ def _pq_fit(
         df.filter(F.col(id_col).isNotNull())
         .select(F.col(id_col).alias("vec_id"), xm.alias("xm"))
         .filter(F.size("xm") == m * sub_dims)
+        # NULL elements inside a right-sized vector would pass the size
+        # gate but crash np.asarray(..., int64) inside the assign UDF
+        # with an opaque executor error — drop them here (the jl_project
+        # non-null-element contract, r15 advice fix)
+        .filter(F.size(F.filter("xm", lambda v: v.isNull())) == 0)
     )
     h = F.conv(
         F.substring(F.md5(F.col("vec_id").cast("string")), 1, 8), 16, 10
@@ -1075,4 +1080,117 @@ def pq_assign(
             F.col("a.cid").alias("cid"),
             F.col("a.sq_err_micro2").alias("sq_err_micro2"),
         )
+    )
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    corpus_vec: str = "embedding",
+    corpus_id: str = "vec_id",
+    query_vec: str = "embedding",
+    query_id: str = "vec_id",
+    m: int = 4,
+    sub_dims: int = 16,
+    kc: int = 8,
+    n_iters: int = 2,
+) -> DataFrame:
+    """PQ serving-side search: asymmetric distance computation (ADC —
+    Jégou et al. 2011 §IV-A, FAISS ``IndexPQ.search``). Trains the
+    pq_train codebook, then for each query vector builds the m×kc
+    lookup table of EXACT int64 squared L2 distances between the
+    query's subvectors and every centroid; each corpus vector is scored
+    through its CODES only — ``dist = Σ_s LUT[s, code_s]`` — never
+    through its floats. This is the query path the 12-bit codes exist
+    for: the serving tier holds codes + codebook in RAM, not vectors.
+    Returns ``(query_id, neighbor_id, adc_dist_micro2, nn_rank)`` with
+    per-query top-k by ``(dist ASC, neighbor_id ASC)``; self-matches
+    are excluded (the brute_force_topk convention, so recall against
+    the exact anchor is comparable).
+
+    Scale shape: after the bounded codebook fit (pq_train's contract),
+    ONE map-only corpus pass — a single Arrow-batched numpy kernel per
+    batch does assign (argmin) AND ADC scoring (LUT gather + sum) with
+    zero joins and zero corpus shuffles; the only exchange is the
+    final per-query top-k window, hash-partitioned on the BOUNDED
+    query set (the same contract as brute_force_topk: queries collect
+    driver-side, capped by SPARK_GRAFT_BRUTE_MAX_QUERIES). Determinism
+    (hash-gradable): all-integer micro² distances; np.argmin first-min
+    == (dist, cid) ties; top-k ties break on neighbor_id."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import LongType
+
+    base, code = _pq_fit(corpus, corpus_vec, corpus_id, m, sub_dims, kc, n_iters)
+    spark = corpus.sparkSession
+    empty = "query_id long, neighbor_id long, adc_dist_micro2 long, nn_rank int"
+    if not code:
+        return spark.createDataFrame([], empty)
+    C = np.zeros((m, kc, sub_dims), dtype=np.int64)
+    for (s, cid), vals in code.items():
+        C[s, cid] = vals
+
+    # query vectors ride the IDENTICAL Spark-side micro-int
+    # canonicalization as the corpus (F.round HALF_UP — a driver-side
+    # Python round() would banker's-round and diverge on exact halves)
+    qxm = F.transform(
+        F.slice(F.col(query_vec), 1, m * sub_dims),
+        lambda x: F.round(x.cast("double") * F.lit(1e6), 0).cast("long"),
+    )
+    qb = (
+        queries.filter(F.col(query_id).isNotNull())
+        .select(F.col(query_id).alias("qid"), qxm.alias("xm"))
+        .filter(F.size("xm") == m * sub_dims)
+        .filter(F.size(F.filter("xm", lambda v: v.isNull())) == 0)
+    )
+    max_q = int(os.environ.get("SPARK_GRAFT_BRUTE_MAX_QUERIES", "100000"))
+    qrows = qb.limit(max_q + 1).collect()  # bounded by contract (brute idiom)
+    if len(qrows) > max_q:
+        raise ValueError(
+            f"pq_topk: queries side exceeds {max_q} rows; ADC builds one "
+            "m*kc LUT per query driver-side — batch the query set, or "
+            "raise SPARK_GRAFT_BRUTE_MAX_QUERIES"
+        )
+    qrows = sorted((int(r["qid"]), r["xm"]) for r in qrows)
+    if not qrows:
+        return spark.createDataFrame([], empty)
+    qids = [q for q, _ in qrows]
+    Q = np.asarray([x for _, x in qrows], dtype=np.int64).reshape(
+        len(qids), m, 1, sub_dims
+    )
+    # (Q, m, kc): exact int64 squared L2 between query subvectors and
+    # every centroid — max term (2e6)^2 * 16 ≈ 6.4e13 * kc ≪ 2^63
+    LUT = ((Q - C[None]) ** 2).sum(axis=3)
+
+    @pandas_udf(ArrayType(LongType()))
+    def adc(xm: pd.Series) -> pd.Series:
+        vals = xm.tolist()
+        if not vals:
+            return pd.Series([], dtype=object)
+        X = np.asarray(vals, dtype=np.int64).reshape(len(vals), m, 1, sub_dims)
+        D = ((X - C[None]) ** 2).sum(axis=3)  # (B, m, kc)
+        codes = D.argmin(axis=2)  # (B, m) — first-min tie-break
+        # ADC gather: dist[b, q] = Σ_s LUT[q, s, codes[b, s]]
+        out = np.zeros((len(vals), len(qids)), dtype=np.int64)
+        for s in range(m):
+            out += LUT[:, s, :][:, codes[:, s]].T  # (B, Q)
+        return pd.Series(out.tolist())
+
+    scored = (
+        base.select(F.col("vec_id").alias("neighbor_id"), "xm")
+        .select("neighbor_id", F.posexplode(adc(F.col("xm"))).alias("qpos", "d"))
+        .select(
+            F.element_at(
+                F.array(*[F.lit(q) for q in qids]), F.col("qpos") + 1
+            ).alias("query_id"),
+            "neighbor_id",
+            F.col("d").alias("adc_dist_micro2"),
+        )
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+    )
+    w = Window.partitionBy("query_id").orderBy("adc_dist_micro2", "neighbor_id")
+    return (
+        scored.withColumn("nn_rank", F.row_number().over(w))
+        .filter(F.col("nn_rank") <= k)
+        .select("query_id", "neighbor_id", "adc_dist_micro2", "nn_rank")
     )

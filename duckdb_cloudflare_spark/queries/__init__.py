@@ -147,18 +147,21 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 # The external driver grades a bounded prefix (first 50) of the registry,
 # so ordering IS the rotation policy: least-recently-driver-graded first.
 #
-# r14 window (the first 50 entries this list selects) — continuing the
-# stalest-first rotation plan (VERDICT r13 item 2): with the surface
-# complete and 170/170 oracle-bearing entries driver-green through r13,
+# r15 window (the first 50 entries this list selects) — continuing the
+# stalest-first rotation plan (VERDICT r14 item 1): with the surface
+# complete and 177/177 oracle-bearing entries driver-green through r14,
 # freshness of driver evidence IS the product. Composition:
-#   - the SEVEN new r14 oracle-bearing operators lead (zero driver
-#     history — the q44/p70 stranding invariant): q68 SIMILAR TO, q69
-#     GROUPS frame, q70 window EXCLUDE, p120/p121 product quantization,
-#     p122 script profile, p123 weighted interleave;
-#   - then the rotation cohort the r13 close documented: q01/p01–p05/
-#     p11/p12, the q29–q51 green-r10-history block plus q53;
-#   - then the oldest-history relational block q02–q16 filling the
-#     window to exactly 50 (q17 rotates next round).
+#   - the THREE new r15 oracle-bearing operators lead (zero driver
+#     history — the q44/p70 stranding invariant): q71 ASOF JOIN
+#     dialect, q72 min/max window EXCLUDE, p124 PQ ADC top-k;
+#   - then STRICT least-recently-driver-graded order, recomputed from
+#     the checked-in CORRECTNESS_r*.json records (last appearance):
+#     the r10-graded p58–p61 (stalest of all), the full r11 cohort
+#     (p13/p15–p33's oracle-bearing rows + p70–p84's), and the
+#     equal-recency r12 tier, within which the judge-named q17+
+#     rotation cohort (q17–q28, q61, q62) goes first, then p102,
+#     filling the window to exactly 50 (the remaining r12 p-block
+#     rotates next round).
 # The r11/r12 HLL and GK twins (q59/q60/q63) and the r13 multimodal
 # capstone p112 never preempt: rows-only by design, pinned by pytest
 # accuracy/reconciliation tests against their exact oracle-bearing
@@ -176,20 +179,24 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 # driver-replica gate (tests/test_oracle_parity.py) and the sf0.1 scale
 # sweep (tests/test_scale_parity.py).
 _WINDOW_PRIORITY = [
-    # r14 window (VERDICT r13 item 2 + the stranding invariant):
-    # the new r14 oracle-bearing operators (zero driver history) MUST lead
-    "q68_", "q69_", "q70_", "p120_", "p121_", "p122_", "p123_",
-    # then the documented r14 rotation cohort: q01/p01-p05/p11/p12 ...
-    "q01_", "p01_", "p02_", "p03_", "p04_", "p05_", "p11_", "p12_",
-    # ... the q29-q51 green-r10-history cohort (q31 is rows-only and
-    # sorts last automatically; q44 was re-greened r13) plus q53 ...
-    "q29_", "q30_", "q32_", "q33_", "q34_", "q35_", "q37_", "q38_",
-    "q40_", "q41_", "q42_", "q43_", "q45_", "q46_", "q47_", "q48_",
-    "q49_", "q50_", "q51_", "q53_",
-    # ... and the oldest-history relational block (green since r1-r9,
-    # last driver-graded furthest back) fills the window to exactly 50
-    "q02_", "q03_", "q04_", "q05_", "q06_", "q07_", "q08_", "q09_",
-    "q10_", "q11_", "q12_", "q13_", "q14_", "q15_", "q16_",
+    # r15 window (VERDICT r14 item 1 + the stranding invariant):
+    # the new r15 oracle-bearing operators (zero driver history) lead
+    "q71_", "q72_", "p124_",
+    # then strict least-recently-driver-graded order, computed from the
+    # CORRECTNESS_r*.json records themselves (last driver appearance):
+    # the r10 cohort p58-p61 is the stalest of all ...
+    "p58_", "p59_", "p60_", "p61_",
+    # ... then the full r11 cohort (28 oracle-bearing entries; the
+    # rows-only p14/p20/p30 sort last automatically) ...
+    "p13_", "p15_", "p16_", "p17_", "p18_", "p19_", "p21_", "p22_",
+    "p23_", "p24_", "p25_", "p26_", "p27_", "p29_", "p31_", "p32_",
+    "p33_", "p70_", "p71_", "p72_", "p73_", "p75_", "p76_", "p77_",
+    "p78_", "p80_", "p82_", "p84_",
+    # ... then the equal-recency r12 tier fills the window to exactly
+    # 50; within the tie, the judge-named q17+ rotation cohort goes
+    # first (q17-q28, then q61/q62, then the r12 p-block head)
+    "q17_", "q18_", "q19_", "q20_", "q21_", "q22_", "q23_", "q24_",
+    "q25_", "q26_", "q27_", "q28_", "q61_", "q62_", "p102_",
 ]
 
 
@@ -227,6 +234,7 @@ def _import_all() -> None:
     from duckdb_cloudflare_spark.queries import pipeline_r12  # noqa: F401
     from duckdb_cloudflare_spark.queries import pipeline_r13  # noqa: F401
     from duckdb_cloudflare_spark.queries import pipeline_r14  # noqa: F401
+    from duckdb_cloudflare_spark.queries import pipeline_r15  # noqa: F401
 
     _reorder_registry()
 

@@ -137,6 +137,7 @@ _PQ_CTES = """
                ) AS xm
         FROM embeddings
         WHERE vec_id IS NOT NULL AND len(embedding) = 64
+          AND len(list_filter(embedding, e -> e IS NULL)) = 0
     ), seeds AS (
         SELECT xm, cid FROM (
             SELECT xm, row_number() OVER (

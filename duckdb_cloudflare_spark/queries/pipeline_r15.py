@@ -1,0 +1,215 @@
+"""r15 operators — the dialect and serving-side gaps the r14 verdict
+named, each graded against a NATIVE DuckDB oracle where the sandbox
+supports one:
+
+- q71: ASOF JOIN as SQL dialect through duck_sql
+  (compat.rewrite_asof_join — the simple form rewritten onto the q49
+  union + last-carry-forward window). The oracle is DuckDB's NATIVE
+  ASOF JOIN. Uses the FORWARD direction (next click at-or-after each
+  purchase, inner) so it exercises the DESC carry path q49's backward
+  form does not.
+- q72: window EXCLUDE CURRENT ROW with min/max through duck_sql
+  (compat._split_frame_minmax — the positional split-frame recipe,
+  [lo, 1 PRECEDING] ⊎ [1 FOLLOWING, hi] combined with least/greatest).
+  The oracle is DuckDB's NATIVE SQL:2011 EXCLUDE (1.0 implements the
+  full clause) — the strongest oracle class, like q70.
+- p124: PQ asymmetric-distance top-k (ADC — Jégou et al. 2011 §IV-A;
+  FAISS IndexPQ.search), closing the p120/p121 product-quantization
+  family with the serving-side query path: per query an m×kc LUT of
+  exact int64 subspace distances, corpus scored through its CODES only
+  (LUT gather + sum, map-side), per-query top-k. The oracle extends
+  the p120/p121 CTE chain with codes/lut/adc CTEs — all-integer, so
+  it hash-grades exactly.
+
+Reference parity note: the reference engine (a per-request federation
+extension) has none of these; they are the LLM-pipeline / dialect
+surface this repo adds on top, per the brief.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from duckdb_cloudflare_spark.queries import load, register
+from duckdb_cloudflare_spark.queries.pipeline_r14 import _PQ_CTES
+
+
+@register(
+    "q71_asof_join_dialect",
+    oracle="""
+    WITH clicks AS (
+        SELECT user_id, ts, max(event_id) AS click_id
+        FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+    ), purchases AS (
+        SELECT event_id, user_id, ts, value FROM events
+        WHERE event_type = 'purchase'
+    )
+    SELECT p.event_id, p.user_id, p.ts, round(p.value, 4) AS value,
+           c.ts AS click_ts, c.click_id
+    FROM purchases p ASOF JOIN clicks c
+      ON p.user_id = c.user_id AND c.ts >= p.ts
+    """,
+    description="ASOF JOIN as SQL dialect (r14 verdict item 2): each "
+    "purchase matched to the user's NEXT click at-or-after it (inner — "
+    "purchases with no later click drop). The oracle is DuckDB's NATIVE "
+    "ASOF JOIN; Spark runs the IDENTICAL statement through duck_sql, "
+    "where compat.rewrite_asof_join lowers the simple form onto the "
+    "q49 union + last-carry-forward window (here the c.ts >= p.ts "
+    "inequality normalizes to the DESC carry — the direction q49's "
+    "backward form never exercises). Clicks are deduped to one per "
+    "(user_id, ts) (max event_id) so ties are deterministic on both "
+    "engines (DuckDB documents the within-tie pick as arbitrary). "
+    "Documented divergence, pinned in tests/test_compat.py: DuckDB "
+    "1.0's LEFT ASOF matches a NULL left ordering value (while its own "
+    "INNER drops the same row and NULL >= x is NULL) — the rewrite "
+    "keeps predicate semantics on both join types. Scale shape: ONE "
+    "shuffle on user_id, one window pass — no range-join explosion, no "
+    "broadcast-nested-loop; the events corpus crosses the wire once.",
+)
+def q71_asof_join_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duckdb_cloudflare_spark.compat import duck_sql
+
+    e = load(spark, sf_dir, "events")
+    (
+        e.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_id"))
+        .createOrReplaceTempView("__q71_clicks")
+    )
+    (
+        e.filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "ts", "value")
+        .createOrReplaceTempView("__q71_purch")
+    )
+    return duck_sql(
+        spark,
+        """
+        SELECT p.event_id, p.user_id, p.ts, round(p.value, 4) AS value,
+               c.ts AS click_ts, c.click_id
+        FROM __q71_purch p ASOF JOIN __q71_clicks c
+          ON p.user_id = c.user_id AND c.ts >= p.ts
+        """,
+    )
+
+
+@register(
+    "q72_window_exclude_minmax",
+    oracle="""
+    SELECT o_orderkey,
+           min(o_totalprice) OVER (
+               PARTITION BY o_orderpriority
+               ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING
+               EXCLUDE CURRENT ROW) AS loo_min,
+           max(o_totalprice) OVER (
+               PARTITION BY o_orderpriority
+               ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING
+               EXCLUDE CURRENT ROW) AS loo_max
+    FROM orders
+    """,
+    description="SQL:2011 window EXCLUDE CURRENT ROW with min/max "
+    "through duck_sql (r14 verdict item 6): each order's leave-one-out "
+    "neighborhood price extremes — the local-outlier primitive (is my "
+    "value the neighborhood max once I'm excluded?). min/max are not "
+    "subtractable, so compat rewrites via the positional split-frame "
+    "recipe ([lo, 1 PRECEDING] ⊎ [1 FOLLOWING, hi], least/greatest "
+    "whose NULL-skipping is exactly min/max over the excluded union) — "
+    "two window aggregates on the SAME sort, one shuffle, the q70 "
+    "pattern. The oracle is DuckDB's NATIVE EXCLUDE. Determinism: the "
+    "window orders by the UNIQUE (o_orderdate, o_orderkey) so ROWS "
+    "frames are identical across engines; min/max pass doubles through "
+    "unsummed — bit-exact. Scale shape: one hash-partitioned sort on "
+    "o_orderpriority, zero joins.",
+)
+def q72_window_exclude_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duckdb_cloudflare_spark.compat import duck_sql
+
+    load(spark, sf_dir, "orders").createOrReplaceTempView("__q72_orders")
+    return duck_sql(
+        spark,
+        """
+        SELECT o_orderkey,
+               min(o_totalprice) OVER (
+                   PARTITION BY o_orderpriority
+                   ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING
+                   EXCLUDE CURRENT ROW) AS loo_min,
+               max(o_totalprice) OVER (
+                   PARTITION BY o_orderpriority
+                   ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING
+                   EXCLUDE CURRENT ROW) AS loo_max
+        FROM __q72_orders
+        """,
+    )
+
+
+@register(
+    "p124_pq_adc_topk",
+    oracle=_PQ_CTES
+    + """
+    , codes AS (
+        SELECT vec_id, subspace, cid FROM (
+            SELECT e.vec_id, e.subspace, c.cid,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id, e.subspace
+                       ORDER BY sum((e.x - c.c) * (e.x - c.c)), c.cid
+                   ) AS rn
+            FROM el e JOIN m2 c ON c.subspace = e.subspace AND c.j = e.j
+            GROUP BY e.vec_id, e.subspace, c.cid
+        ) WHERE rn = 1
+    ), qids AS (
+        SELECT vec_id FROM base ORDER BY vec_id LIMIT 4
+    ), lut AS (
+        SELECT q.vec_id AS qid, c.subspace, c.cid,
+               sum((q.x - c.c) * (q.x - c.c)) AS d
+        FROM (SELECT e.* FROM el e JOIN qids ON qids.vec_id = e.vec_id) q
+        JOIN m2 c ON c.subspace = q.subspace AND c.j = q.j
+        GROUP BY q.vec_id, c.subspace, c.cid
+    ), adc AS (
+        SELECT l.qid, cd.vec_id AS nid, sum(l.d) AS dist
+        FROM codes cd
+        JOIN lut l ON l.subspace = cd.subspace AND l.cid = cd.cid
+        GROUP BY l.qid, cd.vec_id
+    )
+    SELECT qid AS query_id, nid AS neighbor_id,
+           CAST(dist AS BIGINT) AS adc_dist_micro2, CAST(rn AS INT) AS nn_rank
+    FROM (
+        SELECT qid, nid, dist, row_number() OVER (
+                   PARTITION BY qid ORDER BY dist, nid) AS rn
+        FROM adc WHERE qid != nid
+    ) WHERE rn <= 10
+    """,
+    description="PQ asymmetric-distance top-k (ADC; Jégou et al. 2011 "
+    "§IV-A, FAISS IndexPQ.search) — the serving-side query that closes "
+    "the p120/p121 family (r14 verdict item 3): per query one m×kc LUT "
+    "of EXACT int64 subspace distances against the trained codebook; "
+    "the corpus is scored through its 12-bit CODES only (dist = "
+    "Σ_s LUT[s, code_s]) — vectors' floats never touch the query path, "
+    "which is the whole point of holding 100 TB of codes in serving "
+    "RAM. operators/similarity.py::pq_topk. Queries: the 4 smallest "
+    "vec_ids of the filtered base (deterministic, no RNG); k=10; "
+    "self-matches excluded (brute_force_topk convention — p05 is the "
+    "exact-recall anchor, pinned in tests/test_r15_ops.py). Scale "
+    "shape: after the bounded codebook fit, ONE map-only corpus pass "
+    "(a single Arrow numpy kernel assigns codes AND gathers LUT sums — "
+    "zero joins, zero corpus shuffles, plan-pinned) + the per-query "
+    "top-k window over the bounded query set. Determinism: all-integer "
+    "micro² distances; argmin first-min == (dist, cid); top-k ties on "
+    "neighbor_id.",
+)
+def p124_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duckdb_cloudflare_spark.operators.dedup import ensure_parallelism
+    from duckdb_cloudflare_spark.operators.similarity import pq_topk
+
+    emb = ensure_parallelism(load(spark, sf_dir, "embeddings"))
+    queries = (
+        emb.filter(F.col("vec_id").isNotNull())
+        .filter(F.size("embedding") == 64)
+        .filter(F.size(F.filter("embedding", lambda v: v.isNull())) == 0)
+        .orderBy("vec_id")
+        .limit(4)
+    )
+    return pq_topk(emb, queries, k=10, m=4, sub_dims=16, kc=8, n_iters=2)

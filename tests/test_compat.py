@@ -1453,6 +1453,22 @@ class TestSimilarTo:
         two = rw("SELECT a SIMILAR TO 'x' AS p, b NOT SIMILAR TO 'y' AS q")
         assert two.count("RLIKE") == 2 and "SIMILAR" not in two
 
+    def test_backslash_reescaping(self):
+        """DuckDB literals pass backslashes through verbatim; Spark's
+        default parser consumes them ('\\d' would reach RLIKE as 'd' —
+        the silent-wrong r15 advice bug). Default emission doubles every
+        backslash; escaped_literals=True (a session that pinned
+        spark.sql.parser.escapedStringLiterals=true) emits verbatim."""
+        from duckdb_cloudflare_spark.compat import rewrite_similar_to as rw
+
+        sql = r"SELECT * FROM t WHERE x SIMILAR TO '[a-z]+\d+'"
+        assert rw(sql) == (
+            r"SELECT * FROM t WHERE x RLIKE '^(?:[a-z]+\\d+)$'"
+        )
+        assert rw(sql, escaped_literals=True) == (
+            r"SELECT * FROM t WHERE x RLIKE '^(?:[a-z]+\d+)$'"
+        )
+
     def test_non_literal_pattern_loud_error(self):
         from duckdb_cloudflare_spark.compat import rewrite_similar_to as rw
 
@@ -1470,10 +1486,15 @@ class TestSimilarTo:
             "ab|cd",    # top-level alternation must anchor BOTH branches
             "(a|x)bc",
             "a[bx]c",
+            r"[a-z]+\d+",  # backslash classes: the r15 re-escaping fix
+            r"\w+",
+            r"a\.c",       # escaped metachar: must NOT match 'abc'
+            r"\D+",
         ],
     )
     def test_cross_engine_agreement(self, t, duck, pat):
-        vals = ["abc", "xabcx", "a.c", "a_c", "%b%", "cd", "xcd", "abx", None]
+        vals = ["abc", "xabcx", "a.c", "a_c", "%b%", "cd", "xcd", "abx",
+                "abc123", None]
         t.createDataFrame(
             [(v,) for v in vals], "x string"
         ).createOrReplaceTempView("__sim_t")
@@ -1629,16 +1650,82 @@ class TestWindowExcludeRewrite:
                 "SELECT sum(random()) OVER (ORDER BY x ROWS 1 PRECEDING "
                 "EXCLUDE CURRENT ROW) FROM (SELECT 1 AS x)",
             )
+        # r15: min/max split-frame recipe is positional — RANGE/default
+        # frames refuse rather than mis-split
+        with pytest.raises(ValueError, match="explicit ROWS frames"):
+            duck_sql(
+                t,
+                "SELECT min(x) OVER (ORDER BY x RANGE BETWEEN 1 PRECEDING "
+                "AND 1 FOLLOWING EXCLUDE CURRENT ROW) FROM (SELECT 1 AS x)",
+            )
+        with pytest.raises(ValueError, match="explicit ROWS frames"):
+            duck_sql(
+                t,
+                "SELECT max(x) OVER (ORDER BY x EXCLUDE CURRENT ROW) "
+                "FROM (SELECT 1 AS x)",
+            )
+        with pytest.raises(ValueError, match="not subtractable"):
+            duck_sql(
+                t,
+                "SELECT min(x) OVER (ORDER BY x RANGE BETWEEN 1 PRECEDING "
+                "AND 1 FOLLOWING EXCLUDE TIES) FROM (SELECT 1 AS x)",
+            )
+        # r15: anything else carrying EXCLUDE raises the post-pass error
+        # instead of falling through to Spark's cryptic parse failure
+        for stmt in (
+            "SELECT first_value(x) OVER (ORDER BY x ROWS 1 PRECEDING "
+            "EXCLUDE CURRENT ROW) FROM (SELECT 1 AS x)",
+            "SELECT stddev(x) OVER (ORDER BY x ROWS 1 PRECEDING "
+            "EXCLUDE CURRENT ROW) FROM (SELECT 1 AS x)",
+        ):
+            with pytest.raises(ValueError, match="unsupported window EXCLUDE"):
+                duck_sql(t, stmt)
 
-    def test_strings_and_min_max_untouched(self, t):
+    def test_strings_untouched_and_noop_dropped_for_all(self, t):
         from duckdb_cloudflare_spark.compat import rewrite_window_exclude as rw
 
         s = "SELECT 'EXCLUDE CURRENT ROW' AS s"
         assert rw(s) == s
-        # min/max are not decomposable — left for Spark's parser to
-        # reject loudly rather than silently rewritten wrong
         s2 = "SELECT min(v) OVER (ORDER BY v) FROM t"
         assert rw(s2) == s2
+        # EXCLUDE NO OTHERS is a pure no-op for EVERY window function —
+        # dropped even for functions the rewrite doesn't decompose
+        assert rw(
+            "SELECT first_value(v) OVER (ORDER BY v ROWS 1 PRECEDING "
+            "EXCLUDE NO OTHERS) FROM t"
+        ) == (
+            "SELECT first_value(v) OVER (ORDER BY v ROWS 1 PRECEDING) FROM t"
+        )
+
+    @pytest.mark.parametrize("agg", ["min", "max"])
+    @pytest.mark.parametrize(
+        "frame",
+        [
+            "ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING",
+            "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW",
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING",
+            "ROWS BETWEEN CURRENT ROW AND 2 FOLLOWING",
+            "ROWS 1 PRECEDING",  # shorthand
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW",
+            "ROWS CURRENT ROW",  # degenerate: always-empty after exclude
+        ],
+    )
+    def test_min_max_split_frame_cross_engine(self, etables, agg, frame):
+        """r15 split-frame recipe vs DuckDB's NATIVE EXCLUDE: the frame
+        minus the current row is [lo, 1 PRECEDING] ⊎ [1 FOLLOWING, hi]
+        (ROWS mode only — positional bounds), combined with least/
+        greatest whose NULL-skipping is exactly min/max over the
+        excluded union. NULL args and single-row partitions included."""
+        t, duck = etables
+        expr = (
+            f"{agg}(v) OVER (PARTITION BY g ORDER BY o, v NULLS LAST "
+            f"{frame} EXCLUDE CURRENT ROW)"
+        )
+        stmt = f"SELECT g, o, v, {expr} AS s FROM __exc_t"
+        key = lambda r: tuple((x is None, x) for x in r)  # noqa: E731
+        srows = sorted((tuple(r) for r in duck_sql(t, stmt).collect()), key=key)
+        drows = sorted((tuple(r) for r in duck.sql(stmt).fetchall()), key=key)
+        assert srows == drows, (expr, srows, drows)
 
 
 class TestGroupsFrameRewrite:
@@ -1987,3 +2074,159 @@ class TestGroupOrderByAllPassthrough:
         srows = [tuple(r) for r in duck_sql(t, body).collect()]
         drows = [tuple(r) for r in duck.sql(body).fetchall()]
         assert srows == drows == [("a", 3), ("b", 5)]
+
+
+class TestAsofJoinRewrite:
+    """ASOF [LEFT] JOIN (simple form) → the q49 union + last-carry-
+    forward window (compat.rewrite_asof_join). Cross-engine oracle:
+    DuckDB's NATIVE ASOF JOIN, over all four inequality directions and
+    both join types, with NULL keys, no-match partitions and duplicate
+    ordering values in the fixture."""
+
+    @pytest.fixture()
+    def atables(self, t, duck):
+        lrows = [
+            (1, "u1", 100, 10.0), (2, "u1", 200, 20.0),
+            (3, "u2", 150, 30.0), (4, "u3", 50, 40.0),
+            (5, None, 100, 50.0), (7, "u1", 105, 70.0),
+        ]
+        rrows = [
+            (11, "u1", 100), (12, "u1", 105), (13, "u1", 180),
+            (14, "u2", 160), (15, None, 90), (16, "u2", None),
+        ]
+        t.createDataFrame(
+            lrows, "pid long, uk string, pts long, val double"
+        ).createOrReplaceTempView("__asof_l")
+        t.createDataFrame(
+            rrows, "cid long, uk string, cts long"
+        ).createOrReplaceTempView("__asof_r")
+        duck.sql(
+            "CREATE OR REPLACE TABLE __asof_l AS SELECT * FROM (VALUES "
+            + ", ".join(
+                f"({p}, {repr(u) if u else 'NULL'}, {pt}, {v})"
+                for p, u, pt, v in lrows
+            )
+            + ") t(pid, uk, pts, val)"
+        )
+        duck.sql(
+            "CREATE OR REPLACE TABLE __asof_r AS SELECT * FROM (VALUES "
+            + ", ".join(
+                f"({c}, {repr(u) if u else 'NULL'}, "
+                f"{ct if ct is not None else 'NULL'})"
+                for c, u, ct in rrows
+            )
+            + ") t(cid, uk, cts)"
+        )
+        return t, duck
+
+    @pytest.mark.parametrize("jt", ["ASOF JOIN", "ASOF LEFT JOIN"])
+    @pytest.mark.parametrize(
+        "ineq",
+        [
+            "l.pts >= r.cts",  # backward inclusive (ASC carry)
+            "l.pts > r.cts",   # backward strict
+            "l.pts <= r.cts",  # forward inclusive (DESC carry)
+            "l.pts < r.cts",   # forward strict
+            "r.cts <= l.pts",  # flipped spelling of backward inclusive
+        ],
+    )
+    def test_cross_engine_matrix(self, atables, jt, ineq):
+        t, duck = atables
+        stmt = (
+            f"SELECT l.pid, l.val, r.cid, r.cts FROM __asof_l l {jt} "
+            f"__asof_r r ON l.uk = r.uk AND {ineq} ORDER BY l.pid"
+        )
+        key = lambda x: tuple((v is None, v) for v in x)  # noqa: E731
+        srows = sorted((tuple(r) for r in duck_sql(t, stmt).collect()), key=key)
+        drows = sorted((tuple(r) for r in duck.sql(stmt).fetchall()), key=key)
+        assert srows == drows, (stmt, srows, drows)
+
+    def test_struct_star_and_no_equality_form(self, atables):
+        t, duck = atables
+        stmt = (
+            "SELECT l.*, r.cid FROM __asof_l l ASOF LEFT JOIN __asof_r r "
+            "ON l.uk = r.uk AND l.pts >= r.cts ORDER BY l.pid"
+        )
+        s = sorted(map(tuple, duck_sql(t, stmt).collect()))
+        d = sorted(map(tuple, duck.sql(stmt).fetchall()))
+        assert s == d
+        # no equality key: global asof (single ordered carry)
+        stmt2 = (
+            "SELECT l.pid, r.cid FROM __asof_l l ASOF JOIN __asof_r r "
+            "ON l.pts >= r.cts ORDER BY l.pid"
+        )
+        s2 = sorted(map(tuple, duck_sql(t, stmt2).collect()))
+        d2 = sorted(map(tuple, duck.sql(stmt2).fetchall()))
+        assert s2 == d2
+
+    def test_null_ordering_value_divergence_pinned(self, t, duck):
+        """DuckDB 1.0's LEFT ASOF matches a NULL left ordering value to
+        a right row (while its own INNER ASOF drops the same row, and
+        the plain predicate NULL >= x is NULL) — verified empirically,
+        an internally inconsistent merge-scan artifact. The rewrite
+        keeps predicate semantics on BOTH join types: NULL ordering
+        values never match. This pin documents the deliberate
+        divergence and alarms if either engine changes."""
+        t.createDataFrame(
+            [(6, "u1", None, 60.0)], "pid long, uk string, pts long, val double"
+        ).createOrReplaceTempView("__asof_nl")
+        t.createDataFrame(
+            [(11, "u1", 100), (13, "u1", 180)], "cid long, uk string, cts long"
+        ).createOrReplaceTempView("__asof_nr")
+        duck.sql(
+            "CREATE OR REPLACE TABLE __asof_nl AS SELECT 6 pid, 'u1' uk, "
+            "CAST(NULL AS BIGINT) pts, 60.0 val"
+        )
+        duck.sql(
+            "CREATE OR REPLACE TABLE __asof_nr AS SELECT * FROM (VALUES "
+            "(11, 'u1', 100), (13, 'u1', 180)) t(cid, uk, cts)"
+        )
+        inner = (
+            "SELECT l.pid, r.cid FROM __asof_nl l ASOF JOIN __asof_nr r "
+            "ON l.uk = r.uk AND l.pts >= r.cts"
+        )
+        left = (
+            "SELECT l.pid, r.cid FROM __asof_nl l ASOF LEFT JOIN __asof_nr r "
+            "ON l.uk = r.uk AND l.pts >= r.cts"
+        )
+        # OUR semantics are the pin: NULL ordering value never matches.
+        assert duck_sql(t, inner).collect() == []
+        assert [tuple(r) for r in duck_sql(t, left).collect()] == [(6, None)]
+        # DuckDB 1.0's artifact is not even stable enough to pin: in this
+        # single-row fixture BOTH its inner and left ASOF match (6, 13),
+        # while in the multi-row matrix fixture its inner drops the row
+        # (observed empirically) — record the artifact, assert nothing
+        # beyond "DuckDB matched what the predicate says is NULL".
+        assert duck.sql(left).fetchall() == [(6, 13)]
+
+    def test_loud_errors(self, atables):
+        t, _ = atables
+        cases = [
+            ("SELECT 1 FROM __asof_l l POSITIONAL JOIN __asof_r r",
+             "POSITIONAL JOIN"),
+            ("SELECT * FROM __asof_l l ASOF JOIN __asof_r r "
+             "ON l.uk = r.uk AND l.pts >= r.cts", "bare SELECT \\*"),
+            ("SELECT l.pid FROM __asof_l l ASOF JOIN __asof_r r "
+             "ON l.uk = r.uk AND l.pts >= r.cts AND l.pts < r.cts",
+             "exactly ONE inequality"),
+            ("SELECT l.pid FROM __asof_l l ASOF JOIN __asof_r r "
+             "ON l.uk = r.uk", "needs an inequality"),
+            ("SELECT l.pid FROM __asof_l l ASOF JOIN __asof_r r "
+             "ON upper(l.uk) = r.uk AND l.pts >= r.cts",
+             "unsupported ASOF JOIN condition"),
+            ("SELECT x.pid FROM __asof_missing x ASOF JOIN __asof_r r "
+             "ON x.uk = r.uk AND x.pts >= r.cts", "resolvable table"),
+        ]
+        for stmt, pat in cases:
+            with pytest.raises(ValueError, match=pat):
+                duck_sql(t, stmt)
+
+    def test_table_named_asof_still_works(self, t):
+        t.createDataFrame([(1,)], "x long").createOrReplaceTempView("asof")
+        t.createDataFrame([(1, 2)], "x long, y long").createOrReplaceTempView(
+            "__asof_other"
+        )
+        got = duck_sql(
+            t, "SELECT asof.x, o.y FROM asof JOIN __asof_other o ON asof.x = o.x"
+        ).collect()
+        assert [tuple(r) for r in got] == [(1, 2)]

@@ -1194,3 +1194,54 @@ def test_q69_groups_rewrite_shares_one_window_shuffle(spark, registry):
     assert len(hash_exchanges) == 1, hash_exchanges
     assert "o_orderpriority" in hash_exchanges[0]
     assert "Join" not in plan, plan
+
+
+# ---------------------------------------------------------------------------
+# r15 plan pins
+# ---------------------------------------------------------------------------
+
+
+def test_p124_pq_adc_topk_map_only_scoring(spark, registry):
+    """ADC search must score the corpus MAP-SIDE: after the bounded
+    codebook fit and query-LUT build (driver-side by contract), the
+    returned plan is one Arrow-UDF pass + explode + the per-query top-k
+    window — ZERO joins, and the ONLY hash exchange is the window's
+    partitioning on the bounded query_id set. Any join here means the
+    LUT or codebook leaked into the plan as data; any second exchange
+    means vectors are shuffling."""
+    df = registry["p124_pq_adc_topk"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan, plan
+    hash_exchanges = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+    assert len(hash_exchanges) == 1, hash_exchanges
+    assert "query_id" in hash_exchanges[0], hash_exchanges
+    # exactly one Window operator ("Window [" — WindowGroupLimit is the
+    # rank-limit pushdown, a map-side partial top-k, and is welcome)
+    assert len(re.findall(r"Window \[", plan)) == 1, plan
+    assert "WindowGroupLimit" in plan, plan  # partial top-k before shuffle
+
+
+def test_q72_exclude_minmax_single_shuffle(spark, registry):
+    """The min/max split-frame rewrite must run BOTH split windows (and
+    both aggregates) over the SAME sort: one hash exchange on the
+    partition key, one Window operator block, zero joins — the q70
+    one-extra-aggregate-same-shuffle pattern."""
+    df = registry["q72_window_exclude_minmax"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan, plan
+    hash_exchanges = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+    assert len(hash_exchanges) == 1, hash_exchanges
+    assert "o_orderpriority" in hash_exchanges[0], hash_exchanges
+
+
+def test_q71_asof_dialect_one_corpus_shuffle(spark, registry):
+    """The ASOF rewrite's scale contract: the union of both sides
+    shuffles ONCE on the equality key for the carry window — no
+    broadcast-nested-loop, no range-join explosion. (The clicks-side
+    groupBy pre-aggregation shares the same user_id-rooted hash
+    partitioning; nothing else may shuffle.)"""
+    df = registry["q71_asof_join_dialect"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert len(re.findall(r"Window \[", plan)) == 1, plan

@@ -166,6 +166,32 @@ def test_pq_k_larger_than_corpus_loud_error(spark):
         pq_train(df, m=1, sub_dims=4, k=8, n_iters=1)
 
 
+def test_pq_null_element_vectors_dropped(spark):
+    """A NULL element inside a right-sized vector passed the size gate
+    but crashed np.asarray(..., int64) in the assign UDF with an opaque
+    executor error (r15 advice fix): such rows are dropped at the base,
+    like wrong-length vectors, and training matches the clean corpus."""
+    from duckdb_cloudflare_spark.operators.similarity import pq_assign, pq_train
+
+    clean = [(i, [float(i % 3) + j * 0.25 for j in range(4)]) for i in range(1, 7)]
+    dirty = clean + [(90, [1.0, None, 3.0, 4.0]), (91, [None] * 4)]
+    schema = "vec_id long, embedding array<double>"
+    df_clean = spark.createDataFrame(clean, schema)
+    df_dirty = spark.createDataFrame(dirty, schema)
+    want = sorted(
+        tuple(r) for r in pq_train(df_clean, m=1, sub_dims=4, k=2,
+                                   n_iters=2).collect()
+    )
+    got = sorted(
+        tuple(r) for r in pq_train(df_dirty, m=1, sub_dims=4, k=2,
+                                   n_iters=2).collect()
+    )
+    assert got == want
+    enc = pq_assign(df_dirty, m=1, sub_dims=4, k=2, n_iters=2)
+    ids = sorted(r["vec_id"] for r in enc.collect())
+    assert ids == [i for i, _ in clean]
+
+
 # ---------------------------------------------------------------------------
 # p122 — script profile
 # ---------------------------------------------------------------------------

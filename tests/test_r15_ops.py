@@ -1,0 +1,97 @@
+"""r15 operator tests: PQ ADC top-k (p124) — the serving-side query path
+closing the p120/p121 family. Cross-engine exactness is covered by the
+oracle-parity gate (the CTE-chain oracle in queries/pipeline_r15.py);
+these pin the SEARCH QUALITY against the exact anchor and the bounded
+contracts."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _exact_l2_topk(vecs: dict[int, list[float]], qids: list[int], k: int):
+    """Ground truth: exact micro-int squared-L2 top-k (the metric ADC
+    approximates), self excluded, ties on neighbor id."""
+    ids = sorted(vecs)
+    M = {i: np.round(np.asarray(vecs[i], dtype=np.float64) * 1e6).astype(np.int64)
+         for i in ids}
+    out = {}
+    for q in qids:
+        d = sorted(
+            (int(((M[i] - M[q]) ** 2).sum()), i) for i in ids if i != q
+        )
+        out[q] = [i for _, i in d[:k]]
+    return out
+
+
+@pytest.fixture(scope="module")
+def emb_rows(spark):
+    df = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    rows = (
+        df.filter(F.col("vec_id").isNotNull())
+        .filter(F.size("embedding") == 64)
+        .collect()
+    )
+    return {int(r["vec_id"]): list(r["embedding"]) for r in rows}
+
+
+def test_pq_topk_recall_against_exact_anchor(spark, emb_rows):
+    """ADC is lossy BY DESIGN — the pin is that recall@10 against exact
+    micro-int L2 (the p05-class anchor) (a) beats chance at every
+    bitrate and (b) rises MONOTONICALLY with code size, which is the
+    property a broken LUT gather / transposed codebook destroys while
+    centroid jitter does not. On these synthetic (near-iid) embeddings
+    the measured curve is 12 bits → 0.05, 32 → 0.175, 80 → 0.525
+    (chance = k/N = 10/500 = 0.02); real clustered embeddings sit far
+    higher at every point, but the ORDERING is data-independent."""
+    from duckdb_cloudflare_spark.operators.similarity import pq_topk
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    qids = sorted(emb_rows)[:4]
+    queries = emb.filter(F.col("vec_id").isin([int(q) for q in qids]))
+    exact = _exact_l2_topk(emb_rows, qids, k=10)
+    curve = []
+    for m, sub_dims, kc in [(4, 16, 8), (8, 8, 16), (16, 4, 32)]:
+        got = pq_topk(emb, queries, k=10, m=m, sub_dims=sub_dims, kc=kc,
+                      n_iters=2)
+        by_q: dict[int, list[int]] = {}
+        ranks: dict[int, list[int]] = {}
+        for r in got.collect():
+            by_q.setdefault(int(r["query_id"]), []).append(int(r["neighbor_id"]))
+            ranks.setdefault(int(r["query_id"]), []).append(int(r["nn_rank"]))
+        assert sorted(by_q) == sorted(exact)
+        # ranks are dense 1..10 per query
+        assert all(sorted(v) == list(range(1, 11)) for v in ranks.values())
+        curve.append(sum(len(set(by_q[q]) & set(exact[q])) / 10
+                         for q in qids) / len(qids))
+    chance = 10 / len(emb_rows)
+    assert all(r >= 2 * chance for r in curve), (curve, chance)
+    assert curve[0] < curve[1] < curve[2], curve  # recall rises with bits
+    assert curve[2] >= 0.4, curve  # 80-bit codes must be genuinely good
+
+
+def test_pq_topk_empty_and_bounded_contracts(spark):
+    from duckdb_cloudflare_spark.operators.similarity import pq_topk
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    out = pq_topk(empty, empty, k=5, m=1, sub_dims=4, kc=2, n_iters=1)
+    assert out.collect() == []
+    assert [f.name for f in out.schema.fields] == [
+        "query_id", "neighbor_id", "adc_dist_micro2", "nn_rank"
+    ]
+    # oversized query side fails loudly, not with a driver OOM
+    corpus = spark.createDataFrame(
+        [(i, [float(i % 5)] * 4) for i in range(20)],
+        "vec_id long, embedding array<double>",
+    )
+    import os
+    os.environ["SPARK_GRAFT_BRUTE_MAX_QUERIES"] = "3"
+    try:
+        with pytest.raises(ValueError, match="queries side exceeds"):
+            pq_topk(corpus, corpus, k=5, m=1, sub_dims=4, kc=2, n_iters=1)
+    finally:
+        del os.environ["SPARK_GRAFT_BRUTE_MAX_QUERIES"]

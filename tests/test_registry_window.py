@@ -21,25 +21,27 @@ from duckdb_cloudflare_spark import queries as Q
 _ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def test_graded_window_is_exactly_the_r14_rotation():
+def test_graded_window_is_exactly_the_r15_rotation():
     names = list(Q.all_queries())
     window = names[:50]
     expected = (
-        # the new r14 oracle-bearing ops (no driver history) lead, then
-        # the documented rotation cohort (q01/p01-p05/p11/p12 + the
-        # q29-q51 green-r10-history block + q53), then the
-        # oldest-history relational block q02-q17 fills to exactly 50.
-        ["q68_", "q69_", "q70_", "p120_", "p121_", "p122_", "p123_"]
-        + ["q01_", "p01_", "p02_", "p03_", "p04_", "p05_", "p11_", "p12_"]
+        # the new r15 oracle-bearing ops (no driver history) lead, then
+        # strict least-recently-driver-graded order from the checked-in
+        # CORRECTNESS records: p58-p61 (r10), the r11 cohort, then the
+        # equal-recency r12 tier (judge-named q17+ cohort first) fills
+        # the window to exactly 50.
+        ["q71_", "q72_", "p124_"]
+        + ["p58_", "p59_", "p60_", "p61_"]
         + [
-            "q29_", "q30_", "q32_", "q33_", "q34_", "q35_", "q37_",
-            "q38_", "q40_", "q41_", "q42_", "q43_", "q45_", "q46_",
-            "q47_", "q48_", "q49_", "q50_", "q51_", "q53_",
+            "p13_", "p15_", "p16_", "p17_", "p18_", "p19_", "p21_",
+            "p22_", "p23_", "p24_", "p25_", "p26_", "p27_", "p29_",
+            "p31_", "p32_", "p33_", "p70_", "p71_", "p72_", "p73_",
+            "p75_", "p76_", "p77_", "p78_", "p80_", "p82_", "p84_",
         ]
         + [
-            "q02_", "q03_", "q04_", "q05_", "q06_", "q07_", "q08_",
-            "q09_", "q10_", "q11_", "q12_", "q13_", "q14_", "q15_",
-            "q16_",
+            "q17_", "q18_", "q19_", "q20_", "q21_", "q22_", "q23_",
+            "q24_", "q25_", "q26_", "q27_", "q28_", "q61_", "q62_",
+            "p102_",
         ]
     )[:50]
     assert len(window) == len(expected) == 50
