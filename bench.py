@@ -126,6 +126,14 @@ _SF1_HEADLINE = [
     "p121_pq_assign",
     "p122_script_profile",
     "p123_source_interleave",
+    # r15: the ASOF dialect rewrite over replicated events (union + one
+    # user_id-shuffled carry window vs DuckDB's native merge ASOF), the
+    # min/max EXCLUDE split-frame (two windows one shuffle vs native
+    # EXCLUDE) and the ADC serving search (map-only LUT scoring vs the
+    # CTE-chain codes join)
+    "q71_asof_join_dialect",
+    "q72_window_exclude_minmax",
+    "p124_pq_adc_topk",
 ]
 
 
@@ -265,6 +273,103 @@ def _gen_sf1(src: str) -> str | None:
     with open(marker, "w") as f:
         f.write("ok\n")
     return d
+
+
+_BENCH_TABLES = (
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+)
+
+
+def _duckdb_worker() -> None:
+    """Subprocess mode (``bench.py --duckdb-worker``): run DuckDB oracle
+    trials in their OWN process, fed JSON lines over stdin.
+
+    Why a subprocess (r14 probe-methodology rule 1, folded into the
+    bench itself): DuckDB running IN-PROCESS between Spark timings
+    poisons the Spark readings that follow — measured 96.7 s
+    contaminated vs 7.8 s isolated for the same query at r14. The
+    worker keeps DuckDB's allocator and threads out of the driver
+    process entirely, while still letting the driver interleave the two
+    engines query-by-query inside one noise window.
+
+    Rule 2 is structural here: ``fetchall()`` materializes EVERY output
+    column, so DuckDB cannot dead-code expensive projections the way a
+    count(*)-wrapped probe lets it (0.07 s count-only vs 4.50 s honest,
+    r14)."""
+    import duckdb
+
+    con = None
+    for line in sys.stdin:
+        msg = json.loads(line)
+        if msg["cmd"] == "init":
+            if con is not None:
+                con.close()
+            con = duckdb.connect()
+            for t in msg["tables"]:
+                con.execute(
+                    f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{msg['sf_dir']}/{t}.parquet')"
+                )
+            print(json.dumps({"ok": True}), flush=True)
+        elif msg["cmd"] == "run":
+            best = float("inf")
+            err = None
+            try:
+                for _ in range(msg["iters"]):
+                    t0 = time.perf_counter()
+                    con.execute(msg["sql"]).fetchall()  # forces ALL columns
+                    best = min(best, time.perf_counter() - t0)
+            except Exception as e:  # noqa: BLE001 — report, keep serving
+                err = f"{type(e).__name__}: {e}"[:300]
+            print(
+                json.dumps({"best": None if err else best, "err": err}),
+                flush=True,
+            )
+        elif msg["cmd"] == "quit":
+            break
+
+
+class _DuckWorker:
+    """Driver-side handle on the --duckdb-worker subprocess. Any failure
+    degrades to 'no DuckDB column for this query' (the bench line must
+    never die because the baseline process did)."""
+
+    def __init__(self) -> None:
+        import subprocess
+
+        self.proc = subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__), "--duckdb-worker"],
+            stdin=subprocess.PIPE,
+            stdout=subprocess.PIPE,
+            text=True,
+        )
+
+    def _rpc(self, msg: dict) -> dict | None:
+        try:
+            self.proc.stdin.write(json.dumps(msg) + "\n")
+            self.proc.stdin.flush()
+            line = self.proc.stdout.readline()
+            return json.loads(line) if line else None
+        except Exception:
+            return None
+
+    def init(self, sf_dir: str, tables) -> bool:
+        r = self._rpc({"cmd": "init", "sf_dir": sf_dir, "tables": list(tables)})
+        return bool(r and r.get("ok"))
+
+    def run(self, sql: str, iters: int) -> float | None:
+        r = self._rpc({"cmd": "run", "sql": sql, "iters": iters})
+        if r and r.get("err"):
+            print(f"bench: duckdb worker error: {r['err']}", file=sys.stderr)
+        return r.get("best") if r else None
+
+    def close(self) -> None:
+        try:
+            self._rpc({"cmd": "quit"})
+            self.proc.wait(timeout=10)
+        except Exception:
+            self.proc.kill()
 
 
 def main() -> None:
@@ -461,6 +566,10 @@ def main() -> None:
         "p121_pq_assign",
         "p122_script_profile",
         "p123_source_interleave",
+        # r15: ASOF dialect, min/max EXCLUDE split-frame, PQ ADC top-k
+        "q71_asof_join_dialect",
+        "q72_window_exclude_minmax",
+        "p124_pq_adc_topk",
     ]
     registry = Q.all_queries()
 
@@ -520,10 +629,27 @@ def main() -> None:
     # spell poisons every trial of a query. A second, shorter pass over the
     # whole group minutes later gives each query trials in two separate
     # noise windows; the min across both passes is what a quiet host would
-    # measure. Same two-pass rule is applied to the DuckDB baseline below.
+    # measure. Same two-pass rule applies to the DuckDB baseline.
     second_pass = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS2", "2"))
     timings: dict[str, float] = {}
     first_run: dict[str, float] = {}
+    # Like-for-like practical baseline (ADVICE r1 → r15 weather-proofing,
+    # VERDICT r14 item 4): the same oracle SQL, same parquet, same two-pass
+    # min-of-N protocol — but now INTERLEAVED with the Spark trials at
+    # per-query granularity, so a CPU-steal spell lands on BOTH sides of
+    # the ratio instead of poisoning whichever engine's block it hit
+    # (the same DuckDB-only total measured 3.07 s / 20.83 s / 21.96 s
+    # across three r13–r14 windows — a 6.8× baseline-only swing under the
+    # old engines-in-sequence protocol). The baseline runs in a SEPARATE
+    # worker process (see _duckdb_worker: in-process DuckDB measurably
+    # poisons subsequent Spark timings, and fetchall() forces every output
+    # column so DuckDB cannot dead-code expensive projections).
+    duckdb_timings: dict[str, float] = {}
+    worker = _DuckWorker()
+    duck_ok = worker.init(sf_dir, _BENCH_TABLES)
+    if not duck_ok:
+        print("bench: duckdb worker failed to init — no baseline lane",
+              file=sys.stderr)
     oracle_group = [n for n in headline if n in registry and n in oracles]
     heavy_group = [n for n in headline if n in registry and n not in oracles]
     for n_iters in (iterations, second_pass):
@@ -539,38 +665,16 @@ def main() -> None:
                         first_run[name] = round(elapsed, 4)
                     best = min(best, elapsed)
                 timings[name] = round(best, 4)
-
-    # Like-for-like practical baseline (ADVICE r1): the same oracle SQL, same
-    # parquet, same min-of-N protocol, timed in DuckDB in this process. The
-    # oracle-comparable subtotals let the judge compare identical query sets
-    # under identical rules (approximate/no-oracle ops are excluded from
-    # both sides).
-    duckdb_timings: dict[str, float] = {}
-    try:
-        import duckdb
-
-        con = duckdb.connect()
-        for t in (
-            "region", "nation", "customer", "supplier", "part", "orders",
-            "lineitem", "events", "documents", "embeddings",
-        ):
-            con.execute(
-                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
-            )
-        # Same two-pass back-to-back min-of-N protocol as the Spark loop.
-        for n_iters in (iterations, second_pass):
-            for name in headline:
+                # the engine pair measures inside ONE noise window: the
+                # query's DuckDB trials run immediately after its Spark
+                # trials, in the worker process
                 sql = oracles.get(name)
-                if not sql:
-                    continue
-                best = duckdb_timings.get(name, float("inf"))
-                for _ in range(n_iters):
-                    t0 = time.perf_counter()
-                    con.execute(sql).fetchall()
-                    best = min(best, time.perf_counter() - t0)
-                duckdb_timings[name] = round(best, 4)
-    except Exception:
-        pass
+                if duck_ok and sql:
+                    b = worker.run(sql, n_iters)
+                    if b is not None:
+                        duckdb_timings[name] = round(
+                            min(duckdb_timings.get(name, float("inf")), b), 4
+                        )
 
     spark_oracle_subset = round(
         sum(v for k, v in timings.items() if k in duckdb_timings), 4
@@ -607,7 +711,12 @@ def main() -> None:
                 parallelism=spark.sparkContext.defaultParallelism,
             )
             sf1_t: dict[str, float] = {}
+            sf1_d: dict[str, float] = {}
             ran = [n for n in _SF1_HEADLINE if n in registry]
+            # same interleaved separate-process protocol as the sf0.1
+            # loop: each query's DuckDB trials follow its Spark trials
+            # inside one noise window, in the worker process
+            duck1_ok = duck_ok and worker.init(sf1_dir, _SF1_TABLES)
             for name in ran:
                 spark._jvm.System.gc()
                 best = float("inf")
@@ -618,38 +727,11 @@ def main() -> None:
                     ).save()
                     best = min(best, time.perf_counter() - t0)
                 sf1_t[name] = round(best, 4)
-            sf1_d: dict[str, float] = {}
-            try:
-                import duckdb
-
-                con1 = duckdb.connect()
-                try:
-                    for t in _SF1_TABLES:
-                        con1.execute(
-                            f"CREATE VIEW {t} AS SELECT * FROM "
-                            f"read_parquet('{sf1_dir}/{t}.parquet')"
-                        )
-                    for name in ran:
-                        sql = oracles.get(name)
-                        if not sql:
-                            continue
-                        best = float("inf")
-                        for _ in range(2):
-                            t0 = time.perf_counter()
-                            con1.execute(sql).fetchall()
-                            best = min(best, time.perf_counter() - t0)
-                        sf1_d[name] = round(best, 4)
-                finally:
-                    con1.close()
-            except Exception as e:
-                # a truncated sf1_d must be VISIBLE, not read as a
-                # measured 0.0 subtotal (r10 review find)
-                print(
-                    f"bench: sf1 DuckDB lane aborted after "
-                    f"{len(sf1_d)}/{len(ran)} queries ({e})",
-                    file=sys.stderr,
-                )
-                sf1_d = {}
+                sql = oracles.get(name)
+                if duck1_ok and sql:
+                    b = worker.run(sql, 2)
+                    if b is not None:
+                        sf1_d[name] = round(b, 4)
             dropped = [n for n in _SF1_HEADLINE if n not in registry]
             if dropped:
                 print(f"bench: sf1 lane dropped {dropped}", file=sys.stderr)
@@ -663,6 +745,7 @@ def main() -> None:
                 "sf1_duckdb_queries": sf1_d,
             }
 
+    worker.close()
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     payload = {
         "metric": "headline_queries_total",
@@ -723,4 +806,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "--duckdb-worker":
+        _duckdb_worker()
+    else:
+        main()
