@@ -134,6 +134,7 @@ _SF1_HEADLINE = [
     "q71_asof_join_dialect",
     "q72_window_exclude_minmax",
     "p124_pq_adc_topk",
+    "p125_pq_rerank_topk",
 ]
 
 
@@ -566,10 +567,12 @@ def main() -> None:
         "p121_pq_assign",
         "p122_script_profile",
         "p123_source_interleave",
-        # r15: ASOF dialect, min/max EXCLUDE split-frame, PQ ADC top-k
+        # r15: ASOF dialect, min/max EXCLUDE split-frame, PQ ADC top-k,
+        # and the ADC-shortlist + exact-re-rank two-stage search
         "q71_asof_join_dialect",
         "q72_window_exclude_minmax",
         "p124_pq_adc_topk",
+        "p125_pq_rerank_topk",
     ]
     registry = Q.all_queries()
 

@@ -213,3 +213,88 @@ def p124_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(4)
     )
     return pq_topk(emb, queries, k=10, m=4, sub_dims=16, kc=8, n_iters=2)
+
+
+@register(
+    "p125_pq_rerank_topk",
+    oracle=_PQ_CTES
+    + """
+    , codes AS (
+        SELECT vec_id, subspace, cid FROM (
+            SELECT e.vec_id, e.subspace, c.cid,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id, e.subspace
+                       ORDER BY sum((e.x - c.c) * (e.x - c.c)), c.cid
+                   ) AS rn
+            FROM el e JOIN m2 c ON c.subspace = e.subspace AND c.j = e.j
+            GROUP BY e.vec_id, e.subspace, c.cid
+        ) WHERE rn = 1
+    ), qids AS (
+        SELECT vec_id FROM base ORDER BY vec_id LIMIT 4
+    ), lut AS (
+        SELECT q.vec_id AS qid, c.subspace, c.cid,
+               sum((q.x - c.c) * (q.x - c.c)) AS d
+        FROM (SELECT e.* FROM el e JOIN qids ON qids.vec_id = e.vec_id) q
+        JOIN m2 c ON c.subspace = q.subspace AND c.j = q.j
+        GROUP BY q.vec_id, c.subspace, c.cid
+    ), adc AS (
+        SELECT l.qid, cd.vec_id AS nid, sum(l.d) AS dist
+        FROM codes cd
+        JOIN lut l ON l.subspace = cd.subspace AND l.cid = cd.cid
+        GROUP BY l.qid, cd.vec_id
+    ), short AS (
+        SELECT qid, nid FROM (
+            SELECT qid, nid, row_number() OVER (
+                       PARTITION BY qid ORDER BY dist, nid) AS rn
+            FROM adc WHERE qid != nid
+        ) WHERE rn <= 50
+    ), exact AS (
+        SELECT s.qid, s.nid, sum((q.x - c.x) * (q.x - c.x)) AS d
+        FROM short s
+        JOIN el q ON q.vec_id = s.qid
+        JOIN el c ON c.vec_id = s.nid
+                 AND c.subspace = q.subspace AND c.j = q.j
+        GROUP BY s.qid, s.nid
+    )
+    SELECT qid AS query_id, nid AS neighbor_id,
+           CAST(d AS BIGINT) AS l2_dist_micro2, CAST(rn AS INT) AS nn_rank
+    FROM (
+        SELECT qid, nid, d, row_number() OVER (
+                   PARTITION BY qid ORDER BY d, nid) AS rn
+        FROM exact
+    ) WHERE rn <= 10
+    """,
+    description="Two-stage PQ serving search (FAISS IndexRefineFlat): "
+    "p124's ADC code scan shortlists R=50 candidates per query, then "
+    "ONLY those Q×R rows are re-ranked with the EXACT int64 squared L2 "
+    "on the full micro-int vectors — how a serving tier recovers "
+    "exactness from 12-bit codes without ever scanning full vectors "
+    "corpus-wide (codes stay RAM-resident at 100 TB; vectors are "
+    "fetched for thousands of rows, not billions). "
+    "operators/similarity.py::pq_rerank_topk. Measured on the sf0.001 "
+    "fixture: raw ADC recall@10 = 0.05 → rerank recall@10 = 0.325 with "
+    "R=50, a 6.5× lift bounded by P(true top-10 ⊂ ADC top-50) on "
+    "near-iid synthetic vectors (pinned in tests/test_r15_ops.py; real "
+    "clustered embeddings sit far higher). Scale shape: stage 1 is "
+    "p124's map-only plan; stage 2 BROADCASTS the bounded shortlist "
+    "into the corpus scan (one broadcast hash join, zero corpus "
+    "shuffles, plan-pinned) and computes distances in one Arrow numpy "
+    "kernel per batch against the closure-held query matrix. "
+    "Determinism: exact int64 end-to-end; both stages tie on "
+    "neighbor_id.",
+)
+def p125_pq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duckdb_cloudflare_spark.operators.dedup import ensure_parallelism
+    from duckdb_cloudflare_spark.operators.similarity import pq_rerank_topk
+
+    emb = ensure_parallelism(load(spark, sf_dir, "embeddings"))
+    queries = (
+        emb.filter(F.col("vec_id").isNotNull())
+        .filter(F.size("embedding") == 64)
+        .filter(F.size(F.filter("embedding", lambda v: v.isNull())) == 0)
+        .orderBy("vec_id")
+        .limit(4)
+    )
+    return pq_rerank_topk(
+        emb, queries, k=10, shortlist=50, m=4, sub_dims=16, kc=8, n_iters=2
+    )

@@ -1245,3 +1245,18 @@ def test_q71_asof_dialect_one_corpus_shuffle(spark, registry):
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert len(re.findall(r"Window \[", plan)) == 1, plan
+
+
+def test_p125_rerank_broadcasts_bounded_shortlist(spark, registry):
+    """Stage 2 of the two-stage search must fetch candidate vectors via
+    a BROADCAST of the bounded Q×R shortlist into the corpus scan —
+    never a corpus shuffle. Allowed exchanges: stage 1's per-query
+    top-R window partitioning plus the final top-k window; the corpus
+    vectors themselves must not hash-partition."""
+    df = registry["p125_pq_rerank_topk"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    hash_exchanges = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+    assert all("query_id" in e for e in hash_exchanges), hash_exchanges
+    assert "cxm" not in " ".join(hash_exchanges), hash_exchanges

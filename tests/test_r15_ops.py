@@ -95,3 +95,54 @@ def test_pq_topk_empty_and_bounded_contracts(spark):
             pq_topk(corpus, corpus, k=5, m=1, sub_dims=4, kc=2, n_iters=1)
     finally:
         del os.environ["SPARK_GRAFT_BRUTE_MAX_QUERIES"]
+
+
+def test_pq_rerank_recovers_recall(spark, emb_rows):
+    """The two-stage pattern's whole point: exact re-rank of the ADC
+    top-R shortlist lifts recall@10 far above the raw 12-bit scan
+    (measured 0.05 → 0.325 with R=50 on these near-iid synthetic
+    embeddings — bounded by P(true top-10 ⊂ ADC top-50)), and the
+    re-ranked distances are EXACTLY the true L2 for every returned
+    neighbor (stage 2 is exact by construction — only the candidate SET
+    is approximate)."""
+    from duckdb_cloudflare_spark.operators.similarity import (
+        pq_rerank_topk, pq_topk,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    qids = sorted(emb_rows)[:4]
+    queries = emb.filter(F.col("vec_id").isin([int(q) for q in qids]))
+    exact = _exact_l2_topk(emb_rows, qids, k=10)
+    M = {
+        i: np.round(np.asarray(emb_rows[i], np.float64) * 1e6).astype(np.int64)
+        for i in emb_rows
+    }
+
+    def recall(df):
+        by_q: dict[int, list[int]] = {}
+        for r in df.collect():
+            by_q.setdefault(int(r["query_id"]), []).append(int(r["neighbor_id"]))
+        return sum(
+            len(set(by_q[q]) & set(exact[q])) / 10 for q in qids
+        ) / len(qids)
+
+    raw = recall(pq_topk(emb, queries, k=10))
+    rer_df = pq_rerank_topk(emb, queries, k=10, shortlist=50)
+    rer = recall(rer_df)
+    assert rer >= raw + 0.15, (raw, rer)
+    # every returned distance is the exact int64 L2
+    for r in rer_df.collect():
+        q, n = int(r["query_id"]), int(r["neighbor_id"])
+        assert int(r["l2_dist_micro2"]) == int(((M[q] - M[n]) ** 2).sum())
+
+
+def test_pq_rerank_empty_input(spark):
+    from duckdb_cloudflare_spark.operators.similarity import pq_rerank_topk
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    out = pq_rerank_topk(empty, empty, k=5, shortlist=8, m=1, sub_dims=4,
+                         kc=2, n_iters=1)
+    assert out.collect() == []
+    assert [f.name for f in out.schema.fields] == [
+        "query_id", "neighbor_id", "l2_dist_micro2", "nn_rank"
+    ]
