@@ -1628,15 +1628,18 @@ def _reject_groups_frames(sql: str) -> None:
 
 _ASOF_KEYWORD = re.compile(r"\bASOF\s+(?P<left>LEFT\s+)?JOIN\b", re.IGNORECASE)
 _ASOF_LTABLE = re.compile(
-    r"(?P<lt>[A-Za-z_][\w.]*)"
+    # the FROM/JOIN/comma guard keeps an alias-less table from parsing
+    # as lt=FROM la=<table> (re.search is leftmost-first)
+    r"\b(?P<lt>(?!(?:FROM|JOIN|WHERE|AND|ON)\b)[A-Za-z_][\w.]*)"
     r"(?:\s+(?:AS\s+)?(?P<la>[A-Za-z_]\w*))?\s*$",
     re.IGNORECASE,
 )
 _ASOF_RTABLE = re.compile(
     r"\s*(?P<rt>[A-Za-z_][\w.]*)"
-    r"(?:\s+(?:AS\s+)?(?P<ra>(?!ON\b)[A-Za-z_]\w*))?"
-    r"\s+ON\s+(?P<on>(?:(?!\b(?:WHERE|GROUP|ORDER|LIMIT|HAVING|QUALIFY|"
-    r"WINDOW|UNION|INTERSECT|EXCEPT|JOIN|ASOF|POSITIONAL)\b)[^();])+)",
+    r"(?:\s+(?:AS\s+)?(?P<ra>(?!ON\b|USING\b)[A-Za-z_]\w*))?"
+    r"\s+(?:ON\s+(?P<on>(?:(?!\b(?:WHERE|GROUP|ORDER|LIMIT|HAVING|QUALIFY|"
+    r"WINDOW|UNION|INTERSECT|EXCEPT|JOIN|ASOF|POSITIONAL)\b)[^();])+)"
+    r"|USING\s*\((?P<using>[^)]*)\))",
     re.IGNORECASE,
 )
 _ASOF_COND = re.compile(
@@ -1712,8 +1715,34 @@ def _rewrite_one_asof(spark, sql: str, m) -> str:
 
     eqs: list[tuple[str, str]] = []
     ineq = None
+    using_set: set[str] = set()
+    if rm.group("using") is not None:
+        # DuckDB's ASOF USING form (verified empirically): equality on
+        # every column but the LAST, which carries the implicit
+        # ``l.t >= r.t`` backward-inclusive inequality; bare references
+        # to USING names resolve to the LEFT side's values.
+        cols = [c.strip() for c in rm.group("using").split(",")]
+        if not cols or not all(
+            re.fullmatch(r"[A-Za-z_]\w*", c or "") for c in cols
+        ):
+            raise ValueError(
+                "ASOF JOIN USING needs a comma-separated list of plain "
+                "column names; " + _ASOF_RECIPE
+            )
+        for c in cols:
+            if c not in lcols or c not in rcols:
+                raise ValueError(
+                    f"ASOF JOIN USING column {c!r} must exist on both "
+                    f"sides ({lt!r}, {rt!r})"
+                )
+        using_set = set(cols)
+        eqs = [(c, c) for c in cols[:-1]]
+        ineq = (cols[-1], cols[-1], ">=")
+        conds = []
+    else:
+        conds = re.split(r"\bAND\b", rm.group("on"), flags=re.IGNORECASE)
     alias_map = {la.lower(): "l", ra.lower(): "r"}
-    for cond in re.split(r"\bAND\b", rm.group("on"), flags=re.IGNORECASE):
+    for cond in conds:
         cm = _ASOF_COND.match(cond)
         if not cm:
             raise ValueError(
@@ -1783,9 +1812,12 @@ def _rewrite_one_asof(spark, sql: str, m) -> str:
         f"FROM ({mid}) __asof_m{n} WHERE __side = 1"
     )
     amb = set(lcols) & set(rcols)
-    flat = [f"__l.{c} AS {c}" for c in lcols if c not in amb] + [
-        f"__match.{c} AS {c}" for c in rcols if c not in amb
-    ]
+    # USING names are deliberately flat FROM THE LEFT side (DuckDB's
+    # coalescing rule for the bare reference); other ambiguous names
+    # stay struct-qualified-only, as on DuckDB
+    flat = [
+        f"__l.{c} AS {c}" for c in lcols if c not in amb or c in using_set
+    ] + [f"__match.{c} AS {c}" for c in rcols if c not in amb]
     inner_filter = "" if m.group("left") else " WHERE __match IS NOT NULL"
     final = (
         "SELECT "

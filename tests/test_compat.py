@@ -923,13 +923,29 @@ class TestStatementSurface:
 
 
 class TestUnsupportedJoinSyntax:
-    def test_asof_join_raises_with_guidance(self, t):
-        with pytest.raises(ValueError, match="ASOF JOIN.*q49"):
+    # r15: simple-form ASOF now REWRITES (TestAsofJoinRewrite); these pin
+    # that non-simple forms still raise with the composition recipe.
+    def test_asof_join_bare_star_raises(self, t):
+        with pytest.raises(ValueError, match=r"bare SELECT \*"):
             duck_sql(t, "SELECT * FROM a ASOF JOIN b ON a.k = b.k AND a.ts >= b.ts")
 
-    def test_asof_left_join_raises(self, t):
-        with pytest.raises(ValueError, match="ASOF"):
-            duck_sql(t, "SELECT * FROM a ASOF LEFT JOIN b ON a.ts >= b.ts")
+    def test_asof_compound_inequality_raises_with_guidance(self, t):
+        t.createDataFrame([(1, 2, 3)], "k long, ts long, te long") \
+            .createOrReplaceTempView("__uj_a")
+        t.createDataFrame([(1, 2, 3)], "k long, ts long, te long") \
+            .createOrReplaceTempView("__uj_b")
+        with pytest.raises(ValueError, match="ASOF JOIN.*q49"):
+            duck_sql(
+                t,
+                "SELECT a.k FROM __uj_a a ASOF JOIN __uj_b b ON a.k = b.k "
+                "AND a.ts >= b.ts AND a.ts < b.te",
+            )
+        # unresolvable tables get the register-a-view guidance instead
+        with pytest.raises(ValueError, match="resolvable table"):
+            duck_sql(
+                t, "SELECT a.k FROM nope_a a ASOF JOIN nope_b b "
+                   "ON a.k = b.k AND a.ts >= b.ts",
+            )
 
     def test_positional_join_raises(self, t):
         with pytest.raises(ValueError, match="POSITIONAL"):
@@ -2230,3 +2246,73 @@ class TestAsofJoinRewrite:
             t, "SELECT asof.x, o.y FROM asof JOIN __asof_other o ON asof.x = o.x"
         ).collect()
         assert [tuple(r) for r in got] == [(1, 2)]
+
+
+class TestAsofJoinUsing:
+    """DuckDB's ``ASOF JOIN ... USING (k..., t)`` spelling (verified
+    empirically): equality on every column but the LAST, implicit
+    ``l.t >= r.t`` on the last, bare USING names resolve to the LEFT
+    side's values. Oracle: native DuckDB."""
+
+    @pytest.fixture()
+    def utables(self, t, duck):
+        arows = [(1, "u1", 100, "L1"), (2, "u1", 200, "L2"),
+                 (3, "u2", 50, "L3"), (4, None, 70, "L4")]
+        brows = [("u1", 90, "R1"), ("u1", 150, "R2"),
+                 ("u2", 60, "R3"), (None, 10, "R4")]
+        t.createDataFrame(
+            arows, "pid long, k string, t long, lv string"
+        ).createOrReplaceTempView("__uasof_a")
+        t.createDataFrame(
+            brows, "k string, t long, rv string"
+        ).createOrReplaceTempView("__uasof_b")
+        duck.sql(
+            "CREATE OR REPLACE TABLE __uasof_a AS SELECT * FROM (VALUES "
+            + ", ".join(
+                f"({p}, {repr(k) if k else 'NULL'}, {tt}, '{v}')"
+                for p, k, tt, v in arows
+            ) + ") t(pid, k, t, lv)"
+        )
+        duck.sql(
+            "CREATE OR REPLACE TABLE __uasof_b AS SELECT * FROM (VALUES "
+            + ", ".join(
+                f"({repr(k) if k else 'NULL'}, {tt}, '{v}')"
+                for k, tt, v in brows
+            ) + ") t(k, t, rv)"
+        )
+        return t, duck
+
+    @pytest.mark.parametrize(
+        "stmt",
+        [
+            # bare USING names flatten from the LEFT side (DuckDB rule);
+            # ALSO covers the alias-less left table (the lt=FROM
+            # mid-word regex bug this spelling exposed)
+            "SELECT pid, k, t, lv, rv FROM __uasof_a ASOF JOIN __uasof_b "
+            "USING (k, t) ORDER BY pid",
+            "SELECT pid, k, t, lv, rv FROM __uasof_a ASOF LEFT JOIN "
+            "__uasof_b USING (k, t) ORDER BY pid",
+            # single USING column: no equality key, global carry
+            "SELECT pid, t FROM __uasof_a ASOF JOIN __uasof_b USING (t) "
+            "ORDER BY pid",
+        ],
+    )
+    def test_cross_engine(self, utables, stmt):
+        t, duck = utables
+        key = lambda x: tuple((v is None, v) for v in x)  # noqa: E731
+        s = sorted((tuple(r) for r in duck_sql(t, stmt).collect()), key=key)
+        d = sorted((tuple(r) for r in duck.sql(stmt).fetchall()), key=key)
+        assert s == d, (stmt, s, d)
+
+    def test_loud_errors(self, utables):
+        t, _ = utables
+        with pytest.raises(ValueError, match="must exist on both sides"):
+            duck_sql(
+                t,
+                "SELECT pid FROM __uasof_a ASOF JOIN __uasof_b USING (lv, t)",
+            )
+        with pytest.raises(ValueError, match="plain column names"):
+            duck_sql(
+                t,
+                "SELECT pid FROM __uasof_a ASOF JOIN __uasof_b USING (k+1)",
+            )
