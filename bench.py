@@ -135,6 +135,7 @@ _SF1_HEADLINE = [
     "q72_window_exclude_minmax",
     "p124_pq_adc_topk",
     "p125_pq_rerank_topk",
+    "p126_ivfpq_topk",
 ]
 
 
@@ -573,6 +574,7 @@ def main() -> None:
         "q72_window_exclude_minmax",
         "p124_pq_adc_topk",
         "p125_pq_rerank_topk",
+        "p126_ivfpq_topk",
     ]
     registry = Q.all_queries()
 

@@ -890,8 +890,6 @@ def _pq_fit(
     = e.g. 512 codebook stat rows per iteration) — the same
     bounded-by-contract class as the bigram-model and ANN anchor
     collects, never corpus-scale."""
-    import math
-
     xm = F.transform(
         F.slice(F.col(vec_col), 1, m * sub_dims),
         lambda x: F.round(x.cast("double") * F.lit(1e6), 0).cast("long"),
@@ -906,6 +904,22 @@ def _pq_fit(
         # non-null-element contract, r15 advice fix)
         .filter(F.size(F.filter("xm", lambda v: v.isNull())) == 0)
     )
+    return base, _pq_lloyd(base, m, sub_dims, k, n_iters)
+
+
+def _pq_lloyd(
+    base: DataFrame, m: int, sub_dims: int, k: int, n_iters: int
+) -> dict[tuple[int, int], list[int]]:
+    """The seeded Lloyd loop over a prepared micro-int base
+    ``(vec_id, xm array<long> of m*sub_dims)``: k smallest
+    first-8-hex-md5(vec_id) seeds, ``n_iters`` steps of Arrow-argmin
+    assignment + a bounded (≤ m·k·sub_dims-key) partial-agg fold,
+    empty clusters carrying their previous centroid. Extracted from
+    _pq_fit (r15) so IVF-PQ can run the IDENTICAL machinery on
+    RESIDUAL vectors — the same seeding/tie/floor rules the SQL
+    oracles unroll."""
+    import math
+
     h = F.conv(
         F.substring(F.md5(F.col("vec_id").cast("string")), 1, 8), 16, 10
     ).cast("long")
@@ -918,7 +932,7 @@ def _pq_fit(
     if not seeds:
         # empty input (empty shard, filter matched nothing) → empty
         # codebook, never a crash; the oracle's CTE chain yields empty too
-        return base, {}
+        return {}
     if len(seeds) < k:
         raise ValueError(
             f"PQ training needs at least k={k} vectors with "
@@ -968,7 +982,7 @@ def _pq_fit(
             upd[key][r["pos"]] = math.floor(r["sx"] / r["n"])
         new_code.update(upd)
         code = new_code
-    return base, code
+    return code
 
 
 def pq_train(
@@ -1298,4 +1312,174 @@ def pq_rerank_topk(
         joined.withColumn("nn_rank", F.row_number().over(w))
         .filter(F.col("nn_rank") <= k)
         .select("query_id", "neighbor_id", "l2_dist_micro2", "nn_rank")
+    )
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_probe: int = 2,
+    n_cells: int = 8,
+    corpus_vec: str = "embedding",
+    corpus_id: str = "vec_id",
+    query_vec: str = "embedding",
+    query_id: str = "vec_id",
+    m: int = 4,
+    sub_dims: int = 16,
+    kc: int = 8,
+    n_iters: int = 2,
+) -> DataFrame:
+    """IVF-PQ search (Jégou et al. 2011 §V; FAISS ``IndexIVFPQ``) — the
+    canonical 100 TB ANN serving index, composed from this module's own
+    deterministic parts:
+
+    1. COARSE QUANTIZER: k-means with ``n_cells`` centroids over the
+       FULL micro-int vectors — literally ``_pq_fit(m=1,
+       sub_dims=d)``, the same seeded/tied/floored Lloyd machinery.
+    2. RESIDUAL PQ: every vector's residual ``x − c_cell`` (exact
+       int64) is PQ-encoded with an ``m×kc`` codebook trained by the
+       SAME ``_pq_lloyd`` loop on the residuals — FAISS's residual
+       encoding, which is what makes 12-bit codes usable: residuals
+       are small, so the codebook spends its bits near zero.
+    3. QUERY: each query probes its ``n_probe`` nearest cells; per
+       probed cell an ADC LUT over the query's OWN residual scores
+       candidates THROUGH THEIR CODES ONLY — exactly
+       ``‖q − c_cell − decode(code)‖²`` in exact int64.
+
+    Returns ``(query_id, neighbor_id, ivfpq_dist_micro2, nn_rank)``,
+    self-matches excluded, ties on neighbor_id — every number an exact
+    integer, so the operator is hash-gradable (the SQL oracle unrolls
+    all three stages as CTEs).
+
+    Scale shape: both fits are the bounded-codebook class (collects of
+    ≤ n_cells·d and m·kc·sub_dims rows); the corpus crosses the Arrow
+    boundary in MAP-ONLY passes (cell-assign+residual, then
+    code-assign+probed-ADC in ONE kernel) — zero joins, zero corpus
+    shuffles; the only exchange is the per-query top-k window over the
+    bounded query set. At serving scale the cell structure also prunes
+    the scan: only rows whose cell is probed score (non-probed rows
+    emit nothing), which is the IVF speedup."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import LongType
+
+    d = m * sub_dims
+    empty = "query_id long, neighbor_id long, ivfpq_dist_micro2 long, nn_rank int"
+    spark = corpus.sparkSession
+    base, coarse = _pq_fit(
+        corpus, corpus_vec, corpus_id, 1, d, n_cells, n_iters
+    )
+    if not coarse:
+        return spark.createDataFrame([], empty)
+    CC = np.zeros((n_cells, d), dtype=np.int64)
+    for (_, cid), vals in coarse.items():
+        CC[cid] = vals
+
+    @pandas_udf(ArrayType(LongType()))
+    def cell_res(xm: pd.Series) -> pd.Series:
+        vals = xm.tolist()
+        if not vals:
+            return pd.Series([], dtype=object)
+        X = np.asarray(vals, dtype=np.int64)  # (B, d)
+        D = ((X[:, None, :] - CC[None]) ** 2).sum(axis=2)
+        cells = D.argmin(axis=1)  # first-min == (dist, cid) ties
+        R = X - CC[cells]
+        return pd.Series(
+            np.concatenate([cells[:, None], R], axis=1).tolist()
+        )
+
+    residual = base.select(
+        "vec_id", cell_res("xm").alias("__cr")
+    ).select(
+        "vec_id",
+        F.element_at("__cr", 1).cast("int").alias("cell"),
+        F.slice("__cr", 2, d).alias("xm"),
+    )
+    rcode = _pq_lloyd(
+        residual.select("vec_id", "xm"), m, sub_dims, kc, n_iters
+    )
+    if not rcode:
+        return spark.createDataFrame([], empty)
+    RC = np.zeros((m, kc, sub_dims), dtype=np.int64)
+    for (s, cid), vals in rcode.items():
+        RC[s, cid] = vals
+
+    qxm = F.transform(
+        F.slice(F.col(query_vec), 1, d),
+        lambda x: F.round(x.cast("double") * F.lit(1e6), 0).cast("long"),
+    )
+    qb = (
+        queries.filter(F.col(query_id).isNotNull())
+        .select(F.col(query_id).alias("qid"), qxm.alias("xm"))
+        .filter(F.size("xm") == d)
+        .filter(F.size(F.filter("xm", lambda v: v.isNull())) == 0)
+    )
+    max_q = int(os.environ.get("SPARK_GRAFT_BRUTE_MAX_QUERIES", "100000"))
+    qrows = sorted(
+        (int(r["qid"]), r["xm"]) for r in qb.limit(max_q + 1).collect()
+    )
+    if len(qrows) > max_q:
+        raise ValueError(
+            f"ivfpq_topk: queries side exceeds {max_q} rows; probing "
+            "builds n_probe LUTs per query driver-side — batch the "
+            "query set, or raise SPARK_GRAFT_BRUTE_MAX_QUERIES"
+        )
+    if not qrows:
+        return spark.createDataFrame([], empty)
+    qids = [q for q, _ in qrows]
+    # per query: n_probe nearest cells by exact coarse distance, then one
+    # (m, kc) residual-ADC LUT per probed cell — all bounded driver work
+    probed: list[list[tuple[int, np.ndarray]]] = []
+    for _, xm_q in qrows:
+        x = np.asarray(xm_q, dtype=np.int64)
+        cd = ((x[None, :] - CC) ** 2).sum(axis=1)
+        order = sorted(range(n_cells), key=lambda c: (int(cd[c]), c))
+        plist = []
+        for cell in order[:n_probe]:
+            qres = (x - CC[cell]).reshape(m, 1, sub_dims)
+            plist.append((cell, ((qres - RC) ** 2).sum(axis=2)))
+        probed.append(plist)
+
+    @pandas_udf(ArrayType(LongType()))
+    def score(cell: pd.Series, rxm: pd.Series) -> pd.Series:
+        cells = cell.to_numpy()
+        vals = rxm.tolist()
+        if not vals:
+            return pd.Series([], dtype=object)
+        B = len(vals)
+        X = np.asarray(vals, dtype=np.int64).reshape(B, m, 1, sub_dims)
+        codes = ((X - RC[None]) ** 2).sum(axis=3).argmin(axis=2)  # (B, m)
+        out = np.full((B, len(qids)), -1, dtype=np.int64)
+        for qi, plist in enumerate(probed):
+            for cell_id, lut in plist:
+                mask = cells == cell_id
+                if mask.any():
+                    s = np.zeros(int(mask.sum()), dtype=np.int64)
+                    for sp in range(m):
+                        s += lut[sp, codes[mask, sp]]
+                    out[mask, qi] = s
+        return pd.Series(out.tolist())
+
+    scored = (
+        residual.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.posexplode(score("cell", "xm")).alias("qpos", "d"),
+        )
+        .filter(F.col("d") >= 0)  # -1 == cell not probed by this query
+        .select(
+            F.element_at(
+                F.array(*[F.lit(q) for q in qids]), F.col("qpos") + 1
+            ).alias("query_id"),
+            "neighbor_id",
+            F.col("d").alias("ivfpq_dist_micro2"),
+        )
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        "ivfpq_dist_micro2", "neighbor_id"
+    )
+    return (
+        scored.withColumn("nn_rank", F.row_number().over(w))
+        .filter(F.col("nn_rank") <= k)
+        .select("query_id", "neighbor_id", "ivfpq_dist_micro2", "nn_rank")
     )

@@ -151,10 +151,10 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 # stalest-first rotation plan (VERDICT r14 item 1): with the surface
 # complete and 177/177 oracle-bearing entries driver-green through r14,
 # freshness of driver evidence IS the product. Composition:
-#   - the FOUR new r15 oracle-bearing operators lead (zero driver
+#   - the FIVE new r15 oracle-bearing operators lead (zero driver
 #     history — the q44/p70 stranding invariant): q71 ASOF JOIN
 #     dialect, q72 min/max window EXCLUDE, p124 PQ ADC top-k,
-#     p125 PQ shortlist + exact re-rank;
+#     p125 PQ shortlist + exact re-rank, p126 IVF-PQ;
 #   - then STRICT least-recently-driver-graded order, recomputed from
 #     the checked-in CORRECTNESS_r*.json records (last appearance):
 #     the r10-graded p58–p61 (stalest of all), the full r11 cohort
@@ -182,7 +182,7 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 _WINDOW_PRIORITY = [
     # r15 window (VERDICT r14 item 1 + the stranding invariant):
     # the new r15 oracle-bearing operators (zero driver history) lead
-    "q71_", "q72_", "p124_", "p125_",
+    "q71_", "q72_", "p124_", "p125_", "p126_",
     # then strict least-recently-driver-graded order, computed from the
     # CORRECTNESS_r*.json records themselves (last driver appearance):
     # the r10 cohort p58-p61 is the stalest of all ...

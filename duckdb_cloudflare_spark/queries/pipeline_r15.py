@@ -20,6 +20,13 @@ supports one:
   (LUT gather + sum, map-side), per-query top-k. The oracle extends
   the p120/p121 CTE chain with codes/lut/adc CTEs — all-integer, so
   it hash-grades exactly.
+- p125: two-stage search (FAISS IndexRefineFlat) — ADC shortlist +
+  exact re-rank of the bounded Q×R candidate set via one broadcast
+  join; recall recovery with exactness of returned distances pinned.
+- p126: IVF-PQ (FAISS IndexIVFPQ) — coarse k-means cells, residual PQ
+  codebook (the same seeded Lloyd machinery over x − c_cell), probed
+  residual-ADC scoring; the canonical 100 TB serving index, graded
+  end-to-end by a three-stage CTE oracle.
 
 Reference parity note: the reference engine (a per-request federation
 extension) has none of these; they are the LLM-pipeline / dialect
@@ -297,4 +304,230 @@ def p125_pq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return pq_rerank_topk(
         emb, queries, k=10, shortlist=50, m=4, sub_dims=16, kc=8, n_iters=2
+    )
+
+
+# IVF-PQ CTE chain (p126): the three stages unrolled — coarse k-means
+# (the p120 machinery at m=1 over full vectors), residual PQ (the same
+# machinery over x - c_cell), probed ADC. Same determinism rules
+# throughout: md5-order seeds, exact bigint distances, (dist, cid)
+# ties, floor(sum/count) means, empty-cluster carry via LEFT JOIN +
+# COALESCE.
+_IVFPQ_CTES = """
+    WITH base AS (
+        SELECT vec_id,
+               list_transform(embedding, e ->
+                   CAST(round(CAST(e AS DOUBLE) * 1000000.0) AS BIGINT)
+               ) AS xm
+        FROM embeddings
+        WHERE vec_id IS NOT NULL AND len(embedding) = 64
+          AND len(list_filter(embedding, e -> e IS NULL)) = 0
+    ), fel AS (
+        SELECT vec_id, CAST(i - 1 AS INT) AS j, xm[i] AS x
+        FROM (SELECT vec_id, xm,
+                     unnest(generate_series(1, 64)) AS i FROM base)
+    ), cseeds AS (
+        SELECT xm, cid FROM (
+            SELECT xm, row_number() OVER (
+                ORDER BY CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)),
+                               1, 8)) AS BIGINT), vec_id) - 1 AS cid
+            FROM base
+        ) WHERE cid < 8
+    ), cc0 AS (
+        SELECT s.cid, g.j, s.xm[g.j + 1] AS c
+        FROM (SELECT unnest(generate_series(0, 63)) AS j) g, cseeds s
+    ), ca1 AS (
+        SELECT vec_id, cid FROM (
+            SELECT f.vec_id, c.cid, row_number() OVER (
+                       PARTITION BY f.vec_id
+                       ORDER BY sum((f.x - c.c) * (f.x - c.c)), c.cid
+                   ) AS rn
+            FROM fel f JOIN cc0 c ON c.j = f.j
+            GROUP BY f.vec_id, c.cid
+        ) WHERE rn = 1
+    ), cc1 AS (
+        SELECT cc0.cid, cc0.j,
+               COALESCE(CAST(floor(CAST(s.sx AS DOUBLE) / s.n) AS BIGINT),
+                        cc0.c) AS c
+        FROM cc0 LEFT JOIN (
+            SELECT a.cid, f.j, sum(f.x) AS sx, count(*) AS n
+            FROM ca1 a JOIN fel f ON f.vec_id = a.vec_id
+            GROUP BY a.cid, f.j
+        ) s ON s.cid = cc0.cid AND s.j = cc0.j
+    ), ca2 AS (
+        SELECT vec_id, cid FROM (
+            SELECT f.vec_id, c.cid, row_number() OVER (
+                       PARTITION BY f.vec_id
+                       ORDER BY sum((f.x - c.c) * (f.x - c.c)), c.cid
+                   ) AS rn
+            FROM fel f JOIN cc1 c ON c.j = f.j
+            GROUP BY f.vec_id, c.cid
+        ) WHERE rn = 1
+    ), cc2 AS (
+        SELECT cc1.cid, cc1.j,
+               COALESCE(CAST(floor(CAST(s.sx AS DOUBLE) / s.n) AS BIGINT),
+                        cc1.c) AS c
+        FROM cc1 LEFT JOIN (
+            SELECT a.cid, f.j, sum(f.x) AS sx, count(*) AS n
+            FROM ca2 a JOIN fel f ON f.vec_id = a.vec_id
+            GROUP BY a.cid, f.j
+        ) s ON s.cid = cc1.cid AND s.j = cc1.j
+    ), cellof AS (
+        SELECT vec_id, cid FROM (
+            SELECT f.vec_id, c.cid, row_number() OVER (
+                       PARTITION BY f.vec_id
+                       ORDER BY sum((f.x - c.c) * (f.x - c.c)), c.cid
+                   ) AS rn
+            FROM fel f JOIN cc2 c ON c.j = f.j
+            GROUP BY f.vec_id, c.cid
+        ) WHERE rn = 1
+    ), rel AS (
+        SELECT f.vec_id, CAST(f.j // 16 AS INT) AS subspace,
+               CAST(f.j % 16 AS INT) AS sj, f.x - c.c AS x
+        FROM fel f
+        JOIN cellof a ON a.vec_id = f.vec_id
+        JOIN cc2 c ON c.cid = a.cid AND c.j = f.j
+    ), rseedids AS (
+        SELECT vec_id, cid FROM (
+            SELECT vec_id, row_number() OVER (
+                ORDER BY CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)),
+                               1, 8)) AS BIGINT), vec_id) - 1 AS cid
+            FROM base
+        ) WHERE cid < 8
+    ), rc0 AS (
+        SELECT r.subspace, si.cid, r.sj AS j, r.x AS c
+        FROM rel r JOIN rseedids si ON si.vec_id = r.vec_id
+    ), ra1 AS (
+        SELECT vec_id, subspace, cid FROM (
+            SELECT r.vec_id, r.subspace, c.cid, row_number() OVER (
+                       PARTITION BY r.vec_id, r.subspace
+                       ORDER BY sum((r.x - c.c) * (r.x - c.c)), c.cid
+                   ) AS rn
+            FROM rel r JOIN rc0 c ON c.subspace = r.subspace AND c.j = r.sj
+            GROUP BY r.vec_id, r.subspace, c.cid
+        ) WHERE rn = 1
+    ), rc1 AS (
+        SELECT rc0.subspace, rc0.cid, rc0.j,
+               COALESCE(CAST(floor(CAST(s.sx AS DOUBLE) / s.n) AS BIGINT),
+                        rc0.c) AS c
+        FROM rc0 LEFT JOIN (
+            SELECT a.subspace, a.cid, r.sj AS j, sum(r.x) AS sx,
+                   count(*) AS n
+            FROM ra1 a
+            JOIN rel r ON r.vec_id = a.vec_id AND r.subspace = a.subspace
+            GROUP BY a.subspace, a.cid, r.sj
+        ) s ON s.subspace = rc0.subspace AND s.cid = rc0.cid
+           AND s.j = rc0.j
+    ), ra2 AS (
+        SELECT vec_id, subspace, cid FROM (
+            SELECT r.vec_id, r.subspace, c.cid, row_number() OVER (
+                       PARTITION BY r.vec_id, r.subspace
+                       ORDER BY sum((r.x - c.c) * (r.x - c.c)), c.cid
+                   ) AS rn
+            FROM rel r JOIN rc1 c ON c.subspace = r.subspace AND c.j = r.sj
+            GROUP BY r.vec_id, r.subspace, c.cid
+        ) WHERE rn = 1
+    ), rc2 AS (
+        SELECT rc1.subspace, rc1.cid, rc1.j,
+               COALESCE(CAST(floor(CAST(s.sx AS DOUBLE) / s.n) AS BIGINT),
+                        rc1.c) AS c
+        FROM rc1 LEFT JOIN (
+            SELECT a.subspace, a.cid, r.sj AS j, sum(r.x) AS sx,
+                   count(*) AS n
+            FROM ra2 a
+            JOIN rel r ON r.vec_id = a.vec_id AND r.subspace = a.subspace
+            GROUP BY a.subspace, a.cid, r.sj
+        ) s ON s.subspace = rc1.subspace AND s.cid = rc1.cid
+           AND s.j = rc1.j
+    ), rcodes AS (
+        SELECT vec_id, subspace, cid FROM (
+            SELECT r.vec_id, r.subspace, c.cid, row_number() OVER (
+                       PARTITION BY r.vec_id, r.subspace
+                       ORDER BY sum((r.x - c.c) * (r.x - c.c)), c.cid
+                   ) AS rn
+            FROM rel r JOIN rc2 c ON c.subspace = r.subspace AND c.j = r.sj
+            GROUP BY r.vec_id, r.subspace, c.cid
+        ) WHERE rn = 1
+    ), qids AS (
+        SELECT vec_id FROM base ORDER BY vec_id LIMIT 4
+    ), qprobe AS (
+        SELECT qid, cid FROM (
+            SELECT f.vec_id AS qid, c.cid, row_number() OVER (
+                       PARTITION BY f.vec_id
+                       ORDER BY sum((f.x - c.c) * (f.x - c.c)), c.cid
+                   ) AS rn
+            FROM (SELECT f.* FROM fel f
+                  JOIN qids ON qids.vec_id = f.vec_id) f
+            JOIN cc2 c ON c.j = f.j
+            GROUP BY f.vec_id, c.cid
+        ) WHERE rn <= 2
+    ), qres AS (
+        SELECT p.qid, p.cid AS cell, CAST(f.j // 16 AS INT) AS subspace,
+               CAST(f.j % 16 AS INT) AS sj, f.x - c.c AS x
+        FROM qprobe p
+        JOIN fel f ON f.vec_id = p.qid
+        JOIN cc2 c ON c.cid = p.cid AND c.j = f.j
+    ), rlut AS (
+        SELECT q.qid, q.cell, c.subspace, c.cid,
+               sum((q.x - c.c) * (q.x - c.c)) AS d
+        FROM qres q JOIN rc2 c ON c.subspace = q.subspace AND c.j = q.sj
+        GROUP BY q.qid, q.cell, c.subspace, c.cid
+    ), cand AS (
+        SELECT l.qid, rc.vec_id AS nid, sum(l.d) AS dist
+        FROM rcodes rc
+        JOIN cellof cf ON cf.vec_id = rc.vec_id
+        JOIN rlut l ON l.cell = cf.cid AND l.subspace = rc.subspace
+                   AND l.cid = rc.cid
+        GROUP BY l.qid, rc.vec_id
+    )
+"""
+
+
+@register(
+    "p126_ivfpq_topk",
+    oracle=_IVFPQ_CTES
+    + """
+    SELECT qid AS query_id, nid AS neighbor_id,
+           CAST(dist AS BIGINT) AS ivfpq_dist_micro2,
+           CAST(rn AS INT) AS nn_rank
+    FROM (
+        SELECT qid, nid, dist, row_number() OVER (
+                   PARTITION BY qid ORDER BY dist, nid) AS rn
+        FROM cand WHERE qid != nid
+    ) WHERE rn <= 10
+    """,
+    description="IVF-PQ search (Jégou et al. 2011 §V; FAISS IndexIVFPQ) "
+    "— the canonical 100 TB ANN serving index, composed from the "
+    "repo's own deterministic parts and graded END-TO-END: (1) coarse "
+    "k-means over full micro-int vectors (the p120 machinery at m=1, "
+    "8 cells), (2) residual PQ — every vector's exact int64 residual "
+    "x − c_cell encoded by an m=4×8 codebook trained by the SAME "
+    "seeded Lloyd loop on the residuals (FAISS's residual encoding: "
+    "residuals are small, so the 12 bits concentrate near zero), "
+    "(3) per query: probe the 2 nearest cells, build one residual-ADC "
+    "LUT per probed cell, score candidates through their CODES only. "
+    "operators/similarity.py::ivfpq_topk. Scale shape: two bounded-"
+    "codebook fits + MAP-ONLY corpus passes (cell-assign+residual, "
+    "then code-assign+probed-ADC in one Arrow kernel — zero joins, "
+    "zero corpus shuffles, plan-pinned); non-probed rows emit nothing "
+    "(the IVF pruning). Determinism: exact integers end-to-end, "
+    "md5-order seeds, (dist, cid)/(dist, nid) lexicographic ties, "
+    "floor(sum/count) means, empty-cluster carry — the oracle unrolls "
+    "all three stages as CTEs.",
+)
+def p126_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duckdb_cloudflare_spark.operators.dedup import ensure_parallelism
+    from duckdb_cloudflare_spark.operators.similarity import ivfpq_topk
+
+    emb = ensure_parallelism(load(spark, sf_dir, "embeddings"))
+    queries = (
+        emb.filter(F.col("vec_id").isNotNull())
+        .filter(F.size("embedding") == 64)
+        .filter(F.size(F.filter("embedding", lambda v: v.isNull())) == 0)
+        .orderBy("vec_id")
+        .limit(4)
+    )
+    return ivfpq_topk(
+        emb, queries, k=10, n_probe=2, n_cells=8,
+        m=4, sub_dims=16, kc=8, n_iters=2,
     )

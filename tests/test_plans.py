@@ -1260,3 +1260,17 @@ def test_p125_rerank_broadcasts_bounded_shortlist(spark, registry):
     hash_exchanges = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
     assert all("query_id" in e for e in hash_exchanges), hash_exchanges
     assert "cxm" not in " ".join(hash_exchanges), hash_exchanges
+
+
+def test_p126_ivfpq_map_only_scoring(spark, registry):
+    """IVF-PQ's corpus path must stay MAP-ONLY after the two bounded
+    codebook fits: cell-assign+residual then code-assign+probed-ADC are
+    Arrow kernels over the scan — zero joins; the only hash exchange is
+    the per-query top-k window on the bounded query set."""
+    df = registry["p126_ivfpq_topk"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan, plan
+    hash_exchanges = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+    assert len(hash_exchanges) == 1, hash_exchanges
+    assert "query_id" in hash_exchanges[0], hash_exchanges
+    assert len(re.findall(r"Window \[", plan)) == 1, plan

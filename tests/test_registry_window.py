@@ -30,7 +30,7 @@ def test_graded_window_is_exactly_the_r15_rotation():
         # CORRECTNESS records: p58-p61 (r10), the r11 cohort, then the
         # equal-recency r12 tier (judge-named q17+ cohort first) fills
         # the window to exactly 50.
-        ["q71_", "q72_", "p124_", "p125_"]
+        ["q71_", "q72_", "p124_", "p125_", "p126_"]
         + ["p58_", "p59_", "p60_", "p61_"]
         + [
             "p13_", "p15_", "p16_", "p17_", "p18_", "p19_", "p21_",
