@@ -204,3 +204,58 @@ def test_ivfpq_empty_input(spark):
     assert [f.name for f in out.schema.fields] == [
         "query_id", "neighbor_id", "ivfpq_dist_micro2", "nn_rank"
     ]
+
+
+def test_pq_family_dirty_embeddings_parity(spark, tmp_path):
+    """The global dirty sweep leaves embeddings clean, so the PQ
+    family's vector hygiene (the r15 advice fix: null-element vectors
+    crashed the assign UDF) is swept HERE: append a null vec_id, a
+    wrong-length vector, a null-element vector and an all-null vector,
+    then hash-compare every PQ-family graded entry against its oracle
+    on the dirtied table — both engines' base CTE/filter must drop the
+    same rows."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+
+    src = pq_.read_table(f"{SF_DIR}/embeddings.parquet")
+    emb_type = src.schema.field("embedding").type
+    lbl = src.schema.field("label")
+    extra = pa.table(
+        {
+            "vec_id": pa.array([None, 990001, 990002, 990003], pa.int64()),
+            "embedding": pa.array(
+                [
+                    [0.5] * 64,               # null id
+                    [0.25] * 16,              # wrong length
+                    [0.5] * 30 + [None] + [0.5] * 33,  # null element
+                    [None] * 64,              # all-null elements
+                ],
+                emb_type,
+            ),
+            "label": pa.array([None] * 4, lbl.type),
+        }
+    ).select(src.column_names).cast(src.schema)
+    d = str(tmp_path / "dirty_emb")
+    import os as _os
+    _os.makedirs(d, exist_ok=True)
+    pq_.write_table(pa.concat_tables([src, extra]), f"{d}/embeddings.parquet")
+
+    from duckdb_cloudflare_spark import queries as Q
+
+    all_q, all_o = Q.all_queries(), Q.all_oracles()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{d}/embeddings.parquet')"
+    )
+    for name in (
+        "p120_pq_codebooks", "p121_pq_assign", "p124_pq_adc_topk",
+        "p125_pq_rerank_topk", "p126_ivfpq_topk",
+    ):
+        sdf = all_q[name](spark, d).toPandas().sort_index(axis=1)
+        ddf = con.sql(all_o[name]).df().sort_index(axis=1)
+        s = sorted(map(tuple, sdf.itertuples(index=False)))
+        dd = sorted(map(tuple, ddf.itertuples(index=False)))
+        assert len(s) > 0, name
+        assert s == dd, (name, s[:3], dd[:3])
