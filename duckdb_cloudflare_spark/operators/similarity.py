@@ -564,10 +564,20 @@ def sq8_audit(
     map-side pass; ONE id-keyed partial agg. Vectors never shuffle; no
     windows; the two scans are the price of not collecting stats to the
     driver (a production run persists the 64-row stats table)."""
+    # r15 optimization (guide §4.1): the element cast used to run inside a
+    # ``transform`` lambda — an interpreted higher-order function — BEFORE
+    # the explode; casting the exploded scalar instead keeps the whole
+    # element stream in whole-stage codegen. Values identical (same
+    # float→double cast per element; NULL vectors still drop at the
+    # Generate, NULL elements still cast to NULL).
     el = df.filter(F.col(id_col).isNotNull()).select(
         F.col(id_col),
-        F.posexplode(F.transform(F.col(vec_col), lambda x: x.cast("double"))),
-    ).select(id_col, F.col("pos").alias("dim"), F.col("col").alias("x"))
+        F.posexplode(F.col(vec_col)),
+    ).select(
+        id_col,
+        F.col("pos").alias("dim"),
+        F.col("col").cast("double").alias("x"),
+    )
     stats = el.groupBy("dim").agg(
         F.min("x").alias("dmin"), F.max("x").alias("dmax")
     )
@@ -618,15 +628,30 @@ def jl_project(
     geometry survives. Output is LONG FORM ``(id, k, y)``.
 
     The sign matrix is a PLAN-TIME CONSTANT: it depends only on (k, j),
-    so it is materialized here as literal arrays (1024 ints for 64->16 —
+    so it is materialized here driver-side (1024 ints for 64->16 —
     hashlib.md5 == every engine's md5, pinned by the SQL oracle, which
     re-derives the matrix from md5 in-database, and by the numpy
-    reference test). That makes the whole projection MAP-ONLY: K array
-    folds per row inside whole-stage codegen, a 16-element posexplode,
-    ZERO shuffles, zero joins — nothing at all crosses the wire at any
-    corpus size (the r13 bench rewrite: the first cut exploded to N*D
-    rows and broadcast-joined the matrix, paying an N*K-row shuffle for
-    numbers a per-row fold computes in place).
+    reference test). That makes the whole projection MAP-ONLY: ONE
+    Arrow-batched exact int64 numpy matmul per batch against the
+    closure-held sign matrix, a 16-element posexplode, ZERO shuffles,
+    zero joins — nothing at all crosses the wire at any corpus size
+    (the r13 bench rewrite: the first cut exploded to N*D rows and
+    broadcast-joined the matrix, paying an N*K-row shuffle for numbers
+    a per-row kernel computes in place).
+
+    r15 optimization (guide §4.2, the r14 PQ-rewrite data point repeated
+    here): the K folds were ``aggregate(zip_with(...))`` higher-order
+    functions, which Catalyst evaluates INTERPRETED — ~K·2·D ≈ 2048
+    lambda ops per row outside codegen; measured 1.96 s at sf0.1 (2 k
+    vectors!) / 2.71 s at sf1 vs DuckDB's 0.28/3.77. The Arrow kernel
+    does one (B, D) @ (D, K) int64 matmul per batch — exact integer
+    arithmetic, so the fold results are bit-identical (integer addition
+    commutes; numpy int64 matmul is exact at these magnitudes: |term| ≤
+    2e6·1, D = 64 → |y| ≤ 1.3e8 ≪ 2^63). NULL elements and short
+    vectors are zero-padded in Spark BEFORE the boundary (coalesce +
+    array_repeat — exactly the old fold's ``coalesce(x*s, 0)`` and
+    zip_with NULL-pad semantics), so the kernel sees fixed-length
+    non-null rows.
 
     Determinism: elements are canonicalized as micro-unit bigints
     (round(x*1e6) of float-exact doubles — no arithmetic before the
@@ -644,6 +669,9 @@ def jl_project(
     NULL products coalesce to 0, never propagating NULL to the fold)."""
     import hashlib
 
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, LongType
+
     signs = [
         [
             1
@@ -654,28 +682,44 @@ def jl_project(
         ]
         for k in range(out_dims)
     ]
+    SM_T = np.asarray(signs, dtype=np.int64).T  # (D, K)
     xm = F.transform(
         F.slice(F.col(vec_col), 1, in_dims),
         lambda x: F.round(x.cast("double") * F.lit(1e6), 0).cast("long"),
     )
-    folds = F.array(
-        *[
-            F.aggregate(
-                F.zip_with(
-                    F.col("__xm"),
-                    F.array(*[F.lit(s) for s in signs[k]]),
-                    lambda x, s: F.coalesce(x * s.cast("long"), F.lit(0).cast("long")),
-                ),
-                F.lit(0).cast("long"),
-                lambda acc, v: acc + v,
-            )
-            for k in range(out_dims)
-        ]
+    # fixed-length, non-null rows for the Arrow kernel: NULL elements
+    # contribute 0 (the old fold's coalesce(x*s, 0)) and short vectors
+    # zero-pad (the old zip_with NULL-pad + coalesce — missing dims
+    # contribute only 0 terms)
+    xmp = F.concat(
+        F.transform("__xm", lambda v: F.coalesce(v, F.lit(0).cast("long"))),
+        F.array_repeat(
+            F.lit(0).cast("long"), F.lit(in_dims) - F.size("__xm")
+        ),
     )
+
+    @pandas_udf(ArrayType(LongType()))
+    def jl_fold(x: pd.Series) -> pd.Series:
+        vals = x.tolist()
+        if not vals:
+            return pd.Series([], dtype=object)
+        # a NULL vector must yield an array of K NULL folds (the old
+        # F.array-of-NULL-aggregates shape: posexplode then emits K rows
+        # with y NULL — the dirty-data parity sweeps pin this)
+        idx = [i for i, v in enumerate(vals) if v is not None]
+        out: list = [[None] * out_dims] * len(vals)
+        if idx:
+            X = np.asarray([vals[i] for i in idx], dtype=np.int64)  # (B', D)
+            Y = (X @ SM_T).tolist()  # exact int64
+            for j, i in enumerate(idx):
+                out[i] = Y[j]
+        return pd.Series(out)
+
     return (
         df.filter(F.col(id_col).isNotNull())
         .select(F.col(id_col), xm.alias("__xm"))
-        .select(F.col(id_col), F.posexplode(folds))
+        .select(F.col(id_col), jl_fold(xmp).alias("__y"))
+        .select(F.col(id_col), F.posexplode("__y"))
         .select(
             id_col,
             F.col("pos").cast("int").alias("k"),
@@ -907,27 +951,53 @@ def _pq_fit(
     return base, _pq_lloyd(base, m, sub_dims, k, n_iters)
 
 
-def _pq_lloyd(
-    base: DataFrame, m: int, sub_dims: int, k: int, n_iters: int
-) -> dict[tuple[int, int], list[int]]:
-    """The seeded Lloyd loop over a prepared micro-int base
-    ``(vec_id, xm array<long> of m*sub_dims)``: k smallest
-    first-8-hex-md5(vec_id) seeds, ``n_iters`` steps of Arrow-argmin
-    assignment + a bounded (≤ m·k·sub_dims-key) partial-agg fold,
-    empty clusters carrying their previous centroid. Extracted from
-    _pq_fit (r15) so IVF-PQ can run the IDENTICAL machinery on
-    RESIDUAL vectors — the same seeding/tie/floor rules the SQL
-    oracles unroll."""
-    import math
-
+def _pq_seed_rows(base: DataFrame, k: int) -> list:
+    """The k PQ seed rows: smallest (first-8-hex-md5(vec_id), vec_id) —
+    a bounded TakeOrdered collect (k rows). Shared so IVF-PQ's two fits
+    reuse ONE collect (the seed ordering depends only on vec_id)."""
     h = F.conv(
         F.substring(F.md5(F.col("vec_id").cast("string")), 1, 8), 16, 10
     ).cast("long")
-    seeds = (
+    return (
         base.select("vec_id", h.alias("__h"), "xm")
         .orderBy("__h", "vec_id")
         .limit(k)
         .collect()  # bounded: k rows (the PQ seed set)
+    )
+
+
+def _pq_lloyd(
+    base: DataFrame,
+    m: int,
+    sub_dims: int,
+    k: int,
+    n_iters: int,
+    pre=None,
+    seed_rows: list | None = None,
+) -> dict[tuple[int, int], list[int]]:
+    """The seeded Lloyd loop over a prepared micro-int base
+    ``(vec_id, xm array<long>)``: k smallest first-8-hex-md5(vec_id)
+    seeds, ``n_iters`` steps of Arrow-argmin assignment + a bounded
+    (≤ m·k·sub_dims-key) partial-agg fold, empty clusters carrying
+    their previous centroid. Extracted from _pq_fit (r15) so IVF-PQ can
+    run the IDENTICAL machinery on RESIDUAL vectors — the same
+    seeding/tie/floor rules the SQL oracles unroll.
+
+    ``pre`` (r15 optimization): an optional exact-int64 numpy transform
+    ``(B, d_in) -> (B, m*sub_dims)`` applied INSIDE the stats kernel
+    (and to the seed matrix driver-side). IVF-PQ passes the
+    cell-assign-and-subtract residual map here, so its residual fit
+    reads the PURE-JVM base instead of chaining a pandas_udf into the
+    stats mapInPandas — a chained ArrowEvalPython → MapInPandas stage
+    cannot fuse into one Python runner (consecutive pandas_udfs can)
+    and measured a 26.7 s first-run / 4.2 s-per-job penalty at the sf1
+    lane. Same math, same argmin tie-breaks, zero extra corpus passes.
+    ``seed_rows``: pre-collected _pq_seed_rows(base, >=k) so callers
+    running several fits over the SAME base pay ONE seed job."""
+    import math
+
+    seeds = (
+        seed_rows[:k] if seed_rows is not None else _pq_seed_rows(base, k)
     )
     if not seeds:
         # empty input (empty shard, filter matched nothing) → empty
@@ -938,36 +1008,73 @@ def _pq_lloyd(
             f"PQ training needs at least k={k} vectors with "
             f"{m * sub_dims} dims (got {len(seeds)})"
         )
+    seed_mat = np.asarray([list(r["xm"]) for r in seeds], dtype=np.int64)
+    if pre is not None:
+        seed_mat = pre(seed_mat)
     code: dict[tuple[int, int], list[int]] = {}
-    for cid, row in enumerate(seeds):
+    for cid in range(k):
         for s in range(m):
-            code[(s, cid)] = list(row["xm"][s * sub_dims:(s + 1) * sub_dims])
+            code[(s, cid)] = [
+                int(v) for v in seed_mat[cid, s * sub_dims:(s + 1) * sub_dims]
+            ]
 
     for _ in range(n_iters):
-        assign = _pq_assign_udf(code, m, sub_dims, k)
-        assigned = base.select("vec_id", "xm", assign("xm").alias("__a"))
+        # r15 optimization (guide §2.3 "aggregate before you shuffle",
+        # taken to the limit: aggregate before leaving the Arrow kernel).
+        # The old fold exploded every vector into m structs and then
+        # sub_dims positions — corpus × m × sub_dims rows (1.28M at the
+        # sf1 lane's 20k vectors) through a hash aggregate — to compute a
+        # 512-row codebook fold. The assign kernel already holds the
+        # batch matrix, so it now folds the per-(subspace, cid, pos)
+        # sums/counts itself (np.add.at — exact int64, addition commutes,
+        # so totals are bit-identical to the exploded groupBy) and emits
+        # at most m*k*sub_dims partial rows PER PARTITION; the groupBy
+        # below collapses those to the same <= m*k*sub_dims totals. At
+        # any corpus size the shuffle carries |partitions| * 512 tiny
+        # rows instead of corpus * 64.
+        C = np.zeros((m, k, sub_dims), dtype=np.int64)
+        for (s, cid), vals in code.items():
+            C[s, cid] = vals
+
+        def _partial_stats(it):
+            sx = np.zeros((m, k, sub_dims), dtype=np.int64)
+            n = np.zeros((m, k), dtype=np.int64)
+            seen = False
+            for pdf in it:
+                vals = pdf["xm"].tolist()
+                if not vals:
+                    continue
+                seen = True
+                X = np.asarray(vals, dtype=np.int64)
+                if pre is not None:
+                    X = pre(X)  # e.g. IVF residuals — exact int64
+                X = X.reshape(len(vals), m, 1, sub_dims)
+                D = ((X - C[None]) ** 2).sum(axis=3)  # exact int64
+                cids = D.argmin(axis=2)  # (B, m) — first-min tie-break
+                Xs = X[:, :, 0, :]  # (B, m, sub_dims)
+                for s in range(m):
+                    np.add.at(sx[s], cids[:, s], Xs[:, s, :])
+                    np.add.at(n[s], cids[:, s], 1)
+            if not seen:
+                return
+            s_i, c_i = np.nonzero(n)  # only observed (subspace, cid) groups
+            rows = {
+                "subspace": np.repeat(s_i, sub_dims).astype("int32"),
+                "cid": np.repeat(c_i, sub_dims).astype("int32"),
+                "pos": np.tile(np.arange(sub_dims, dtype="int32"), len(s_i)),
+                "sx": sx[s_i, c_i].ravel(),
+                "n": np.repeat(n[s_i, c_i], sub_dims),
+            }
+            yield pd.DataFrame(rows)
+
         stats = (
-            assigned.select(
-                F.explode(
-                    F.array(
-                        *[
-                            F.struct(
-                                F.lit(s).alias("subspace"),
-                                F.element_at("__a", s + 1)
-                                .cast("int")
-                                .alias("cid"),
-                                F.slice("xm", s * sub_dims + 1, sub_dims).alias(
-                                    "sub"
-                                ),
-                            )
-                            for s in range(m)
-                        ]
-                    )
-                ).alias("a")
+            base.select("xm")
+            .mapInPandas(
+                _partial_stats,
+                schema="subspace int, cid int, pos int, sx long, n long",
             )
-            .select("a.subspace", "a.cid", F.posexplode("a.sub"))
             .groupBy("subspace", "cid", "pos")
-            .agg(F.sum("col").alias("sx"), F.count(F.lit(1)).alias("n"))
+            .agg(F.sum("sx").alias("sx"), F.sum("n").alias("n"))
             .collect()  # bounded: <= m*k*sub_dims rows (the codebook fold)
         )
         new_code = dict(code)  # empty clusters keep their previous centroid
@@ -1109,6 +1216,7 @@ def pq_topk(
     sub_dims: int = 16,
     kc: int = 8,
     n_iters: int = 2,
+    _qrows: list[tuple[int, list[int]]] | None = None,
 ) -> DataFrame:
     """PQ serving-side search: asymmetric distance computation (ADC —
     Jégou et al. 2011 §IV-A, FAISS ``IndexPQ.search``). Trains the
@@ -1158,14 +1266,27 @@ def pq_topk(
         .filter(F.size(F.filter("xm", lambda v: v.isNull())) == 0)
     )
     max_q = int(os.environ.get("SPARK_GRAFT_BRUTE_MAX_QUERIES", "100000"))
-    qrows = qb.limit(max_q + 1).collect()  # bounded by contract (brute idiom)
-    if len(qrows) > max_q:
-        raise ValueError(
-            f"pq_topk: queries side exceeds {max_q} rows; ADC builds one "
-            "m*kc LUT per query driver-side — batch the query set, or "
-            "raise SPARK_GRAFT_BRUTE_MAX_QUERIES"
-        )
-    qrows = sorted((int(r["qid"]), r["xm"]) for r in qrows)
+    if _qrows is None:
+        # bounded by contract (brute idiom)
+        qrows = qb.limit(max_q + 1).collect()
+        if len(qrows) > max_q:
+            raise ValueError(
+                f"pq_topk: queries side exceeds {max_q} rows; ADC builds one "
+                "m*kc LUT per query driver-side — batch the query set, or "
+                "raise SPARK_GRAFT_BRUTE_MAX_QUERIES"
+            )
+        qrows = sorted((int(r["qid"]), r["xm"]) for r in qrows)
+    else:
+        # pq_rerank_topk shares its ALREADY-collected (and identically
+        # canonicalized) query rows — one bounded collect instead of two
+        # identical jobs (r15)
+        qrows = _qrows
+        if len(qrows) > max_q:
+            raise ValueError(
+                f"pq_topk: queries side exceeds {max_q} rows; ADC builds one "
+                "m*kc LUT per query driver-side — batch the query set, or "
+                "raise SPARK_GRAFT_BRUTE_MAX_QUERIES"
+            )
     if not qrows:
         return spark.createDataFrame([], empty)
     qids = [q for q, _ in qrows]
@@ -1248,15 +1369,11 @@ def pq_rerank_topk(
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql.types import LongType
 
-    cand = pq_topk(
-        corpus, queries, k=shortlist, corpus_vec=corpus_vec,
-        corpus_id=corpus_id, query_vec=query_vec, query_id=query_id,
-        m=m, sub_dims=sub_dims, kc=kc, n_iters=n_iters,
-    ).select("query_id", "neighbor_id")
     spark = corpus.sparkSession
     empty = "query_id long, neighbor_id long, l2_dist_micro2 long, nn_rank int"
-    # rebuild the query micro-int matrix exactly as pq_topk did (same
-    # canonicalization, same bounded-collect contract)
+    # build the query micro-int matrix ONCE (same canonicalization, same
+    # bounded-collect contract) and SHARE it with stage 1 — the old shape
+    # ran two identical bounded-collect jobs (r15)
     qxm = F.transform(
         F.slice(F.col(query_vec), 1, m * sub_dims),
         lambda x: F.round(x.cast("double") * F.lit(1e6), 0).cast("long"),
@@ -1273,6 +1390,11 @@ def pq_rerank_topk(
     )
     if not qrows:
         return spark.createDataFrame([], empty)
+    cand = pq_topk(
+        corpus, queries, k=shortlist, corpus_vec=corpus_vec,
+        corpus_id=corpus_id, query_vec=query_vec, query_id=query_id,
+        m=m, sub_dims=sub_dims, kc=kc, n_iters=n_iters, _qrows=qrows,
+    ).select("query_id", "neighbor_id")
     qids = [q for q, _ in qrows]
     qpos = {q: i for i, q in enumerate(qids)}
     Qm = np.asarray([x for _, x in qrows], dtype=np.int64)  # (Q, d)
@@ -1353,21 +1475,39 @@ def ivfpq_topk(
     all three stages as CTEs).
 
     Scale shape: both fits are the bounded-codebook class (collects of
-    ≤ n_cells·d and m·kc·sub_dims rows); the corpus crosses the Arrow
-    boundary in MAP-ONLY passes (cell-assign+residual, then
-    code-assign+probed-ADC in ONE kernel) — zero joins, zero corpus
-    shuffles; the only exchange is the per-query top-k window over the
-    bounded query set. At serving scale the cell structure also prunes
-    the scan: only rows whose cell is probed score (non-probed rows
-    emit nothing), which is the IVF speedup."""
+    ≤ n_cells·d and m·kc·sub_dims rows) and share ONE seed collect (the
+    seed order depends only on vec_id — r15); the corpus crosses the
+    Arrow boundary in MAP-ONLY passes, each a SINGLE un-chained Python
+    stage (r15: the residual used to be a separate pandas_udf feeding
+    the fit/scorer — a chained ArrowEvalPython → MapInPandas stage
+    cannot fuse into one Python runner and measured 26.7 s first-run /
+    4.2 s steady at the sf1 lane; now cell-assign+subtract runs INSIDE
+    the fit kernel via _pq_lloyd(pre=...) and inside the scorer) — zero
+    joins, zero corpus shuffles; the only exchange is the per-query
+    top-k window over the bounded query set. At serving scale the cell
+    structure also prunes the scan: only rows whose cell is probed
+    score (non-probed rows emit nothing), which is the IVF speedup."""
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql.types import LongType
 
     d = m * sub_dims
     empty = "query_id long, neighbor_id long, ivfpq_dist_micro2 long, nn_rank int"
     spark = corpus.sparkSession
-    base, coarse = _pq_fit(
-        corpus, corpus_vec, corpus_id, 1, d, n_cells, n_iters
+    xm_expr = F.transform(
+        F.slice(F.col(corpus_vec), 1, d),
+        lambda x: F.round(x.cast("double") * F.lit(1e6), 0).cast("long"),
+    )
+    base = (
+        corpus.filter(F.col(corpus_id).isNotNull())
+        .select(F.col(corpus_id).alias("vec_id"), xm_expr.alias("xm"))
+        .filter(F.size("xm") == d)
+        .filter(F.size(F.filter("xm", lambda v: v.isNull())) == 0)
+    )
+    # ONE bounded seed collect serves both fits (coarse needs n_cells
+    # rows, the residual fit kc rows — same (md5, vec_id) order)
+    seed_rows = _pq_seed_rows(base, max(n_cells, kc))
+    coarse = _pq_lloyd(
+        base, 1, d, n_cells, n_iters, seed_rows=seed_rows
     )
     if not coarse:
         return spark.createDataFrame([], empty)
@@ -1375,28 +1515,15 @@ def ivfpq_topk(
     for (_, cid), vals in coarse.items():
         CC[cid] = vals
 
-    @pandas_udf(ArrayType(LongType()))
-    def cell_res(xm: pd.Series) -> pd.Series:
-        vals = xm.tolist()
-        if not vals:
-            return pd.Series([], dtype=object)
-        X = np.asarray(vals, dtype=np.int64)  # (B, d)
+    def _residual(X: np.ndarray) -> np.ndarray:
+        # exact int64 cell assign + subtract (first-min == (dist, cid)
+        # ties) — applied inside the fit/scorer kernels AND to the seed
+        # matrix driver-side (same numpy ops, bit-identical)
         D = ((X[:, None, :] - CC[None]) ** 2).sum(axis=2)
-        cells = D.argmin(axis=1)  # first-min == (dist, cid) ties
-        R = X - CC[cells]
-        return pd.Series(
-            np.concatenate([cells[:, None], R], axis=1).tolist()
-        )
+        return X - CC[D.argmin(axis=1)]
 
-    residual = base.select(
-        "vec_id", cell_res("xm").alias("__cr")
-    ).select(
-        "vec_id",
-        F.element_at("__cr", 1).cast("int").alias("cell"),
-        F.slice("__cr", 2, d).alias("xm"),
-    )
     rcode = _pq_lloyd(
-        residual.select("vec_id", "xm"), m, sub_dims, kc, n_iters
+        base, m, sub_dims, kc, n_iters, pre=_residual, seed_rows=seed_rows
     )
     if not rcode:
         return spark.createDataFrame([], empty)
@@ -1441,13 +1568,18 @@ def ivfpq_topk(
         probed.append(plist)
 
     @pandas_udf(ArrayType(LongType()))
-    def score(cell: pd.Series, rxm: pd.Series) -> pd.Series:
-        cells = cell.to_numpy()
-        vals = rxm.tolist()
+    def score(xm: pd.Series) -> pd.Series:
+        # ONE un-chained kernel: cell assign + residual + code assign +
+        # probed ADC (r15 — the cell/residual used to arrive from a
+        # separate pandas_udf stage; see the chaining note above)
+        vals = xm.tolist()
         if not vals:
             return pd.Series([], dtype=object)
         B = len(vals)
-        X = np.asarray(vals, dtype=np.int64).reshape(B, m, 1, sub_dims)
+        Xf = np.asarray(vals, dtype=np.int64)  # (B, d)
+        Dc = ((Xf[:, None, :] - CC[None]) ** 2).sum(axis=2)
+        cells = Dc.argmin(axis=1)  # first-min == (dist, cid) ties
+        X = (Xf - CC[cells]).reshape(B, m, 1, sub_dims)
         codes = ((X - RC[None]) ** 2).sum(axis=3).argmin(axis=2)  # (B, m)
         out = np.full((B, len(qids)), -1, dtype=np.int64)
         for qi, plist in enumerate(probed):
@@ -1461,9 +1593,9 @@ def ivfpq_topk(
         return pd.Series(out.tolist())
 
     scored = (
-        residual.select(
+        base.select(
             F.col("vec_id").alias("neighbor_id"),
-            F.posexplode(score("cell", "xm")).alias("qpos", "d"),
+            F.posexplode(score("xm")).alias("qpos", "d"),
         )
         .filter(F.col("d") >= 0)  # -1 == cell not probed by this query
         .select(

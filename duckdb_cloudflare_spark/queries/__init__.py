@@ -20,6 +20,7 @@ order-insensitively with columns sorted by name, so:
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from dataclasses import dataclass
 
@@ -78,18 +79,42 @@ def cache_tables(
     Partitioning policy (when ``parallelism`` is None): tables consumed by
     Arrow/pandas-UDF operators (``python_op_tables``) get full
     ``defaultParallelism`` — their per-row Python work dwarfs task overhead,
-    so fan-out wins. Scalar relational tables get ``min(8, cores)``: their
-    codegen scans chew 100k rows/ms, so at bench scale per-task scheduling
-    overhead dominates and fewer, fatter partitions measure 25-40% faster
-    per query. An explicit ``parallelism`` overrides both.
+    so fan-out wins. Scalar relational tables get a SIZE-DERIVED count
+    (r15, guide §2: scale-adaptive partitioning instead of a constant
+    tuned for one scale): one cached partition per ~1.4 MB of source
+    parquet — the r3-measured sf0.1 sweet spot (lineitem 10.8 MB / 8
+    partitions), floored at the old ``min(8, cores)`` so sf0.1 behavior
+    is bit-for-bit unchanged, capped at ``cores``. At the 10× sf1 lane
+    the old constant left 6M-row scans on 8 of 32 cores (q01 measured
+    1.76 s; DuckDB 0.15); deriving from input size restores scan
+    parallelism exactly when the data grows, at any core count the
+    driver benches. An explicit ``parallelism`` overrides everything.
 
     ``embeddings`` is deliberately NOT in the default set: its array<float>
     column deserializes through the generic (non-codegen) path out of the
     columnar cache, which measured SLOWER than re-reading parquet — nested
     types don't benefit from InMemoryRelation."""
+    import math
+
     cores = spark.sparkContext.defaultParallelism
+    bytes_per_part = int(
+        spark.conf.get("spark.duckdb_cloudflare.cacheBytesPerPartition",
+                       str(1_400_000))
+    )
     for t in tables:
-        n = parallelism or (cores if t in python_op_tables else min(8, cores))
+        if parallelism:
+            n = parallelism
+        elif t in python_op_tables:
+            n = cores
+        else:
+            try:
+                sz = os.path.getsize(f"{sf_dir.rstrip('/')}/{t}.parquet")
+            except OSError:
+                sz = 0
+            n = max(
+                min(8, cores),
+                min(cores, math.ceil(sz / bytes_per_part)),
+            )
         key = f"{sf_dir.rstrip('/')}/{t}"
         cached = _TABLE_CACHE.get(key)
         if cached is None or cached.sparkSession is not spark:

@@ -1021,17 +1021,22 @@ def test_p115_sq8_stats_broadcast_no_window(spark, registry):
 
 
 def test_p116_jl_projection_map_only(spark, registry):
-    """p116: the sign matrix is a PLAN-TIME CONSTANT (literal arrays), so
-    the projection is MAP-ONLY — K integer array folds per row inside
-    codegen plus a 16-element posexplode. No joins of any kind, no
-    window, no Python, and zero shuffles beyond the parallelism split:
-    nothing crosses the wire at any corpus size."""
+    """p116: the sign matrix is a PLAN-TIME CONSTANT (closure-held numpy
+    matrix), so the projection is MAP-ONLY — ONE Arrow-batched exact
+    int64 matmul per batch (r15: the K interpreted HOF folds measured
+    1.96 s at sf0.1 for 2k vectors; the Arrow kernel replaces them — the
+    r14 PQ-rewrite precedent) plus a 16-element posexplode. No joins of
+    any kind, no window, and zero shuffles beyond the parallelism split:
+    nothing crosses the wire at any corpus size. The Python boundary is
+    the vectorized ArrowEvalPython node, never row-pickled
+    BatchEvalPython."""
     from duckdb_cloudflare_spark.plans.introspect import formatted_plan
 
     df = registry["p116_jl_projection"](spark, SF_DIR)
     plan = formatted_plan(df)
     assert "Window" not in plan and "Join" not in plan
-    assert "Python" not in plan
+    assert "ArrowEvalPython" in plan  # the exact-int64 matmul kernel
+    assert "BatchEvalPython" not in plan  # never the row-pickled path
     assert shuffle_count(df) <= 1  # the ensure_parallelism split only
     assert "Generate" in plan  # the 16-element posexplode
 
