@@ -1290,8 +1290,14 @@ def exact_jaccard_pairs(
     # tokenize+shingle lineage once per join (the map is ~half the
     # operator's cost — profiled at sf0.1: 3.3 s → 1.9 s by removing them),
     # and first() over the group key's functional dependent replaces both.
-    inv = shins.select(
-        id_col, F.explode("sh").alias("shingle"), F.size("sh").alias("n_sh")
+    # r15: n_sh is computed BELOW the explode — `size(sh)` beside the
+    # explode made Generate carry the whole `sh` ARRAY as a required
+    # child output, copying it into every exploded row's buffer
+    # (O(shingles²) bytes per doc; profiled at the sf1 lane: the
+    # map+explode pass alone read 33 s with the array carried vs ~3.5 s
+    # with it pruned). Same rows out, one int carried instead.
+    inv = shins.select(id_col, "sh", F.size("sh").alias("n_sh")).select(
+        id_col, F.explode("sh").alias("shingle"), "n_sh"
     )
     inv = _doc_freq_filter(inv, prefilter_singletons, max_doc_freq)
     a = inv.select(F.col(id_col).alias("id_a"), "shingle", F.col("n_sh").alias("n_a"))
@@ -1622,8 +1628,10 @@ def containment_pairs(
         .filter(F.size("ts") >= k)
         .select(id_col, hashed_word_shingles(k).alias("sh"))
     )
-    inv = shins.select(
-        id_col, F.explode("sh").alias("shingle"), F.size("sh").alias("n_sh")
+    # n_sh below the explode so Generate never carries the array (see
+    # exact_jaccard_pairs — same r15 fix, same engine)
+    inv = shins.select(id_col, "sh", F.size("sh").alias("n_sh")).select(
+        id_col, F.explode("sh").alias("shingle"), "n_sh"
     )
     inv = _doc_freq_filter(inv, prefilter_singletons, max_doc_freq)
     a = inv.select(F.col(id_col).alias("id_a"), "shingle", F.col("n_sh").alias("n_a"))
