@@ -948,6 +948,8 @@ def bpe_train(
         raise ValueError(
             f"checkpoint_every must be >= 1 when set (got {checkpoint_every})"
         )
+    from pyspark import StorageLevel
+
     sep = _BPE_SEP
     spark = df.sparkSession
     enc = bpe_word_vocab(df, text_col).select(
@@ -956,8 +958,13 @@ def bpe_train(
     # Materialize the encoded vocab ONCE: every iteration's argmax job
     # reads this root instead of re-running the corpus explode + word agg
     # (vocab-sized state, never corpus-sized — guide §2.4: one pass where
-    # the lineage re-execution paid n_merges).
-    enc = enc.localCheckpoint(eager=True)
+    # the lineage re-execution paid n_merges). persist, not
+    # localCheckpoint: evictable under memory pressure and recompute-safe
+    # (the p06 signature-materialization precedent); every merge runs
+    # driver-side by the time this function returns, so the handle is
+    # unpersisted before returning — nothing accumulates across calls.
+    enc = enc.persist(StorageLevel.MEMORY_AND_DISK)
+    persisted = [enc]
     merges: list[tuple[int, str, str, str, int]] = []
     for k in range(1, n_merges + 1):
         syms = enc.select(
@@ -1004,6 +1011,12 @@ def bpe_train(
                 # truncate lineage: the vocab becomes the new plan root
                 # (vocab-sized materialization, bounded plan depth)
                 enc = enc.localCheckpoint(eager=True)
+                persisted.append(enc)
+    for p in persisted:
+        try:
+            p.unpersist(blocking=False)
+        except Exception:
+            pass  # releasing cache is best-effort; results are literal rows
     return spark.createDataFrame(
         merges,
         "merge_rank bigint, lhs string, rhs string, merged string, "
@@ -1084,12 +1097,17 @@ def bpe_token_counts(
     orders of magnitude more than any configured depth."""
     if n_merges < 1:
         raise ValueError(f"bpe_token_counts needs n_merges >= 1 (got {n_merges})")
+    from pyspark import StorageLevel
+
     sep = _BPE_SEP
     enc = bpe_word_vocab(df, text_col).select(
         F.regexp_replace("w", "(.)", f"{sep}$1{sep}").alias("enc"), "freq"
     )
-    # one corpus fold, materialized once (see bpe_train — same r15 reshape)
-    enc = enc.localCheckpoint(eager=True)
+    # one corpus fold, materialized once (see bpe_train — same r15
+    # reshape). persist, not localCheckpoint: the RETURNED token table is
+    # lazy over this root, so it cannot be unpersisted here — an
+    # evictable LRU entry (the p06 precedent) instead of pinned blocks.
+    enc = enc.persist(StorageLevel.MEMORY_AND_DISK)
     for _ in range(n_merges):
         syms = enc.select(
             F.split(F.expr("substring(enc, 2, length(enc) - 2)"), sep + sep).alias(
