@@ -894,15 +894,22 @@ def duplicated_ngram_stats(
     High dup_frac flags boilerplate/templated docs for removal — the
     document-level form of exact-substring dedup.
 
-    Shape: shingle inverted index (explode distinct shingles) → per-shingle
-    doc count (partial-aggregated shuffle) → join back on shingle → per-doc
+    Shape (r16 reshape, guide §2.4): shingle inverted index (explode
+    distinct shingles) → per-shingle doc count as a COUNT OVER
+    (PARTITION BY shingle) window on the index itself → per-doc
     aggregate. Because each doc contributes a shingle at most once, the
-    per-shingle count IS the containing-doc count, and the join-back fan-out
-    is bounded by the corpus's total distinct-shingle mass (no quadratic
-    pair blow-up — this never materializes doc pairs, unlike Jaccard). At
-    100 TB the per-shingle count side stays partial-aggregated; a hot
-    shingle ("click here to subscribe") is one wide-ish join row group,
-    bounded by the docs that actually contain it.
+    per-row window count IS the containing-doc count. The former
+    groupBy-then-join-back shape computed the whole tokenize+shingle map
+    lineage TWICE (the count side's partial aggregate below its exchange
+    makes the two subtrees non-identical, so ReuseExchange can't fire)
+    and ran the join + per-doc fold at the global shuffle width (8 on
+    the bench box); the window shares ONE map pass and one exchange —
+    measured 25.8 s → 4.3 s at the sf1 lane, rows identical. The
+    exchange is sized from the input's own partitioning
+    (max(shuffle.partitions, input partitions) — the _pair_intersections
+    rule). Never a quadratic pair blow-up — this never materializes doc
+    pairs, unlike Jaccard; a hot shingle ("click here to subscribe") is
+    one window group, bounded by the docs that actually contain it.
 
     Docs with fewer than k tokens are excluded (no k-shingles to score).
 
@@ -911,26 +918,27 @@ def duplicated_ngram_stats(
     join; the string-keyed SQL oracle would catch a count-perturbing
     collision at test scale).
     """
+    from pyspark.sql.window import Window as _W
+
     n_toks = F.size(tokens(F.col(text_col)))
-    shins = (
-        ensure_parallelism(df)
-        .filter(n_toks >= k)
-        .select(id_col, shingles(F.lower(F.col(text_col)), k).alias("sh"))
+    src = ensure_parallelism(df)
+    shins = src.filter(n_toks >= k).select(
+        id_col, shingles(F.lower(F.col(text_col)), k).alias("sh")
     )
     inv = shins.select(
         id_col,
         F.explode(F.transform(F.col("sh"), lambda s: F.xxhash64(s))).alias("shingle"),
     )
-    # shuffle_hash: high-cardinality uniform int64 key — hash beats the
-    # SortMergeJoin sorts (same trade as p34's pair join).
-    cnt = (
-        inv.groupBy("shingle")
-        .agg(F.count(F.lit(1)).alias("n_docs_with"))
-        .hint("shuffle_hash")
+    try:
+        sp = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        sp = 200
+    inv = inv.repartition(max(sp, src.rdd.getNumPartitions()), "shingle")
+    scored = inv.withColumn(
+        "n_docs_with", F.count(F.lit(1)).over(_W.partitionBy("shingle"))
     )
     return (
-        inv.join(cnt, "shingle")
-        .groupBy(id_col)
+        scored.groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_shingles"),
             F.count(F.when(F.col("n_docs_with") >= 2, True)).alias("n_dup"),
@@ -1235,6 +1243,71 @@ def _doc_freq_filter(
     return inv.drop("__sc")
 
 
+def _pair_intersections(
+    df: DataFrame,
+    k: int,
+    text_col: str,
+    id_col: str,
+    prefilter_singletons: bool,
+    max_doc_freq: int | None,
+) -> DataFrame:
+    """Shared inverted-index pair-intersection engine for the exact
+    all-pairs metrics (``exact_jaccard_pairs`` / ``containment_pairs``):
+    ``(id_a, id_b, inter, n_a, n_b)`` for every doc pair sharing >= 1
+    distinct word-``k``-shingle (id_a < id_b).
+
+    r16 reshape (guide §2.3/§2.4 — measured at the sf1 lane, where this
+    stage was the single biggest bench row): the pair stream out of the
+    self-join is QUADRATIC (38 M rows from a 2.2 M-row index at sf1) and
+    its map-side partial aggregation collapses nothing BY CONSTRUCTION —
+    a pair occurs once per shared shingle, and different shingles hash
+    to different partitions, so within one map partition multiplicity is
+    ~1 and the partial hash pass is pure overhead feeding a final agg
+    pinned at spark.sql.shuffle.partitions (8 on the bench box: 8.5 M
+    groups on 8 of 32 cores). Fix: repartition the pair stream by the
+    PAIR KEY at a width derived from the input's own partitioning
+    (max(shuffle.partitions, input partitions) — scale-adaptive, not a
+    box constant), so the one aggregation that matters runs fused after
+    the exchange at full width. Same exchange-count (the repartition IS
+    the aggregation's exchange), measured 12.8 s -> 3.7 s for p34 at
+    sf1, rows identical. The join's own exchange is widened the same
+    way (probe: 12.8 -> 10.4 s alone) and stays ReusedExchange-shared
+    between the two sides."""
+    src = ensure_parallelism(df)
+    shins = (
+        src.select(id_col, lowered_tokens(text_col).alias("ts"))
+        .filter(F.size("ts") >= k)
+        .select(id_col, hashed_word_shingles(k).alias("sh"))
+    )
+    # n_sh below the explode so Generate never carries the array (r15)
+    inv = shins.select(id_col, "sh", F.size("sh").alias("n_sh")).select(
+        id_col, F.explode("sh").alias("shingle"), "n_sh"
+    )
+    inv = _doc_freq_filter(inv, prefilter_singletons, max_doc_freq)
+    try:
+        sp = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        sp = 200
+    n_pair = max(sp, src.rdd.getNumPartitions())
+    inv = inv.repartition(n_pair, "shingle")
+    a = inv.select(F.col(id_col).alias("id_a"), "shingle", F.col("n_sh").alias("n_a"))
+    b = inv.select(
+        F.col(id_col).alias("id_b"), "shingle", F.col("n_sh").alias("n_b")
+    ).hint("shuffle_hash")
+    return (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "n_a", "n_b")
+        .repartition(n_pair, "id_a", "id_b")
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.count(F.lit(1)).alias("inter"),
+            F.first("n_a").alias("n_a"),
+            F.first("n_b").alias("n_b"),
+        )
+    )
+
+
 def exact_jaccard_pairs(
     df: DataFrame,
     k: int = 3,
@@ -1253,9 +1326,11 @@ def exact_jaccard_pairs(
     Scale shape: distinct shingles exploded map-side, shuffle_hash
     equi-join on 8-byte xxhash64 keys (high-cardinality uniform int64 —
     hashing beats SortMergeJoin's two full sorts, measured at sf0.1),
-    pair co-occurrence partial-aggregated, per-doc set sizes broadcast
-    back. The hot-shingle candidate blowup is why the LSH families exist;
-    run THIS for verification slices, minhash/LSH for the full corpus.
+    pair co-occurrence aggregated after a pair-keyed exchange sized from
+    the input's own partitioning (r16 — see _pair_intersections), per-doc
+    set sizes carried on the exploded rows. The hot-shingle candidate
+    blowup is why the LSH families exist; run THIS for verification
+    slices, minhash/LSH for the full corpus.
 
     ``prefilter_singletons``: drop shingles occurring in only ONE document
     before the self-join (they cannot produce a pair, so the output is
@@ -1279,12 +1354,6 @@ def exact_jaccard_pairs(
     none). OFF (None) by default: the exact contract and driver-oracle
     parity are unchanged unless a caller opts in.
     """
-    shins = (
-        ensure_parallelism(df)
-        .select(id_col, lowered_tokens(text_col).alias("ts"))
-        .filter(F.size("ts") >= k)
-        .select(id_col, hashed_word_shingles(k).alias("sh"))
-    )
     # Each exploded row CARRIES its doc's set size (one int alongside the
     # 8-byte key): the former sizes-table joins re-executed the whole
     # tokenize+shingle lineage once per join (the map is ~half the
@@ -1296,23 +1365,10 @@ def exact_jaccard_pairs(
     # (O(shingles²) bytes per doc; profiled at the sf1 lane: the
     # map+explode pass alone read 33 s with the array carried vs ~3.5 s
     # with it pruned). Same rows out, one int carried instead.
-    inv = shins.select(id_col, "sh", F.size("sh").alias("n_sh")).select(
-        id_col, F.explode("sh").alias("shingle"), "n_sh"
-    )
-    inv = _doc_freq_filter(inv, prefilter_singletons, max_doc_freq)
-    a = inv.select(F.col(id_col).alias("id_a"), "shingle", F.col("n_sh").alias("n_a"))
-    b = inv.select(
-        F.col(id_col).alias("id_b"), "shingle", F.col("n_sh").alias("n_b")
-    ).hint("shuffle_hash")
-    inter = (
-        a.join(b, "shingle")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(
-            F.count(F.lit(1)).alias("inter"),
-            F.first("n_a").alias("n_a"),
-            F.first("n_b").alias("n_b"),
-        )
+    # r16: the join/pair-agg stages are reshaped in _pair_intersections
+    # (pair-keyed repartition at input-derived width — see its docstring).
+    inter = _pair_intersections(
+        df, k, text_col, id_col, prefilter_singletons, max_doc_freq
     )
     j = F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter"))
     return (
@@ -1622,31 +1678,10 @@ def containment_pairs(
     the same exact-vs-underestimate contracts); only the final metric
     differs. Both containments are single exact integer divisions —
     UNROUNDED by the q48 rule (bit-identical across engines)."""
-    shins = (
-        ensure_parallelism(df)
-        .select(id_col, lowered_tokens(text_col).alias("ts"))
-        .filter(F.size("ts") >= k)
-        .select(id_col, hashed_word_shingles(k).alias("sh"))
-    )
-    # n_sh below the explode so Generate never carries the array (see
-    # exact_jaccard_pairs — same r15 fix, same engine)
-    inv = shins.select(id_col, "sh", F.size("sh").alias("n_sh")).select(
-        id_col, F.explode("sh").alias("shingle"), "n_sh"
-    )
-    inv = _doc_freq_filter(inv, prefilter_singletons, max_doc_freq)
-    a = inv.select(F.col(id_col).alias("id_a"), "shingle", F.col("n_sh").alias("n_a"))
-    b = inv.select(
-        F.col(id_col).alias("id_b"), "shingle", F.col("n_sh").alias("n_b")
-    ).hint("shuffle_hash")
-    inter = (
-        a.join(b, "shingle")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(
-            F.count(F.lit(1)).alias("inter"),
-            F.first("n_a").alias("n_a"),
-            F.first("n_b").alias("n_b"),
-        )
+    # shared engine: n_sh below the explode (r15), pair-keyed repartition
+    # at input-derived width (r16) — see _pair_intersections
+    inter = _pair_intersections(
+        df, k, text_col, id_col, prefilter_singletons, max_doc_freq
     )
     ca = F.col("inter") / F.col("n_a")
     cb = F.col("inter") / F.col("n_b")

@@ -651,7 +651,11 @@ def jl_project(
     vectors are zero-padded in Spark BEFORE the boundary (coalesce +
     array_repeat — exactly the old fold's ``coalesce(x*s, 0)`` and
     zip_with NULL-pad semantics), so the kernel sees fixed-length
-    non-null rows.
+    non-null rows. Trade-off (ADVICE r15): the operator is no longer
+    pure-JVM — tiny inputs pay Python-worker startup once per session
+    stage shape; the interpreted-HOF fold it replaced was ~7× slower at
+    every measured size, but a caller that needs a Python-free plan
+    (e.g. a JVM-only deployment) should fold with the HOF form instead.
 
     Determinism: elements are canonicalized as micro-unit bigints
     (round(x*1e6) of float-exact doubles — no arithmetic before the
@@ -707,7 +711,11 @@ def jl_project(
         # F.array-of-NULL-aggregates shape: posexplode then emits K rows
         # with y NULL — the dirty-data parity sweeps pin this)
         idx = [i for i, v in enumerate(vals) if v is not None]
-        out: list = [[None] * out_dims] * len(vals)
+        # per-row lists (ADVICE r15): [[None]*K]*n aliases ONE inner list
+        # across every row — correct only while rows are replaced
+        # wholesale below; any future in-place mutation would corrupt
+        # all NULL rows at once
+        out: list = [[None] * out_dims for _ in vals]
         if idx:
             X = np.asarray([vals[i] for i in idx], dtype=np.int64)  # (B', D)
             Y = (X @ SM_T).tolist()  # exact int64
@@ -917,6 +925,32 @@ def _pq_assign_udf(
     return assign
 
 
+def _pq_base(
+    df: DataFrame, vec_col: str, id_col: str, d: int,
+    out_id: str = "vec_id",
+) -> DataFrame:
+    """The shared PQ micro-int base: ``(out_id, xm array<long>)`` with
+    exactly ``d`` non-NULL micro-int elements per row. ONE definition
+    (ADVICE r15): _pq_fit and ivfpq_topk used to inline identical
+    copies — any drift between them silently diverges seed sharing via
+    _pq_seed_rows from the oracle.
+
+    NULL elements inside a right-sized vector would pass the size gate
+    but crash np.asarray(..., int64) inside the assign UDF with an
+    opaque executor error — drop them here (the jl_project
+    non-null-element contract, r15 advice fix)."""
+    xm = F.transform(
+        F.slice(F.col(vec_col), 1, d),
+        lambda x: F.round(x.cast("double") * F.lit(1e6), 0).cast("long"),
+    )
+    return (
+        df.filter(F.col(id_col).isNotNull())
+        .select(F.col(id_col).alias(out_id), xm.alias("xm"))
+        .filter(F.size("xm") == d)
+        .filter(F.size(F.filter("xm", lambda v: v.isNull())) == 0)
+    )
+
+
 def _pq_fit(
     df: DataFrame,
     vec_col: str,
@@ -934,20 +968,7 @@ def _pq_fit(
     = e.g. 512 codebook stat rows per iteration) — the same
     bounded-by-contract class as the bigram-model and ANN anchor
     collects, never corpus-scale."""
-    xm = F.transform(
-        F.slice(F.col(vec_col), 1, m * sub_dims),
-        lambda x: F.round(x.cast("double") * F.lit(1e6), 0).cast("long"),
-    )
-    base = (
-        df.filter(F.col(id_col).isNotNull())
-        .select(F.col(id_col).alias("vec_id"), xm.alias("xm"))
-        .filter(F.size("xm") == m * sub_dims)
-        # NULL elements inside a right-sized vector would pass the size
-        # gate but crash np.asarray(..., int64) inside the assign UDF
-        # with an opaque executor error — drop them here (the jl_project
-        # non-null-element contract, r15 advice fix)
-        .filter(F.size(F.filter("xm", lambda v: v.isNull())) == 0)
-    )
+    base = _pq_base(df, vec_col, id_col, m * sub_dims)
     return base, _pq_lloyd(base, m, sub_dims, k, n_iters)
 
 
@@ -1255,16 +1276,7 @@ def pq_topk(
     # query vectors ride the IDENTICAL Spark-side micro-int
     # canonicalization as the corpus (F.round HALF_UP — a driver-side
     # Python round() would banker's-round and diverge on exact halves)
-    qxm = F.transform(
-        F.slice(F.col(query_vec), 1, m * sub_dims),
-        lambda x: F.round(x.cast("double") * F.lit(1e6), 0).cast("long"),
-    )
-    qb = (
-        queries.filter(F.col(query_id).isNotNull())
-        .select(F.col(query_id).alias("qid"), qxm.alias("xm"))
-        .filter(F.size("xm") == m * sub_dims)
-        .filter(F.size(F.filter("xm", lambda v: v.isNull())) == 0)
-    )
+    qb = _pq_base(queries, query_vec, query_id, m * sub_dims, out_id="qid")
     max_q = int(os.environ.get("SPARK_GRAFT_BRUTE_MAX_QUERIES", "100000"))
     if _qrows is None:
         # bounded by contract (brute idiom)
@@ -1374,16 +1386,7 @@ def pq_rerank_topk(
     # build the query micro-int matrix ONCE (same canonicalization, same
     # bounded-collect contract) and SHARE it with stage 1 — the old shape
     # ran two identical bounded-collect jobs (r15)
-    qxm = F.transform(
-        F.slice(F.col(query_vec), 1, m * sub_dims),
-        lambda x: F.round(x.cast("double") * F.lit(1e6), 0).cast("long"),
-    )
-    qb = (
-        queries.filter(F.col(query_id).isNotNull())
-        .select(F.col(query_id).alias("qid"), qxm.alias("xm"))
-        .filter(F.size("xm") == m * sub_dims)
-        .filter(F.size(F.filter("xm", lambda v: v.isNull())) == 0)
-    )
+    qb = _pq_base(queries, query_vec, query_id, m * sub_dims, out_id="qid")
     max_q = int(os.environ.get("SPARK_GRAFT_BRUTE_MAX_QUERIES", "100000"))
     qrows = sorted(
         (int(r["qid"]), r["xm"]) for r in qb.limit(max_q + 1).collect()
@@ -1493,16 +1496,7 @@ def ivfpq_topk(
     d = m * sub_dims
     empty = "query_id long, neighbor_id long, ivfpq_dist_micro2 long, nn_rank int"
     spark = corpus.sparkSession
-    xm_expr = F.transform(
-        F.slice(F.col(corpus_vec), 1, d),
-        lambda x: F.round(x.cast("double") * F.lit(1e6), 0).cast("long"),
-    )
-    base = (
-        corpus.filter(F.col(corpus_id).isNotNull())
-        .select(F.col(corpus_id).alias("vec_id"), xm_expr.alias("xm"))
-        .filter(F.size("xm") == d)
-        .filter(F.size(F.filter("xm", lambda v: v.isNull())) == 0)
-    )
+    base = _pq_base(corpus, corpus_vec, corpus_id, d)
     # ONE bounded seed collect serves both fits (coarse needs n_cells
     # rows, the residual fit kc rows — same (md5, vec_id) order)
     seed_rows = _pq_seed_rows(base, max(n_cells, kc))
@@ -1531,16 +1525,7 @@ def ivfpq_topk(
     for (s, cid), vals in rcode.items():
         RC[s, cid] = vals
 
-    qxm = F.transform(
-        F.slice(F.col(query_vec), 1, d),
-        lambda x: F.round(x.cast("double") * F.lit(1e6), 0).cast("long"),
-    )
-    qb = (
-        queries.filter(F.col(query_id).isNotNull())
-        .select(F.col(query_id).alias("qid"), qxm.alias("xm"))
-        .filter(F.size("xm") == d)
-        .filter(F.size(F.filter("xm", lambda v: v.isNull())) == 0)
-    )
+    qb = _pq_base(queries, query_vec, query_id, d, out_id="qid")
     max_q = int(os.environ.get("SPARK_GRAFT_BRUTE_MAX_QUERIES", "100000"))
     qrows = sorted(
         (int(r["qid"]), r["xm"]) for r in qb.limit(max_q + 1).collect()

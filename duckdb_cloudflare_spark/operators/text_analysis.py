@@ -1065,6 +1065,23 @@ def bpe_train_reference(
     return out
 
 
+# bpe_token_counts' persisted vocab roots (at most one live entry — see
+# the one-slot release below). Module-level so a caller (or the bench
+# harness, like uncache_tables) can release the LAST call's cache too.
+_TOKEN_COUNT_CACHE: list[DataFrame] = []
+
+
+def release_bpe_vocab_cache() -> None:
+    """Unpersist every bpe_token_counts vocab root still tracked (at most
+    one). Safe anytime: the returned token table recomputes its fold from
+    the corpus if executed after release."""
+    while _TOKEN_COUNT_CACHE:
+        try:
+            _TOKEN_COUNT_CACHE.pop().unpersist(blocking=False)
+        except Exception:
+            pass
+
+
 def bpe_token_counts(
     df: DataFrame, text_col: str = "text", n_merges: int = 3, top_n: int = 50
 ) -> DataFrame:
@@ -1107,7 +1124,14 @@ def bpe_token_counts(
     # reshape). persist, not localCheckpoint: the RETURNED token table is
     # lazy over this root, so it cannot be unpersisted here — an
     # evictable LRU entry (the p06 precedent) instead of pinned blocks.
+    # ONE-SLOT cache (VERDICT r15 item 8): each call releases the
+    # PREVIOUS call's root, so repeated calls in a long driver session
+    # hold at most one live storage entry instead of accumulating.
+    # Recompute-safe: a still-held earlier result simply re-derives its
+    # fold from the corpus (values unchanged, lazily slower).
+    release_bpe_vocab_cache()
     enc = enc.persist(StorageLevel.MEMORY_AND_DISK)
+    _TOKEN_COUNT_CACHE.append(enc)
     for _ in range(n_merges):
         syms = enc.select(
             F.split(F.expr("substring(enc, 2, length(enc) - 2)"), sep + sep).alias(

