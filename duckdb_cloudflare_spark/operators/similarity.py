@@ -86,15 +86,14 @@ def brute_force_topk(
     Returns (query_id, neighbor_id, cosine_sim, nn_rank), excluding self-matches.
     Deterministic tie-break on (sim DESC, neighbor_id ASC).
     """
-    from pyspark.sql.functions import pandas_udf
-    from pyspark.sql.types import DoubleType
-
     # Collect the query matrix driver-side (small by contract — the usual
     # ANN-serving shape) and score every query per corpus row in ONE
-    # (batch × d) @ (d × m) matrix multiply inside an Arrow pandas UDF.
+    # (batch × d) @ (d × m) matrix multiply inside an Arrow kernel.
     # Versus the per-(query, corpus-row) join formulation this ships each
     # corpus vector across the Arrow boundary once instead of m times, and
-    # the top-k window shuffle carries 3 scalar columns, not embeddings.
+    # the top-k window shuffle carries a banded per-batch top-(k+1)
+    # shortlist of 3 scalar columns (r16), not corpus×queries rows and
+    # never embeddings.
     # The collect is bounded: an oversized queries side must fail loudly as
     # a misuse (use lsh_topk/ivf_topk for large query sets), not as a
     # driver OOM.
@@ -120,34 +119,69 @@ def brute_force_topk(
     Qt = np.ascontiguousarray(Qm.T)  # (d, m)
     qn = np.maximum(np.linalg.norm(Qm, axis=1), 1e-12)  # (m,)
 
-    @pandas_udf(ArrayType(DoubleType()))
-    def all_sims(vecs: pd.Series) -> pd.Series:
-        vals = vecs.tolist()
-        n = len(vals)
-        out: list = [None] * n
-        bad = [i for i in range(n) if vals[i] is not None and len(vals[i]) != Qt.shape[0]]
-        if bad:
-            raise ValueError(
-                f"brute_force_topk: corpus vector dimension {len(vals[bad[0]])} "
-                f"!= query dimension {Qt.shape[0]} — cosine is undefined across "
-                "dimensions; filter or re-embed the corpus first"
-            )
-        ok = [i for i in range(n) if vals[i] is not None]
-        if ok:
+    # r16 (guide §2.3, the mine_triplets/_pq_lloyd partial-fold
+    # precedent): the kernel folds a per-query top-(k+1) candidate
+    # shortlist PER BATCH instead of posexploding |corpus|×|queries|
+    # scalar rows through the JVM window. The band is exact, not
+    # approximate: rows are kept when sim·1e6 is within 2 micro-units of
+    # the batch's (k+1)-th largest (k+1 because a query's self-match is
+    # filtered AFTER the kernel, exactly as before); a dropped row has
+    # >= k+1 rows a full micro-unit above it, so after HALF_UP rounding
+    # at 6 dp (which moves a value by at most 0.5+ulp) at least k
+    # non-self rows still rank strictly above it — it can never enter
+    # the rounded top-k, whatever the id tie-breaks do. The JVM then
+    # rounds and ranks the shortlist with the IDENTICAL expressions the
+    # full stream used, so results are bit-for-bit unchanged.
+    kk = k + 1
+
+    def _fold(batches):
+        for pdf in batches:
+            vals = pdf["cv"].tolist()
+            ids = pdf["neighbor_id"].to_numpy()
+            n = len(vals)
+            bad = [
+                i
+                for i in range(n)
+                if vals[i] is not None and len(vals[i]) != Qt.shape[0]
+            ]
+            if bad:
+                raise ValueError(
+                    f"brute_force_topk: corpus vector dimension "
+                    f"{len(vals[bad[0]])} != query dimension {Qt.shape[0]} — "
+                    "cosine is undefined across dimensions; filter or "
+                    "re-embed the corpus first"
+                )
+            ok = [i for i in range(n) if vals[i] is not None]
+            if not ok:
+                continue
             M = np.vstack([np.asarray(vals[i], dtype=np.float64) for i in ok])
             cn = np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
             # dot / (|c| * |q|) — the oracle's exact formulation, so the
             # float64 rounding path matches the per-pair scorer bit-for-bit
-            S = (M @ Qt) / (cn * qn[None, :])
-            for j, i in enumerate(ok):
-                out[i] = S[j].tolist()
-        return pd.Series(out)
+            S = (M @ Qt) / (cn * qn[None, :])  # (B, m)
+            Y = S * 1e6
+            cid = ids[ok].astype(np.int64)
+            b = Y.shape[0]
+            if b > kk:
+                # (k+1)-th largest per query (column)
+                kth = np.partition(Y, b - kk, axis=0)[b - kk, :]
+                keep = Y >= kth[None, :] - 2.0
+            else:
+                keep = np.ones_like(Y, dtype=bool)
+            r, q = np.nonzero(keep)
+            yield pd.DataFrame(
+                {
+                    "qpos": q.astype(np.int32),
+                    "neighbor_id": cid[r],
+                    "sim": S[r, q],
+                }
+            )
 
     c = ensure_parallelism(corpus).select(
         F.col(corpus_id).alias("neighbor_id"), F.col(corpus_vec).alias("cv")
     )
     scored = (
-        c.select("neighbor_id", F.posexplode(all_sims(F.col("cv"))).alias("qpos", "sim"))
+        c.mapInPandas(_fold, schema="qpos int, neighbor_id long, sim double")
         .select(
             F.element_at(F.array(*[F.lit(q) for q in qids]), F.col("qpos") + 1).alias(
                 "query_id"
@@ -766,18 +800,21 @@ def mine_triplets(
     bounded-collect as brute_force_topk, loud error past the cap), and
     every corpus row scores against ALL anchors in ONE
     (batch × d) @ (d × A) float64 matmul per Arrow batch. The corpus
-    never shuffles embeddings — the posexplode emits 3 scalar columns
-    per (row, anchor), collapsed MAP-SIDE by the per-anchor min/max
-    struct partial agg, so the single exchange carries ≤|anchors| rows.
+    never shuffles embeddings — and since r16 the kernel also FOLDS the
+    per-anchor argmin/argmax itself (guide §2.3, the _pq_lloyd
+    partial-fold precedent), emitting only a banded per-batch candidate
+    shortlist (~|anchors|·(ties+3) rows per batch) instead of
+    posexploding |corpus|×|anchors| scalar rows through the JVM partial
+    aggregate (50 M rows at the sf1 lane — measured 2.2 s → 1.8 s there;
+    the structural win grows with corpus×anchors, which is the point at
+    100 TB). The
+    band is exact, not approximate — see the inline note at the kernel.
     Argmin/argmax via struct ordering, not max_by (tie-nondeterministic):
     positive = min(sim, id); negative = max(sim, -id). Cosine is
     dot/(|c|·|q|) in float64 — p05's oracle-parity formulation —
     canonicalized at 6 dp as micro-unit bigints, so sims/margins are
     exact-integer-derived doubles (unrounded final divisions, q48)."""
     import os as _os
-
-    from pyspark.sql.functions import pandas_udf
-    from pyspark.sql.types import ArrayType, DoubleType
 
     max_a = int(_os.environ.get("SPARK_GRAFT_BRUTE_MAX_QUERIES", "100000"))
     collected = (
@@ -806,24 +843,95 @@ def mine_triplets(
     Am = np.asarray([t[2] for t in arows], dtype=np.float64)  # (A, d)
     At = np.ascontiguousarray(Am.T)  # (d, A)
     an = np.maximum(np.linalg.norm(Am, axis=1), 1e-12)  # (A,)
+    a_id_arr = np.asarray(a_ids, dtype=np.int64)
+    _LBL_SENTINEL = np.iinfo(np.int64).min
+    al_arr = np.asarray(
+        [x if x is not None else _LBL_SENTINEL for x in a_labels],
+        dtype=np.int64,
+    )
+    al_ok = al_arr != _LBL_SENTINEL
 
-    @pandas_udf(ArrayType(DoubleType()))
-    def anchor_sims(vecs: pd.Series) -> pd.Series:
-        vals = vecs.tolist()
-        n = len(vals)
-        out: list = [None] * n
-        ok = [
-            i
-            for i in range(n)
-            if vals[i] is not None and len(vals[i]) == At.shape[0]
-        ]
-        if ok:
+    # r16 (guide §2.3, the _pq_lloyd partial-fold precedent): the old
+    # shape posexploded |corpus|×|anchors| scalar rows (50 M at the sf1
+    # lane) through the JVM partial min/max aggregate. The kernel now
+    # folds per-anchor candidates ITSELF and emits only a bounded
+    # shortlist per batch: for each anchor, every same-label row within
+    # 2 micro-units of the batch-min similarity (kind 1), every
+    # different-label row within 2 of the batch-max (kind 2), plus one
+    # presence marker per anchor per partition (kind 0 — an anchor with
+    # candidates in neither class must still appear, with NULL pos/neg).
+    # The band is EXACT, not approximate: the JVM re-derives
+    # __nm = round(sim·1e6) from the pass-through float64 sim and takes
+    # the true struct min/max over the shortlist — a row excluded by the
+    # band is > 1 full micro-unit away from the batch extreme, so its
+    # HALF_UP-rounded __nm can never tie the extreme's (rounding moves a
+    # value by at most 0.5+ulp). Ties (replicated vectors) all fall
+    # inside the band and keep the deterministic (nm, cand_id) break.
+    def _fold(batches):
+        for pdf in batches:
+            vals = pdf["__vec"].tolist()
+            ids = pdf["cand_id"].to_numpy()
+            lbls = pdf["__cl"].tolist()
+            n = len(vals)
+            ok = [
+                i
+                for i in range(n)
+                if vals[i] is not None and len(vals[i]) == At.shape[0]
+            ]
+            if not ok:
+                continue
             M = np.vstack([np.asarray(vals[i], dtype=np.float64) for i in ok])
             cn = np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
-            S = (M @ At) / (cn * an[None, :])
-            for j, i in enumerate(ok):
-                out[i] = S[j].tolist()
-        return pd.Series(out)
+            S = (M @ At) / (cn * an[None, :])  # (B, A) float64
+            Y = S * 1e6  # the exact double the JVM rounds
+            cid = ids[ok].astype(np.int64)
+            # NULL labels arrive as NaN through pandas (int col with
+            # nulls upcasts to float64), not None — pd.isna covers both
+            cl = np.asarray(
+                [
+                    _LBL_SENTINEL if pd.isna(lbls[i]) else int(lbls[i])
+                    for i in ok
+                ],
+                dtype=np.int64,
+            )
+            cl_ok = cl != _LBL_SENTINEL
+            not_self = cid[:, None] != a_id_arr[None, :]  # (B, A)
+            lbl_both = cl_ok[:, None] & al_ok[None, :]
+            same = lbl_both & (cl[:, None] == al_arr[None, :]) & not_self
+            diff = lbl_both & (cl[:, None] != al_arr[None, :]) & not_self
+            out_a, out_k, out_i, out_s = [], [], [], []
+            for mask, kind, extreme in ((same, 1, "min"), (diff, 2, "max")):
+                if not mask.any():
+                    continue
+                if extreme == "min":
+                    Ym = np.where(mask, Y, np.inf)
+                    col = Ym.min(axis=0)
+                    keep = mask & (Ym <= col[None, :] + 2.0)
+                else:
+                    Ym = np.where(mask, Y, -np.inf)
+                    col = Ym.max(axis=0)
+                    keep = mask & (Ym >= col[None, :] - 2.0)
+                r, a = np.nonzero(keep)
+                out_a.append(a)
+                out_k.append(np.full(len(a), kind, dtype=np.int32))
+                out_i.append(cid[r])
+                out_s.append(S[r, a])
+            # presence: one marker per anchor with >= 1 valid non-self row
+            pres = np.nonzero(not_self.any(axis=0))[0]
+            out_a.append(pres)
+            out_k.append(np.zeros(len(pres), dtype=np.int32))
+            out_i.append(np.zeros(len(pres), dtype=np.int64))
+            out_s.append(np.zeros(len(pres), dtype=np.float64))
+            apos = np.concatenate(out_a).astype(np.int32)
+            kind = np.concatenate(out_k)
+            yield pd.DataFrame(
+                {
+                    "apos": apos,
+                    "kind": kind,
+                    "cand_id": np.concatenate(out_i),
+                    "sim": np.concatenate(out_s),
+                }
+            )
 
     lbl_arr = F.array(
         *[
@@ -832,30 +940,31 @@ def mine_triplets(
         ]
     )
     id_arr = F.array(*[F.lit(x) for x in a_ids])
-    scored = (
+    shortlist = (
         ensure_parallelism(corpus)
         .filter(F.col(id_col).isNotNull())
         .select(
             F.col(id_col).alias("cand_id"),
             F.col(label_col).alias("__cl"),
-            F.posexplode(anchor_sims(F.col(vec_col))).alias("apos", "sim"),
+            F.col(vec_col).alias("__vec"),
         )
-        .select(
-            F.element_at(id_arr, F.col("apos") + 1).alias("anchor_id"),
-            F.element_at(lbl_arr, F.col("apos") + 1).alias("label"),
-            "cand_id",
-            "__cl",
-            F.round(F.col("sim") * F.lit(1e6), 0).cast("long").alias("__nm"),
+        .mapInPandas(
+            _fold, schema="apos int, kind int, cand_id long, sim double"
         )
-        .filter(F.col("anchor_id") != F.col("cand_id"))
-        .withColumn("__same", F.col("__cl") == F.col("label"))
+    )
+    scored = shortlist.select(
+        F.element_at(id_arr, F.col("apos") + 1).alias("anchor_id"),
+        F.element_at(lbl_arr, F.col("apos") + 1).alias("label"),
+        "kind",
+        "cand_id",
+        F.round(F.col("sim") * F.lit(1e6), 0).cast("long").alias("__nm"),
     )
     pos = F.min(
-        F.when(F.col("__same"), F.struct(F.col("__nm"), F.col("cand_id")))
+        F.when(F.col("kind") == 1, F.struct(F.col("__nm"), F.col("cand_id")))
     )
     neg = F.max(
         F.when(
-            ~F.col("__same"),
+            F.col("kind") == 2,
             F.struct(F.col("__nm"), (-F.col("cand_id")).alias("nid")),
         )
     )
