@@ -1126,6 +1126,40 @@ def _pq_lloyd(
     running several fits over the SAME base pay ONE seed job."""
     import math
 
+    from pyspark import StorageLevel
+
+    # r16 (guide §5, the bpe_train precedent): every iteration's job
+    # re-derived the IDENTICAL micro-int base — at sf0.1 a single-task
+    # scan through three interpreted-HOF passes (slice/round transform,
+    # size gate, null-element gate) measured ~0.7 s of each ~1.0 s
+    # iteration. Persist it for the fit's duration (evictable
+    # MEMORY_AND_DISK, recompute-safe) and release it before returning —
+    # nothing accumulates across calls. A base the CALLER already
+    # persisted (IVF-PQ shares one base across two fits) is left alone.
+    own_persist = base.storageLevel == StorageLevel(False, False, False, False)
+    if own_persist and n_iters > 0:
+        base = base.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        return _pq_lloyd_impl(base, m, sub_dims, k, n_iters, pre, seed_rows)
+    finally:
+        if own_persist and n_iters > 0:
+            try:
+                base.unpersist(blocking=False)
+            except Exception:
+                pass
+
+
+def _pq_lloyd_impl(
+    base: DataFrame,
+    m: int,
+    sub_dims: int,
+    k: int,
+    n_iters: int,
+    pre=None,
+    seed_rows: list | None = None,
+) -> dict[tuple[int, int], list[int]]:
+    import math
+
     seeds = (
         seed_rows[:k] if seed_rows is not None else _pq_seed_rows(base, k)
     )
@@ -1148,6 +1182,7 @@ def _pq_lloyd(
                 int(v) for v in seed_mat[cid, s * sub_dims:(s + 1) * sub_dims]
             ]
 
+    n_base_parts = base.rdd.getNumPartitions() if n_iters > 0 else 0
     for _ in range(n_iters):
         # r15 optimization (guide §2.3 "aggregate before you shuffle",
         # taken to the limit: aggregate before leaving the Arrow kernel).
@@ -1197,16 +1232,36 @@ def _pq_lloyd(
             }
             yield pd.DataFrame(rows)
 
-        stats = (
-            base.select("xm")
-            .mapInPandas(
-                _partial_stats,
-                schema="subspace int, cid int, pos int, sx long, n long",
-            )
-            .groupBy("subspace", "cid", "pos")
-            .agg(F.sum("sx").alias("sx"), F.sum("n").alias("n"))
-            .collect()  # bounded: <= m*k*sub_dims rows (the codebook fold)
+        partials = base.select("xm").mapInPandas(
+            _partial_stats,
+            schema="subspace int, cid int, pos int, sx long, n long",
         )
+        # r16 (guide §2.4): each iteration's fold emits <= m·k·sub_dims
+        # rows PER PARTITION. Below ~64 input partitions the whole
+        # partial set is a bounded <= 32k-row collect, and summing it
+        # driver-side (exact int64 addition — bit-identical totals)
+        # skips the groupBy's exchange + reduce stage: one stage per
+        # iteration instead of two, worth ~0.1-0.2 s × n_iters per fit
+        # on scheduling constants alone. Past that, the distributed fold
+        # wins (driver work stays O(m·k·sub_dims), not O(partitions)).
+        if n_base_parts <= 64:
+            totals: dict[tuple[int, int, int], list[int]] = {}
+            for r in partials.collect():  # bounded: <= 64 * m*k*sub_dims
+                t = totals.setdefault(
+                    (r["subspace"], r["cid"], r["pos"]), [0, 0]
+                )
+                t[0] += r["sx"]
+                t[1] += r["n"]
+            stats = [
+                {"subspace": s, "cid": c, "pos": p, "sx": sx, "n": n}
+                for (s, c, p), (sx, n) in totals.items()
+            ]
+        else:
+            stats = (
+                partials.groupBy("subspace", "cid", "pos")
+                .agg(F.sum("sx").alias("sx"), F.sum("n").alias("n"))
+                .collect()  # bounded: <= m*k*sub_dims rows
+            )
         new_code = dict(code)  # empty clusters keep their previous centroid
         upd: dict[tuple[int, int], list[int]] = {}
         for r in stats:
@@ -1606,30 +1661,42 @@ def ivfpq_topk(
     empty = "query_id long, neighbor_id long, ivfpq_dist_micro2 long, nn_rank int"
     spark = corpus.sparkSession
     base = _pq_base(corpus, corpus_vec, corpus_id, d)
-    # ONE bounded seed collect serves both fits (coarse needs n_cells
-    # rows, the residual fit kc rows — same (md5, vec_id) order)
-    seed_rows = _pq_seed_rows(base, max(n_cells, kc))
-    coarse = _pq_lloyd(
-        base, 1, d, n_cells, n_iters, seed_rows=seed_rows
-    )
-    if not coarse:
-        return spark.createDataFrame([], empty)
-    CC = np.zeros((n_cells, d), dtype=np.int64)
-    for (_, cid), vals in coarse.items():
-        CC[cid] = vals
+    # ONE persisted base serves the seed collect and BOTH fits (6 Lloyd
+    # jobs re-derive it otherwise — the _pq_lloyd persist note); released
+    # before the scoring pass is returned, which recomputes it once.
+    from pyspark import StorageLevel
 
-    def _residual(X: np.ndarray) -> np.ndarray:
-        # exact int64 cell assign + subtract (first-min == (dist, cid)
-        # ties) — applied inside the fit/scorer kernels AND to the seed
-        # matrix driver-side (same numpy ops, bit-identical)
-        D = ((X[:, None, :] - CC[None]) ** 2).sum(axis=2)
-        return X - CC[D.argmin(axis=1)]
+    base = base.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        # ONE bounded seed collect serves both fits (coarse needs n_cells
+        # rows, the residual fit kc rows — same (md5, vec_id) order)
+        seed_rows = _pq_seed_rows(base, max(n_cells, kc))
+        coarse = _pq_lloyd(
+            base, 1, d, n_cells, n_iters, seed_rows=seed_rows
+        )
+        if not coarse:
+            return spark.createDataFrame([], empty)
+        CC = np.zeros((n_cells, d), dtype=np.int64)
+        for (_, cid), vals in coarse.items():
+            CC[cid] = vals
 
-    rcode = _pq_lloyd(
-        base, m, sub_dims, kc, n_iters, pre=_residual, seed_rows=seed_rows
-    )
-    if not rcode:
-        return spark.createDataFrame([], empty)
+        def _residual(X: np.ndarray) -> np.ndarray:
+            # exact int64 cell assign + subtract (first-min == (dist, cid)
+            # ties) — applied inside the fit/scorer kernels AND to the seed
+            # matrix driver-side (same numpy ops, bit-identical)
+            D = ((X[:, None, :] - CC[None]) ** 2).sum(axis=2)
+            return X - CC[D.argmin(axis=1)]
+
+        rcode = _pq_lloyd(
+            base, m, sub_dims, kc, n_iters, pre=_residual, seed_rows=seed_rows
+        )
+        if not rcode:
+            return spark.createDataFrame([], empty)
+    finally:
+        try:
+            base.unpersist(blocking=False)
+        except Exception:
+            pass
     RC = np.zeros((m, kc, sub_dims), dtype=np.int64)
     for (s, cid), vals in rcode.items():
         RC[s, cid] = vals
