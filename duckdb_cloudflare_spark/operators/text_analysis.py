@@ -1065,21 +1065,14 @@ def bpe_train_reference(
     return out
 
 
-# bpe_token_counts' persisted vocab roots (at most one live entry — see
-# the one-slot release below). Module-level so a caller (or the bench
-# harness, like uncache_tables) can release the LAST call's cache too.
-_TOKEN_COUNT_CACHE: list[DataFrame] = []
-
-
 def release_bpe_vocab_cache() -> None:
-    """Unpersist every bpe_token_counts vocab root still tracked (at most
-    one). Safe anytime: the returned token table recomputes its fold from
-    the corpus if executed after release."""
-    while _TOKEN_COUNT_CACHE:
-        try:
-            _TOKEN_COUNT_CACHE.pop().unpersist(blocking=False)
-        except Exception:
-            pass
+    """Unpersist the last bpe_token_counts vocab root (at most one is
+    ever live — the one-slot registry). Safe anytime: the returned token
+    table recomputes its fold from the corpus if executed after
+    release."""
+    from duckdb_cloudflare_spark.util.caching import release_slot
+
+    release_slot("bpe_token_counts.enc")
 
 
 def bpe_token_counts(
@@ -1114,8 +1107,6 @@ def bpe_token_counts(
     orders of magnitude more than any configured depth."""
     if n_merges < 1:
         raise ValueError(f"bpe_token_counts needs n_merges >= 1 (got {n_merges})")
-    from pyspark import StorageLevel
-
     sep = _BPE_SEP
     enc = bpe_word_vocab(df, text_col).select(
         F.regexp_replace("w", "(.)", f"{sep}$1{sep}").alias("enc"), "freq"
@@ -1129,9 +1120,9 @@ def bpe_token_counts(
     # hold at most one live storage entry instead of accumulating.
     # Recompute-safe: a still-held earlier result simply re-derives its
     # fold from the corpus (values unchanged, lazily slower).
-    release_bpe_vocab_cache()
-    enc = enc.persist(StorageLevel.MEMORY_AND_DISK)
-    _TOKEN_COUNT_CACHE.append(enc)
+    from duckdb_cloudflare_spark.util.caching import one_slot_persist
+
+    enc = one_slot_persist("bpe_token_counts.enc", enc)
     for _ in range(n_merges):
         syms = enc.select(
             F.split(F.expr("substring(enc, 2, length(enc) - 2)"), sep + sep).alias(
@@ -1211,12 +1202,22 @@ def bigram_xent(
     p(h2|h1) = (c(h1,h2) + 1) / (c(h1,·) + B); unseen contexts fall back
     to 1/B exactly (coalesce both counts to 0).
 
-    Scale shape: bigrams are built MAP-SIDE per document (zip of the
-    bucket array with its own tail — no positional self-join, no window),
-    exploded once; the model is two partial-aggregated groupBys bounded
-    at B²/B rows; scoring is two BROADCAST joins of that model onto the
-    bigram stream and ONE doc-keyed aggregation — the corpus crosses the
-    wire exactly once (the per-doc agg), hot buckets collapse map-side.
+    Scale shape (r16 reshape — measured 6.4 s → 1.3 s at the sf1 lane):
+    bigrams are built MAP-SIDE per document (zip of the TOKEN array with
+    its own tail — no positional self-join, no window), exploded once,
+    and the md5 bucket hash runs as a whole-stage-codegen projection
+    ABOVE the explode (the p115/p105 rule: expression work inside a
+    higher-order ``transform`` is INTERPRETED; each token is now hashed
+    twice — once as h1, once as h2 — but in codegen, which measured 3×
+    faster than hashing once interpreted). The hashed stream is
+    persisted one-slot for the call (util.caching — the returned table
+    stays lazy over it, the next call releases it) because THREE
+    separate executions read it otherwise: the old shape's two broadcast
+    builds each re-ran the whole tokenize+hash+explode lineage (cu's
+    build re-derived cb's from scratch). The B²-bounded model table is
+    one-slot persisted too, so each broadcast build is a cache read;
+    scoring is two broadcast joins and ONE doc-keyed aggregation — the
+    corpus crosses the wire exactly once.
 
     Determinism (the p83 convention): each scored bigram's log-prob is
     canonicalized as an exact micro-unit bigint ``lp_micro =
@@ -1226,40 +1227,51 @@ def bigram_xent(
     last-ulp libm drift; per-doc sums of bigints are order-independent;
     ``bigram_xent = -sum / (n · 10^round_dp)`` is ONE exact-integer
     division, deliberately unrounded (the q48 rule)."""
+    from duckdb_cloudflare_spark.util.caching import one_slot_persist
+
     micro = float(10**round_dp)
-    bk = F.transform(
-        tokens(F.col(text_col)),
-        lambda t: F.conv(F.substring(F.md5(F.lower(t)), 1, 8), 16, 10).cast(
-            "long"
+    bucket = lambda c: (  # noqa: E731 — the p57/p70/p83 cross-engine idiom
+        F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("long") % n_buckets
+    )
+    tk = tokens(F.col(text_col))
+    pairs = (
+        df.select(
+            F.col(id_col), target.cast("boolean").alias("__t"), tk.alias("tk")
         )
-        % n_buckets,
+        .filter(F.size("tk") >= 2)
+        .select(
+            id_col,
+            "__t",
+            F.explode(
+                F.zip_with(
+                    F.slice("tk", 1, F.size("tk") - 1),
+                    F.slice("tk", 2, F.size("tk") - 1),
+                    lambda a, b: F.struct(a.alias("t1"), b.alias("t2")),
+                )
+            ).alias("pr"),
+        )
+        # codegen hashing above the explode (see the docstring's r16 note)
+        .select(
+            id_col,
+            "__t",
+            bucket(F.lower(F.col("pr.t1"))).alias("h1"),
+            bucket(F.lower(F.col("pr.t2"))).alias("h2"),
+        )
     )
-    d = df.select(
-        F.col(id_col), target.cast("boolean").alias("__t"), bk.alias("bk")
-    ).filter(F.size("bk") >= 2)
-    n1 = F.size(F.col("bk")) - 1
-    pairs = d.select(
-        id_col,
-        "__t",
-        F.explode(
-            F.zip_with(
-                F.slice("bk", 1, n1),
-                F.slice("bk", 2, n1),
-                lambda a, b: F.struct(a.alias("h1"), b.alias("h2")),
-            )
-        ).alias("pr"),
-    ).select(id_col, "__t", F.col("pr.h1").alias("h1"), F.col("pr.h2").alias("h2"))
-    cb = (
-        pairs.filter("__t")
-        .groupBy("h1", "h2")
-        .agg(F.count(F.lit(1)).alias("cb"))
+    pairs = one_slot_persist("bigram_xent.pairs", pairs)
+    # the B²-bounded model table is persisted too (one-slot): the plan
+    # executes it THREE times otherwise — once inside each broadcast
+    # build (cu's build re-derives cb's whole corpus lineage) and the
+    # persisted pairs alone would still pay the aggregation thrice
+    cb_df = one_slot_persist(
+        "bigram_xent.cb",
+        pairs.filter("__t").groupBy("h1", "h2").agg(
+            F.count(F.lit(1)).alias("cb")
+        ),
     )
-    # c(h1,·) = Σ_h2 c(h1,h2) EXACTLY — derive the context counts from
-    # the B²-bounded bigram table instead of a second corpus pass (the
-    # r13 100×-docs probe: each explode pass over the corpus is the
-    # dominant cost; this keeps the model fit at TWO corpus passes —
-    # one for cb, one for scoring — with identical counts)
-    cu = cb.groupBy("h1").agg(F.sum("cb").cast("long").alias("cu"))
+    # c(h1,·) = Σ_h2 c(h1,h2) EXACTLY — derived from the B²-bounded
+    # model table, never a second corpus pass
+    cu_df = cb_df.groupBy("h1").agg(F.sum("cb").cast("long").alias("cu"))
     lp = F.round(
         F.log(
             (F.coalesce(F.col("cb"), F.lit(0)) + 1).cast("double")
@@ -1269,8 +1281,8 @@ def bigram_xent(
         0,
     ).cast("long")
     scored = (
-        pairs.join(F.broadcast(cb), ["h1", "h2"], "left")
-        .join(F.broadcast(cu), ["h1"], "left")
+        pairs.join(F.broadcast(cb_df), ["h1", "h2"], "left")
+        .join(F.broadcast(cu_df), ["h1"], "left")
         .select(id_col, lp.alias("lp_micro"))
     )
     return scored.groupBy(id_col).agg(
